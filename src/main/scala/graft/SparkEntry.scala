@@ -1,13 +1,139 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY §2 re-expressed as a
+  * declarative Spark program; `oracleSql` carries the DuckDB-equivalent SQL
+  * the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.groupAgg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 sources + §2.2 projections/filters
+    "q_scan_filter_project" -> (Relational.scanFilterProject _),
+    // §2.4 aggregations
+    "q1_agg"        -> (Relational.groupAgg _),
+    "q_count_group" -> (Relational.countGroup _),
+    "q_max_group"   -> (Relational.maxGroup _),
+    "q_collect_agg" -> (Relational.collectAgg _),
+    // §2.3 joins
+    "q_broadcast_join" -> (Relational.broadcastJoin _),
+    "q_multiway_join"  -> (Relational.multiwayJoin _),
+    "q_left_join_agg"  -> (Relational.leftJoinAgg _),
+    "q_anti_join"      -> (Relational.antiJoin _),
+    "q_semi_join"      -> (Relational.semiJoin _),
+    // §2.4 set ops / dedup / sort-limit
+    "q_union_dedup"    -> (Relational.unionDedup _),
+    "q_dedup_rows"     -> (Relational.dedupRows _),
+    "q_sort_limit"     -> (Relational.sortLimit _),
+    "q_topk_per_group" -> (Relational.topkPerGroup _),
+    // events / streaming-equivalent
+    "q_windowed_events" -> (Events.windowedAgg _),
+    "q_json_props"      -> (Events.jsonProps _),
+    "q_sessionize"      -> (Events.sessionize _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_count_group" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS unique_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_max_group" ->
+      """SELECT o_custkey, MAX(o_orderdate) AS last_order, MIN(o_orderdate) AS first_order,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_collect_agg" ->
+      """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           COUNT(*) AS n_customers
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_multiway_join" ->
+      """SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_left_join_agg" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_union_dedup" ->
+      """SELECT custkey FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+           UNION
+           SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         ORDER BY custkey""",
+    "q_dedup_rows" ->
+      """SELECT DISTINCT l_partkey, l_suppkey FROM lineitem ORDER BY l_partkey, l_suppkey""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+             o_orderkey, o_totalprice
+           FROM orders) WHERE rank <= 3
+         ORDER BY o_orderpriority, rank""",
+    "q_windowed_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_json_props" ->
+      """SELECT event_type,
+           SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+           COUNT(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sessionize" ->
+      """WITH b AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+           FROM events),
+         s AS (
+           SELECT user_id, value,
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM b)
+         SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id ORDER BY user_id""",
+  )
 }

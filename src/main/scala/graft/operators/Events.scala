@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Event-stream operators — the batch equivalents of the reference's Kafka
+  * micro-batch path (databuilder/extractor/kafka_source_extractor.py:22).
+  * The same transforms run unchanged under Structured Streaming (see
+  * graft.streaming); these batch forms are what the DuckDB oracle checks.
+  */
+object Events {
+
+  /** Tumbling-window aggregation (hour buckets). Under streaming this is
+    * `withWatermark + groupBy(window(...))`; the batch form uses date_trunc
+    * so the oracle can reproduce it. */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** JSON property extraction — the reference's JSONPath field extraction
+    * (databuilder/rest_api/rest_api_query.py:207-250) as get_json_object. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy("event_type")
+
+  /** Sessionization: a new session starts after a >30 min gap per user.
+    * Batch form uses lag + running sum windows; the streaming form is
+    * flatMapGroupsWithState (graft.streaming.Sessionize). Per-user windows
+    * partition cleanly at scale (shuffle once on user_id, both windows and
+    * the final agg reuse that partitioning). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Core relational operator inventory (SURVEY §2.1–§2.4) re-expressed as
+  * declarative DataFrame programs over the testdata star schema.
+  *
+  * Scale notes (100 TB design stance):
+  *  - filters/projections sit directly on the scan so Catalyst pushes them
+  *    into parquet (PushedFilters / ReadSchema);
+  *  - dimension tables (region, nation, customer at catalog scale) are
+  *    broadcast — no shuffle of the fact side;
+  *  - aggregations are hash-aggs with partial (map-side) combine for free;
+  *  - nothing collects to the driver.
+  */
+object Relational {
+
+  /** Scan + filter + projection — CsvExtractor/SQLAlchemyExtractor analog
+    * (reference: databuilder/extractor/csv_extractor.py:27). Predicate and
+    * column list reach the parquet reader. */
+  def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Sort-based group-agg fold analog (reference:
+    * databuilder/extractor/hive_table_metadata_extractor.py:133-158) —
+    * in Spark a hash aggregation; the sort dependency disappears.
+    * Shape of TPC-H Q1. */
+  def groupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast hash join of a small dimension (reference CSV badge/column
+    * hash joins, databuilder/extractor/csv_extractor.py:107-143). */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), sortedList(col("n_name")).as("nations"))
+      .orderBy("r_name")
+
+  /** Multi-hop inner equi-join chain — the Cypher MATCH pattern
+    * Database←Cluster←Schema←Table (reference:
+    * databuilder/extractor/neo4j_search_data_extractor.py:23-60). Dimensions
+    * broadcast; only the fact table shuffles for the final agg. */
+  def multiwayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp"))
+    orders
+      .join(broadcast(Tables(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-outer join + aggregation — the OPTIONAL MATCH branches of the
+    * search-document queries (SURVEY §2.3). */
+  def leftJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** Anti join — NOT EXISTS over partitions (reference:
+    * databuilder/extractor/hive_table_last_updated_extractor.py:87-89). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Semi join — EXISTS filter (reference Cassandra/Delta allowlist filters,
+    * databuilder/extractor/cassandra_extractor.py:62-90). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** UNION with dedup — partition-col ∪ regular-col branch (reference:
+    * databuilder/extractor/hive_table_metadata_extractor.py:46). */
+  def unionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+    val building = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    big.union(building).distinct().orderBy("custkey")
+  }
+
+  /** Hash counting aggregation — usage counting dict[key] += 1 (reference:
+    * databuilder/extractor/bigquery_usage_extractor.py:47-110). */
+  def countGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("unique_users"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("event_type")
+
+  /** Max/min aggregation — table-last-updated (reference:
+    * databuilder/extractor/hive_table_last_updated_extractor.py:61-72). */
+  def maxGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        min(col("o_orderdate")).as("first_order"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
+  /** COLLECT(DISTINCT …) — tag/badge collection branches (reference:
+    * neo4j_search_data_extractor.py:32-47); sorted string for determinism. */
+  def collectAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(sortedSet(col("c_mktsegment")).as("segments"), count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  /** ORDER BY + LIMIT — Spark plans this as TakeOrderedAndProject: a per-
+    * partition top-k then a k-row merge, no global sort of 100 TB. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Distinct rows — the global dedup sets of low-cardinality nodes
+    * (reference: databuilder/models/table_metadata.py:324-327) as a
+    * distributed dropDuplicates. */
+  def dedupRows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .dropDuplicates()
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** Top-k per group via window rank — beyond-reference extension (the
+    * reference has LIMIT only); ranks inside each group without a global
+    * sort. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rank")
+  }
+}
