@@ -38,6 +38,22 @@ object SparkEntry {
     "q_windowed_events" -> (Events.windowedAgg _),
     "q_json_props"      -> (Events.jsonProps _),
     "q_sessionize"      -> (Events.sessionize _),
+    // graph model pipeline (§1, §2.7 serializer fan-out + dedup)
+    "q_graph_node_counts" -> (GraphBuild.nodeCounts _),
+    "q_graph_edge_counts" -> (GraphBuild.edgeCounts _),
+    "q_graph_table_nodes" -> (GraphBuild.tableNodes _),
+    // §2.6 search-document queries
+    "q_table_search_doc"     -> (SearchDocs.tableDocs _),
+    "q_user_search_doc"      -> (SearchDocs.userDocs _),
+    "q_dashboard_search_doc" -> (SearchDocs.dashboardDocs _),
+    // §2.7 publisher + staleness
+    "q_publish_upsert" -> (Publish.upsertQuery _),
+    "q_stale_sweep"    -> (Publish.staleSweepQuery _),
+    // §2.2/§2.5 scalar transformers
+    "q_timestamp_epoch" -> (Transforms.timestampToEpoch _),
+    "q_str_replace"     -> (Transforms.strReplace _),
+    "q_key_format"      -> (Transforms.keyFormat _),
+    "q_base64_json"     -> (Transforms.base64Json _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -135,5 +151,126 @@ object SparkEntry {
          SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_graph_node_counts" ->
+      """SELECT label, n FROM (
+           SELECT 'Table' AS label, (SELECT COUNT(*) FROM customer) AS n
+           UNION ALL SELECT 'Description',
+             (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+           UNION ALL SELECT 'Column', (SELECT COUNT(*) FROM orders)
+           UNION ALL SELECT 'Tag', (SELECT COUNT(DISTINCT lower(c_mktsegment)) FROM customer)
+           UNION ALL SELECT 'Database', CAST(1 AS BIGINT)
+           UNION ALL SELECT 'Cluster',
+             (SELECT COUNT(DISTINCT r_name) FROM customer
+              JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey)
+           UNION ALL SELECT 'Schema',
+             (SELECT COUNT(DISTINCT n_name) FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         ) ORDER BY label""",
+    "q_graph_edge_counts" ->
+      """SELECT rel_type, n FROM (
+           SELECT 'CLUSTER' AS rel_type,
+             (SELECT COUNT(DISTINCT r_name) FROM customer
+              JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey) AS n
+           UNION ALL SELECT 'SCHEMA',
+             (SELECT COUNT(DISTINCT n_name) FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           UNION ALL SELECT 'TABLE', (SELECT COUNT(*) FROM customer)
+           UNION ALL SELECT 'DESCRIPTION',
+             (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+           UNION ALL SELECT 'TAGGED_BY', (SELECT COUNT(*) FROM customer)
+           UNION ALL SELECT 'COLUMN', (SELECT COUNT(*) FROM orders)
+         ) ORDER BY rel_type""",
+    "q_graph_table_nodes" ->
+      """SELECT 'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
+           c_name AS name, 'false' AS is_view
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         ORDER BY key""",
+    "q_table_search_doc" ->
+      """WITH colagg AS (
+           SELECT o_custkey,
+             array_to_string(list_sort(list('o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'))), ',') AS column_names,
+             CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_updated_timestamp
+           FROM orders GROUP BY o_custkey),
+         usage_agg AS (
+           SELECT o_custkey, COUNT(*) AS total_usage, COUNT(DISTINCT l_suppkey) AS unique_usage
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey)
+         SELECT 'tpch' AS "database", r_name AS cluster, n_name AS "schema", c_name AS name,
+           'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
+           c_mktsegment AS description, lower(c_mktsegment) AS tags,
+           COALESCE(column_names, '') AS column_names,
+           COALESCE(last_updated_timestamp, 0) AS last_updated_timestamp,
+           COALESCE(total_usage, 0) AS total_usage,
+           COALESCE(unique_usage, 0) AS unique_usage
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           LEFT JOIN colagg ON c_custkey = colagg.o_custkey
+           LEFT JOIN usage_agg ON c_custkey = usage_agg.o_custkey
+         ORDER BY name""",
+    "q_user_search_doc" ->
+      """WITH r AS (
+           SELECT l_suppkey, COUNT(*) AS total_read, COUNT(DISTINCT l_partkey) AS total_own,
+             COUNT(DISTINCT l_orderkey) AS total_follow
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s_name AS name, n_name AS team_name,
+           COALESCE(total_read, 0) AS total_read,
+           COALESCE(total_own, 0) AS total_own,
+           COALESCE(total_follow, 0) AS total_follow
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           LEFT JOIN r ON s_suppkey = l_suppkey
+         WHERE s_name IS NOT NULL ORDER BY name""",
+    "q_dashboard_search_doc" ->
+      """WITH u AS (
+           SELECT l_partkey, COUNT(*) AS total_usage,
+             CAST(epoch(MAX(l_shipdate)) AS BIGINT) AS last_successful_run_timestamp,
+             array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names
+           FROM lineitem GROUP BY l_partkey)
+         SELECT p_brand AS group_name, p_name AS name, p_brand || '/' || p_name AS key,
+           COALESCE(p_type, '') AS description,
+           COALESCE(total_usage, 0) AS total_usage,
+           COALESCE(last_successful_run_timestamp, 0) AS last_successful_run_timestamp,
+           COALESCE(chart_names, '') AS chart_names
+         FROM part LEFT JOIN u ON p_partkey = l_partkey
+         ORDER BY group_name, name""",
+    "q_publish_upsert" ->
+      """WITH existing AS (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 3 <> 0),
+         incoming AS (
+           SELECT c_custkey AS key, c_name AS name, lower(c_mktsegment) AS segment
+           FROM customer WHERE c_custkey % 2 = 0)
+         SELECT COALESCE(i.key, e.key) AS key, COALESCE(i.name, e.name) AS name,
+           COALESCE(i.segment, e.segment) AS segment,
+           CASE WHEN i.key IS NOT NULL THEN 'tag_2' ELSE '' END AS published_tag,
+           CAST(CASE WHEN i.key IS NOT NULL THEN 2000 ELSE 0 END AS BIGINT) AS publisher_last_updated_epoch_ms
+         FROM existing e FULL OUTER JOIN incoming i ON e.key = i.key ORDER BY key""",
+    "q_stale_sweep" ->
+      """WITH nodes AS (
+           SELECT o_orderkey AS key, o_orderpriority AS label, o_orderstatus AS status FROM orders),
+         r AS (
+           SELECT label, SUM(CASE WHEN status = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ratio
+           FROM nodes GROUP BY label)
+         SELECT n.label AS label, COUNT(*) AS n_kept
+         FROM nodes n JOIN r ON n.label = r.label
+         WHERE status <> 'F' OR ratio >= 0.40
+         GROUP BY n.label ORDER BY label""",
+    "q_timestamp_epoch" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                ELSE 'not-a-timestamp' END AS ts_string,
+           COALESCE(CAST(epoch(try_strptime(
+             CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                  ELSE 'not-a-timestamp' END, '%Y-%m-%dT%H:%M:%S')) AS BIGINT), 0) AS epoch
+         FROM events ORDER BY event_id""",
+    "q_str_replace" ->
+      """SELECT doc_id, md5(replace(replace(text, ' ', '_'), 'a', '@')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q_key_format" ->
+      """SELECT c_custkey, 'tpch://' || r_name || '.' || n_name || '/' || c_name AS key
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q_base64_json" ->
+      """SELECT event_id, to_base64(encode(props)) AS encoded,
+           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+         FROM events WHERE event_id < 1000 ORDER BY event_id""",
   )
 }

@@ -1,0 +1,117 @@
+package graft.model
+
+/** Remaining graph-serializable domain models (SURVEY §1.2).
+  * Key formats and relationship types follow the reference models cited on
+  * each class; fan-out is pure and unit-tested.
+  */
+
+/** User — keyed by email (reference: databuilder/models/user.py:18-223). */
+case class User(
+    email: String,
+    firstName: Option[String] = None,
+    lastName: Option[String] = None,
+    fullName: Option[String] = None,
+    teamName: Option[String] = None,
+    employeeType: Option[String] = None,
+    managerEmail: Option[String] = None,
+    isActive: Boolean = true)
+
+object User {
+  val Label = "User"
+  implicit val serializer: GraphSerializable[User] = new GraphSerializable[User] {
+    def nodes(u: User): Seq[GraphNode] = {
+      val attrs = Map("email" -> u.email, "is_active" -> u.isActive.toString) ++
+        u.firstName.map("first_name" -> _) ++ u.lastName.map("last_name" -> _) ++
+        u.fullName.map("full_name" -> _) ++ u.teamName.map("team_name" -> _) ++
+        u.employeeType.map("employee_type" -> _)
+      Seq(GraphNode(u.email, Label, attrs)) ++
+        u.managerEmail.map(m => GraphNode(m, Label, Map("email" -> m)))
+    }
+    def relationships(u: User): Seq[GraphRelationship] =
+      u.managerEmail.toSeq.map(m =>
+        GraphRelationship(Label, Label, u.email, m, "MANAGE_BY", "MANAGE", Map.empty))
+  }
+}
+
+/** Table↔User read frequency — READ/READ_BY with read_count
+  * (reference: databuilder/models/table_column_usage.py:19-132). */
+case class TableUsage(tableKey: String, userEmail: String, readCount: Long)
+
+object TableUsage {
+  implicit val serializer: GraphSerializable[TableUsage] = new GraphSerializable[TableUsage] {
+    def nodes(t: TableUsage): Seq[GraphNode] =
+      Seq(GraphNode(t.userEmail, User.Label, Map("email" -> t.userEmail)))
+    def relationships(t: TableUsage): Seq[GraphRelationship] =
+      Seq(GraphRelationship(TableMetadata.TableLabel, User.Label, t.tableKey, t.userEmail,
+        "READ_BY", "READ", Map("read_count" -> t.readCount.toString)))
+  }
+}
+
+/** Table-level lineage — edges only
+  * (reference: databuilder/models/table_lineage.py:15-121). */
+case class TableLineage(sourceTableKey: String, targetTableKey: String)
+
+object TableLineage {
+  implicit val serializer: GraphSerializable[TableLineage] = new GraphSerializable[TableLineage] {
+    def nodes(t: TableLineage): Seq[GraphNode] = Nil
+    def relationships(t: TableLineage): Seq[GraphRelationship] =
+      Seq(GraphRelationship(TableMetadata.TableLabel, TableMetadata.TableLabel,
+        t.sourceTableKey, t.targetTableKey, "HAS_DOWNSTREAM", "HAS_UPSTREAM", Map.empty))
+  }
+}
+
+/** Partition watermark — parses `part_name` as "col=value"
+  * (reference: databuilder/models/watermark.py:17-130, parse :43-49). */
+case class Watermark(
+    database: String, cluster: String, schema: String, table: String,
+    partName: String, partType: String, createTime: String) {
+  def tableKey: String = s"$database://$cluster.$schema/$table"
+  def key: String = s"$tableKey/$partType/"
+  def partitionKey: String = partName.split("=").head
+  def partitionValue: String = partName.split("=").lift(1).getOrElse("")
+}
+
+object Watermark {
+  val Label = "Watermark"
+  implicit val serializer: GraphSerializable[Watermark] = new GraphSerializable[Watermark] {
+    def nodes(w: Watermark): Seq[GraphNode] =
+      Seq(GraphNode(w.key, Label, Map(
+        "partition_key" -> w.partitionKey, "partition_value" -> w.partitionValue,
+        "create_time" -> w.createTime)))
+    def relationships(w: Watermark): Seq[GraphRelationship] =
+      Seq(GraphRelationship(Label, TableMetadata.TableLabel, w.key, w.tableKey,
+        "BELONG_TO_TABLE", "WATERMARK", Map.empty))
+  }
+}
+
+/** Table last-updated timestamp node
+  * (reference: databuilder/models/table_last_updated.py:17-125). */
+case class TableLastUpdated(tableKey: String, lastUpdatedEpoch: Long)
+
+object TableLastUpdated {
+  val Label = "Timestamp"
+  implicit val serializer: GraphSerializable[TableLastUpdated] =
+    new GraphSerializable[TableLastUpdated] {
+      def nodes(t: TableLastUpdated): Seq[GraphNode] =
+        Seq(GraphNode(s"${t.tableKey}/timestamp", Label,
+          Map("last_updated_timestamp" -> t.lastUpdatedEpoch.toString)))
+      def relationships(t: TableLastUpdated): Seq[GraphRelationship] =
+        Seq(GraphRelationship(TableMetadata.TableLabel, Label,
+          t.tableKey, s"${t.tableKey}/timestamp", "LAST_UPDATED_AT", "LAST_UPDATED_TIME_OF",
+          Map.empty))
+    }
+}
+
+/** Table ownership — OWNER/OWNER_OF
+  * (reference: databuilder/models/table_owner.py:20-121). */
+case class TableOwner(tableKey: String, owners: Seq[String])
+
+object TableOwner {
+  implicit val serializer: GraphSerializable[TableOwner] = new GraphSerializable[TableOwner] {
+    def nodes(t: TableOwner): Seq[GraphNode] =
+      t.owners.map(o => GraphNode(o, User.Label, Map("email" -> o)))
+    def relationships(t: TableOwner): Seq[GraphRelationship] =
+      t.owners.map(o => GraphRelationship(User.Label, TableMetadata.TableLabel,
+        o, t.tableKey, "OWNER_OF", "OWNER", Map.empty))
+  }
+}

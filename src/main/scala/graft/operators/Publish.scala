@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Publisher semantics as deterministic set operations.
+  *
+  * The reference publishes with per-statement MERGE upserts and batched
+  * transactions (databuilder/publisher/neo4j_csv_publisher.py:271-447);
+  * re-expressed as a full-outer join merge: incoming attributes win,
+  * existing fill the gaps, every surviving row is stamped with the publish
+  * tag + epoch. Staleness removal (task/neo4j_staleness_removal_task.py)
+  * becomes a filter + per-label guardrail + anti-join — no delete loops.
+  *
+  * Scale notes: the merge shuffles both sides once on the key — at 100 TB
+  * the current-state table should be bucketed by key so only the (much
+  * smaller) incoming batch shuffles; the guardrail aggregates to |labels|
+  * rows and broadcasts back, never collecting node rows to the driver.
+  */
+object Publish {
+
+  /** MERGE upsert: `MERGE (n {key}) ON CREATE SET … ON MATCH SET …` over
+    * whole tables. `attrCols` must exist in both inputs. */
+  def mergeUpsert(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keyCol: String,
+      attrCols: Seq[String],
+      publishTag: String,
+      epochMs: Long): DataFrame = {
+    val ex = existing.select((keyCol +: attrCols).map(c => col(c).as(s"ex_$c")): _*)
+    val in = incoming.select((keyCol +: attrCols).map(c => col(c).as(s"in_$c")): _*)
+    val merged = ex.join(in, col(s"ex_$keyCol") === col(s"in_$keyCol"), "full_outer")
+    val outCols =
+      coalesce(col(s"in_$keyCol"), col(s"ex_$keyCol")).as(keyCol) +:
+      attrCols.map(c => coalesce(col(s"in_$c"), col(s"ex_$c")).as(c)) :+
+      when(col(s"in_$keyCol").isNotNull, lit(publishTag))
+        .otherwise(lit("")).as("published_tag") :+
+      when(col(s"in_$keyCol").isNotNull, lit(epochMs))
+        .otherwise(lit(0L)).as("publisher_last_updated_epoch_ms")
+    merged.select(outCols: _*)
+  }
+
+  /** Mark-and-sweep staleness removal with the 5%-style guardrail:
+    * a label whose stale ratio reaches `maxStalePct` is NOT swept (abort
+    * semantics, reference :187-253). Returns surviving rows. */
+  def staleSweep(
+      nodes: DataFrame,
+      staleCond: Column,
+      labelCol: String,
+      maxStalePct: Double): DataFrame = {
+    val flagged = nodes.withColumn("_stale", staleCond.cast("int"))
+    val ratios = flagged.groupBy(labelCol)
+      .agg((sum(col("_stale")) / count(lit(1))).as("_stale_ratio"))
+    flagged
+      .join(broadcast(ratios), Seq(labelCol))
+      .filter(col("_stale") === 0 || col("_stale_ratio") >= maxStalePct)
+      .drop("_stale", "_stale_ratio")
+  }
+
+  // ---- oracle-checkable query shapes ----
+
+  /** Upsert of a customer attribute batch over an existing snapshot:
+    * existing = custkey % 3 != 0 (old tag), incoming = custkey % 2 == 0
+    * with rewritten segment. */
+  def upsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val existing = c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    val incoming = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        lower(col("c_mktsegment")).as("segment"))
+    mergeUpsert(existing, incoming, "key", Seq("name", "segment"), "tag_2", 2000L)
+      .orderBy("key")
+  }
+
+  /** Staleness sweep over orders-as-nodes: label = order priority, stale =
+    * status 'F'; labels with ≥40% stale abort (are kept whole). Output is
+    * the per-label survivor count — the guardrail report. */
+  def staleSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderpriority").as("label"),
+        col("o_orderstatus").as("status"))
+    staleSweep(nodes, col("status") === "F", "label", 0.40)
+      .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      .orderBy("label")
+  }
+}

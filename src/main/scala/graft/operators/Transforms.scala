@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Scalar transformer inventory (SURVEY §2.2, §2.5) — each reference
+  * transformer as a codegen'd column expression, no UDFs.
+  */
+object Transforms {
+
+  /** TimestampStringToEpoch with the reference's 0-on-parse-failure
+    * semantics (databuilder/transformer/timestamp_string_to_epoch.py:30-44):
+    * `coalesce(unix_timestamp(...), 0)`, NOT null. Odd event ids carry an
+    * unparseable string to exercise the failure path. */
+  def timestampToEpoch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("ts_string",
+        when(col("event_id") % 2 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(lit("not-a-timestamp")))
+      .withColumn("epoch",
+        coalesce(unix_timestamp(try_to_timestamp(col("ts_string"), lit("yyyy-MM-dd'T'HH:mm:ss"))), lit(0L)))
+      .select("event_id", "ts_string", "epoch")
+      .orderBy("event_id")
+
+  /** RegexStrReplaceTransformer — ordered literal replacements
+    * (databuilder/transformer/regex_str_replace_transformer.py:19).
+    * Output is fingerprinted (md5) to keep the oracle compact. */
+  def strReplace(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("replaced", regexp_replace(regexp_replace(col("text"), " ", "_"), "a", "@"))
+      .select(col("doc_id"), md5(col("replaced")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** TemplateVariableSubstitutionTransformer — key building via format
+    * (databuilder/transformer/template_variable_substitution_transformer.py:17
+    * + table_metadata.py key formats :296-314). */
+  def keyFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"),
+        tableKey(lit("tpch"), col("r_name"), col("n_name"), col("c_name")).as("key"))
+      .orderBy("c_custkey")
+
+  /** PrestoViewMetadataExtractor decode path — base64 round trip + JSON
+    * field extraction (databuilder/extractor/
+    * presto_view_metadata_extractor.py:92-115): unbase64 + get_json_object. */
+  def base64Json(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_id") < 1000)
+      .withColumn("encoded", base64(col("props").cast("binary")))
+      .withColumn("decoded", unbase64(col("encoded")).cast("string"))
+      .select(col("event_id"), col("encoded"),
+        get_json_object(col("decoded"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+}
