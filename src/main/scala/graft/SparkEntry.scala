@@ -54,6 +54,23 @@ object SparkEntry {
     "q_str_replace"     -> (Transforms.strReplace _),
     "q_key_format"      -> (Transforms.keyFormat _),
     "q_base64_json"     -> (Transforms.base64Json _),
+    // text analysis (training-data pipeline)
+    "q_text_tokens"     -> (TextOps.tokenCount _),
+    "q_text_quality"    -> (TextOps.qualityScore _),
+    "q_lang_id"         -> (TextOps.langId _),
+    "q_doc_fingerprint" -> (TextOps.fingerprint _),
+    // dedup family
+    "q_dedup_exact"   -> (DedupOps.exactDedup _),
+    "q_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    "q_minhash_lsh"   -> (DedupOps.minhashLshPairs _),
+    "q_simhash"       -> (DedupOps.simhashBuckets _),
+    // similarity search
+    "q_embed_norm"        -> (SimilarityOps.norms _),
+    "q_embed_pair_cosine" -> (SimilarityOps.pairCosine _),
+    "q_ann_topk"          -> (SimilarityOps.annBruteForce _),
+    "q_ann_lsh_buckets"   -> (SimilarityOps.annLshBuckets _),
+    // multimodal binary plumbing
+    "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,5 +289,114 @@ object SparkEntry {
       """SELECT event_id, to_base64(encode(props)) AS encoded,
            TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
          FROM events WHERE event_id < 1000 ORDER BY event_id""",
+    "q_text_tokens" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+         FROM t ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS type_token_ratio,
+           CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+           len(toks) BETWEEN 10 AND 1000 AS passes_length_filter
+         FROM t ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT) AS s_es,
+           CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(toks, x -> list_contains(['的','是','在'], x))) AS BIGINT) AS s_zh
+           FROM t),
+         g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
+         SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+           CASE WHEN s_en = best AND best > 0 THEN 'en'
+                WHEN s_de = best AND best > 0 THEN 'de'
+                WHEN s_es = best AND best > 0 THEN 'es'
+                WHEN s_fr = best AND best > 0 THEN 'fr'
+                WHEN s_zh = best AND best > 0 THEN 'zh'
+                ELSE 'unknown' END AS predicted_lang
+         FROM g ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_fp, md5(substr(text, 1, 64)) AS prefix_fp,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+         FROM documents GROUP BY 1 ORDER BY canonical_doc_id""",
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sh
+           FROM t)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+             CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             AS jaccard
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 ORDER BY doc_a""",
+    // Oracle is the brute-force all-pairs truth set; the Spark side is
+    // MinHash+LSH banding + exact verification, which attains 100% recall
+    // at jaccard>=0.8 on this (deterministic) corpus.
+    "q_minhash_lsh" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         s AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
+         FROM p WHERE inter / (tot - inter) >= 0.8 ORDER BY doc_a, doc_b""",
+    "q_embed_norm" ->
+      """SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+         FROM embeddings ORDER BY vec_id""",
+    "q_embed_pair_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+         FROM n a JOIN n b ON b.vec_id = a.vec_id + 1 ORDER BY id_a""",
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s) WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q_multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           substr(hex(encode(text)), 1, 16) AS head_hex,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+         FROM documents ORDER BY doc_id""",
   )
 }

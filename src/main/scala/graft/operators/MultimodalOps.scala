@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata. The container has no image/audio codecs, so decode is a
+  * clearly-marked deterministic stub — the Spark-side contract (schema,
+  * batch shape, partition-local decode, feature schema) is real and tested.
+  *
+  * Scale notes: decode runs in mapPartitions so any native library is
+  * initialized once per partition, not per row; binaries never shuffle —
+  * features are extracted before any wide operation.
+  */
+object MultimodalOps {
+
+  /** A decoded media asset's typed metadata. */
+  case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int, format: String)
+
+  /** STUB decode: a real pipeline would decode image bytes here (JAI /
+    * ffmpeg / jpeg lib); this deterministic fake derives metadata from the
+    * byte content so tests are stable. */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    MediaMeta(id, n, (n % 640).toInt, (n % 480).toInt, if (id % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Binary ingestion + partition-local decode via mapPartitions (the
+    * Scala analog of mapInPandas batches). */
+  def decodedMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init of a (stubbed) codec would go here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Oracle-checkable feature extraction over the binary column: byte
+    * length, content hash, leading-bytes sample ("frame sample" analog) —
+    * pure column expressions so DuckDB can reproduce them. */
+  def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("media", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        sha2(col("media"), 256).as("content_sha256"),
+        substring(hex(col("media")), 1, 16).as("head_hex"),
+        (length(col("media")) % 640).cast("int").as("fake_width"),
+        (length(col("media")) % 480).cast("int").as("fake_height"))
+      .orderBy("doc_id")
+}

