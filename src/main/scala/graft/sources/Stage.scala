@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{GraphNode, GraphRelationship}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Staged-output layer — the loader/publisher file contracts (SURVEY §2.7).
+  *
+  *  - Node/edge staging ← FsNeo4jCSVLoader's per-(label, key-set) shards
+  *    (databuilder/loader/file_system_neo4j_csv_loader.py:153-198): here one
+  *    parquet/csv directory partitioned by label / relType — the schema-
+  *    per-shard behavior falls out of partitioning, and downstream
+  *    publishers get partition pruning for free.
+  *  - NDJSON documents ← FSElasticsearchJSONLoader
+  *    (loader/file_system_elasticsearch_json_loader.py:12), sorted keys.
+  *  - Blue/green publish ← ElasticsearchPublisher's new-index + alias swap
+  *    (publisher/elasticsearch_publisher.py:74-123): write a new suffixed
+  *    directory, then atomically repoint a CURRENT marker.
+  */
+object Stage {
+
+  def stageNodes(nodes: Dataset[GraphNode], outDir: String): Unit =
+    nodes.toDF()
+      .select(col("key"), col("label"), col("attributes"))
+      .write.mode(SaveMode.Overwrite).partitionBy("label").parquet(s"$outDir/nodes")
+
+  def stageEdges(edges: Dataset[GraphRelationship], outDir: String): Unit =
+    edges.toDF()
+      .write.mode(SaveMode.Overwrite).partitionBy("relType").parquet(s"$outDir/edges")
+
+  def readNodes(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/nodes")
+
+  def readEdges(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/edges")
+
+  /** NDJSON with deterministic (sorted) column order — the ES document
+    * contract (models/elasticsearch_document.py:14-22 sorts keys). */
+  def writeSearchDocs(docs: DataFrame, outDir: String): Unit =
+    docs.select(docs.columns.sorted.map(col): _*)
+      .write.mode(SaveMode.Overwrite).json(outDir)
+
+  /** Blue/green swap: write to a fresh versioned dir, then atomically
+    * repoint CURRENT. Readers resolve via `current()`; old generations
+    * remain until cleaned — identical failure semantics to the reference's
+    * alias flip (create new index, swap alias, drop old). */
+  def publishBlueGreen(docs: DataFrame, baseDir: String, generation: String): String = {
+    val target = s"$baseDir/gen=$generation"
+    writeSearchDocs(docs, target)
+    val marker = Paths.get(baseDir, "CURRENT.tmp")
+    Files.createDirectories(Paths.get(baseDir))
+    Files.writeString(marker, target, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(marker, Paths.get(baseDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
+  def current(spark: SparkSession, baseDir: String): DataFrame = {
+    val target = Files.readString(Paths.get(baseDir, "CURRENT")).trim
+    spark.read.json(target)
+  }
+}

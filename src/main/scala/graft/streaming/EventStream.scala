@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming re-expression of the reference's Kafka micro-batch
+  * extractor (databuilder/extractor/kafka_source_extractor.py:22):
+  *  - the bounded poll loop (consumer_total_timeout_sec) becomes
+  *    Trigger.AvailableNow — process everything available, then stop;
+  *  - offset-commit-on-publish-success (reference :116-130) becomes the
+  *    checkpoint commit the sink performs after each micro-batch — the same
+  *    at-least-once contract;
+  *  - drop-on-error transform becomes a typed filter over parse results.
+  *
+  * In production the source is `format("kafka")`; tests drive the identical
+  * plan from a file source (the transform DAG is source-agnostic).
+  */
+object EventStream {
+
+  /** The event schema of /root/testdata's events table (ts as epoch micros
+    * long at the stream edge; converted to timestamp in the plan). */
+  val eventSchemaDDL =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** Streaming source over a parquet directory (Kafka stand-in). */
+  def source(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchemaDDL).parquet(path)
+
+  /** Watermarked tumbling-window aggregation — the streaming form of
+    * Events.windowedAgg. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Run a bounded micro-batch into an in-memory table and return the
+    * result — Trigger.AvailableNow ≙ the reference's bounded consume
+    * window, checkpoint ≙ its offset commit. */
+  def runAvailableNow(spark: SparkSession, events: DataFrame, name: String,
+      checkpoint: String): DataFrame = {
+    val q = windowedCounts(events).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  case class SessionState(sessionId: Long, lastSeenMicros: Long, nEvents: Long)
+  case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
+
+  /** Stateful sessionization with mapGroupsWithState — the custom-state
+    * path (KeyValueGroupedDataset) for per-user session tracking with a
+    * 30-minute gap, matching the batch Events.sessionize semantics for
+    * in-order input. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { us =>
+            val newSession = st.lastSeenMicros == Long.MinValue || us - st.lastSeenMicros > 1800000000L
+            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, us, st.nEvents + 1)
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessionId, st.nEvents)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Events, GraphBuild}
+import graft.sources.{Stage, Tables}
+import graft.streaming.EventStream
+import java.nio.file.Files
+
+/** Drives the streaming micro-batch path and the staged-output layer
+  * end-to-end against testdata. */
+class StreamingAndStageSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming windowed agg over AvailableNow micro-batch matches batch result") {
+    // stage the events through a parquet dir with µs timestamps (stream edge)
+    val staged = tmp("stream-in")
+    Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
+    val result = EventStream.runAvailableNow(
+      spark, EventStream.source(spark, staged), "win_counts", tmp("ckpt"))
+    val batch = Events.windowedAgg(spark, dir)
+    assert(result.count() == batch.count())
+    val streamTotal = result.agg(sum("n")).head.getLong(0)
+    val batchTotal = batch.agg(sum("n")).head.getLong(0)
+    assert(streamTotal == batchTotal)
+  }
+
+  test("checkpointed restart does not reprocess (at-least-once commit analog)") {
+    val staged = tmp("stream-in2")
+    Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
+    val ckpt = tmp("ckpt2")
+    val first = EventStream.runAvailableNow(
+      spark, EventStream.source(spark, staged), "win1", ckpt)
+    val n1 = first.agg(sum("n")).head.getLong(0)
+    assert(n1 == Tables(spark, dir, "events").count())
+    // second run with same checkpoint: offsets already committed, so
+    // AvailableNow terminates without emitting any batch (no reprocessing)
+    val second = EventStream.runAvailableNow(
+      spark, EventStream.source(spark, staged), "win1b", ckpt)
+    assert(second.count() == 0, "restart reprocessed already-committed data")
+  }
+
+  test("stateful sessionization agrees with the batch window form") {
+    val staged = tmp("stream-in3")
+    Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
+    val events = EventStream.source(spark, staged)
+    val q = EventStream.sessionize(spark, events).writeStream
+      .outputMode("update").format("memory").queryName("sessions")
+      .option("checkpointLocation", tmp("ckpt3"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sessions")
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+    val batch = Events.sessionize(spark, dir).select("user_id", "n_sessions")
+    val joined = streamed.as("s").join(batch.as("b"), "user_id")
+      .filter(col("s.n_sessions") =!= col("b.n_sessions"))
+    assert(joined.count() == 0, "stream/batch session counts diverge")
+  }
+
+  test("graph staging round-trips with per-label partitioning") {
+    val out = tmp("staged-graph")
+    val meta = GraphBuild.tableMetadata(spark, dir)
+    Stage.stageNodes(GraphBuild.nodes(meta), out)
+    Stage.stageEdges(GraphBuild.edges(meta), out)
+    val back = Stage.readNodes(spark, out)
+    assert(back.select("label").distinct().count() == 7)
+    // partition pruning: a single-label read should not scan other labels
+    val tablesOnly = Stage.readNodes(spark, out).filter(col("label") === "Table")
+    assert(tablesOnly.count() ==
+      Tables(spark, dir, "customer").count())
+    assert(Stage.readEdges(spark, out).count() > 0)
+  }
+
+  test("blue/green publish swaps CURRENT atomically") {
+    val base = tmp("docs-pub")
+    val docs1 = operators.SearchDocs.tableDocs(spark, dir)
+    Stage.publishBlueGreen(docs1, base, "v1")
+    val got1 = Stage.current(spark, base)
+    assert(got1.count() == docs1.count())
+    val docs2 = docs1.limit(10)
+    Stage.publishBlueGreen(docs2, base, "v2")
+    assert(Stage.current(spark, base).count() == 10)
+    // old generation still present (cleanup is a separate concern)
+    assert(spark.read.json(s"$base/gen=v1").count() == docs1.count())
+  }
+}
