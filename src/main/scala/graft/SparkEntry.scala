@@ -68,7 +68,7 @@ object SparkEntry {
     "q_embed_norm"        -> (SimilarityOps.norms _),
     "q_embed_pair_cosine" -> (SimilarityOps.pairCosine _),
     "q_ann_topk"          -> (SimilarityOps.annBruteForce _),
-    "q_ann_lsh_buckets"   -> (SimilarityOps.annLshBuckets _),
+    "q_ann_lsh_pairs"     -> (SimilarityOps.annLshPairs _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
   )
@@ -148,9 +148,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back so the driver's
+    // hash-compare sees int64 on both sides (round-1 hash_match failure).
     "q_json_props" ->
       """SELECT event_type,
-           SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_sessionize" ->
@@ -370,6 +372,23 @@ object SparkEntry {
            FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
          FROM p WHERE inter / (tot - inter) >= 0.8 ORDER BY doc_a, doc_b""",
+    // Token hash = first 15 hex chars of md5 (60 bits) so DuckDB can
+    // reproduce the bit-vote exactly; the vote is order-insensitive.
+    "q_simhash" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         h AS (SELECT doc_id,
+             list_transform(list_distinct(toks),
+               tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS th
+           FROM t),
+         s AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(th,
+                      hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+           FROM h)
+         SELECT doc_id, simhash, simhash >> 44 AS bucket FROM s ORDER BY doc_id""",
     "q_embed_norm" ->
       """SELECT vec_id,
            sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
@@ -391,6 +410,21 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
            FROM s) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // Oracle is the brute-force all-pairs truth; the Spark side is LSH
+    // bucket-join candidates + exact cosine verify. Twins are scaled x2
+    // copies, so hyperplane signs match the parent exactly and LSH recall
+    // is 1.0 by construction (not probabilistically).
+    "q_ann_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id, v FROM e
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+               FROM e WHERE vec_id % 10 = 0),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""",
     "q_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha256,

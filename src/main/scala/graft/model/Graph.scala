@@ -35,11 +35,32 @@ trait GraphSerializable[T] extends Serializable {
 }
 
 object Graph {
+  /** Python `str.istitle()`: every cased run starts uppercase and continues
+    * lowercase, with at least one cased char — rejects "TABLE" and "tAble",
+    * accepts "Dashboardgroup" (reference graph_serializable.py:115-121). */
+  def isTitle(s: String): Boolean = {
+    var prevCased = false
+    var seen = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isUpper) {
+        if (prevCased) return false
+        prevCased = true; seen = true
+      } else if (c.isLower) {
+        if (!prevCased) return false
+        prevCased = true; seen = true
+      } else prevCased = false
+      i += 1
+    }
+    seen
+  }
+
   /** Validation invariants (reference graph_serializable.py:68-91,115-121):
     * non-empty key/label, title-case label, upper-case relation types. */
   def nodeValid(n: GraphNode): Boolean =
     n.key != null && n.key.nonEmpty && n.label != null && n.label.nonEmpty &&
-      n.label.head.isUpper
+      isTitle(n.label)
 
   def relationshipValid(r: GraphRelationship): Boolean =
     Seq(r.startLabel, r.endLabel, r.startKey, r.endKey).forall(s => s != null && s.nonEmpty) &&

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
 
 /** Deduplication family for training-data pipelines: exact (hash groupBy),
@@ -49,36 +50,96 @@ object DedupOps {
       .orderBy("doc_a")
   }
 
-  /** MinHash signatures (32 perms via seeded xxhash64) + LSH banding
-    * (8 bands × 4 rows): candidate pairs share ≥1 band bucket; candidates
-    * are then verified with exact Jaccard. The band join is the scale
-    * path — shuffle keys are (band, bandHash), never document pairs. */
+  // ---- deterministic 64-bit hashing for MinHash permutations ----
+  // Signature hashes only affect candidate *recall* (the emitted pairs are
+  // exact Jaccard on candidates, oracle-checked), so a cheap FNV-1a +
+  // splitmix64 pipeline is used instead of interpreted-HOF xxhash64 — the
+  // round-1 pathology recomputed that expression ~16x per doc (1524 s at
+  // sf0.1).
+
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def splitmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val NumPerms = 32
+  private val NumBands = 16 // 16 bands x 2 rows: P(miss | J>=0.8) = 0.36^16 ~ 8.5e-8
+
+  /** 32-perm MinHash signature folded into 16 band hashes (2 rows/band),
+    * computed imperatively once per document. */
+  private[operators] def bandHashes(sh: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    sh.foreach { s =>
+      val h = fnv64(s)
+      var i = 0
+      while (i < NumPerms) {
+        val v = splitmix64(h + (i + 1) * 0x9e3779b97f4a7c15L)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    val rows = NumPerms / NumBands
+    Array.tabulate(NumBands) { b =>
+      var bh = 1125899906842597L
+      var j = 0
+      while (j < rows) { bh = splitmix64(bh ^ sig(b * rows + j)); j += 1 }
+      bh
+    }
+  }
+
+  /** MinHash+LSH near-dup pairs: signatures once per doc (typed map, no
+    * expression recomputation), band bucket equi-join on slim
+    * (doc_id, band, band_hash) rows only, exact-Jaccard verification on
+    * deduped candidate id-pairs. The corpus has no natural near-dups, so
+    * every 10th doc gets a truncated twin (id + 1_000_000, Jaccard ~ 0.9).
+    *
+    * Scale shape (100 TB): one shuffle to spread the scan, one on the band
+    * key, one on the candidate pair — shuffled payloads are ids and 64-bit
+    * hashes; the fat shingle arrays stay in the persisted stage and are
+    * joined back only for the (tiny) candidate set. At cluster scale the
+    * persisted stage becomes a staged parquet write. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    // The corpus has no natural near-dups, so plant them: every 10th doc
-    // gets a truncated twin (id + 1_000_000) — Jaccard ≈ 0.9 by
-    // construction. The oracle recomputes exactly these pairs; LSH recall
-    // at this similarity is ~1 - 1.9e-6 per pair, and the run is
-    // deterministic (fixed data + seeded hashes).
+    val spark0 = spark
+    import spark0.implicits._
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val twins = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, 1, length(text) - 20)").as("text"))
-    val docs = base.union(twins)
+    // Repartition off the single-file scan, shingle once, persist: the
+    // shingle sets feed the signature map AND both sides of the verify
+    // join — without the persist Catalyst recomputes the whole tree per
+    // consumer.
+    val shingled = base.union(twins)
+      .repartition(col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(3))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", expr(
-        """transform(sequence(0, 31),
-             i -> array_min(transform(sh, s -> xxhash64(s, i))))"""))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 7), b -> struct(b as band, hash(slice(sig, b * 4 + 1, 4)) as band_hash))"))
-      .select(col("doc_id"), col("sh"), explode(col("bands")).as("bd"))
-      .select(col("doc_id"), col("sh"), col("bd.band"), col("bd.band_hash"))
-    val l = docs.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = docs.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = shingled.as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, sh) =>
+        val bh = bandHashes(sh)
+        Iterator.tabulate(bh.length)(b => (id, b, bh(b)))
+      })
+      .toDF("doc_id", "band", "band_hash")
+    val l = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val pairs = l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -87,26 +148,29 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash over token hashes; near-dup candidates = equal high-16
-    * bucket, ranked by Hamming distance. Bit-vote implemented as typed map
-    * (candidate for a codegen'd Catalyst Expression later). */
+  /** 60-bit SimHash over token hashes; near-dup candidates = equal high-16
+    * bucket. The token hash is the first 15 hex chars of md5 (60 bits,
+    * always positive) so the DuckDB oracle reproduces it exactly; hashes
+    * are computed as codegen'd column expressions, only the bit-vote runs
+    * in a typed map (a candidate for a Catalyst Expression later). */
   def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val hashed = Tables(spark, dir, "documents")
       .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("th", expr("transform(array_distinct(toks), t -> xxhash64(t))"))
+      .withColumn("th", expr(
+        "transform(array_distinct(toks), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
       .select(col("doc_id"), col("th")).as[(Long, Seq[Long])]
     val sim = hashed.map { case (id, hs) =>
       var sh = 0L
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         var vote = 0
         hs.foreach(h => vote += (if (((h >>> b) & 1L) == 1L) 1 else -1))
         if (vote > 0) sh |= (1L << b)
         b += 1
       }
-      (id, sh, sh >>> 48)
+      (id, sh, sh >>> 44)
     }.toDF("doc_id", "simhash", "bucket")
     sim.orderBy("doc_id")
   }

@@ -43,9 +43,39 @@ object Publish {
     merged.select(outCols: _*)
   }
 
+  /** Guardrail violation — mirrors the reference's job abort when a
+    * label's stale ratio meets the threshold
+    * (task/neo4j_staleness_removal_task.py:187-253). */
+  final class StaleGuardrailException(msg: String) extends RuntimeException(msg)
+
+  /** Per-label stale ratios — the guardrail's input, |labels| rows. */
+  def staleRatios(nodes: DataFrame, staleCond: Column, labelCol: String): DataFrame =
+    nodes.withColumn("_stale", staleCond.cast("int"))
+      .groupBy(labelCol)
+      .agg((sum(col("_stale")) / count(lit(1))).as("stale_ratio"))
+
+  /** Reference abort semantics: raise when any label's stale ratio meets
+    * `maxStalePct`. A driver-side action over the aggregated per-label
+    * report (never over node rows), so it is safe at any scale. */
+  def assertStaleGuardrail(
+      nodes: DataFrame,
+      staleCond: Column,
+      labelCol: String,
+      maxStalePct: Double): Unit = {
+    val over = staleRatios(nodes, staleCond, labelCol)
+      .filter(col("stale_ratio") >= maxStalePct)
+      .collect()
+    if (over.nonEmpty) {
+      val detail = over.map(r => s"${r.get(0)}=${r.getDouble(1)}").mkString(", ")
+      throw new StaleGuardrailException(
+        s"stale ratio >= $maxStalePct for label(s): $detail — aborting sweep")
+    }
+  }
+
   /** Mark-and-sweep staleness removal with the 5%-style guardrail:
-    * a label whose stale ratio reaches `maxStalePct` is NOT swept (abort
-    * semantics, reference :187-253). Returns surviving rows. */
+    * a label whose stale ratio reaches `maxStalePct` is NOT swept (the
+    * label is kept whole — callers wanting the reference's hard abort use
+    * [[assertStaleGuardrail]] first). Returns surviving rows. */
   def staleSweep(
       nodes: DataFrame,
       staleCond: Column,

@@ -64,24 +64,65 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Random-hyperplane LSH: 16-bit signature from seeded deterministic
-    * hyperplanes; neighbor candidates share the signature bucket. Returns
-    * per-bucket stats (the candidate-generation contract). */
-  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH-accelerated near-duplicate vector search — the ANN scale path.
+    * Candidates = vectors sharing an 8-bit random-hyperplane signature in
+    * any of 8 hash tables (an equi-join on (table, signature), never a
+    * cross join); candidates are verified with exact cosine and pairs
+    * >= 0.99 are emitted. Twins are planted (vec_id % 10 == 0, embedding
+    * scaled x2 — cosine 1 and hyperplane signs invariant under positive
+    * scaling), so recall is exactly 1.0 by construction and the output
+    * matches the brute-force oracle deterministically.
+    *
+    * Scale shape (100 TB): signatures are computed once per vector in a
+    * typed map; only (vec_id, table, sig) rows shuffle for candidate
+    * generation; the fat vectors stay in the persisted stage and join back
+    * only for the candidate set. Table count / bits per table tune the
+    * recall-vs-candidate-volume tradeoff; at cluster scale the persisted
+    * stage becomes staged parquet and the bucket join is salted on hot
+    * buckets. */
+  def annLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val nTables = 8
+    val bitsPerTable = 8
     val planes: Array[Array[Double]] = {
       val rnd = new scala.util.Random(42)
-      Array.fill(16, 64)(rnd.nextGaussian())
+      Array.fill(nTables * bitsPerTable, 64)(rnd.nextGaussian())
     }
-    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
-    Tables(spark, dir, "embeddings")
-      .withColumn("v", asDouble(col("embedding")))
-      .withColumn("planes", planesLit)
-      .withColumn("sig",
-        aggregate(
-          transform(col("planes"), p => when(dot(p, col("v")) > 0, lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, bit) => acc * 2 + bit))
-      .groupBy("sig")
-      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
-      .orderBy("sig")
+    val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
+    val corpus = e.select(col("vec_id"), col("v"))
+      .union(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(2.0d)).as("v")))
+      .repartition(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = corpus.as[(Long, Seq[Double])].mapPartitions(_.flatMap { case (id, v) =>
+      val arr = v.toArray
+      Iterator.tabulate(nTables) { t =>
+        var sig = 0
+        var b = 0
+        while (b < bitsPerTable) {
+          val p = planes(t * bitsPerTable + b)
+          var d = 0.0
+          var i = 0
+          while (i < arr.length) { d += p(i) * arr(i); i += 1 }
+          sig = (sig << 1) | (if (d > 0) 1 else 0)
+          b += 1
+        }
+        (id, t, sig)
+      }
+    }).toDF("vec_id", "tbl", "sig")
+    val l = sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_a"))
+    val r = sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_b"))
+    val pairs = l.join(r, Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("id_a", "id_b")
   }
 }

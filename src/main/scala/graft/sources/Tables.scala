@@ -19,12 +19,25 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and truncate to microsecond
-    * timestamps — the same truncation DuckDB's epoch_us applies, so oracle
-    * comparisons stay exact. */
+  /** SQL conf required to read events.parquet (TIMESTAMP(NANOS), which
+    * Spark's vectorized reader otherwise rejects). Set at session
+    * construction by Verify/Bench/test builders; there is no per-read
+    * datasource option for it (it is consumed from the session conf when
+    * the physical scan is built). */
+  val nanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events.ts is parquet TIMESTAMP(NANOS). Read nanos as long and truncate
+    * to microsecond timestamps — the same truncation DuckDB's epoch_us
+    * applies, so oracle comparisons stay exact.
+    *
+    * NOTE: if the session was built without [[nanosAsLongConf]], this sets
+    * it for the remainder of the session (it must still be true when the
+    * scan executes, so a set-and-restore would break the returned plan).
+    * Session builders in Verify/Bench/tests set it up front so this
+    * mutation path never triggers there. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption(nanosAsLongConf).contains("true"))
+      spark.conf.set(nanosAsLongConf, "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
