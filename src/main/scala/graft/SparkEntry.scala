@@ -47,8 +47,19 @@ object SparkEntry {
     "q_user_search_doc"      -> (SearchDocs.userDocs _),
     "q_dashboard_search_doc" -> (SearchDocs.dashboardDocs _),
     // §2.7 publisher + staleness
-    "q_publish_upsert" -> (Publish.upsertQuery _),
-    "q_stale_sweep"    -> (Publish.staleSweepQuery _),
+    "q_publish_upsert"      -> (Publish.upsertQuery _),
+    "q_publish_lww"         -> (Publish.lwwUpsertQuery _),
+    "q_publish_create_only" -> (Publish.createOnlyUpsertQuery _),
+    "q_publish_empty_attr"  -> (Publish.emptyAttrUpsertQuery _),
+    "q_delete_relation"     -> (Publish.deleteRelationQuery _),
+    "q_stale_sweep"         -> (Publish.staleSweepQuery _),
+    // §2.7 RDS relational-record universe
+    "q_rds_records" -> (RdsBuild.rdsRecordCounts _),
+    // §2.3 REST-join framework (rest_api_query.py analog)
+    "q_rest_join_inner" -> (RestJoin.restJoinInner _),
+    "q_rest_join_outer" -> (RestJoin.restJoinOuter _),
+    // §2.1 dialect metastore pipeline (join ∪ union → fold)
+    "q_hive_metastore_fold" -> (Metastore.hiveMetastoreFold _),
     // §2.2/§2.5 scalar transformers
     "q_timestamp_epoch" -> (Transforms.timestampToEpoch _),
     "q_str_replace"     -> (Transforms.strReplace _),
@@ -261,6 +272,70 @@ object SparkEntry {
            CASE WHEN i.key IS NOT NULL THEN 'tag_2' ELSE '' END AS published_tag,
            CAST(CASE WHEN i.key IS NOT NULL THEN 2000 ELSE 0 END AS BIGINT) AS publisher_last_updated_epoch_ms
          FROM existing e FULL OUTER JOIN incoming i ON e.key = i.key ORDER BY key""",
+    "q_publish_lww" ->
+      """WITH existing AS (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 3 <> 0),
+         batch AS (
+           SELECT o_custkey AS key, o_orderstatus AS name, o_orderpriority AS segment,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders),
+         incoming AS (SELECT key, name, segment FROM batch WHERE rn = 1)
+         SELECT COALESCE(i.key, e.key) AS key, COALESCE(i.name, e.name) AS name,
+           COALESCE(i.segment, e.segment) AS segment,
+           CASE WHEN i.key IS NOT NULL THEN 'tag_3' ELSE '' END AS published_tag,
+           CAST(CASE WHEN i.key IS NOT NULL THEN 3000 ELSE 0 END AS BIGINT) AS publisher_last_updated_epoch_ms
+         FROM existing e FULL OUTER JOIN incoming i ON e.key = i.key ORDER BY key""",
+    "q_publish_create_only" ->
+      """WITH existing AS (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 3 <> 0),
+         incoming AS (
+           SELECT c_custkey AS key, c_name AS name, lower(c_mktsegment) AS segment
+           FROM customer WHERE c_custkey % 2 = 0)
+         SELECT COALESCE(i.key, e.key) AS key, COALESCE(e.name, i.name) AS name,
+           COALESCE(e.segment, i.segment) AS segment,
+           CASE WHEN e.key IS NULL AND i.key IS NOT NULL THEN 'tag_2' ELSE '' END AS published_tag,
+           CAST(CASE WHEN e.key IS NULL AND i.key IS NOT NULL THEN 2000 ELSE 0 END AS BIGINT) AS publisher_last_updated_epoch_ms
+         FROM existing e FULL OUTER JOIN incoming i ON e.key = i.key ORDER BY key""",
+    "q_publish_empty_attr" ->
+      """WITH existing AS (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 3 <> 0),
+         incoming AS (
+           SELECT c_custkey AS key, c_name AS name,
+             CASE WHEN c_custkey % 4 = 0 THEN '' ELSE lower(c_mktsegment) END AS segment
+           FROM customer WHERE c_custkey % 2 = 0)
+         SELECT COALESCE(i.key, e.key) AS key,
+           COALESCE(NULLIF(i.name, ''), e.name) AS name,
+           COALESCE(NULLIF(i.segment, ''), e.segment) AS segment,
+           CASE WHEN i.key IS NOT NULL THEN 'tag_2' ELSE '' END AS published_tag,
+           CAST(CASE WHEN i.key IS NOT NULL THEN 2000 ELSE 0 END AS BIGINT) AS publisher_last_updated_epoch_ms
+         FROM existing e FULL OUTER JOIN incoming i ON e.key = i.key ORDER BY key""",
+    "q_delete_relation" ->
+      """WITH cur AS (SELECT DISTINCT l_orderkey AS start_key, l_suppkey AS end_key FROM lineitem),
+         del AS (SELECT DISTINCT l_orderkey AS start_key, l_suppkey AS end_key
+                 FROM lineitem WHERE l_returnflag = 'R')
+         SELECT c.start_key, c.end_key FROM cur c
+         WHERE NOT EXISTS (SELECT 1 FROM del d
+           WHERE d.start_key = c.start_key AND d.end_key = c.end_key)
+         ORDER BY start_key, end_key""",
+    "q_rds_records" ->
+      """SELECT rds_table, n FROM (
+           SELECT 'database' AS rds_table, CAST(1 AS BIGINT) AS n
+           UNION ALL SELECT 'cluster',
+             (SELECT COUNT(DISTINCT r_name) FROM customer
+              JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey)
+           UNION ALL SELECT 'schema',
+             (SELECT COUNT(DISTINCT n_name) FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           UNION ALL SELECT 'table', (SELECT COUNT(*) FROM customer)
+           UNION ALL SELECT 'table_description', (SELECT COUNT(*) FROM customer)
+           UNION ALL SELECT 'tag', (SELECT COUNT(DISTINCT lower(c_mktsegment)) FROM customer)
+           UNION ALL SELECT 'table_tag', (SELECT COUNT(*) FROM customer)
+           UNION ALL SELECT 'column', (SELECT COUNT(*) FROM orders)
+           UNION ALL SELECT 'column_description', (SELECT COUNT(*) FROM orders)
+         ) ORDER BY rds_table""",
     "q_stale_sweep" ->
       """WITH nodes AS (
            SELECT o_orderkey AS key, o_orderpriority AS label, o_orderstatus AS status FROM orders),
@@ -271,6 +346,41 @@ object SparkEntry {
          FROM nodes n JOIN r ON n.label = r.label
          WHERE status <> 'F' OR ratio >= 0.40
          GROUP BY n.label ORDER BY label""",
+    // REST-join framework: values round-trip through a JSON payload on the
+    // Spark side (JSONPath extract + zip + explode); the oracle joins the
+    // base tables directly — identical values prove the join semantics.
+    "q_rest_join_inner" ->
+      """SELECT c_custkey, c_name, CAST(o_orderkey AS BIGINT) AS order_id,
+           o_orderstatus AS order_status
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         ORDER BY c_custkey, order_id""",
+    "q_rest_join_outer" ->
+      """SELECT c_custkey, c_name, COALESCE(CAST(o_orderkey AS BIGINT), 0) AS order_id,
+           COALESCE(o_orderstatus, '') AS order_status
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         ORDER BY c_custkey, order_id""",
+    "q_hive_metastore_fold" ->
+      """WITH tbls AS (SELECT c_custkey AS tbl_id, c_nationkey AS db_id, c_name AS name,
+             CASE WHEN c_custkey % 20 = 0 THEN 'VIRTUAL_VIEW' ELSE 'MANAGED_TABLE' END AS tbl_type,
+             c_mktsegment AS description
+           FROM customer),
+         dbs AS (SELECT n_nationkey AS db_id, n_name AS schema_name FROM nation),
+         cols AS (SELECT o_custkey AS tbl_id, 'c' || o_orderkey AS col_name,
+             o_orderpriority AS col_type, o_orderkey AS col_sort_order,
+             CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS is_partition_col
+           FROM orders),
+         folded AS (
+           SELECT t.tbl_id, d.schema_name, t.name, t.description,
+             t.tbl_type = 'VIRTUAL_VIEW' AS is_view,
+             COUNT(*) AS n_cols,
+             string_agg(c.col_name || ':' || c.col_type || ':' ||
+                 CASE WHEN c.is_partition_col = 1 THEN 'partition column' ELSE '' END, ','
+               ORDER BY (1 - c.is_partition_col), c.col_sort_order) AS columns
+           FROM tbls t JOIN dbs d ON t.db_id = d.db_id JOIN cols c ON t.tbl_id = c.tbl_id
+           GROUP BY 1, 2, 3, 4, 5)
+         SELECT 'hive://gold.' || schema_name || '/' || name AS key,
+           schema_name, name, description, is_view, n_cols, columns
+         FROM folded ORDER BY key""",
     "q_timestamp_epoch" ->
       """SELECT event_id,
            CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')

@@ -22,26 +22,60 @@ import graft.sources.Tables
 object Publish {
 
   /** MERGE upsert: `MERGE (n {key}) ON CREATE SET … ON MATCH SET …` over
-    * whole tables. `attrCols` must exist in both inputs. */
+    * whole tables. `attrCols` must exist in both inputs.
+    *
+    * Fidelity options mirroring the reference publisher:
+    *  - `createOnly`: the label's ON MATCH SET is skipped — existing
+    *    attributes win, and the publish tag/epoch stamp only lands on
+    *    newly created rows (neo4j_csv_publisher.py:271-287);
+    *  - `ignoreEmptyIncoming`: an empty-string incoming attribute does not
+    *    overwrite a populated existing one — the User model's
+    *    `do_not_update_empty_attribute` option (user.py:53,72-74). */
   def mergeUpsert(
       existing: DataFrame,
       incoming: DataFrame,
       keyCol: String,
       attrCols: Seq[String],
       publishTag: String,
-      epochMs: Long): DataFrame = {
+      epochMs: Long,
+      createOnly: Boolean = false,
+      ignoreEmptyIncoming: Boolean = false): DataFrame = {
     val ex = existing.select((keyCol +: attrCols).map(c => col(c).as(s"ex_$c")): _*)
     val in = incoming.select((keyCol +: attrCols).map(c => col(c).as(s"in_$c")): _*)
     val merged = ex.join(in, col(s"ex_$keyCol") === col(s"in_$keyCol"), "full_outer")
+    def mergeAttr(c: String): Column = {
+      val inc =
+        if (ignoreEmptyIncoming) when(col(s"in_$c") =!= "", col(s"in_$c"))
+        else col(s"in_$c")
+      if (createOnly) coalesce(col(s"ex_$c"), inc) else coalesce(inc, col(s"ex_$c"))
+    }
+    val stamped =
+      if (createOnly) col(s"in_$keyCol").isNotNull && col(s"ex_$keyCol").isNull
+      else col(s"in_$keyCol").isNotNull
     val outCols =
       coalesce(col(s"in_$keyCol"), col(s"ex_$keyCol")).as(keyCol) +:
-      attrCols.map(c => coalesce(col(s"in_$c"), col(s"ex_$c")).as(c)) :+
-      when(col(s"in_$keyCol").isNotNull, lit(publishTag))
-        .otherwise(lit("")).as("published_tag") :+
-      when(col(s"in_$keyCol").isNotNull, lit(epochMs))
-        .otherwise(lit(0L)).as("publisher_last_updated_epoch_ms")
+      attrCols.map(c => mergeAttr(c).as(c)) :+
+      when(stamped, lit(publishTag)).otherwise(lit("")).as("published_tag") :+
+      when(stamped, lit(epochMs)).otherwise(lit(0L)).as("publisher_last_updated_epoch_ms")
     merged.select(outCols: _*)
   }
+
+  /** Within-batch last-write-wins: the reference applies MERGEs in file
+    * order so a later record for the same key overwrites an earlier one;
+    * with set-oriented publishing the incoming batch is pre-deduped to
+    * its latest record per key (row_number over the batch order). */
+  def lastWriteWins(incoming: DataFrame, keyCol: String, orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(_.desc): _*)
+    incoming.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** DeleteRelationPreprocessor analog: pre-delete relations matching the
+    * replace-set before publishing new ones — desired-state push
+    * (neo4j_preprocessor.py:120-205). A left anti-join, no delete loops. */
+  def deleteRelations(current: DataFrame, toDelete: DataFrame, keys: Seq[String]): DataFrame =
+    current.join(toDelete.select(keys.map(col): _*), keys, "left_anti")
 
   /** Guardrail violation — mirrors the reference's job abort when a
     * label's stale ratio meets the threshold
@@ -105,6 +139,67 @@ object Publish {
         lower(col("c_mktsegment")).as("segment"))
     mergeUpsert(existing, incoming, "key", Seq("name", "segment"), "tag_2", 2000L)
       .orderBy("key")
+  }
+
+  /** Within-batch LWW upsert: the incoming batch is each customer's orders
+    * (many rows per key); the latest by (orderdate, orderkey) wins before
+    * the merge — the reference's apply-in-order MERGE semantics. */
+  def lwwUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val existing = Tables(spark, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    val batch = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("key"), col("o_orderstatus").as("name"),
+        col("o_orderpriority").as("segment"), col("o_orderdate"), col("o_orderkey"))
+    val incoming = lastWriteWins(batch, "key", Seq(col("o_orderdate"), col("o_orderkey")))
+      .select("key", "name", "segment")
+    mergeUpsert(existing, incoming, "key", Seq("name", "segment"), "tag_3", 3000L)
+      .orderBy("key")
+  }
+
+  /** Create-only-label upsert: matched rows keep every existing attribute
+    * and are not re-stamped; only newly created rows get incoming attrs +
+    * publish tag (neo4j_csv_publisher.py:271-287). */
+  def createOnlyUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val existing = c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    val incoming = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        lower(col("c_mktsegment")).as("segment"))
+    mergeUpsert(existing, incoming, "key", Seq("name", "segment"), "tag_2", 2000L,
+        createOnly = true)
+      .orderBy("key")
+  }
+
+  /** do_not_update_empty_attribute upsert: incoming rows with an empty
+    * segment must not blank out the existing value (user.py:53,72-74). */
+  def emptyAttrUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val existing = c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    val incoming = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        when(col("c_custkey") % 4 === 0, lit(""))
+          .otherwise(lower(col("c_mktsegment"))).as("segment"))
+    mergeUpsert(existing, incoming, "key", Seq("name", "segment"), "tag_2", 2000L,
+        ignoreEmptyIncoming = true)
+      .orderBy("key")
+  }
+
+  /** DeleteRelationPreprocessor over lineitem-as-relations: distinct
+    * (order, supplier) pairs minus the replace-set (returned lines). */
+  def deleteRelationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val current = li.select(col("l_orderkey").as("start_key"),
+      col("l_suppkey").as("end_key")).distinct()
+    val toDelete = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("start_key"), col("l_suppkey").as("end_key"))
+      .distinct()
+    deleteRelations(current, toDelete, Seq("start_key", "end_key"))
+      .orderBy("start_key", "end_key")
   }
 
   /** Staleness sweep over orders-as-nodes: label = order priority, stale =

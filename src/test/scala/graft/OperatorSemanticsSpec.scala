@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.model.Rds.tableMetadataRows
+import graft.operators._
+
+/** Golden semantics tests for the round-2 operator families: REST-join
+  * zip/OR/no-result behavior, dialect metastore fold (Postgres shape),
+  * RDS record fan-out + FK-ordered staging, publisher fidelity options,
+  * and validation invariants — mirroring the reference's unit-test
+  * pattern (hand fixtures in, exact rows out).
+  */
+class OperatorSemanticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import scala.jdk.CollectionConverters._
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  // ---- RestJoin ----
+
+  private def restFixture: (DataFrame, DataFrame) = {
+    val outer = spark.createDataFrame(
+      Seq((1, "space-a"), (2, "space-b"), (3, "space-empty")))
+      .toDF("space_id", "space_name")
+    val responses = spark.createDataFrame(Seq(
+      (1, """{"reports": [{"token": "t1", "label": "r1"}, {"token": "t2", "label": "r2"}]}"""),
+      (2, """{"reports": [{"token": "t3", "nested": {"deep": "d3"}}]}""")))
+      .toDF("space_id", "payload")
+    (outer, responses)
+  }
+  private val schema =
+    "STRUCT<reports: ARRAY<STRUCT<token: STRING, label: STRING, nested: STRUCT<deep: STRING>>>>"
+
+  test("restApiJoin zips AND fields positionally and fans out 1:N") {
+    val (outer, responses) = restFixture
+    val out = RestJoin.restApiJoin(outer, responses, Seq("space_id"), "payload", schema,
+      Seq(RestJoin.JsonField("token", "reports.token"),
+        RestJoin.JsonField("label", "reports.label")),
+      skipNoResult = true).orderBy("space_id", "token")
+    assert(rows(out) == Seq(
+      Seq(1, "space-a", "t1", "r1"),
+      Seq(1, "space-a", "t2", "r2"),
+      Seq(2, "space-b", "t3", null)))
+  }
+
+  test("restApiJoin OR path falls through to the alternative that matches") {
+    val (outer, responses) = restFixture
+    val out = RestJoin.restApiJoin(outer.filter(col("space_id") === 2), responses,
+      Seq("space_id"), "payload", schema,
+      Seq(RestJoin.JsonField("value", Seq("reports.label", "reports.nested.deep"))),
+      skipNoResult = true)
+    assert(rows(out) == Seq(Seq(2, "space-b", "d3")))
+  }
+
+  test("restApiJoin default keeps no-result outer records, skipNoResult drops them") {
+    val (outer, responses) = restFixture
+    val fields = Seq(RestJoin.JsonField("token", "reports.token"))
+    val kept = RestJoin.restApiJoin(outer, responses, Seq("space_id"), "payload", schema,
+      fields, skipNoResult = false)
+    assert(kept.filter(col("space_id") === 3).count() == 1)
+    val dropped = RestJoin.restApiJoin(outer, responses, Seq("space_id"), "payload", schema,
+      fields, skipNoResult = true)
+    assert(dropped.filter(col("space_id") === 3).count() == 0)
+  }
+
+  // ---- Metastore fold, Postgres shape (no partition branch) ----
+
+  test("foldTableMetadata without partition branch matches base_postgres fold") {
+    val f = Metastore.Frames(
+      tbls = spark.createDataFrame(Seq((10L, 1L, "users", "MANAGED_TABLE")))
+        .toDF("tbl_id", "db_id", "name", "tbl_type"),
+      dbs = spark.createDataFrame(Seq((1L, "public"))).toDF("db_id", "schema_name"),
+      cols = spark.createDataFrame(
+        Seq((10L, "id", "bigint", 1L), (10L, "email", "varchar", 2L)))
+        .toDF("tbl_id", "col_name", "col_type", "col_sort_order"),
+      partitionKeys = None,
+      tableParams = None)
+    val out = Metastore.foldTableMetadata(f, "postgres", "gold")
+    assert(rows(out) == Seq(Seq(
+      "postgres://gold.public/users", "public", "users", "", false, 2L,
+      "id:bigint:,email:varchar:")))
+  }
+
+  test("hive fold puts partition columns first with the partition badge") {
+    val f = Metastore.Frames(
+      tbls = spark.createDataFrame(Seq((10L, 1L, "sales", "MANAGED_TABLE")))
+        .toDF("tbl_id", "db_id", "name", "tbl_type"),
+      dbs = spark.createDataFrame(Seq((1L, "default"))).toDF("db_id", "schema_name"),
+      cols = spark.createDataFrame(Seq((10L, "amount", "double", 1L)))
+        .toDF("tbl_id", "col_name", "col_type", "col_sort_order"),
+      partitionKeys = Some(spark.createDataFrame(Seq((10L, "ds", "string", 99L)))
+        .toDF("tbl_id", "col_name", "col_type", "col_sort_order")),
+      tableParams = Some(spark.createDataFrame(Seq((10L, "comment", "daily sales")))
+        .toDF("tbl_id", "param_key", "param_value")))
+    val out = Metastore.foldTableMetadata(f, "hive", "gold")
+    assert(rows(out) == Seq(Seq(
+      "hive://gold.default/sales", "default", "sales", "daily sales", false, 2L,
+      s"ds:string:${Metastore.PartitionBadge},amount:double:")))
+  }
+
+  // ---- RDS universe ----
+
+  private val sampleTable = TableMetadata(
+    database = "hive", cluster = "gold", schema = "public", name = "users",
+    description = Some("user table"),
+    columns = Seq(
+      ColumnMetadata("id", Some("pk"), "bigint", 1),
+      ColumnMetadata("email", None, "varchar", 2)),
+    tags = Seq("pii"))
+
+  test("RowSerializable fan-out emits the full FK chain") {
+    val recs = Rds.tableMetadataRows.records(sampleTable)
+    val byTable = recs.groupBy(_.table).view.mapValues(_.size).toMap
+    assert(byTable == Map(
+      "database" -> 1, "cluster" -> 1, "schema" -> 1, "table" -> 1,
+      "table_description" -> 1, "tag" -> 1, "table_tag" -> 1,
+      "column" -> 2, "column_description" -> 1))
+    val table = recs.find(_.table == "table").get
+    assert(table.rk == "hive://gold.public/users")
+    assert(table.attributes("schema_rk") == "hive://gold.public")
+  }
+
+  test("stage writes per-RDS-table parquet in FK order with intact parents") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(sampleTable, sampleTable.copy(name = "orders")))
+    val out = java.nio.file.Files.createTempDirectory("rds_stage").toString
+    RdsBuild.stage(RdsBuild.records(ds), out)
+    val tables = spark.read.parquet(s"$out/table")
+    val schemas = spark.read.parquet(s"$out/schema")
+    assert(tables.count() == 2 && schemas.count() == 1)
+    // FK integrity: every table's schema_rk exists in the schema stage
+    assert(tables.join(schemas.select(col("rk").as("schema_rk")), Seq("schema_rk"),
+      "left_anti").count() == 0)
+    // dedup: the shared database/cluster/schema chain collapsed
+    assert(spark.read.parquet(s"$out/database").count() == 1)
+  }
+
+  // ---- Publisher fidelity ----
+
+  test("lastWriteWins keeps the latest record per key") {
+    val batch = spark.createDataFrame(Seq(
+      (1, "old", 100L), (1, "new", 200L), (2, "only", 50L)))
+      .toDF("key", "value", "seq")
+    val out = Publish.lastWriteWins(batch, "key", Seq(col("seq"))).orderBy("key")
+    assert(rows(out.select("key", "value")) == Seq(Seq(1, "new"), Seq(2, "only")))
+  }
+
+  test("assertStaleGuardrail raises when a label exceeds the threshold") {
+    val nodes = spark.createDataFrame(Seq(
+      ("A", true), ("A", true), ("A", false), ("B", false), ("B", true)))
+      .toDF("label", "stale")
+    intercept[Publish.StaleGuardrailException] {
+      Publish.assertStaleGuardrail(nodes, col("stale"), "label", 0.5)
+    }
+    // below threshold: no throw
+    Publish.assertStaleGuardrail(nodes, col("stale"), "label", 0.7)
+  }
+
+  // ---- validation ----
+
+  test("isTitle matches Python str.istitle semantics") {
+    assert(Graph.isTitle("Table"))
+    assert(Graph.isTitle("Dashboardgroup"))
+    assert(Graph.isTitle("Programmatic_Description"))
+    assert(!Graph.isTitle("TABLE"))
+    assert(!Graph.isTitle("tAble"))
+    assert(!Graph.isTitle("table"))
+    assert(!Graph.isTitle("123"))
+    assert(!Graph.isTitle(""))
+  }
+}
