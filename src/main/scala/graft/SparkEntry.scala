@@ -42,6 +42,8 @@ object SparkEntry {
     "q_graph_node_counts" -> (GraphBuild.nodeCounts _),
     "q_graph_edge_counts" -> (GraphBuild.edgeCounts _),
     "q_graph_table_nodes" -> (GraphBuild.tableNodes _),
+    // dashboard model family graph build
+    "q_dashboard_graph_nodes" -> (DashboardBuild.nodeCounts _),
     // §2.6 search-document queries
     "q_table_search_doc"     -> (SearchDocs.tableDocs _),
     "q_user_search_doc"      -> (SearchDocs.userDocs _),
@@ -214,6 +216,18 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
          ORDER BY key""",
+    "q_dashboard_graph_nodes" ->
+      """SELECT label, n FROM (
+           SELECT 'Chart' AS label, (SELECT COUNT(*) FROM lineitem) AS n
+           UNION ALL SELECT 'Cluster', CAST(1 AS BIGINT)
+           UNION ALL SELECT 'Dashboard', (SELECT COUNT(*) FROM part)
+           UNION ALL SELECT 'Dashboardgroup', (SELECT COUNT(DISTINCT p_brand) FROM part)
+           UNION ALL SELECT 'Description', (SELECT COUNT(*) FROM part)
+           UNION ALL SELECT 'Execution', (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+           UNION ALL SELECT 'Query',
+             (SELECT COUNT(DISTINCT l_partkey || '_' || l_suppkey) FROM lineitem)
+           UNION ALL SELECT 'Tag', (SELECT COUNT(DISTINCT lower(p_brand)) FROM part)
+         ) ORDER BY label""",
     "q_table_search_doc" ->
       """WITH colagg AS (
            SELECT o_custkey,

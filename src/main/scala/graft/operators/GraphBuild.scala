@@ -68,6 +68,74 @@ object GraphBuild {
       .dropDuplicates("startKey", "endKey", "relType")
   }
 
+  /** (custkey → table key) map used by the usage / last-updated fan-outs. */
+  private def keyedTables(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"),
+        concat(lit("tpch://"), col("r_name"), lit("."), col("n_name"), lit("/"),
+          col("c_name")).as("tableKey"))
+
+  /** Usage fan-out: READ_BY edges (+User nodes) per (table, supplier) with
+    * read_count = its lineitem count — the TableColumnUsage model over the
+    * star schema (table_column_usage.py:19-132). */
+  def usage(spark: SparkSession, dir: String): Dataset[TableUsage] =
+    usageFrom(spark, dir, keyedTables(spark, dir))
+
+  private def usageFrom(spark: SparkSession, dir: String, keyed: DataFrame): Dataset[TableUsage] = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("readCount"))
+      .join(keyed, col("o_custkey") === col("c_custkey"))
+      .select(col("tableKey"), concat(lit("s"), col("l_suppkey")).as("userEmail"),
+        col("readCount"))
+      .as[TableUsage]
+  }
+
+  /** Timestamp fan-out: LAST_UPDATED_AT per table = max order date
+    * (table_last_updated.py:17-125). */
+  def lastUpdated(spark: SparkSession, dir: String): Dataset[TableLastUpdated] =
+    lastUpdatedFrom(spark, dir, keyedTables(spark, dir))
+
+  private def lastUpdatedFrom(spark: SparkSession, dir: String, keyed: DataFrame): Dataset[TableLastUpdated] = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).cast("timestamp").cast("long").as("lastUpdatedEpoch"))
+      .join(keyed, col("o_custkey") === col("c_custkey"))
+      .select(col("tableKey"), col("lastUpdatedEpoch"))
+      .as[TableLastUpdated]
+  }
+
+  /** The full published-graph shape the search-document queries read
+    * (neo4j_search_data_extractor.py reads the published graph, :161-175):
+    * metadata graph ∪ usage ∪ last-updated, deduplicated. The domain
+    * Dataset and the key map are persisted — each feeds two consumers
+    * (node + edge fan-out), and recomputing the collect_list fold twice
+    * doubles the graph-build cost for nothing. */
+  def searchGraph(spark: SparkSession, dir: String): (Dataset[GraphNode], Dataset[GraphRelationship]) = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val md = tableMetadata(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val keyed = keyedTables(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val usg = usageFrom(spark, dir, keyed).persist(StorageLevel.MEMORY_AND_DISK)
+    val ts = lastUpdatedFrom(spark, dir, keyed)
+    val usgSer = TableUsage.serializer
+    val tsSer = TableLastUpdated.serializer
+    val allNodes = nodes(md)
+      .union(usg.flatMap(u => usgSer.nodes(u).filter(Graph.nodeValid)))
+      .union(ts.flatMap(t => tsSer.nodes(t).filter(Graph.nodeValid)))
+      .dropDuplicates("label", "key")
+    val allEdges = edges(md)
+      .union(usg.flatMap(u => usgSer.relationships(u).filter(Graph.relationshipValid)))
+      .union(ts.flatMap(t => tsSer.relationships(t).filter(Graph.relationshipValid)))
+      .dropDuplicates("startKey", "endKey", "relType")
+    (allNodes, allEdges)
+  }
+
   /** Grouped node count per label — the staleness guardrail shape
     * (reference: databuilder/task/neo4j_staleness_removal_task.py:211-232). */
   def nodeCounts(spark: SparkSession, dir: String): DataFrame =

@@ -21,44 +21,85 @@ import graft.sources.Tables
   */
 object SearchDocs {
 
-  /** DEFAULT_NEO4J_TABLE_CYPHER_QUERY analog (reference :23-60). */
-  def tableDocs(spark: SparkSession, dir: String): DataFrame = {
-    val customer = Tables(spark, dir, "customer")
-    val orders = Tables(spark, dir, "orders")
-    val lineitem = Tables(spark, dir, "lineitem")
+  /** DEFAULT_NEO4J_TABLE_CYPHER_QUERY analog (reference :23-60), computed
+    * over the published graph exactly as the reference does (its Cypher
+    * reads Neo4j, neo4j_search_data_extractor.py:161-175): every MATCH hop
+    * navigates node/edge tables, never the raw star schema. */
+  def tableDocsFromGraph(nodesDf: DataFrame, edgesDf: DataFrame): DataFrame = {
+    def nodesOf(label: String, attrs: (String, String)*): DataFrame =
+      nodesDf.filter(col("label") === label)
+        .select(col("key") +: attrs.map { case (a, out) => col("attributes")(a).as(out) }: _*)
+    def edgesOf(relType: String): DataFrame =
+      edgesDf.filter(col("relType") === relType).select("startLabel", "startKey", "endKey")
 
-    // columns branch: COLLECT(col.name) per table
-    val colAgg = orders.groupBy(col("o_custkey").as("ck_cols"))
-      .agg(
-        array_join(sort_array(collect_list(
-          concat(lit("o"), lpad(col("o_orderkey").cast("string"), 8, "0")))), ",")
-          .as("column_names"),
-        max(col("o_orderdate")).cast("timestamp").cast("long").as("last_updated_timestamp"))
+    // MATCH (db)-[:CLUSTER]->(cl)-[:SCHEMA]->(sch)-[:TABLE]->(tbl)
+    val hierarchy = nodesOf("Table", "name" -> "name")
+      .withColumnRenamed("key", "table_key")
+      .join(edgesOf("TABLE").select(col("startKey").as("schema_key"),
+        col("endKey").as("table_key")), "table_key")
+      .join(broadcast(nodesOf("Schema", "name" -> "schema")
+        .withColumnRenamed("key", "schema_key")), "schema_key")
+      .join(broadcast(edgesOf("SCHEMA").select(col("startKey").as("cluster_key"),
+        col("endKey").as("schema_key"))), "schema_key")
+      .join(broadcast(nodesOf("Cluster", "name" -> "cluster")
+        .withColumnRenamed("key", "cluster_key")), "cluster_key")
+      .join(broadcast(edgesOf("CLUSTER").select(col("startKey").as("database_key"),
+        col("endKey").as("cluster_key"))), "cluster_key")
+      .join(broadcast(nodesOf("Database", "name" -> "database")
+        .withColumnRenamed("key", "database_key")), "database_key")
 
-    // usage branch: SUM(read.read_count) + COUNT(DISTINCT user)
-    val usageAgg = orders
-      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("ck_usage"))
-      .agg(count(lit(1)).as("total_usage"), countDistinct(col("l_suppkey")).as("unique_usage"))
+    // OPTIONAL MATCH branches, each pre-aggregated to table grain
+    val descs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Table")
+      .select(col("startKey").as("table_key"), col("endKey").as("desc_key"))
+      .join(nodesOf("Description", "description" -> "description")
+        .withColumnRenamed("key", "desc_key"), "desc_key")
+      .select("table_key", "description")
+    val tags = edgesOf("TAGGED_BY")
+      .select(col("startKey").as("table_key"), col("endKey").as("tags"))
+    val cols = edgesOf("COLUMN")
+      .select(col("startKey").as("table_key"), col("endKey").as("col_key"))
+      .join(nodesOf("Column", "name" -> "col_name").withColumnRenamed("key", "col_key"),
+        "col_key")
+      .groupBy("table_key")
+      .agg(array_join(sort_array(collect_list(col("col_name"))), ",").as("column_names"))
+    val ts = edgesOf("LAST_UPDATED_AT")
+      .select(col("startKey").as("table_key"), col("endKey").as("ts_key"))
+      .join(nodesOf("Timestamp", "last_updated_timestamp" -> "ts_val")
+        .withColumnRenamed("key", "ts_key"), "ts_key")
+      .select(col("table_key"), col("ts_val").cast("long").as("last_updated_timestamp"))
+    val usage = edgesDf.filter(col("relType") === "READ_BY")
+      .select(col("startKey").as("table_key"),
+        col("attributes")("read_count").cast("long").as("read_count"))
+      .groupBy("table_key")
+      .agg(sum(col("read_count")).as("total_usage"), count(lit(1)).as("unique_usage"))
 
-    customer
-      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-      .join(colAgg, col("c_custkey") === col("ck_cols"), "left")
-      .join(usageAgg, col("c_custkey") === col("ck_usage"), "left")
+    hierarchy
+      .join(descs, Seq("table_key"), "left")
+      .join(tags, Seq("table_key"), "left")
+      .join(cols, Seq("table_key"), "left")
+      .join(ts, Seq("table_key"), "left")
+      .join(usage, Seq("table_key"), "left")
       .select(
-        lit("tpch").as("database"),
-        col("r_name").as("cluster"),
-        col("n_name").as("schema"),
-        col("c_name").as("name"),
-        tableKey(lit("tpch"), col("r_name"), col("n_name"), col("c_name")).as("key"),
-        col("c_mktsegment").as("description"),
-        lower(col("c_mktsegment")).as("tags"),
+        col("database"), col("cluster"), col("schema"), col("name"),
+        col("table_key").as("key"),
+        col("description"), col("tags"),
         coalesce(col("column_names"), lit("")).as("column_names"),
         coalesce(col("last_updated_timestamp"), lit(0L)).as("last_updated_timestamp"),
         coalesce(col("total_usage"), lit(0L)).as("total_usage"),
         coalesce(col("unique_usage"), lit(0L)).as("unique_usage"))
       .orderBy("name")
+  }
+
+  /** Builds the published graph (GraphBuild.searchGraph) and runs the
+    * table-document query over it end-to-end. The node/edge stages are
+    * persisted — every MATCH branch reads them, and at scale they are the
+    * staged parquet the publisher wrote. */
+  def tableDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
+    import org.apache.spark.storage.StorageLevel
+    val n = nodes.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    tableDocsFromGraph(n, e)
   }
 
   /** DEFAULT_NEO4J_USER_CYPHER_QUERY analog (reference :64-82):

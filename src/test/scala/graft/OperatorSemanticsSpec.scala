@@ -165,6 +165,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     Publish.assertStaleGuardrail(nodes, col("stale"), "label", 0.7)
   }
 
+  // ---- graph → staged parquet → search docs, end to end ----
+
+  test("table search docs over the staged (written+reread) graph match the direct path") {
+    val dir = "/root/testdata/sf0.001"
+    val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("staged_graph").toString
+    graft.sources.Stage.stageNodes(nodes, out)
+    graft.sources.Stage.stageEdges(edges, out)
+    val fromStage = SearchDocs.tableDocsFromGraph(
+      graft.sources.Stage.readNodes(spark, out),
+      graft.sources.Stage.readEdges(spark, out))
+    val direct = SearchDocs.tableDocs(spark, dir)
+    assert(fromStage.collect().toSeq == direct.collect().toSeq)
+  }
+
   // ---- validation ----
 
   test("isTitle matches Python str.istitle semantics") {
