@@ -67,6 +67,7 @@ object SparkEntry {
     "q_str_replace"     -> (Transforms.strReplace _),
     "q_key_format"      -> (Transforms.keyFormat _),
     "q_base64_json"     -> (Transforms.base64Json _),
+    "q_posexplode_columns" -> (Transforms.glueColumns _),
     // text analysis (training-data pipeline)
     "q_text_tokens"     -> (TextOps.tokenCount _),
     "q_text_quality"    -> (TextOps.qualityScore _),
@@ -415,6 +416,16 @@ object SparkEntry {
       """SELECT event_id, to_base64(encode(props)) AS encoded,
            TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
          FROM events WHERE event_id < 1000 ORDER BY event_id""",
+    // Glue positional column fan-out; positions continue across the
+    // columns ∪ partition-keys concat.
+    "q_posexplode_columns" ->
+      """SELECT p_partkey, CAST(x.pos AS INT) AS pos, x.col_name FROM (
+           SELECT p_partkey, unnest(list_transform(range(1, len(arr) + 1),
+               i -> {'pos': i - 1, 'col_name': arr[i]})) AS x
+           FROM (SELECT p_partkey,
+                   [p_name, p_brand, p_type, CAST(p_size AS VARCHAR)] AS arr
+                 FROM part))
+         ORDER BY p_partkey, pos""",
     "q_text_tokens" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

@@ -44,6 +44,31 @@ object Transforms {
         tableKey(lit("tpch"), col("r_name"), col("n_name"), col("c_name")).as("key"))
       .orderBy("c_custkey")
 
+  /** RemoveFieldTransformer (transformer/remove_field_transformer.py:16). */
+  def removeFields(df: DataFrame, fields: String*): DataFrame = df.drop(fields: _*)
+
+  /** TableTagTransformer — append configured tags
+    * (transformer/table_tag_transformer.py:12). */
+  def addTags(df: DataFrame, tagsCol: String, tags: Seq[String]): DataFrame =
+    df.withColumn(tagsCol, array_union(col(tagsCol), lit(tags.toArray)))
+
+  /** GenericTransformer — callback on one named field
+    * (transformer/generic_transformer.py:17); the callback is a Column
+    * function, so it stays codegen'd. */
+  def onField(df: DataFrame, field: String, fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(field, fn(col(field)))
+
+  /** GlueExtractor's positional column fan-out —
+    * posexplode(concat(columns, partition_keys)), positions continuing
+    * across the concat (extractor/glue_extractor.py:42-90). */
+  def glueColumns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        posexplode(array(col("p_name"), col("p_brand"), col("p_type"),
+          col("p_size").cast("string"))))
+      .select(col("p_partkey"), col("pos"), col("col").as("col_name"))
+      .orderBy("p_partkey", "pos")
+
   /** PrestoViewMetadataExtractor decode path — base64 round trip + JSON
     * field extraction (databuilder/extractor/
     * presto_view_metadata_extractor.py:92-115): unbase64 + get_json_object. */

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scoped configuration — the reference's HOCON tree with per-component
+  * scopes (`Scoped.get_scoped_conf`, databuilder/__init__.py:63-75; keys
+  * like `extractor.csv.file_location`). Backed by a plain dotted-key map
+  * so the library carries no parser dependency; a HOCON/properties
+  * front-end can populate the map at deploy time.
+  */
+final case class ScopedConfig(entries: Map[String, String], prefix: String = "") {
+  private def full(key: String): String = if (prefix.isEmpty) key else s"$prefix.$key"
+
+  /** Narrow to a component scope: `conf.scoped("extractor.csv")`. */
+  def scoped(scope: String): ScopedConfig = copy(prefix = full(scope))
+
+  def get(key: String): Option[String] = entries.get(full(key))
+  def string(key: String): String =
+    get(key).getOrElse(throw new NoSuchElementException(s"missing config key: ${full(key)}"))
+  def stringOr(key: String, default: String): String = get(key).getOrElse(default)
+  def longOr(key: String, default: Long): Long = get(key).map(_.toLong).getOrElse(default)
+  def boolOr(key: String, default: Boolean): Boolean =
+    get(key).map(_.toBoolean).getOrElse(default)
+
+  /** `this` wins over `other` — HOCON's withFallback. */
+  def withFallback(other: ScopedConfig): ScopedConfig =
+    ScopedConfig(other.entries ++ entries, prefix)
+}
+
+object ScopedConfig {
+  val empty: ScopedConfig = ScopedConfig(Map.empty)
+}
+
+/** DefaultTask / DefaultJob orchestration (task/task.py:19-77,
+  * job/job.py:17-89): pipeline = source → chained transforms → sink
+  * (stage) → publish, with the Callback protocol's success/failure
+  * notification (callback/call_back.py — the Kafka offset-commit hook,
+  * kafka_source_extractor.py:116-130).
+  *
+  * The reference's record pull-loop becomes lazy DataFrame composition
+  * (ChainedTransformer's per-stage filter/fan-out are `.filter`/`.flatMap`
+  * stages in `transforms`); the Closer LIFO cleanup becomes the
+  * try/finally around launch. Components stay inert until `launch` — the
+  * lazy-init contract of databuilder/__init__.py:31-45 matches Spark's own
+  * laziness.
+  */
+final case class Pipeline(
+    name: String,
+    source: SparkSession => DataFrame,
+    transforms: Seq[DataFrame => DataFrame] = Nil,
+    sink: DataFrame => Unit = _ => (),
+    publish: () => Unit = () => (),
+    onSuccess: () => Unit = () => (),
+    onFailure: () => Unit = () => ()) {
+
+  /** The composed declarative plan (no execution). */
+  def dataFrame(spark: SparkSession): DataFrame =
+    transforms.foldLeft(source(spark))((df, t) => t(df))
+
+  /** Run: stage the composed frame, publish, fire callbacks. */
+  def launch(spark: SparkSession): Unit =
+    try {
+      sink(dataFrame(spark))
+      publish()
+      onSuccess()
+    } catch {
+      case e: Throwable => onFailure(); throw e
+    }
+}

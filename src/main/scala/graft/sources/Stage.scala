@@ -35,6 +35,11 @@ object Stage {
   def readEdges(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/edges")
 
+  /** FileSystemCSVLoader analog — generic header CSV output
+    * (loader/file_system_csv_loader.py:15). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
   /** NDJSON with deterministic (sorted) column order — the ES document
     * contract (models/elasticsearch_document.py:14-22 sorts keys). */
   def writeSearchDocs(docs: DataFrame, outDir: String): Unit =
