@@ -42,6 +42,7 @@ object SparkEntry {
     "q_graph_node_counts" -> (GraphBuild.nodeCounts _),
     "q_graph_edge_counts" -> (GraphBuild.edgeCounts _),
     "q_graph_table_nodes" -> (GraphBuild.tableNodes _),
+    "q_table_lineage"     -> (GraphBuild.lineageEdges _),
     // dashboard model family graph build
     "q_dashboard_graph_nodes" -> (DashboardBuild.nodeCounts _),
     // §2.6 search-document queries
@@ -217,6 +218,11 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
          ORDER BY key""",
+    "q_table_lineage" ->
+      """SELECT DISTINCT 'tpch://part/' || l_partkey AS source_key,
+           'tpch://sup/' || l_suppkey AS target_key,
+           'HAS_DOWNSTREAM' AS rel_type, 'HAS_UPSTREAM' AS reverse_type
+         FROM lineitem ORDER BY source_key, target_key""",
     "q_dashboard_graph_nodes" ->
       """SELECT label, n FROM (
            SELECT 'Chart' AS label, (SELECT COUNT(*) FROM lineitem) AS n

@@ -26,6 +26,19 @@ object Jdbc {
       .option("fetchsize", fetchSize)
       .load()
 
+  /** MySQLCSVPublisher analog: write one staged RDS-table frame per JDBC
+    * table; callers iterate `graft.model.Rds.publishOrder` so parents land
+    * before children (mysql_csv_publisher.py:94-206). Upsert-vs-append is
+    * the target DB's MERGE concern — stage + MERGE SQL in production. */
+  def writeTable(df: org.apache.spark.sql.DataFrame, url: String, table: String,
+      batchSize: Int = 500): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode("append")
+      .save()
+
   /** Partitioned read for large source tables: executors fetch stripes of
     * `partitionColumn` in parallel — the scale path when the "metastore"
     * query is itself big (e.g. usage/audit tables). Replaces the

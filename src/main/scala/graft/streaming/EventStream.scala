@@ -59,23 +59,46 @@ object EventStream {
   /** Stateful sessionization with mapGroupsWithState — the custom-state
     * path (KeyValueGroupedDataset) for per-user session tracking with a
     * 30-minute gap, matching the batch Events.sessionize semantics for
-    * in-order input. */
+    * in-order input.
+    *
+    * State discipline at scale: the kept state is fixed-size (3 longs per
+    * user) and idle users are evicted via EventTimeTimeout once the
+    * watermark passes their last event + 1 hour, so state growth is
+    * bounded by the active-user set, not the all-time user set. The
+    * per-invocation sort is bounded by the user's rows in ONE micro-batch
+    * (size the trigger with maxFilesPerTrigger / maxOffsetsPerTrigger),
+    * never the full history. */
   def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
-      .as[(Long, Long)]
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          sorted.foreach { us =>
-            val newSession = st.lastSeenMicros == Long.MinValue || us - st.lastSeenMicros > 1800000000L
-            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, us, st.nEvents + 1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            SessionUpdate(userId, st.sessionId, st.nEvents)
+          } else {
+            val sorted = rows.map(_._2).toArray.sorted
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            sorted.foreach { us =>
+              val newSession =
+                st.lastSeenMicros == Long.MinValue || us - st.lastSeenMicros > 1800000000L
+              st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, us,
+                st.nEvents + 1)
+            }
+            state.update(st)
+            // evict once the watermark passes last-seen + 1 h (never
+            // earlier than the current watermark, which would throw)
+            state.setTimeoutTimestamp(
+              math.max(st.lastSeenMicros / 1000L + 3600000L,
+                state.getCurrentWatermarkMs() + 60000L))
+            SessionUpdate(userId, st.sessionId, st.nEvents)
           }
-          state.update(st)
-          SessionUpdate(userId, st.sessionId, st.nEvents)
       }
       .toDF("user_id", "n_sessions", "n_events")
   }

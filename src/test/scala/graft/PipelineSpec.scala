@@ -103,6 +103,46 @@ class PipelineSpec extends AnyFunSuite {
       .forall(_.name != "cat_region"))
   }
 
+  test("Mode dashboard extractor pipeline: spaces seed → reports REST join → transforms → DashboardMetadata") {
+    // the ModeDashboardExtractor composition (mode_dashboard_extractor.py:38-109):
+    // seed spaces query → reports RestApiQuery → TimestampStringToEpoch →
+    // template substitution → DictToModel
+    import spark.implicits._
+    val spaces = Seq(("s1", "Finance"), ("s2", "Growth")).toDF("space_id", "space_name")
+    val responses = Seq(
+      ("s1", """{"reports": [{"token": "r1", "name": "Revenue", "created_at": "2024-01-02T03:04:05"},
+                             {"token": "r2", "name": "Costs", "created_at": "bad-timestamp"}]}"""),
+      ("s2", """{"reports": [{"token": "r3", "name": "Signups", "created_at": "2024-02-03T04:05:06"}]}"""))
+      .toDF("space_id", "payload")
+    val joined = graft.operators.RestJoin.restApiJoin(spaces, responses,
+      Seq("space_id"), "payload",
+      "STRUCT<reports: ARRAY<STRUCT<token: STRING, name: STRING, created_at: STRING>>>",
+      Seq(graft.operators.RestJoin.JsonField("token", "reports.token"),
+        graft.operators.RestJoin.JsonField("report_name", "reports.name"),
+        graft.operators.RestJoin.JsonField("created_at", "reports.created_at")),
+      skipNoResult = true)
+    val modeled = joined
+      // TimestampStringToEpoch: 0 on parse failure, never null
+      .withColumn("createdTimestamp",
+        coalesce(unix_timestamp(
+          try_to_timestamp(col("created_at"), lit("yyyy-MM-dd'T'HH:mm:ss"))), lit(0L)))
+      .select(
+        col("space_name").as("dashboardGroup"),
+        col("report_name").as("dashboardName"),
+        concat(lit("report "), col("token")).as("description"), // template substitution
+        array().cast("array<string>").as("tags"),
+        lit("gold").as("cluster"),
+        lit("mode").as("product"),
+        lit(null).cast("string").as("dashboardGroupDescription"),
+        col("createdTimestamp").cast("long").as("createdTimestamp"))
+      .as[graft.model.DashboardMetadata] // DictToModel
+      .collect().sortBy(_.dashboardName)
+    assert(modeled.map(_.dashboardName).toSeq == Seq("Costs", "Revenue", "Signups"))
+    assert(modeled.find(_.dashboardName == "Costs").get.createdTimestamp.contains(0L))
+    assert(modeled.find(_.dashboardName == "Revenue").get.dashboardKey ==
+      "mode_dashboard://gold.Finance/Revenue")
+  }
+
   test("EsLastUpdated emits the driver-injected timestamp") {
     val df = Generic.esLastUpdated(spark, 1234L)
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1234L))
