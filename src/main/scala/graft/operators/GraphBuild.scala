@@ -123,13 +123,16 @@ object GraphBuild {
     val keyed = keyedTables(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val usg = usageFrom(spark, dir, keyed).persist(StorageLevel.MEMORY_AND_DISK)
     val ts = lastUpdatedFrom(spark, dir, keyed)
+    val mdSer = TableMetadata.serializer
     val usgSer = TableUsage.serializer
     val tsSer = TableLastUpdated.serializer
-    val allNodes = nodes(md)
+    // raw fan-outs unioned first, ONE dedup shuffle at the end (dedup
+    // before + after the union would shuffle the big component twice)
+    val allNodes = md.flatMap(t => mdSer.nodes(t).filter(Graph.nodeValid))
       .union(usg.flatMap(u => usgSer.nodes(u).filter(Graph.nodeValid)))
       .union(ts.flatMap(t => tsSer.nodes(t).filter(Graph.nodeValid)))
       .dropDuplicates("label", "key")
-    val allEdges = edges(md)
+    val allEdges = md.flatMap(t => mdSer.relationships(t).filter(Graph.relationshipValid))
       .union(usg.flatMap(u => usgSer.relationships(u).filter(Graph.relationshipValid)))
       .union(ts.flatMap(t => tsSer.relationships(t).filter(Graph.relationshipValid)))
       .dropDuplicates("startKey", "endKey", "relType")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.sources.Tables
@@ -48,37 +48,52 @@ object SearchDocs {
       .join(broadcast(nodesOf("Database", "name" -> "database")
         .withColumnRenamed("key", "database_key")), "database_key")
 
-    // OPTIONAL MATCH branches, each pre-aggregated to table grain
+    // OPTIONAL MATCH branches: instead of five per-branch groupBys + five
+    // left joins (five shuffles on the same table key), the branches are
+    // normalized to one tall (table_key, kind, str_val, num_val) frame and
+    // folded in a SINGLE groupBy — one shuffle regardless of how many
+    // branches the document has. The three branches that need a node
+    // lookup (description text, column name, timestamp value) join on
+    // their co-filtered key sets first (narrow inputs).
+    def tall(df: DataFrame, kind: String, s: Column, n: Column): DataFrame =
+      df.select(col("table_key"), lit(kind).as("kind"), s.as("str_val"), n.as("num_val"))
+
     val descs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Table")
       .select(col("startKey").as("table_key"), col("endKey").as("desc_key"))
       .join(nodesOf("Description", "description" -> "description")
         .withColumnRenamed("key", "desc_key"), "desc_key")
-      .select("table_key", "description")
     val tags = edgesOf("TAGGED_BY")
-      .select(col("startKey").as("table_key"), col("endKey").as("tags"))
+      .select(col("startKey").as("table_key"), col("endKey").as("tag"))
     val cols = edgesOf("COLUMN")
       .select(col("startKey").as("table_key"), col("endKey").as("col_key"))
       .join(nodesOf("Column", "name" -> "col_name").withColumnRenamed("key", "col_key"),
         "col_key")
-      .groupBy("table_key")
-      .agg(array_join(sort_array(collect_list(col("col_name"))), ",").as("column_names"))
     val ts = edgesOf("LAST_UPDATED_AT")
       .select(col("startKey").as("table_key"), col("endKey").as("ts_key"))
       .join(nodesOf("Timestamp", "last_updated_timestamp" -> "ts_val")
         .withColumnRenamed("key", "ts_key"), "ts_key")
-      .select(col("table_key"), col("ts_val").cast("long").as("last_updated_timestamp"))
     val usage = edgesDf.filter(col("relType") === "READ_BY")
       .select(col("startKey").as("table_key"),
         col("attributes")("read_count").cast("long").as("read_count"))
+
+    val branches =
+      tall(descs, "desc", col("description"), lit(null).cast("long"))
+        .union(tall(tags, "tag", col("tag"), lit(null).cast("long")))
+        .union(tall(cols, "col", col("col_name"), lit(null).cast("long")))
+        .union(tall(ts, "ts", lit(null).cast("string"), col("ts_val").cast("long")))
+        .union(tall(usage, "usage", lit(null).cast("string"), col("read_count")))
       .groupBy("table_key")
-      .agg(sum(col("read_count")).as("total_usage"), count(lit(1)).as("unique_usage"))
+      .agg(
+        max(when(col("kind") === "desc", col("str_val"))).as("description"),
+        max(when(col("kind") === "tag", col("str_val"))).as("tags"),
+        array_join(sort_array(collect_list(when(col("kind") === "col", col("str_val")))),
+          ",").as("column_names"),
+        max(when(col("kind") === "ts", col("num_val"))).as("last_updated_timestamp"),
+        sum(when(col("kind") === "usage", col("num_val"))).as("total_usage"),
+        count(when(col("kind") === "usage", col("num_val"))).as("unique_usage"))
 
     hierarchy
-      .join(descs, Seq("table_key"), "left")
-      .join(tags, Seq("table_key"), "left")
-      .join(cols, Seq("table_key"), "left")
-      .join(ts, Seq("table_key"), "left")
-      .join(usage, Seq("table_key"), "left")
+      .join(branches, Seq("table_key"), "left")
       .select(
         col("database"), col("cluster"), col("schema"), col("name"),
         col("table_key").as("key"),
