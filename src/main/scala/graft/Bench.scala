@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM + codegen + parquet-reader warmup, not attributed to any query —
+    // otherwise whichever query happens to run first pays ~5 s of it.
+    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
+    graft.sources.Tables(spark, sfDir, "region").count()
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

