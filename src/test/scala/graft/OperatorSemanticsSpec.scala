@@ -182,6 +182,20 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   // ---- validation ----
 
+  test("hamming_distance native expression works from Column API and SQL") {
+    import graft.functions.HammingDistance.hamming
+    import spark.implicits._
+    val df = Seq((12L, 10L), (0L, -1L)).toDF("a", "b")
+    assert(df.select(hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq ==
+      Seq(2, 64))
+    graft.extensions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT hamming_distance(CAST(12 AS BIGINT), CAST(10 AS BIGINT))")
+      .collect().head.getInt(0) == 2)
+    // null-safe: null input → null output
+    assert(Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(hamming(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("isTitle matches Python str.istitle semantics") {
     assert(Graph.isTitle("Table"))
     assert(Graph.isTitle("Dashboardgroup"))
