@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.sources.Tables
@@ -68,6 +68,106 @@ object GraphBuild {
       .dropDuplicates("startKey", "endKey", "relType")
   }
 
+  /** Columnar fan-out of the TableMetadata graph — identical output to
+    * the GraphSerializable typeclass (asserted by spec), but expressed as
+    * pure column expressions (concat/map/explode), so the whole fan-out
+    * stays in whole-stage codegen with zero object churn. This is the
+    * 100 TB hot path; the typeclass remains the semantic definition and
+    * the path for low-volume models. Input: the un-encoded metadata frame
+    * (columns of GraphBuild.tableMetadata). */
+  def columnarNodes(md: DataFrame): DataFrame = {
+    val dbKey = concat(lit("database://"), col("database"))
+    val clKey = concat(col("database"), lit("://"), col("cluster"))
+    val scKey = concat(clKey, lit("."), col("schema"))
+    val tbKey = concat(scKey, lit("/"), col("name"))
+    def m(kvs: (String, Column)*): Column =
+      map(kvs.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
+    val descKey = concat(tbKey,
+      when(col("descriptionSource").isNotNull,
+        concat(lit("/_"), col("descriptionSource"), lit("_description")))
+        .otherwise(lit("/_description")))
+    val descLabel = when(col("descriptionSource").isNotNull,
+      lit("Programmatic_Description")).otherwise(lit("Description"))
+    def node(key: Column, label: String, attrs: Column): Column =
+      struct(key.as("key"), lit(label).as("label"), attrs.as("attributes"))
+    val hierarchy = md.select(explode(array(
+      node(dbKey, "Database", m("name" -> col("database"))),
+      node(clKey, "Cluster", m("name" -> col("cluster"))),
+      node(scKey, "Schema", m("name" -> col("schema"))),
+      node(tbKey, "Table",
+        m("name" -> col("name"), "is_view" -> col("isView").cast("string"))))).as("n"))
+      .select("n.*")
+    val descNodes = md.filter(col("description").isNotNull)
+      .select(descKey.as("key"), descLabel.as("label"),
+        m("description" -> col("description"),
+          "description_source" ->
+            coalesce(col("descriptionSource"), lit("description"))).as("attributes"))
+    val simple = hierarchy.union(descNodes)
+    val tagNodes = md.select(explode(col("tags")).as("key"))
+      .select(col("key"), lit("Tag").as("label"),
+        m("tag_type" -> lit("default")).as("attributes"))
+    val colRows = md.select(tbKey.as("tk"), explode(col("columns")).as("c"))
+    val colNodes = colRows.select(
+      concat(col("tk"), lit("/"), col("c.name")).as("key"),
+      lit("Column").as("label"),
+      m("name" -> col("c.name"), "col_type" -> col("c.colType"),
+        "sort_order" -> col("c.sortOrder").cast("string")).as("attributes"))
+    val colDescNodes = colRows.filter(col("c.description").isNotNull).select(
+      concat(col("tk"), lit("/"), col("c.name"), lit("/_description")).as("key"),
+      lit("Description").as("label"),
+      m("description" -> col("c.description"),
+        "description_source" -> lit("description")).as("attributes"))
+    simple.union(tagNodes).union(colNodes).union(colDescNodes)
+  }
+
+  /** Columnar edge fan-out — see [[columnarNodes]]. */
+  def columnarEdges(md: DataFrame): DataFrame = {
+    val dbKey = concat(lit("database://"), col("database"))
+    val clKey = concat(col("database"), lit("://"), col("cluster"))
+    val scKey = concat(clKey, lit("."), col("schema"))
+    val tbKey = concat(scKey, lit("/"), col("name"))
+    val none = map().cast("map<string,string>")
+    def edge(sl: String, el: String, sk: Column, ek: Column, t: String, rt: String) =
+      struct(lit(sl).as("startLabel"), lit(el).as("endLabel"), sk.as("startKey"),
+        ek.as("endKey"), lit(t).as("relType"), lit(rt).as("reverseType"),
+        none.as("attributes"))
+    val descKey = concat(tbKey,
+      when(col("descriptionSource").isNotNull,
+        concat(lit("/_"), col("descriptionSource"), lit("_description")))
+        .otherwise(lit("/_description")))
+    val descLabel = when(col("descriptionSource").isNotNull,
+      lit("Programmatic_Description")).otherwise(lit("Description"))
+    val chain = md.select(explode(array(
+      edge("Database", "Cluster", dbKey, clKey, "CLUSTER", "CLUSTER_OF"),
+      edge("Cluster", "Schema", clKey, scKey, "SCHEMA", "SCHEMA_OF"),
+      edge("Schema", "Table", scKey, tbKey, "TABLE", "TABLE_OF"))).as("e"))
+      .select("e.*")
+    val descEdges = md.filter(col("description").isNotNull)
+      .select(lit("Table").as("startLabel"), descLabel.as("endLabel"),
+        tbKey.as("startKey"), descKey.as("endKey"),
+        lit("DESCRIPTION").as("relType"), lit("DESCRIPTION_OF").as("reverseType"),
+        none.as("attributes"))
+    val fixed = chain.union(descEdges)
+    val tagEdges = md.select(tbKey.as("tk"), explode(col("tags")).as("tag"))
+      .select(lit("Table").as("startLabel"), lit("Tag").as("endLabel"),
+        col("tk").as("startKey"), col("tag").as("endKey"),
+        lit("TAGGED_BY").as("relType"), lit("TAG").as("reverseType"),
+        none.as("attributes"))
+    val colRows = md.select(tbKey.as("tk"), explode(col("columns")).as("c"))
+    val colEdges = colRows.select(lit("Table").as("startLabel"),
+      lit("Column").as("endLabel"), col("tk").as("startKey"),
+      concat(col("tk"), lit("/"), col("c.name")).as("endKey"),
+      lit("COLUMN").as("relType"), lit("COLUMN_OF").as("reverseType"),
+      none.as("attributes"))
+    val colDescEdges = colRows.filter(col("c.description").isNotNull)
+      .select(lit("Column").as("startLabel"), lit("Description").as("endLabel"),
+        concat(col("tk"), lit("/"), col("c.name")).as("startKey"),
+        concat(col("tk"), lit("/"), col("c.name"), lit("/_description")).as("endKey"),
+        lit("DESCRIPTION").as("relType"), lit("DESCRIPTION_OF").as("reverseType"),
+        none.as("attributes"))
+    fixed.union(tagEdges).union(colEdges).union(colDescEdges)
+  }
+
   /** (custkey → table key) map used by the usage / last-updated fan-outs. */
   private def keyedTables(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer")
@@ -112,30 +212,39 @@ object GraphBuild {
 
   /** The full published-graph shape the search-document queries read
     * (neo4j_search_data_extractor.py reads the published graph, :161-175):
-    * metadata graph ∪ usage ∪ last-updated, deduplicated. The domain
-    * Dataset and the key map are persisted — each feeds two consumers
-    * (node + edge fan-out), and recomputing the collect_list fold twice
-    * doubles the graph-build cost for nothing. */
+    * metadata graph ∪ usage ∪ last-updated, deduplicated.
+    *
+    * Uses the columnar fan-out (spec-proven identical to the typeclass) so
+    * the whole build is codegen'd column work: raw fan-outs unioned first,
+    * ONE dedup shuffle per output. The metadata frame and key map are
+    * persisted — each feeds both the node and edge fan-out. */
   def searchGraph(spark: SparkSession, dir: String): (Dataset[GraphNode], Dataset[GraphRelationship]) = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
-    val md = tableMetadata(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val md = tableMetadata(spark, dir).toDF().persist(StorageLevel.MEMORY_AND_DISK)
     val keyed = keyedTables(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val usg = usageFrom(spark, dir, keyed).persist(StorageLevel.MEMORY_AND_DISK)
-    val ts = lastUpdatedFrom(spark, dir, keyed)
-    val mdSer = TableMetadata.serializer
-    val usgSer = TableUsage.serializer
-    val tsSer = TableLastUpdated.serializer
-    // raw fan-outs unioned first, ONE dedup shuffle at the end (dedup
-    // before + after the union would shuffle the big component twice)
-    val allNodes = md.flatMap(t => mdSer.nodes(t).filter(Graph.nodeValid))
-      .union(usg.flatMap(u => usgSer.nodes(u).filter(Graph.nodeValid)))
-      .union(ts.flatMap(t => tsSer.nodes(t).filter(Graph.nodeValid)))
-      .dropDuplicates("label", "key")
-    val allEdges = md.flatMap(t => mdSer.relationships(t).filter(Graph.relationshipValid))
-      .union(usg.flatMap(u => usgSer.relationships(u).filter(Graph.relationshipValid)))
-      .union(ts.flatMap(t => tsSer.relationships(t).filter(Graph.relationshipValid)))
-      .dropDuplicates("startKey", "endKey", "relType")
+    val usg = usageFrom(spark, dir, keyed).toDF()
+    val ts = lastUpdatedFrom(spark, dir, keyed).toDF()
+    val noAttrs = map().cast("map<string,string>")
+    val usgNodes = usg.select(col("userEmail").as("key"), lit("User").as("label"),
+      map(lit("email"), col("userEmail")).as("attributes"))
+    val usgEdges = usg.select(lit("Table").as("startLabel"), lit("User").as("endLabel"),
+      col("tableKey").as("startKey"), col("userEmail").as("endKey"),
+      lit("READ_BY").as("relType"), lit("READ").as("reverseType"),
+      map(lit("read_count"), col("readCount").cast("string")).as("attributes"))
+    val tsNodes = ts.select(concat(col("tableKey"), lit("/timestamp")).as("key"),
+      lit("Timestamp").as("label"),
+      map(lit("last_updated_timestamp"),
+        col("lastUpdatedEpoch").cast("string")).as("attributes"))
+    val tsEdges = ts.select(lit("Table").as("startLabel"), lit("Timestamp").as("endLabel"),
+      col("tableKey").as("startKey"),
+      concat(col("tableKey"), lit("/timestamp")).as("endKey"),
+      lit("LAST_UPDATED_AT").as("relType"), lit("LAST_UPDATED_TIME_OF").as("reverseType"),
+      noAttrs.as("attributes"))
+    val allNodes = columnarNodes(md).union(usgNodes).union(tsNodes)
+      .dropDuplicates("label", "key").as[GraphNode]
+    val allEdges = columnarEdges(md).union(usgEdges).union(tsEdges)
+      .dropDuplicates("startKey", "endKey", "relType").as[GraphRelationship]
     (allNodes, allEdges)
   }
 

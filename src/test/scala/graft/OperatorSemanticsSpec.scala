@@ -165,6 +165,22 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     Publish.assertStaleGuardrail(nodes, col("stale"), "label", 0.7)
   }
 
+  // ---- columnar fan-out ≡ typeclass fan-out ----
+
+  test("columnar graph fan-out matches the GraphSerializable typeclass exactly") {
+    import spark.implicits._
+    val md = GraphBuild.tableMetadata(spark, "/root/testdata/sf0.001")
+    val nodesTc = GraphBuild.nodes(md).collect().toSet
+    val nodesCol = GraphBuild.columnarNodes(md.toDF())
+      .dropDuplicates("label", "key").as[GraphNode].collect().toSet
+    assert(nodesCol == nodesTc)
+    val edgesTc = GraphBuild.edges(md).collect().toSet
+    val edgesCol = GraphBuild.columnarEdges(md.toDF())
+      .dropDuplicates("startKey", "endKey", "relType").as[GraphRelationship]
+      .collect().toSet
+    assert(edgesCol == edgesTc)
+  }
+
   // ---- graph → staged parquet → search docs, end to end ----
 
   test("table search docs over the staged (written+reread) graph match the direct path") {
