@@ -248,6 +248,48 @@ object GraphBuild {
     (allNodes, allEdges)
   }
 
+  /** The user-centric published graph the user search-document query
+    * reads: User nodes with full attributes (User model,
+    * user.py:18-223) + READ_BY usage edges + OWNER_OF ownership edges
+    * (table_owner.py:20-121) + FOLLOWED_BY follow edges. All columnar.
+    * Bare usage-only User stubs are not emitted — the attributed node is
+    * the canonical one, so the (label, key) dedup cannot pick an
+    * attribute-poor duplicate. */
+  def userGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val noAttrs = map().cast("map<string,string>")
+    val email = concat(lit("s"), col("s_suppkey"))
+    val userNodes = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(email.as("key"), lit("User").as("label"),
+        map(lit("email"), email, lit("full_name"), col("s_name"),
+          lit("team_name"), col("n_name"), lit("is_active"), lit("true")).as("attributes"))
+    val li = Tables(spark, dir, "lineitem")
+    val readEdges = usageFrom(spark, dir, keyedTables(spark, dir)).toDF()
+      .select(lit("Table").as("startLabel"), lit("User").as("endLabel"),
+        col("tableKey").as("startKey"), col("userEmail").as("endKey"),
+        lit("READ_BY").as("relType"), lit("READ").as("reverseType"),
+        map(lit("read_count"), col("readCount").cast("string")).as("attributes"))
+    val ownEdges = li
+      .select(concat(lit("s"), col("l_suppkey")).as("startKey"),
+        concat(lit("tpch://part/"), col("l_partkey")).as("endKey"))
+      .distinct()
+      .select(lit("User").as("startLabel"), lit("Table").as("endLabel"),
+        col("startKey"), col("endKey"),
+        lit("OWNER_OF").as("relType"), lit("OWNER").as("reverseType"),
+        noAttrs.as("attributes"))
+    val followEdges = li
+      .select(concat(lit("s"), col("l_suppkey")).as("startKey"),
+        concat(lit("order://"), col("l_orderkey")).as("endKey"))
+      .distinct()
+      .select(lit("User").as("startLabel"), lit("Table").as("endLabel"),
+        col("startKey"), col("endKey"),
+        lit("FOLLOWED_BY").as("relType"), lit("FOLLOW").as("reverseType"),
+        noAttrs.as("attributes"))
+    val edges = readEdges.union(ownEdges).union(followEdges)
+      .dropDuplicates("startKey", "endKey", "relType")
+    (userNodes.dropDuplicates("label", "key"), edges)
+  }
+
   /** Table-level lineage fan-out — HAS_DOWNSTREAM/HAS_UPSTREAM edges, no
     * nodes (table_lineage.py:15-121); pairs = distinct (part, supplier)
     * so the run is deterministic. */

@@ -117,27 +117,43 @@ object SearchDocs {
     tableDocsFromGraph(n, e)
   }
 
-  /** DEFAULT_NEO4J_USER_CYPHER_QUERY analog (reference :64-82):
-    * user=supplier; READ rels = lineitems; owned = distinct parts;
-    * follows = distinct orders. */
-  def userDocs(spark: SparkSession, dir: String): DataFrame = {
-    val readAgg = Tables(spark, dir, "lineitem")
-      .groupBy(col("l_suppkey").as("sk_reads"))
+  /** DEFAULT_NEO4J_USER_CYPHER_QUERY analog (reference :64-82) over the
+    * published user graph: READ/OWNER_OF/FOLLOWED_BY are edge tables, the
+    * WHERE full_name IS NOT NULL filter and REDUCE/count(distinct)
+    * aggregates run against User nodes — same tall-union single-shuffle
+    * fold as the table-document query. */
+  def userDocsFromGraph(nodesDf: DataFrame, edgesDf: DataFrame): DataFrame = {
+    val users = nodesDf.filter(col("label") === "User" &&
+        col("attributes")("full_name").isNotNull)
+      .select(col("key").as("user_key"),
+        col("attributes")("full_name").as("name"),
+        col("attributes")("team_name").as("team_name"))
+    def tall(relType: String, userKey: Column, kind: String, n: Column) =
+      edgesDf.filter(col("relType") === relType)
+        .select(userKey.as("user_key"), lit(kind).as("kind"), n.as("n"))
+    val branches =
+      tall("READ_BY", col("endKey"), "read",
+        col("attributes")("read_count").cast("long"))
+        .union(tall("OWNER_OF", col("startKey"), "own", lit(1L)))
+        .union(tall("FOLLOWED_BY", col("startKey"), "follow", lit(1L)))
+      .groupBy("user_key")
       .agg(
-        count(lit(1)).as("total_read"),
-        countDistinct(col("l_partkey")).as("total_own"),
-        countDistinct(col("l_orderkey")).as("total_follow"))
-    Tables(spark, dir, "supplier")
-      .join(broadcast(Tables(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(readAgg, col("s_suppkey") === col("sk_reads"), "left")
-      .filter(col("s_name").isNotNull)
+        sum(when(col("kind") === "read", col("n"))).as("total_read"),
+        count(when(col("kind") === "own", col("n"))).as("total_own"),
+        count(when(col("kind") === "follow", col("n"))).as("total_follow"))
+    users.join(branches, Seq("user_key"), "left")
       .select(
-        col("s_name").as("name"),
-        col("n_name").as("team_name"),
+        col("name"), col("team_name"),
         coalesce(col("total_read"), lit(0L)).as("total_read"),
         coalesce(col("total_own"), lit(0L)).as("total_own"),
         coalesce(col("total_follow"), lit(0L)).as("total_follow"))
       .orderBy("name")
+  }
+
+  /** Builds the user graph and runs the user-document query over it. */
+  def userDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = GraphBuild.userGraph(spark, dir)
+    userDocsFromGraph(nodes, edges)
   }
 
   /** DEFAULT_NEO4J_DASHBOARD_CYPHER_QUERY analog (reference :85-115):
