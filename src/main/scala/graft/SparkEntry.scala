@@ -270,13 +270,17 @@ object SparkEntry {
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
            LEFT JOIN r ON s_suppkey = l_suppkey
          WHERE s_name IS NOT NULL ORDER BY name""",
+    // Oracle recomputes what the dashboard graph encodes: dashboards are
+    // parts ('d'+partkey under the brand group), charts are lineitems, the
+    // last-successful execution is the max ship date.
     "q_dashboard_search_doc" ->
       """WITH u AS (
            SELECT l_partkey, COUNT(*) AS total_usage,
              CAST(epoch(MAX(l_shipdate)) AS BIGINT) AS last_successful_run_timestamp,
              array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names
            FROM lineitem GROUP BY l_partkey)
-         SELECT p_brand AS group_name, p_name AS name, p_brand || '/' || p_name AS key,
+         SELECT p_brand AS group_name, 'd' || p_partkey AS name,
+           'mode_dashboard://gold.' || p_brand || '/d' || p_partkey AS key,
            COALESCE(p_type, '') AS description,
            COALESCE(total_usage, 0) AS total_usage,
            COALESCE(last_successful_run_timestamp, 0) AS last_successful_run_timestamp,

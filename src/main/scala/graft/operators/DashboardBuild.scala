@@ -98,19 +98,61 @@ object DashboardBuild {
     ds.flatMap(t => s.relationships(t).filter(Graph.relationshipValid))
   }
 
-  def nodes(spark: SparkSession, dir: String): Dataset[GraphNode] =
-    nodesOf(dashboards(spark, dir))
-      .union(nodesOf(queries(spark, dir)))
-      .union(nodesOf(charts(spark, dir)))
-      .union(nodesOf(executions(spark, dir)))
-      .dropDuplicates("label", "key")
+  // Columnar fan-out for the two per-event (high-volume) models — Query
+  // and Chart nodes/edges as pure column expressions over the lineitem
+  // scan; spec-asserted identical to the typeclass output. Low-volume
+  // models (dashboards, executions) stay on the typeclass path.
+  private def keyCols(df: DataFrame): DataFrame = {
+    val dashKey = concat(lit(s"${Product}_dashboard://$Cluster."), col("p_brand"),
+      lit("/d"), col("p_partkey"))
+    val queryKey = concat(dashKey, lit("/query/q"), col("l_suppkey"))
+    df.withColumn("_dash_key", dashKey)
+      .withColumn("_query_key", queryKey)
+      .withColumn("_chart_key",
+        concat(queryKey, lit("/chart/"), col("l_orderkey"), lit("_"), col("l_linenumber")))
+  }
 
-  def edges(spark: SparkSession, dir: String): Dataset[GraphRelationship] =
-    edgesOf(dashboards(spark, dir))
-      .union(edgesOf(queries(spark, dir)))
-      .union(edgesOf(charts(spark, dir)))
-      .union(edgesOf(executions(spark, dir)))
+  private val noAttrs = map().cast("map<string,string>")
+
+  private[graft] def columnarQueryChartNodes(spark: SparkSession, dir: String): DataFrame = {
+    val li = keyCols(liWithPart(spark, dir))
+    li.select(col("_query_key").as("key"), lit(QueryLabel).as("label"),
+        map(lit("id"), concat(lit("q"), col("l_suppkey")),
+          lit("name"), concat(lit("supplier "), col("l_suppkey"))).as("attributes"))
+      .union(li.select(col("_chart_key").as("key"), lit(ChartLabel).as("label"),
+        map(lit("id"), concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
+          lit("name"), col("l_returnflag")).as("attributes")))
+  }
+
+  private[graft] def columnarQueryChartEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = keyCols(liWithPart(spark, dir))
+    li.select(lit(DashboardLabel).as("startLabel"), lit(QueryLabel).as("endLabel"),
+        col("_dash_key").as("startKey"), col("_query_key").as("endKey"),
+        lit("HAS_QUERY").as("relType"), lit("QUERY_OF").as("reverseType"),
+        noAttrs.as("attributes"))
+      .union(li.select(lit(QueryLabel).as("startLabel"), lit(ChartLabel).as("endLabel"),
+        col("_query_key").as("startKey"), col("_chart_key").as("endKey"),
+        lit("HAS_CHART").as("relType"), lit("CHART_OF").as("reverseType"),
+        noAttrs.as("attributes")))
+  }
+
+  def nodes(spark: SparkSession, dir: String): Dataset[GraphNode] = {
+    import spark.implicits._
+    nodesOf(dashboards(spark, dir)).toDF()
+      .union(columnarQueryChartNodes(spark, dir))
+      .union(nodesOf(executions(spark, dir)).toDF())
+      .dropDuplicates("label", "key")
+      .as[GraphNode]
+  }
+
+  def edges(spark: SparkSession, dir: String): Dataset[GraphRelationship] = {
+    import spark.implicits._
+    edgesOf(dashboards(spark, dir)).toDF()
+      .union(columnarQueryChartEdges(spark, dir))
+      .union(edgesOf(executions(spark, dir)).toDF())
       .dropDuplicates("startKey", "endKey", "relType")
+      .as[GraphRelationship]
+  }
 
   /** Node count per label — the guardrail shape over the dashboard graph. */
   def nodeCounts(spark: SparkSession, dir: String): DataFrame =

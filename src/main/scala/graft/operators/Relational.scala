@@ -55,6 +55,25 @@ object Relational {
       .agg(count(lit(1)).as("n_nations"), sortedList(col("n_name")).as("nations"))
       .orderBy("r_name")
 
+  /** Skew-safe equi-join: the skewed (big) side spreads each key over
+    * `salt` sub-keys via a deterministic hash of a tiebreak column; the
+    * other side replicates `salt`×. The classic salting pattern for hot
+    * keys that AQE's skew-join splitting can't reach (e.g. a
+    * non-broadcastable build side); results are identical to the plain
+    * join (spec-asserted). At 100 TB, apply per detected hot key rather
+    * than globally to avoid inflating the replicated side. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      tiebreak: org.apache.spark.sql.Column,
+      salt: Int): DataFrame = {
+    val bigS = big.withColumn("_salt", pmod(xxhash64(tiebreak), lit(salt.toLong)))
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    bigS.join(smallS, keys :+ "_salt").drop("_salt")
+  }
+
   /** Multi-hop inner equi-join chain — the Cypher MATCH pattern
     * Database←Cluster←Schema←Table (reference:
     * databuilder/extractor/neo4j_search_data_extractor.py:23-60). Dimensions

@@ -156,26 +156,72 @@ object SearchDocs {
     userDocsFromGraph(nodes, edges)
   }
 
-  /** DEFAULT_NEO4J_DASHBOARD_CYPHER_QUERY analog (reference :85-115):
-    * dashboard=part, group=brand, usage/queries from lineitems;
-    * coalesce defaults + integer cast + ORDER BY group name. */
-  def dashboardDocs(spark: SparkSession, dir: String): DataFrame = {
-    val usage = Tables(spark, dir, "lineitem")
-      .groupBy(col("l_partkey").as("pk_usage"))
+  /** DEFAULT_NEO4J_DASHBOARD_CYPHER_QUERY analog (reference :85-115) over
+    * the published dashboard graph: group→dashboard via DASHBOARD edges,
+    * description via Description nodes, chart names + usage via the
+    * HAS_QUERY→HAS_CHART two-hop, last run via EXECUTED→Execution nodes —
+    * every MATCH hop is a node/edge table navigation. */
+  def dashboardDocsFromGraph(nodesDf: DataFrame, edgesDf: DataFrame): DataFrame = {
+    def nodesOf(label: String, attrs: (String, String)*): DataFrame =
+      nodesDf.filter(col("label") === label)
+        .select(col("key") +: attrs.map { case (a, out) => col("attributes")(a).as(out) }: _*)
+    def edgesOf(relType: String): DataFrame =
+      edgesDf.filter(col("relType") === relType).select("startLabel", "startKey", "endKey")
+
+    val hierarchy = nodesOf("Dashboard", "name" -> "name")
+      .withColumnRenamed("key", "dash_key")
+      .join(edgesOf("DASHBOARD").select(col("startKey").as("group_key"),
+        col("endKey").as("dash_key")), "dash_key")
+      .join(broadcast(nodesOf("Dashboardgroup", "name" -> "group_name")
+        .withColumnRenamed("key", "group_key")), "group_key")
+
+    val descs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Dashboard")
+      .select(col("startKey").as("dash_key"), col("endKey").as("desc_key"))
+      .join(nodesOf("Description", "description" -> "description")
+        .withColumnRenamed("key", "desc_key"), "desc_key")
+    // the two-hop: dashboard -> query -> chart
+    val charts = edgesOf("HAS_QUERY")
+      .select(col("startKey").as("dash_key"), col("endKey").as("query_key"))
+      .join(edgesOf("HAS_CHART").select(col("startKey").as("query_key"),
+        col("endKey").as("chart_key")), "query_key")
+      .join(nodesOf("Chart", "name" -> "chart_name").withColumnRenamed("key", "chart_key"),
+        "chart_key")
+    val execs = edgesOf("EXECUTED")
+      .select(col("startKey").as("dash_key"), col("endKey").as("exec_key"))
+      .join(nodesOf("Execution", "timestamp" -> "ts").withColumnRenamed("key", "exec_key"),
+        "exec_key")
+
+    def tall(df: DataFrame, kind: String, s: Column, n: Column) =
+      df.select(col("dash_key"), lit(kind).as("kind"), s.as("str_val"), n.as("num_val"))
+    val branches =
+      tall(descs, "desc", col("description"), lit(null).cast("long"))
+        .union(tall(charts, "chart", col("chart_name"), lit(null).cast("long")))
+        .union(tall(execs, "exec", lit(null).cast("string"), col("ts").cast("long")))
+      .groupBy("dash_key")
       .agg(
-        count(lit(1)).as("total_usage"),
-        max(col("l_shipdate")).cast("timestamp").cast("long").as("last_successful_run_timestamp"),
-        sortedSet(col("l_returnflag")).as("chart_names"))
-    Tables(spark, dir, "part")
-      .join(usage, col("p_partkey") === col("pk_usage"), "left")
+        max(when(col("kind") === "desc", col("str_val"))).as("description"),
+        count(when(col("kind") === "chart", col("str_val"))).as("total_usage"),
+        array_join(sort_array(collect_set(when(col("kind") === "chart", col("str_val")))),
+          ",").as("chart_names"),
+        max(when(col("kind") === "exec", col("num_val"))).as("last_successful_run_timestamp"))
+
+    hierarchy.join(branches, Seq("dash_key"), "left")
       .select(
-        col("p_brand").as("group_name"),
-        col("p_name").as("name"),
-        concat(col("p_brand"), lit("/"), col("p_name")).as("key"),
-        coalesce(col("p_type"), lit("")).as("description"),
+        col("group_name"), col("name"), col("dash_key").as("key"),
+        coalesce(col("description"), lit("")).as("description"),
         coalesce(col("total_usage"), lit(0L)).as("total_usage"),
         coalesce(col("last_successful_run_timestamp"), lit(0L)).as("last_successful_run_timestamp"),
         coalesce(col("chart_names"), lit("")).as("chart_names"))
       .orderBy("group_name", "name")
+  }
+
+  /** Builds the dashboard graph and runs the dashboard-document query over
+    * it. Usage = chart count (one chart per view event in the mapping),
+    * last run = the last-successful-execution node. */
+  def dashboardDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val n = DashboardBuild.nodes(spark, dir).toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    val e = DashboardBuild.edges(spark, dir).toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    dashboardDocsFromGraph(n, e)
   }
 }

@@ -167,6 +167,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   // ---- columnar fan-out ≡ typeclass fan-out ----
 
+  test("dashboard columnar query/chart fan-out matches the typeclass") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val qser = graft.model.Dashboard.querySerializer
+    val cser = graft.model.Dashboard.chartSerializer
+    val qds = DashboardBuild.queries(spark, dir)
+    val cds = DashboardBuild.charts(spark, dir)
+    val tcNodes = (qds.flatMap(q => qser.nodes(q)).collect() ++
+      cds.flatMap(c => cser.nodes(c)).collect()).toSet
+    val colNodes = DashboardBuild.columnarQueryChartNodes(spark, dir)
+      .dropDuplicates("label", "key").as[GraphNode].collect().toSet
+    assert(colNodes == tcNodes)
+    val tcEdges = (qds.flatMap(q => qser.relationships(q)).collect() ++
+      cds.flatMap(c => cser.relationships(c)).collect()).toSet
+    val colEdges = DashboardBuild.columnarQueryChartEdges(spark, dir)
+      .dropDuplicates("startKey", "endKey", "relType").as[GraphRelationship]
+      .collect().toSet
+    assert(colEdges == tcEdges)
+  }
+
   test("columnar graph fan-out matches the GraphSerializable typeclass exactly") {
     import spark.implicits._
     val md = GraphBuild.tableMetadata(spark, "/root/testdata/sf0.001")
@@ -194,6 +214,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       graft.sources.Stage.readEdges(spark, out))
     val direct = SearchDocs.tableDocs(spark, dir)
     assert(fromStage.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val dir = "/root/testdata/sf0.001"
+    val big = graft.sources.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val small = graft.sources.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+    val plain = big.join(small, Seq("o_custkey"))
+      .select(cols.map(col): _*).orderBy("o_orderkey").collect().toSeq
+    val salted = Relational.saltedJoin(big, small, Seq("o_custkey"),
+        col("o_orderkey"), salt = 8)
+      .select(cols.map(col): _*).orderBy("o_orderkey").collect().toSeq
+    assert(salted == plain)
   }
 
   // ---- validation ----
