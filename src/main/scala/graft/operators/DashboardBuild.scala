@@ -102,14 +102,20 @@ object DashboardBuild {
   // and Chart nodes/edges as pure column expressions over the lineitem
   // scan; spec-asserted identical to the typeclass output. Low-volume
   // models (dashboards, executions) stay on the typeclass path.
+  // Persisted: feeds the query-node, chart-node, and both edge fan-outs
+  // (Spark's cache manager resolves the identical plan to one cache entry
+  // across those consumers, so the lineitem⋈part join runs once).
   private def keyCols(df: DataFrame): DataFrame = {
     val dashKey = concat(lit(s"${Product}_dashboard://$Cluster."), col("p_brand"),
       lit("/d"), col("p_partkey"))
     val queryKey = concat(dashKey, lit("/query/q"), col("l_suppkey"))
-    df.withColumn("_dash_key", dashKey)
-      .withColumn("_query_key", queryKey)
-      .withColumn("_chart_key",
-        concat(queryKey, lit("/chart/"), col("l_orderkey"), lit("_"), col("l_linenumber")))
+    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        dashKey.as("_dash_key"),
+        queryKey.as("_query_key"),
+        concat(queryKey, lit("/chart/"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("_chart_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val noAttrs = map().cast("map<string,string>")
