@@ -74,6 +74,7 @@ object SparkEntry {
     "q_text_quality"    -> (TextOps.qualityScore _),
     "q_lang_id"         -> (TextOps.langId _),
     "q_doc_fingerprint" -> (TextOps.fingerprint _),
+    "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
     "q_ngram_jaccard" -> (DedupOps.ngramJaccard _),
@@ -480,6 +481,32 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_fp, md5(substr(text, 1, 64)) AS prefix_fp,
            CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    // Winnowing: trigram rolling hashes (mod 2^31-1 on md5-derived token
+    // hashes) then min-per-4-window; both engines compute identically.
+    "q_doc_winnow" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         h AS (SELECT doc_id,
+             list_transform(toks,
+               tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % 2147483647) AS thm
+           FROM t),
+         r AS (SELECT doc_id,
+             CASE WHEN len(thm) < 3 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(range(1, len(thm) - 1),
+                    i -> (thm[i] * 17161 + thm[i + 1] * 131 + thm[i + 2]) % 2147483647) END AS rh
+           FROM h),
+         f AS (SELECT doc_id,
+             CASE WHEN len(rh) < 4 THEN rh
+                  ELSE list_transform(range(1, len(rh) - 2),
+                    j -> list_aggregate(rh[j:j + 3], 'min')) END AS fps
+           FROM r)
+         SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct_fp,
+           COALESCE(CAST(list_aggregate(fps, 'min') AS BIGINT), -1) AS min_fp,
+           COALESCE(CAST(list_aggregate(fps, 'max') AS BIGINT), -1) AS max_fp
+         FROM f ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY 1 ORDER BY canonical_doc_id""",

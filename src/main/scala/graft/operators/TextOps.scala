@@ -75,6 +75,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints: token-level polynomial rolling hash over
+    * trigram windows, then the min hash of every 4-window — the
+    * MOSS/winnowing scheme used for scaled document fingerprinting. All
+    * arithmetic is mod 2^31-1 on md5-derived token hashes, so the DuckDB
+    * oracle reproduces it exactly; the whole thing is codegen'd
+    * higher-order expressions, zero shuffle. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 2147483647L
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("thm", expr(
+        s"transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $M)"))
+      .withColumn("rh", expr(
+        s"""CASE WHEN size(thm) < 3 THEN cast(array() as array<bigint>)
+            ELSE transform(sequence(1, size(thm) - 2),
+              i -> (element_at(thm, i) * 17161 + element_at(thm, i + 1) * 131
+                    + element_at(thm, i + 2)) % $M) END"""))
+      .withColumn("fps", expr(
+        """CASE WHEN size(rh) < 4 THEN rh
+           ELSE transform(sequence(1, size(rh) - 3), j -> array_min(slice(rh, j, 4))) END"""))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_windows"),
+        size(array_distinct(col("fps"))).cast("long").as("n_distinct_fp"),
+        coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
+        coalesce(array_max(col("fps")), lit(-1L)).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: full-content hash + prefix hash (cheap
     * rolling-hash stand-in) — the primitive under exact dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
