@@ -35,6 +35,28 @@ object Stage {
   def readEdges(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/edges")
 
+  /** Bucketed staging for co-located joins: two tables bucketed (and
+    * sorted) on the same join key join with NO shuffle — bucket-aware
+    * sort-merge join reads matching buckets side by side. This is the
+    * pre-partitioning strategy for repeated big⋈big joins at 100 TB
+    * (SURVEY §4): pay the bucketing shuffle once at staging, never at
+    * query time. Files land in the session warehouse. */
+  def stageBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets tables between sessions but their
+    // files survive in the warehouse — clear an orphaned location so the
+    // staging write is idempotent
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** FileSystemCSVLoader analog — generic header CSV output
     * (loader/file_system_csv_loader.py:15). */
   def writeCsv(df: DataFrame, path: String): Unit =

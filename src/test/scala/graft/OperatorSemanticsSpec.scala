@@ -216,6 +216,27 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(fromStage.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("bucketed staging joins with zero exchanges in the plan") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Stage.stageBucketed(
+      graft.sources.Tables(spark, dir, "orders"), "b_orders", "o_custkey", 4)
+    graft.sources.Stage.stageBucketed(
+      graft.sources.Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "b_customer", "o_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      // and it still returns the right rows
+      assert(joined.count() ==
+        graft.sources.Tables(spark, dir, "orders").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val dir = "/root/testdata/sf0.001"
     val big = graft.sources.Tables(spark, dir, "orders")
