@@ -56,6 +56,56 @@ object EventStream {
   case class SessionState(sessionId: Long, lastSeenMicros: Long, nEvents: Long)
   case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 
+  case class OpenSession(sessionId: Long, startMicros: Long, lastMicros: Long, nEvents: Long)
+  case class ClosedSession(userId: Long, sessionId: Long, startMicros: Long,
+      endMicros: Long, nEvents: Long)
+
+  /** flatMapGroupsWithState variant — the fan-out custom-state path: emits
+    * one record per CLOSED session (0..N per invocation) instead of a
+    * running summary. A session closes in-batch when a 30-minute gap
+    * appears; the trailing open session closes at event-time timeout once
+    * the watermark passes its last event + 30 minutes. */
+  def closedSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 1800000000L
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, open.sessionId, open.startMicros,
+              open.lastMicros, open.nEvents))
+          } else {
+            val sorted = rows.map(_._2).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = Iterator.newBuilder[ClosedSession]
+            sorted.foreach { us =>
+              if (open == null) {
+                open = OpenSession(1L, us, us, 1L)
+              } else if (us - open.lastMicros > gapMicros) {
+                closed += ClosedSession(userId, open.sessionId, open.startMicros,
+                  open.lastMicros, open.nEvents)
+                open = OpenSession(open.sessionId + 1, us, us, 1L)
+              } else {
+                open = open.copy(lastMicros = us, nEvents = open.nEvents + 1)
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(
+              math.max(open.lastMicros / 1000L + gapMicros / 1000L,
+                state.getCurrentWatermarkMs() + 60000L))
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "session_id", "start_micros", "end_micros", "n_events")
+  }
+
   /** Stateful sessionization with mapGroupsWithState — the custom-state
     * path (KeyValueGroupedDataset) for per-user session tracking with a
     * 30-minute gap, matching the batch Events.sessionize semantics for

@@ -70,6 +70,43 @@ class StreamingAndStageSpec extends AnyFunSuite {
     assert(joined.count() == 0, "stream/batch session counts diverge")
   }
 
+  test("flatMapGroupsWithState emits exactly the in-batch closed sessions") {
+    val staged = tmp("stream-in4")
+    Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
+    val q = EventStream.closedSessions(spark, EventStream.source(spark, staged))
+      .writeStream
+      .outputMode("append").format("memory").queryName("closed_sessions")
+      .option("checkpointLocation", tmp("ckpt4"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.table("closed_sessions")
+    // gap-closed sessions: per user n_sessions - 1; PLUS the trailing
+    // session of every user whose last event + 30 min falls before the
+    // final watermark (max event - 1 h) — those time out in the follow-up
+    // AvailableNow batch
+    val gapClosed = Events.sessionize(spark, dir)
+      .agg(sum(col("n_sessions") - lit(1))).head.getLong(0)
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").cast("long").as("uid"),
+        expr("unix_micros(ts)").as("us"))
+    val maxUs = ev.agg(max("us")).head.getLong(0)
+    val wmMs = maxUs / 1000L - 3600000L
+    val timedOut = ev.groupBy("uid").agg(max("us").as("last_us"))
+      .filter(col("last_us") / 1000L + 1800000L < wmMs)
+      .count()
+    assert(closed.count() == gapClosed + timedOut)
+    // sessions are disjoint and ordered per user
+    val l = closed.select(col("user_id").as("l_uid"), col("session_id").as("l_sid"),
+      col("end_micros").as("l_end"))
+    val r = closed.select(col("user_id").as("r_uid"), col("session_id").as("r_sid"),
+      col("start_micros").as("r_start"))
+    val bad = l.join(r,
+      col("l_uid") === col("r_uid") && col("l_sid") === col("r_sid") - 1 &&
+        col("l_end") >= col("r_start"))
+    assert(bad.count() == 0, "overlapping consecutive sessions")
+  }
+
   test("graph staging round-trips with per-label partitioning") {
     val out = tmp("staged-graph")
     val meta = GraphBuild.tableMetadata(spark, dir)
