@@ -95,8 +95,10 @@ object RestJoin {
 
   /** Paginated fetch analog: the driver loop unions page DataFrames
     * (mode_paginated_rest_api_query.py's page-detection loop). */
-  def paginated(pages: Seq[DataFrame]): DataFrame =
+  def paginated(pages: Seq[DataFrame]): DataFrame = {
+    require(pages.nonEmpty, "paginated() needs at least one page")
     pages.reduce(_ union _)
+  }
 
   // ---- oracle-checkable query shapes ----
 

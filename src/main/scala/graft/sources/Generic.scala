@@ -31,7 +31,10 @@ object Generic {
     spark.catalog.listTables().collectAsList().asScala.toSeq
       .filterNot(t => excludeTables.contains(t.name))
       .map { t =>
-        val cols = spark.catalog.listColumns(t.name).collectAsList().asScala.toSeq
+        // temp views have no database; catalog tables need the qualified name
+        val qualified = Option(t.database).filter(_.nonEmpty)
+          .map(db => s"$db.${t.name}").getOrElse(t.name)
+        val cols = spark.catalog.listColumns(qualified).collectAsList().asScala.toSeq
           .zipWithIndex.map { case (c, i) =>
             ColumnMetadata(c.name, Option(c.description), c.dataType, i)
           }
