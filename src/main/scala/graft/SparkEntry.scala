@@ -55,6 +55,7 @@ object SparkEntry {
     "q_publish_create_only" -> (Publish.createOnlyUpsertQuery _),
     "q_publish_empty_attr"  -> (Publish.emptyAttrUpsertQuery _),
     "q_delete_relation"     -> (Publish.deleteRelationQuery _),
+    "q_edge_endpoint_check" -> (Publish.endpointCheckQuery _),
     "q_stale_sweep"         -> (Publish.staleSweepQuery _),
     // §2.7 RDS relational-record universe
     "q_rds_records" -> (RdsBuild.rdsRecordCounts _),
@@ -348,6 +349,10 @@ object SparkEntry {
          SELECT c.start_key, c.end_key FROM cur c
          WHERE NOT EXISTS (SELECT 1 FROM del d
            WHERE d.start_key = c.start_key AND d.end_key = c.end_key)
+         ORDER BY start_key, end_key""",
+    "q_edge_endpoint_check" ->
+      """SELECT 'c' || o_custkey AS start_key, 'o' || o_orderkey AS end_key
+         FROM orders WHERE o_custkey % 5 <> 0
          ORDER BY start_key, end_key""",
     "q_rds_records" ->
       """SELECT rds_table, n FROM (

@@ -77,6 +77,41 @@ object Publish {
   def deleteRelations(current: DataFrame, toDelete: DataFrame, keys: Seq[String]): DataFrame =
     current.join(toDelete.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Publisher relation MATCH — the reference's edge MERGE starts with
+    * `MATCH (n1 {key}), (n2 {key})`, so an edge publishes only when both
+    * endpoints exist (neo4j_csv_publisher.py:346-371). Returns
+    * (publishable, dangling): two semi-joins against the distinct node
+    * keys for the valid set, the anti complement for alerting. */
+  def validateEndpoints(edges: DataFrame, nodeKeys: DataFrame): (DataFrame, DataFrame) = {
+    val keys = nodeKeys.select(col("key")).distinct()
+    val startOk = edges.join(keys.withColumnRenamed("key", "startKey"),
+      Seq("startKey"), "left_semi")
+    val valid = startOk.join(keys.withColumnRenamed("key", "endKey"),
+      Seq("endKey"), "left_semi")
+    val dangling = edges
+      .join(keys.withColumnRenamed("key", "startKey"), Seq("startKey"), "left_anti")
+      .union(startOk.join(keys.withColumnRenamed("key", "endKey"),
+        Seq("endKey"), "left_anti"))
+    (valid, dangling)
+  }
+
+  /** Endpoint-validation query shape: nodes = customers with custkey % 5
+    * != 0 plus all order nodes; edges = orders (customer → order). Only
+    * edges whose customer endpoint survives are publishable. */
+  def endpointCheckQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val nodeKeys = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 5 =!= 0)
+      .select(concat(lit("c"), col("c_custkey")).as("key"))
+      .union(orders.select(concat(lit("o"), col("o_orderkey")).as("key")))
+    val edges = orders.select(
+      concat(lit("c"), col("o_custkey")).as("startKey"),
+      concat(lit("o"), col("o_orderkey")).as("endKey"))
+    val (valid, _) = validateEndpoints(edges, nodeKeys)
+    valid.select(col("startKey").as("start_key"), col("endKey").as("end_key"))
+      .orderBy("start_key", "end_key")
+  }
+
   /** Guardrail violation — mirrors the reference's job abort when a
     * label's stale ratio meets the threshold
     * (task/neo4j_staleness_removal_task.py:187-253). */

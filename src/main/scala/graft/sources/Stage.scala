@@ -62,6 +62,29 @@ object Stage {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Neptune bulk-CSV typed headers: each column becomes `name:Type` with
+    * Type ∈ String/Long/Double/Bool derived from the Spark type
+    * (serializers/neptune_serializer.py:155-165); the Neo4j loader's
+    * `:UNQUOTED` int/bool key suffix (neo4_serializer.py:52-59) is the
+    * same typed-at-the-CSV-edge decision. */
+  def typedHeader(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.map { f =>
+      val t = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => "Long"
+        case DoubleType | FloatType => "Double"
+        case BooleanType => "Bool"
+        case _ => "String"
+      }
+      s"${f.name}:$t"
+    }
+  }
+
+  /** Neptune-format CSV write with typed headers. */
+  def writeNeptuneCsv(df: DataFrame, path: String): Unit =
+    df.toDF(typedHeader(df.schema): _*)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
   /** NDJSON with deterministic (sorted) column order — the ES document
     * contract (models/elasticsearch_document.py:14-22 sorts keys). */
   def writeSearchDocs(docs: DataFrame, outDir: String): Unit =

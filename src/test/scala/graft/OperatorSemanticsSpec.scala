@@ -216,6 +216,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(fromStage.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("validateEndpoints splits publishable vs dangling edges") {
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c").toDF("key")
+    val edges = Seq(("a", "b"), ("a", "x"), ("y", "b")).toDF("startKey", "endKey")
+    val (valid, dangling) = Publish.validateEndpoints(edges, nodes)
+    assert(rows(valid) == Seq(Seq("b", "a")) ||
+      rows(valid.select("startKey", "endKey")) == Seq(Seq("a", "b")))
+    assert(dangling.count() == 2)
+  }
+
+  test("Neptune typed headers map Spark types to String/Long/Double/Bool") {
+    import spark.implicits._
+    val df = Seq((1L, 2, 3.5, true, "x")).toDF("k", "i", "d", "b", "s")
+    assert(graft.sources.Stage.typedHeader(df.schema) ==
+      Seq("k:Long", "i:Long", "d:Double", "b:Bool", "s:String"))
+    val out = java.nio.file.Files.createTempDirectory("neptune_csv").toString + "/out"
+    graft.sources.Stage.writeNeptuneCsv(df, out)
+    val header = spark.read.text(out).filter(col("value").contains(":"))
+      .collect().map(_.getString(0)).head
+    assert(header == "k:Long,i:Long,d:Double,b:Bool,s:String")
+  }
+
   test("bucketed staging joins with zero exchanges in the plan") {
     val dir = "/root/testdata/sf0.001"
     graft.sources.Stage.stageBucketed(
