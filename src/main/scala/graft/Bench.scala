@@ -15,8 +15,11 @@ object Bench {
     // otherwise whichever query happens to run first pays ~5 s of it.
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     graft.sources.Tables(spark, sfDir, "region").count()
+    val only = args.toSet // optional: restrict to named queries
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>

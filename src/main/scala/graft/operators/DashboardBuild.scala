@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
 import graft.model.Dashboard._
@@ -40,8 +40,14 @@ object DashboardBuild {
       .as[DashboardMetadata]
   }
 
+  /** lineitem ⋈ part (broadcast). The scan is repartitioned first: the
+    * fan-outs below are narrow, so their parallelism is the SCAN's — a
+    * single unsplittable file (one row group) would otherwise run the
+    * whole key/attribute build in one task. At cluster scale the input is
+    * many files and the repartition still guarantees even spread. */
   private def liWithPart(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
 
   def queries(spark: SparkSession, dir: String): Dataset[DashboardQuery] = {
@@ -100,63 +106,87 @@ object DashboardBuild {
 
   // Columnar fan-out for the two per-event (high-volume) models — Query
   // and Chart nodes/edges as pure column expressions over the lineitem
-  // scan; spec-asserted identical to the typeclass output. Low-volume
-  // models (dashboards, executions) stay on the typeclass path.
-  // Persisted: feeds the query-node, chart-node, and both edge fan-outs
-  // (Spark's cache manager resolves the identical plan to one cache entry
-  // across those consumers, so the lineitem⋈part join runs once).
-  private def keyCols(df: DataFrame): DataFrame = {
-    val dashKey = concat(lit(s"${Product}_dashboard://$Cluster."), col("p_brand"),
-      lit("/d"), col("p_partkey"))
-    val queryKey = concat(dashKey, lit("/query/q"), col("l_suppkey"))
-    df.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_returnflag"),
-        dashKey.as("_dash_key"),
-        queryKey.as("_query_key"),
-        concat(queryKey, lit("/chart/"), col("l_orderkey"), lit("_"),
-          col("l_linenumber")).as("_chart_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // scan; spec-asserted identical to the typeclass output (up to the
+  // (label, key) dedup). Low-volume models (dashboards, executions) stay
+  // on the typeclass path.
+  //
+  // Scale shape: the Query grain is a DISTINCT over a slim key triple
+  // (one shuffle of 3 narrow columns), from which both the Query nodes
+  // and the HAS_QUERY edges derive — the fat attribute maps are built
+  // AFTER the dedup, on the already-unique rows. Chart nodes/edges are
+  // keyed by the lineitem primary key, so they are unique by construction
+  // and never shuffle at all.
+  private def dashKeyOf(brand: Column, partkey: Column): Column =
+    concat(lit(s"${Product}_dashboard://$Cluster."), brand, lit("/d"), partkey)
+
+  /** One row per (group, dashboard, query) — the slim distinct both
+    * query-grain fan-outs derive from. */
+  private def queryGrain(spark: SparkSession, dir: String): DataFrame =
+    liWithPart(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("l_suppkey"))
+      .distinct()
+
+  private def chartCols(spark: SparkSession, dir: String): DataFrame = {
+    val queryKey = concat(dashKeyOf(col("p_brand"), col("p_partkey")),
+      lit("/query/q"), col("l_suppkey"))
+    liWithPart(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      queryKey.as("_query_key"),
+      concat(queryKey, lit("/chart/"), col("l_orderkey"), lit("_"),
+        col("l_linenumber")).as("_chart_key"))
   }
 
   private val noAttrs = map().cast("map<string,string>")
 
   private[graft] def columnarQueryChartNodes(spark: SparkSession, dir: String): DataFrame = {
-    val li = keyCols(liWithPart(spark, dir))
-    li.select(col("_query_key").as("key"), lit(QueryLabel).as("label"),
+    val q = queryGrain(spark, dir)
+    val queryKey = concat(dashKeyOf(col("p_brand"), col("p_partkey")),
+      lit("/query/q"), col("l_suppkey"))
+    q.select(queryKey.as("key"), lit(QueryLabel).as("label"),
         map(lit("id"), concat(lit("q"), col("l_suppkey")),
           lit("name"), concat(lit("supplier "), col("l_suppkey"))).as("attributes"))
-      .union(li.select(col("_chart_key").as("key"), lit(ChartLabel).as("label"),
-        map(lit("id"), concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
-          lit("name"), col("l_returnflag")).as("attributes")))
+      .union(chartCols(spark, dir)
+        .select(col("_chart_key").as("key"), lit(ChartLabel).as("label"),
+          map(lit("id"), concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
+            lit("name"), col("l_returnflag")).as("attributes")))
   }
 
   private[graft] def columnarQueryChartEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = keyCols(liWithPart(spark, dir))
-    li.select(lit(DashboardLabel).as("startLabel"), lit(QueryLabel).as("endLabel"),
-        col("_dash_key").as("startKey"), col("_query_key").as("endKey"),
+    val q = queryGrain(spark, dir)
+    val dashKey = dashKeyOf(col("p_brand"), col("p_partkey"))
+    q.select(lit(DashboardLabel).as("startLabel"), lit(QueryLabel).as("endLabel"),
+        dashKey.as("startKey"),
+        concat(dashKey, lit("/query/q"), col("l_suppkey")).as("endKey"),
         lit("HAS_QUERY").as("relType"), lit("QUERY_OF").as("reverseType"),
         noAttrs.as("attributes"))
-      .union(li.select(lit(QueryLabel).as("startLabel"), lit(ChartLabel).as("endLabel"),
-        col("_query_key").as("startKey"), col("_chart_key").as("endKey"),
-        lit("HAS_CHART").as("relType"), lit("CHART_OF").as("reverseType"),
-        noAttrs.as("attributes")))
+      .union(chartCols(spark, dir)
+        .select(lit(QueryLabel).as("startLabel"), lit(ChartLabel).as("endLabel"),
+          col("_query_key").as("startKey"), col("_chart_key").as("endKey"),
+          lit("HAS_CHART").as("relType"), lit("CHART_OF").as("reverseType"),
+          noAttrs.as("attributes")))
   }
 
+  // The global (label, key) dedup decomposes per-branch: every branch
+  // emits a disjoint label set (Dashboard-family vs Query/Chart vs
+  // Execution), so deduplicating the small typeclass union and leaving
+  // the already-unique columnar branches untouched is EXACTLY the same
+  // multiset — without shuffling the 600k fat chart rows. Same argument
+  // for edges on relType.
   def nodes(spark: SparkSession, dir: String): Dataset[GraphNode] = {
     import spark.implicits._
     nodesOf(dashboards(spark, dir)).toDF()
-      .union(columnarQueryChartNodes(spark, dir))
       .union(nodesOf(executions(spark, dir)).toDF())
       .dropDuplicates("label", "key")
+      .union(columnarQueryChartNodes(spark, dir))
       .as[GraphNode]
   }
 
   def edges(spark: SparkSession, dir: String): Dataset[GraphRelationship] = {
     import spark.implicits._
     edgesOf(dashboards(spark, dir)).toDF()
-      .union(columnarQueryChartEdges(spark, dir))
       .union(edgesOf(executions(spark, dir)).toDF())
       .dropDuplicates("startKey", "endKey", "relType")
+      .union(columnarQueryChartEdges(spark, dir))
       .as[GraphRelationship]
   }
 

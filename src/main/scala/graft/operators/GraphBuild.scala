@@ -76,6 +76,25 @@ object GraphBuild {
     * the path for low-volume models. Input: the un-encoded metadata frame
     * (columns of GraphBuild.tableMetadata). */
   def columnarNodes(md: DataFrame): DataFrame = {
+    val b = nodeBranches(md)
+    b.hierarchy.union(b.descNodes).union(b.tagNodes).union(b.colNodes)
+      .union(b.colDescNodes)
+  }
+
+  /** Same multiset as `columnarNodes(md).dropDuplicates("label","key")`,
+    * but only the branches that can actually produce duplicates
+    * (hierarchy prefixes shared across tables; tags) shuffle — the
+    * per-column branches are keyed by source primary keys and stay raw. */
+  def columnarNodesDupFree(md: DataFrame): DataFrame = {
+    val b = nodeBranches(md)
+    b.hierarchy.union(b.tagNodes).dropDuplicates("label", "key")
+      .union(b.descNodes).union(b.colNodes).union(b.colDescNodes)
+  }
+
+  private case class NodeBranches(hierarchy: DataFrame, descNodes: DataFrame,
+      tagNodes: DataFrame, colNodes: DataFrame, colDescNodes: DataFrame)
+
+  private def nodeBranches(md: DataFrame): NodeBranches = {
     val dbKey = concat(lit("database://"), col("database"))
     val clKey = concat(col("database"), lit("://"), col("cluster"))
     val scKey = concat(clKey, lit("."), col("schema"))
@@ -102,7 +121,6 @@ object GraphBuild {
         m("description" -> col("description"),
           "description_source" ->
             coalesce(col("descriptionSource"), lit("description"))).as("attributes"))
-    val simple = hierarchy.union(descNodes)
     val tagNodes = md.select(explode(col("tags")).as("key"))
       .select(col("key"), lit("Tag").as("label"),
         m("tag_type" -> lit("default")).as("attributes"))
@@ -117,11 +135,29 @@ object GraphBuild {
       lit("Description").as("label"),
       m("description" -> col("c.description"),
         "description_source" -> lit("description")).as("attributes"))
-    simple.union(tagNodes).union(colNodes).union(colDescNodes)
+    NodeBranches(hierarchy, descNodes, tagNodes, colNodes, colDescNodes)
   }
 
   /** Columnar edge fan-out — see [[columnarNodes]]. */
   def columnarEdges(md: DataFrame): DataFrame = {
+    val b = edgeBranches(md)
+    b.chain.union(b.descEdges).union(b.tagEdges).union(b.colEdges)
+      .union(b.colDescEdges)
+  }
+
+  /** Per-branch-dedup analog of
+    * `columnarEdges(md).dropDuplicates("startKey","endKey","relType")` —
+    * see [[columnarNodesDupFree]]. */
+  def columnarEdgesDupFree(md: DataFrame): DataFrame = {
+    val b = edgeBranches(md)
+    b.chain.union(b.tagEdges).dropDuplicates("startKey", "endKey", "relType")
+      .union(b.descEdges).union(b.colEdges).union(b.colDescEdges)
+  }
+
+  private case class EdgeBranches(chain: DataFrame, descEdges: DataFrame,
+      tagEdges: DataFrame, colEdges: DataFrame, colDescEdges: DataFrame)
+
+  private def edgeBranches(md: DataFrame): EdgeBranches = {
     val dbKey = concat(lit("database://"), col("database"))
     val clKey = concat(col("database"), lit("://"), col("cluster"))
     val scKey = concat(clKey, lit("."), col("schema"))
@@ -147,7 +183,6 @@ object GraphBuild {
         tbKey.as("startKey"), descKey.as("endKey"),
         lit("DESCRIPTION").as("relType"), lit("DESCRIPTION_OF").as("reverseType"),
         none.as("attributes"))
-    val fixed = chain.union(descEdges)
     val tagEdges = md.select(tbKey.as("tk"), explode(col("tags")).as("tag"))
       .select(lit("Table").as("startLabel"), lit("Tag").as("endLabel"),
         col("tk").as("startKey"), col("tag").as("endKey"),
@@ -165,7 +200,7 @@ object GraphBuild {
         concat(col("tk"), lit("/"), col("c.name"), lit("/_description")).as("endKey"),
         lit("DESCRIPTION").as("relType"), lit("DESCRIPTION_OF").as("reverseType"),
         none.as("attributes"))
-    fixed.union(tagEdges).union(colEdges).union(colDescEdges)
+    EdgeBranches(chain, descEdges, tagEdges, colEdges, colDescEdges)
   }
 
   /** (custkey → table key) map used by the usage / last-updated fan-outs. */
@@ -214,10 +249,15 @@ object GraphBuild {
     * (neo4j_search_data_extractor.py reads the published graph, :161-175):
     * metadata graph ∪ usage ∪ last-updated, deduplicated.
     *
-    * Uses the columnar fan-out (spec-proven identical to the typeclass) so
-    * the whole build is codegen'd column work: raw fan-outs unioned first,
-    * ONE dedup shuffle per output. The metadata frame and key map are
-    * persisted — each feeds both the node and edge fan-out. */
+    * Uses the columnar fan-out (spec-proven identical to the typeclass).
+    * The global (label, key) dedup decomposes per-branch because every
+    * branch emits a disjoint (label, key-shape) set: only the branches
+    * that actually produce duplicates (hierarchy/tags from the metadata
+    * fan-out; the User stubs from usage) shuffle — the per-column and
+    * per-table branches are keyed by source primary keys and stay
+    * shuffle-free. Keeping the branches separate also lets Catalyst prune
+    * untouched branches (and fold away their map construction) when a
+    * downstream query filters on a literal label/relType. */
   def searchGraph(spark: SparkSession, dir: String): (Dataset[GraphNode], Dataset[GraphRelationship]) = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -226,8 +266,11 @@ object GraphBuild {
     val usg = usageFrom(spark, dir, keyed).toDF()
     val ts = lastUpdatedFrom(spark, dir, keyed).toDF()
     val noAttrs = map().cast("map<string,string>")
-    val usgNodes = usg.select(col("userEmail").as("key"), lit("User").as("label"),
-      map(lit("email"), col("userEmail")).as("attributes"))
+    // distinct over the slim email BEFORE building attributes: the usage
+    // frame has one row per (table, user), the User node one per user.
+    val usgNodes = usg.select(col("userEmail")).distinct()
+      .select(col("userEmail").as("key"), lit("User").as("label"),
+        map(lit("email"), col("userEmail")).as("attributes"))
     val usgEdges = usg.select(lit("Table").as("startLabel"), lit("User").as("endLabel"),
       col("tableKey").as("startKey"), col("userEmail").as("endKey"),
       lit("READ_BY").as("relType"), lit("READ").as("reverseType"),
@@ -241,10 +284,13 @@ object GraphBuild {
       concat(col("tableKey"), lit("/timestamp")).as("endKey"),
       lit("LAST_UPDATED_AT").as("relType"), lit("LAST_UPDATED_TIME_OF").as("reverseType"),
       noAttrs.as("attributes"))
-    val allNodes = columnarNodes(md).union(usgNodes).union(tsNodes)
-      .dropDuplicates("label", "key").as[GraphNode]
-    val allEdges = columnarEdges(md).union(usgEdges).union(tsEdges)
-      .dropDuplicates("startKey", "endKey", "relType").as[GraphRelationship]
+    // Metadata fan-out: hierarchy + tag branches duplicate per customer →
+    // dedup them; column/description branches are unique by construction
+    // (per-order keys under a per-customer table key).
+    val allNodes = columnarNodesDupFree(md)
+      .union(usgNodes).union(tsNodes).as[GraphNode]
+    val allEdges = columnarEdgesDupFree(md)
+      .union(usgEdges).union(tsEdges).as[GraphRelationship]
     (allNodes, allEdges)
   }
 

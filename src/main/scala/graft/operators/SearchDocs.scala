@@ -106,15 +106,18 @@ object SearchDocs {
   }
 
   /** Builds the published graph (GraphBuild.searchGraph) and runs the
-    * table-document query over it end-to-end. The node/edge stages are
-    * persisted — every MATCH branch reads them, and at scale they are the
-    * staged parquet the publisher wrote. */
+    * table-document query over it end-to-end. The node/edge frames are
+    * passed as PLANS, not persisted caches: each MATCH branch filters on a
+    * literal label/relType, so Catalyst prunes every untouched fan-out
+    * branch and folds `map(...)[attr]` down to the underlying column —
+    * the branches the query touches compile to pure columnar work with no
+    * map construction at all. (Persisting the generic frames was measured
+    * 2× slower: it materializes every attribute map for every branch and
+    * the broadcast builds then race to populate the cache.) At scale the
+    * same queries run over the staged parquet via tableDocsFromGraph. */
   def tableDocs(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
-    import org.apache.spark.storage.StorageLevel
-    val n = nodes.toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    val e = edges.toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    tableDocsFromGraph(n, e)
+    tableDocsFromGraph(nodes.toDF(), edges.toDF())
   }
 
   /** DEFAULT_NEO4J_USER_CYPHER_QUERY analog (reference :64-82) over the
@@ -218,10 +221,8 @@ object SearchDocs {
   /** Builds the dashboard graph and runs the dashboard-document query over
     * it. Usage = chart count (one chart per view event in the mapping),
     * last run = the last-successful-execution node. */
-  def dashboardDocs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val n = DashboardBuild.nodes(spark, dir).toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    val e = DashboardBuild.edges(spark, dir).toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    dashboardDocsFromGraph(n, e)
-  }
+  def dashboardDocs(spark: SparkSession, dir: String): DataFrame =
+    dashboardDocsFromGraph(
+      DashboardBuild.nodes(spark, dir).toDF(),
+      DashboardBuild.edges(spark, dir).toDF())
 }
