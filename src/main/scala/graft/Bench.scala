@@ -9,12 +9,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config(graft.sources.Tables.nanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
+      // AQE sizes post-shuffle partitions by bytes; at bench/verify SF the
+      // shuffles are byte-small but compute-heavy, so keep it from
+      // coalescing below real parallelism
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM + codegen + parquet-reader warmup, not attributed to any query —
     // otherwise whichever query happens to run first pays ~5 s of it.
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     graft.sources.Tables(spark, sfDir, "region").count()
+    // also warm the typed-encoder / object-hash-agg machinery (flatMap +
+    // map-typed column + dedup), which the first graph fan-out query
+    // would otherwise pay ~2-3 s of JIT for
+    locally {
+      import spark.implicits._
+      spark.range(0, 1000).as[Long]
+        .flatMap(i => Seq((i, Map("k" -> i.toString))))
+        .toDF("id", "m").dropDuplicates("id")
+        .groupBy("id").count().count()
+    }
     val only = args.toSet // optional: restrict to named queries
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries

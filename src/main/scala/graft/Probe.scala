@@ -14,6 +14,10 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config(graft.sources.Tables.nanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
+      // AQE sizes post-shuffle partitions by bytes; at bench/verify SF the
+      // shuffles are byte-small but compute-heavy, so keep it from
+      // coalescing below real parallelism
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.nanosAsLongConf, "true")
       .config("spark.ui.enabled", "false")
+      // AQE sizes post-shuffle partitions by bytes; at bench/verify SF the
+      // shuffles are byte-small but compute-heavy, so keep it from
+      // coalescing below real parallelism
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

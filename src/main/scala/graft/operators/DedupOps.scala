@@ -114,12 +114,20 @@ object DedupOps {
     val twins = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         expr("substring(text, 1, length(text) - 20)").as("text"))
-    // Repartition off the single-file scan, shingle once, persist: the
-    // shingle sets feed the signature map AND both sides of the verify
-    // join — without the persist Catalyst recomputes the whole tree per
-    // consumer.
-    val shingled = base.union(twins)
-      .repartition(col("doc_id"))
+    // Repartition off the single-file scan and persist the SLIM
+    // (doc_id, text) rows first: the persist is a pushdown barrier, so
+    // the expensive tokenize+shingle projection below is evaluated above
+    // the exchange, spread over all partitions. (Without the barrier
+    // Catalyst pushes the projection below the repartition and the whole
+    // shingle build runs on the 1-2 scan partitions of the single-file
+    // input; the partition count is explicit because AQE sizes by
+    // shuffle bytes, which are tiny here relative to the compute.)
+    val spread = base.union(twins)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // derived above the cache (so the barrier holds) and persisted once:
+    // three consumers (signature map + both verify-join sides) read it
+    val shingled = spread
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(3))
       .filter(size(col("sh")) > 0)

@@ -52,19 +52,24 @@ object GraphBuild {
       .as[TableMetadata]
   }
 
-  /** Serializer fan-out → deduplicated node table. */
+  /** Serializer fan-out → deduplicated node table. The input is spread
+    * with an explicit partition count first: the metadata rows are few
+    * bytes but the object fan-out is ~25 rows each, and AQE (sizing by
+    * shuffle bytes) would otherwise run the whole flatMap in one task. */
   def nodes(ds: Dataset[TableMetadata]): Dataset[GraphNode] = {
     import ds.sparkSession.implicits._
     val ser = TableMetadata.serializer
-    ds.flatMap(t => ser.nodes(t).filter(Graph.nodeValid))
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+      .flatMap(t => ser.nodes(t).filter(Graph.nodeValid))
       .dropDuplicates("label", "key")
   }
 
-  /** Serializer fan-out → deduplicated edge table. */
+  /** Serializer fan-out → deduplicated edge table (spread as in nodes). */
   def edges(ds: Dataset[TableMetadata]): Dataset[GraphRelationship] = {
     import ds.sparkSession.implicits._
     val ser = TableMetadata.serializer
-    ds.flatMap(t => ser.relationships(t).filter(Graph.relationshipValid))
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+      .flatMap(t => ser.relationships(t).filter(Graph.relationshipValid))
       .dropDuplicates("startKey", "endKey", "relType")
   }
 
@@ -261,8 +266,14 @@ object GraphBuild {
   def searchGraph(spark: SparkSession, dir: String): (Dataset[GraphNode], Dataset[GraphRelationship]) = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
+    // Materialize both stage caches EAGERLY: the search-doc consumers
+    // launch many branch jobs (broadcast builds) concurrently, and Spark
+    // does not coordinate in-flight cache population — without the eager
+    // count every racing job recomputes the full metadata build.
     val md = tableMetadata(spark, dir).toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    md.count()
     val keyed = keyedTables(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed.count()
     val usg = usageFrom(spark, dir, keyed).toDF()
     val ts = lastUpdatedFrom(spark, dir, keyed).toDF()
     val noAttrs = map().cast("map<string,string>")

@@ -94,7 +94,9 @@ object SimilarityOps {
       .union(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * lit(2.0d)).as("v")))
-      .repartition(col("vec_id"))
+      // explicit count: AQE would coalesce the small shuffle bytes and
+      // serialize the signature/cosine compute into 1-2 tasks
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = corpus.as[(Long, Seq[Double])].mapPartitions(_.flatMap { case (id, v) =>
       val arr = v.toArray
@@ -118,6 +120,9 @@ object SimilarityOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      // spread the candidate set before the exact-cosine verify — the
+      // pair rows are slim so AQE would otherwise verify in one task
+      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
     pairs
       .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
@@ -146,7 +151,8 @@ object SimilarityOps {
       .union(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * lit(2.0d)).as("v")))
-      .repartition(col("vec_id"))
+      // explicit count — see annLshPairs
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids: Array[Array[Double]] = e.filter(col("vec_id") < 16)
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
@@ -175,6 +181,8 @@ object SimilarityOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      // see annLshPairs — spread the verify
+      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
     pairs
       .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
       .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
