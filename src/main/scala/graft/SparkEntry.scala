@@ -90,6 +90,9 @@ object SparkEntry {
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
+    // payload-registry extractors (Feast feature registry, BambooHR XML)
+    "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
+    "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -652,5 +655,28 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
            CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
          FROM documents ORDER BY doc_id""",
+    "q_feast_features" ->
+      """SELECT 'feast' AS database_name, 'main' AS cluster, project,
+           feature_table, col_name, col_type, sort_order
+         FROM (
+           SELECT r_name AS project, 'ft_' || lower(n_name) AS feature_table,
+             lower(n_name) || '_id' AS col_name, 'INT64' AS col_type,
+             CAST(0 AS BIGINT) AS sort_order
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT r_name, 'ft_' || lower(n_name), 'f_s' || s_suppkey, 'DOUBLE',
+             CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey)
+               AS BIGINT)
+           FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+         ) ORDER BY project, feature_table, sort_order""",
+    "q_xml_users" ->
+      """SELECT 's' || s_suppkey || '@corp' AS email,
+           'F' || s_suppkey AS first_name, 'L' || s_suppkey AS last_name,
+           s_name AS name, n_name AS team_name,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'supplier' ELSE '' END AS role_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY email""",
   )
 }

@@ -226,6 +226,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(dangling.count() == 2)
   }
 
+  test("bamboohr XML parse defaults missing fields to empty string") {
+    import spark.implicits._
+    val parsed = Seq(
+      "<employee><field id=\"workEmail\">a@x</field></employee>")
+      .toDF("payload")
+      .select(expr(
+        "from_xml(payload, 'field ARRAY<STRUCT<_id: STRING, _VALUE: STRING>>')").as("e"))
+      .select(map_from_entries(
+        expr("transform(e.field, f -> struct(f._id, f._VALUE))")).as("m"))
+      .select(coalesce(col("m")("workEmail"), lit("")).as("email"),
+        coalesce(col("m")("jobTitle"), lit("")).as("role"))
+    assert(rows(parsed) == Seq(Seq("a@x", "")))
+  }
+
+  test("feast columns put entities before features with contiguous sort order") {
+    val out = RegistryIngest.feastFeatureTables(spark, "/root/testdata/sf0.001")
+    val one = out.filter(col("feature_table") === "ft_nation_0")
+      .select("col_name", "col_type", "sort_order").collect()
+    assert(one.head.getString(0) == "nation_0_id" && one.head.getString(1) == "INT64")
+    assert(one.head.getLong(2) == 0L)
+    assert(one.tail.forall(r => r.getString(0).startsWith("f_s") &&
+      r.getString(1) == "DOUBLE"))
+    assert(one.map(_.getLong(2)).toSeq == (0L until one.length).toSeq)
+  }
+
   test("Neptune typed headers map Spark types to String/Long/Double/Bool") {
     import spark.implicits._
     val df = Seq((1L, 2, 3.5, true, "x")).toDF("k", "i", "d", "b", "s")
