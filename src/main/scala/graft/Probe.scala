@@ -22,6 +22,11 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     graft.sources.Tables(spark, sfDir, "region").count()
+    spark.range(0, 10000)
+      .selectExpr("id % 100 as k", "named_struct('id', id, 'status', cast(id as string)) as s")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("to_json(struct(sort_array(collect_list(s)) as orders))").as("p"))
+      .selectExpr("k", "from_json(p, 'STRUCT<orders: ARRAY<STRUCT<id: BIGINT, status: STRING>>>') as o")
+      .selectExpr("k", "explode(o.orders) as e").orderBy("k").count()
     @volatile var stages = List.empty[(Int, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
