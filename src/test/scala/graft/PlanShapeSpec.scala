@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Plan-shape assertions — the scale contract, checked in CI: filters
+  * reach the parquet scan, projections prune the read schema, small
+  * dimensions broadcast, top-k plans as TakeOrdered, and no query in the
+  * inventory ever degenerates to a cartesian product. These are the
+  * properties that decide whether the same code survives a 100x scale-up,
+  * so they are asserted against the optimized physical plan, not implied.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.sources.Tables.nanosAsLongConf, "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down into the parquet scan") {
+    val plan = physical(Relational.scanFilterProject(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$plan")
+    val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double"
+    assert(plan.contains(readSchema), s"scan reads more than the projection:\n$plan")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    val plan = physical(Relational.broadcastJoin(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dimension join shuffled:\n$plan")
+  }
+
+  test("sort-limit plans as TakeOrderedAndProject, not a global sort") {
+    val plan = physical(Relational.sortLimit(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("no query in the inventory plans a cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = physical(fn(spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      // BroadcastNestedLoopJoin is allowed ONLY for the intentional
+      // brute-force ANN baseline (20 query vectors, exactness oracle)
+      if (name != "q_ann_topk")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
+    }
+  }
+}
