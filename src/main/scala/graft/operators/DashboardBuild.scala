@@ -94,12 +94,14 @@ object DashboardBuild {
       .as[DashboardExecution]
   }
 
-  private def nodesOf[T](ds: Dataset[T])(implicit s: GraphSerializable[T]): Dataset[GraphNode] = {
+  /** Typeclass fan-out — the semantic definition the columnar paths are
+    * spec-asserted against (and the path low-volume callers can use). */
+  def nodesOf[T](ds: Dataset[T])(implicit s: GraphSerializable[T]): Dataset[GraphNode] = {
     import ds.sparkSession.implicits._
     ds.flatMap(t => s.nodes(t).filter(Graph.nodeValid))
   }
 
-  private def edgesOf[T](ds: Dataset[T])(implicit s: GraphSerializable[T]): Dataset[GraphRelationship] = {
+  def edgesOf[T](ds: Dataset[T])(implicit s: GraphSerializable[T]): Dataset[GraphRelationship] = {
     import ds.sparkSession.implicits._
     ds.flatMap(t => s.relationships(t).filter(Graph.relationshipValid))
   }
@@ -166,26 +168,98 @@ object DashboardBuild {
           noAttrs.as("attributes")))
   }
 
+  // Columnar fan-out of the DashboardMetadata + Execution models —
+  // spec-asserted identical to the typeclass serializers, which remain
+  // the semantic definition. The group-description branch is omitted
+  // because this mapping never sets dashboardGroupDescription.
+  private def dashKeys(md: DataFrame): DataFrame = {
+    val groupKey = concat(lit(s"${Product}_dashboard://$Cluster."), col("dashboardGroup"))
+    md.withColumn("_cluster_key", lit(s"${Product}_dashboard://$Cluster"))
+      .withColumn("_group_key", groupKey)
+      .withColumn("_dash_key", concat(groupKey, lit("/"), col("dashboardName")))
+  }
+
+  private def m(kvs: (String, Column)*): Column =
+    map(kvs.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
+
+  private[graft] def columnarDashboardNodes(spark: SparkSession, dir: String): DataFrame = {
+    val md = dashKeys(dashboards(spark, dir).toDF())
+    md.select(explode(array(
+        struct(col("_cluster_key").as("key"), lit(ClusterLabel).as("label"),
+          m("name" -> lit(Cluster)).as("attributes")),
+        struct(col("_group_key").as("key"), lit(GroupLabel).as("label"),
+          m("name" -> col("dashboardGroup")).as("attributes")),
+        struct(col("_dash_key").as("key"), lit(DashboardLabel).as("label"),
+          m("name" -> col("dashboardName")).as("attributes")))).as("n"))
+      .select("n.*")
+      .union(md.filter(col("description").isNotNull)
+        .select(concat(col("_dash_key"), lit("/_description")).as("key"),
+          lit(DescriptionLabel).as("label"),
+          m("description" -> col("description")).as("attributes")))
+      .union(md.select(explode(col("tags")).as("key"))
+        .select(col("key"), lit(TagLabel).as("label"),
+          m("tag_type" -> lit("default")).as("attributes")))
+  }
+
+  private[graft] def columnarDashboardEdges(spark: SparkSession, dir: String): DataFrame = {
+    val md = dashKeys(dashboards(spark, dir).toDF())
+    def e(sl: String, el: String, sk: Column, ek: Column, t: String, rt: String) =
+      struct(lit(sl).as("startLabel"), lit(el).as("endLabel"), sk.as("startKey"),
+        ek.as("endKey"), lit(t).as("relType"), lit(rt).as("reverseType"),
+        noAttrs.as("attributes"))
+    md.select(explode(array(
+        e(ClusterLabel, GroupLabel, col("_cluster_key"), col("_group_key"),
+          "DASHBOARD_GROUP", "DASHBOARD_GROUP_OF"),
+        e(GroupLabel, DashboardLabel, col("_group_key"), col("_dash_key"),
+          "DASHBOARD", "DASHBOARD_OF"))).as("r"))
+      .select("r.*")
+      .union(md.filter(col("description").isNotNull).select(
+        e(DashboardLabel, DescriptionLabel, col("_dash_key"),
+          concat(col("_dash_key"), lit("/_description")),
+          "DESCRIPTION", "DESCRIPTION_OF").as("r")).select("r.*"))
+      .union(md.select(col("_dash_key"), explode(col("tags")).as("tag")).select(
+        e(DashboardLabel, TagLabel, col("_dash_key"), col("tag"),
+          "TAG", "TAG_OF").as("r")).select("r.*"))
+  }
+
+  private[graft] def columnarExecutionNodes(spark: SparkSession, dir: String): DataFrame = {
+    val ex = dashKeys(executions(spark, dir).toDF())
+    ex.select(concat(col("_dash_key"), lit("/execution/"), col("executionId")).as("key"),
+      lit(ExecutionLabel).as("label"),
+      m("timestamp" -> col("timestamp").cast("string"),
+        "state" -> col("state")).as("attributes"))
+  }
+
+  private[graft] def columnarExecutionEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ex = dashKeys(executions(spark, dir).toDF())
+    ex.select(lit(DashboardLabel).as("startLabel"), lit(ExecutionLabel).as("endLabel"),
+      col("_dash_key").as("startKey"),
+      concat(col("_dash_key"), lit("/execution/"), col("executionId")).as("endKey"),
+      lit("EXECUTED").as("relType"), lit("EXECUTION_OF").as("reverseType"),
+      noAttrs.as("attributes"))
+  }
+
   // The global (label, key) dedup decomposes per-branch: every branch
   // emits a disjoint label set (Dashboard-family vs Query/Chart vs
-  // Execution), so deduplicating the small typeclass union and leaving
-  // the already-unique columnar branches untouched is EXACTLY the same
-  // multiset — without shuffling the 600k fat chart rows. Same argument
-  // for edges on relType.
+  // Execution), so deduplicating the duplicate-capable dashboard branch
+  // and leaving the uniquely-keyed columnar branches untouched is EXACTLY
+  // the same multiset — without shuffling the 600k fat chart rows. Same
+  // argument for edges on relType. Execution keys are unique (one row per
+  // dashboard after the groupBy), so that branch skips the shuffle too.
   def nodes(spark: SparkSession, dir: String): Dataset[GraphNode] = {
     import spark.implicits._
-    nodesOf(dashboards(spark, dir)).toDF()
-      .union(nodesOf(executions(spark, dir)).toDF())
+    columnarDashboardNodes(spark, dir)
       .dropDuplicates("label", "key")
+      .union(columnarExecutionNodes(spark, dir))
       .union(columnarQueryChartNodes(spark, dir))
       .as[GraphNode]
   }
 
   def edges(spark: SparkSession, dir: String): Dataset[GraphRelationship] = {
     import spark.implicits._
-    edgesOf(dashboards(spark, dir)).toDF()
-      .union(edgesOf(executions(spark, dir)).toDF())
+    columnarDashboardEdges(spark, dir)
       .dropDuplicates("startKey", "endKey", "relType")
+      .union(columnarExecutionEdges(spark, dir))
       .union(columnarQueryChartEdges(spark, dir))
       .as[GraphRelationship]
   }

@@ -350,20 +350,17 @@ object GraphBuild {
   /** Table-level lineage fan-out — HAS_DOWNSTREAM/HAS_UPSTREAM edges, no
     * nodes (table_lineage.py:15-121); pairs = distinct (part, supplier)
     * so the run is deterministic. */
-  def lineageEdges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ser = TableLineage.serializer
+  def lineageEdges(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .select(
-        concat(lit("tpch://part/"), col("l_partkey")).as("sourceTableKey"),
-        concat(lit("tpch://sup/"), col("l_suppkey")).as("targetTableKey"))
+        concat(lit("tpch://part/"), col("l_partkey")).as("source_key"),
+        concat(lit("tpch://sup/"), col("l_suppkey")).as("target_key"))
       .distinct()
-      .as[TableLineage]
-      .flatMap(l => ser.relationships(l).filter(Graph.relationshipValid))
-      .select(col("startKey").as("source_key"), col("endKey").as("target_key"),
-        col("relType").as("rel_type"), col("reverseType").as("reverse_type"))
+      // columnar form of TableLineage.serializer's single
+      // HAS_DOWNSTREAM/HAS_UPSTREAM relationship — spec-asserted equal
+      .select(col("source_key"), col("target_key"),
+        lit("HAS_DOWNSTREAM").as("rel_type"), lit("HAS_UPSTREAM").as("reverse_type"))
       .orderBy("source_key", "target_key")
-  }
 
   /** Grouped node count per label — the staleness guardrail shape
     * (reference: databuilder/task/neo4j_staleness_removal_task.py:211-232). */

@@ -187,6 +187,35 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(colEdges == tcEdges)
   }
 
+  test("dashboard/execution columnar fan-out matches the typeclass") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    import graft.model.Dashboard.{metadataSerializer, executionSerializer}
+    val tcNodes = (DashboardBuild.nodesOf(DashboardBuild.dashboards(spark, dir)).collect() ++
+      DashboardBuild.nodesOf(DashboardBuild.executions(spark, dir)).collect()).toSet
+    val colNodes = DashboardBuild.columnarDashboardNodes(spark, dir)
+      .union(DashboardBuild.columnarExecutionNodes(spark, dir))
+      .as[GraphNode].collect().toSet
+    assert(colNodes == tcNodes)
+    val tcEdges = (DashboardBuild.edgesOf(DashboardBuild.dashboards(spark, dir)).collect() ++
+      DashboardBuild.edgesOf(DashboardBuild.executions(spark, dir)).collect()).toSet
+    val colEdges = DashboardBuild.columnarDashboardEdges(spark, dir)
+      .union(DashboardBuild.columnarExecutionEdges(spark, dir))
+      .as[GraphRelationship].collect().toSet
+    assert(colEdges == tcEdges)
+  }
+
+  test("columnar lineage fan-out matches the TableLineage typeclass") {
+    import spark.implicits._
+    val ser = TableLineage.serializer
+    val out = GraphBuild.lineageEdges(spark, "/root/testdata/sf0.001")
+    val fromTypeclass = out.select(col("source_key").as("sourceTableKey"),
+        col("target_key").as("targetTableKey")).as[TableLineage]
+      .flatMap(l => ser.relationships(l).filter(Graph.relationshipValid))
+      .select(col("startKey"), col("endKey"), col("relType"), col("reverseType"))
+    assert(rows(out) == rows(fromTypeclass.orderBy("startKey", "endKey")))
+  }
+
   test("columnar graph fan-out matches the GraphSerializable typeclass exactly") {
     import spark.implicits._
     val md = GraphBuild.tableMetadata(spark, "/root/testdata/sf0.001")
