@@ -18,8 +18,11 @@ import graft.sources.Tables
   *   lineitems ('q'+suppkey); chart per lineitem ('{orderkey}_{linenumber}');
   *   one last-successful execution per part with lineitems (max shipdate).
   *
-  * Scale: fan-outs are narrow flatMaps; the single shuffle per output is
-  * the (label, key) dedup, as in GraphBuild.
+  * Scale: all fan-outs are columnar (the GraphSerializable typeclasses
+  * remain the semantic definition, spec-asserted equal); only the
+  * branches that can produce duplicate keys shuffle — the query grain as
+  * a slim distinct, the dashboard-family fan-out as a small dedup — and
+  * the per-lineitem chart branch never shuffles at all.
   */
 object DashboardBuild {
 
@@ -109,8 +112,7 @@ object DashboardBuild {
   // Columnar fan-out for the two per-event (high-volume) models — Query
   // and Chart nodes/edges as pure column expressions over the lineitem
   // scan; spec-asserted identical to the typeclass output (up to the
-  // (label, key) dedup). Low-volume models (dashboards, executions) stay
-  // on the typeclass path.
+  // (label, key) dedup).
   //
   // Scale shape: the Query grain is a DISTINCT over a slim key triple
   // (one shuffle of 3 narrow columns), from which both the Query nodes
