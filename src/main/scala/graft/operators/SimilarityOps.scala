@@ -132,7 +132,7 @@ object SimilarityOps {
   }
 
   /** IVF-style ANN — the coarse-quantizer scale path: vectors are
-    * assigned to their max-cosine centroid cell (centroids = the first 16
+    * assigned to their max-cosine centroid cell (centroids = the first 64
     * corpus vectors, deterministic; k-means iterations would refine them
     * the same way at scale), candidates share a cell (equi-join on the
     * cell id, nprobe=1), and exact cosine verifies. Cell assignment by
@@ -154,7 +154,7 @@ object SimilarityOps {
       // explicit count — see annLshPairs
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < 16)
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < 64)
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
     val cells = corpus.as[(Long, Seq[Double])].mapPartitions { it =>
       val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
