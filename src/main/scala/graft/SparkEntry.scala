@@ -90,6 +90,7 @@ object SparkEntry {
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
+    "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -655,6 +656,15 @@ object SparkEntry {
            CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
            CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
          FROM documents ORDER BY doc_id""",
+    "q_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+           CAST(i * (octet_length(encode(text)) - 8) // 3 AS BIGINT) AS offset,
+           substr(hex(encode(text)),
+             CAST(i * (octet_length(encode(text)) - 8) // 3 AS INT) * 2 + 1,
+             16) AS frame_hex
+         FROM documents, (SELECT unnest(range(4)) AS i)
+         WHERE octet_length(encode(text)) >= 8
+         ORDER BY doc_id, frame_idx""",
     "q_feast_features" ->
       """SELECT 'feast' AS database_name, 'main' AS cluster, project,
            feature_table, col_name, col_type, sort_order

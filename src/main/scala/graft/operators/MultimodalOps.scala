@@ -40,6 +40,25 @@ object MultimodalOps {
       }
   }
 
+  /** Frame sampling: k evenly-spaced fixed-width slices per asset — the
+    * video frame-sample batch shape (one output row per frame, offset
+    * carried as typed metadata). The slice positions are computed from the
+    * byte length, the fan-out is a posexplode of a transform(sequence),
+    * and nothing shuffles — at scale this is the narrow stage right after
+    * decode, before any wide op sees the (much smaller) per-frame rows. */
+  def frameSample(spark: SparkSession, dir: String, k: Int = 4, width: Int = 8): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("media", col("text").cast("binary"))
+      .withColumn("n", length(col("media")).cast("long"))
+      .filter(col("n") >= width)
+      .select(col("doc_id"), col("media"), col("n"),
+        posexplode(expr(s"transform(sequence(0, ${k - 1}), i -> CAST(i AS BIGINT) * (n - $width) DIV ${k - 1})")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("offset"),
+        expr(s"substring(hex(media), CAST(col * 2 + 1 AS INT), ${width * 2})")
+          .as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Oracle-checkable feature extraction over the binary column: byte
     * length, content hash, leading-bytes sample ("frame sample" analog) —
     * pure column expressions so DuckDB can reproduce them. */

@@ -53,6 +53,17 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming exact dedup — the training-data ingest shape: duplicate
+    * event ids (at-least-once sources redeliver) are dropped with state
+    * bounded by the watermark window, so the dedup map holds only the
+    * last hour of ids instead of the all-time id set
+    * (dropDuplicatesWithinWatermark; at 100 TB/day the alternative —
+    * plain dropDuplicates — would grow state without bound). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionState(sessionId: Long, lastSeenMicros: Long, nEvents: Long)
   case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 

@@ -52,6 +52,25 @@ class StreamingAndStageSpec extends AnyFunSuite {
     assert(second.count() == 0, "restart reprocessed already-committed data")
   }
 
+  test("streaming dedup within watermark drops redelivered events") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val staged = tmp("stream-dedup")
+    val events = Tables(spark, dir, "events")
+    // simulate at-least-once redelivery: every event written twice
+    events.union(events).write.mode("overwrite").parquet(staged)
+    val q = EventStream.dedupWithinWatermark(EventStream.source(spark, staged))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("deduped")
+      .option("checkpointLocation", tmp("ckpt-dedup"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("deduped")
+    assert(out.count() == events.count(), "duplicates survived the stream dedup")
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     val staged = tmp("stream-in3")
     Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
