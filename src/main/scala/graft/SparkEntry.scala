@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
     "q_ngram_jaccard" -> (DedupOps.ngramJaccard _),
     "q_minhash_lsh"   -> (DedupOps.minhashLshPairs _),
+    "q_neardup_groups" -> (DedupOps.nearDupGroups _),
     "q_simhash"       -> (DedupOps.simhashBuckets _),
     "q_simhash_pairs" -> (DedupOps.simhashPairs _),
     // similarity search
@@ -555,6 +556,34 @@ object SparkEntry {
            FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
          FROM p WHERE inter / (tot - inter) >= 0.8 ORDER BY doc_a, doc_b""",
+    // Connected components over the same verified pair set: canonical =
+    // min doc_id reachable, via a recursive transitive-closure CTE.
+    "q_neardup_groups" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         s AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(doc_id, label) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, reach.label FROM reach JOIN e ON e.src = reach.doc_id)
+         SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+         FROM reach GROUP BY doc_id ORDER BY doc_id""",
     // Token hash = first 15 hex chars of md5 (60 bits) so DuckDB can
     // reproduce the bit-vote exactly; the vote is order-insensitive.
     "q_simhash" ->

@@ -156,6 +156,65 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate GROUPS: connected components over the verified
+    * MinHash pair set, by iterative min-label propagation — each doc's
+    * canonical id is the smallest doc_id reachable through near-dup
+    * pairs, i.e. the survivor a dedup pass would keep.
+    *
+    * Scale shape: the loop is the standard large-graph CC pattern (one
+    * shuffle per iteration on doc_id; iterations ~ component diameter,
+    * which for near-dup clusters is small). The driver only sees the
+    * convergence count, never the data. */
+  def nearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation with pointer jumping over an undirected pair
+    * set: (doc_id, canonical_id) where canonical is the component
+    * minimum. Each round takes the min over neighbors' labels, then
+    * shortcuts label -> label-of-label, so chains converge in O(log
+    * diameter) rounds instead of O(diameter); one persisted frame and ONE
+    * action per round (the convergence count), nothing on the driver. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // The loop state is |near-dup docs|-sized — orders of magnitude
+    // smaller than the corpus — so size its partitioning to that volume
+    // rather than inheriting the corpus-wide partition count: every round
+    // dispatches tasks per cached partition, and at bench scale the
+    // dispatch would dominate the (tiny) per-round work.
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.toDF("dst", "src").select("src", "dst"))
+      .coalesce(4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // localCheckpoint truncates the lineage — without it every round
+      // re-analyzes a plan that grows with the iteration count, and the
+      // driver, not the executors, becomes the bottleneck
+      val jumped = stepped
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(false) // lazy: the convergence count below is
+                                // the one job that materializes the round
+      changed = jumped.filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = jumped
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** SimHash core: (doc_id, simhash, bucket) over an input with doc_id +
     * text. The token hash is the first 15 hex chars of md5 (60 bits,
     * always positive) so the DuckDB oracle reproduces it exactly; hashes

@@ -255,6 +255,15 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(dangling.count() == 2)
   }
 
+  test("connected components propagate the min label transitively") {
+    import spark.implicits._
+    // chain 5-3, 3-9 plus isolated pair 20-21: components {3,5,9} and {20,21}
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.connectedComponents(pairs).orderBy("doc_id")
+    assert(rows(cc) == Seq(Seq(3L, 3L), Seq(5L, 3L), Seq(9L, 3L),
+      Seq(20L, 20L), Seq(21L, 20L)))
+  }
+
   test("bamboohr XML parse defaults missing fields to empty string") {
     import spark.implicits._
     val parsed = Seq(
