@@ -75,6 +75,7 @@ object SparkEntry {
     "q_text_quality"    -> (TextOps.qualityScore _),
     "q_lang_id"         -> (TextOps.langId _),
     "q_doc_fingerprint" -> (TextOps.fingerprint _),
+    "q_clean_pipeline"  -> (TextOps.cleanDecisions _),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
@@ -467,6 +468,26 @@ object SparkEntry {
              / CAST(len(toks) AS DOUBLE) AS mean_token_len,
            len(toks) BETWEEN 10 AND 1000 AS passes_length_filter
          FROM t ORDER BY doc_id""",
+    "q_clean_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+             CAST(len(list_filter(toks, x ->
+               list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS s_en,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+           FROM t),
+         r AS (SELECT doc_id,
+             CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length'
+                  WHEN ttr < 0.3 THEN 'low_diversity'
+                  WHEN s_en <= 0 THEN 'wrong_lang'
+                  WHEN doc_id <> canonical THEN 'duplicate'
+                  ELSE 'keep' END AS reason
+           FROM s)
+         SELECT doc_id, reason, reason = 'keep' AS keep
+         FROM r ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

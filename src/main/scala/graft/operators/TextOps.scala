@@ -104,6 +104,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The composed cleaning pipeline — the keep/drop decision a
+    * training-data ingest applies per document, with the FIRST failing
+    * rule as the recorded reason (C4-style): length window, lexical
+    * diversity, language, exact duplicate (canonical = min doc_id per
+    * content hash). Everything except the duplicate rule is a narrow map;
+    * the duplicate rule is one window min over the content fingerprint —
+    * a single shuffle at any scale. */
+  def cleanDecisions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("s_en",
+        size(filter(col("toks"), t =>
+          array_contains(lit(markers.head._2.toArray), t))).cast("long"))
+      .withColumn("canonical",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    val reason =
+      when(col("n_tokens") < 10 || col("n_tokens") > 1000, "length")
+        .when(col("ttr") < 0.3, "low_diversity")
+        .when(col("s_en") <= 0, "wrong_lang")
+        .when(col("doc_id") =!= col("canonical"), "duplicate")
+        .otherwise("keep")
+    scored.select(col("doc_id"), reason.as("reason"),
+        (reason === "keep").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: full-content hash + prefix hash (cheap
     * rolling-hash stand-in) — the primitive under exact dedup. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
