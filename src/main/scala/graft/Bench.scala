@@ -4,31 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config(graft.sources.Tables.nanosAsLongConf, "true")
-      .config("spark.ui.enabled", "false")
-      // AQE sizes post-shuffle partitions by bytes; at bench/verify SF the
-      // shuffles are byte-small but compute-heavy, so keep it from
-      // coalescing below real parallelism
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
-      .getOrCreate()
+    val spark = LocalSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // JVM + codegen + parquet-reader warmup, not attributed to any query —
     // otherwise whichever query happens to run first pays ~5 s of it.
-    spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
-    graft.sources.Tables(spark, sfDir, "region").count()
-    // also warm the typed-encoder / object-hash-agg machinery (flatMap +
-    // map-typed column + dedup), which the first graph fan-out query
-    // would otherwise pay ~2-3 s of JIT for
-    locally {
-      import spark.implicits._
-      spark.range(0, 1000).as[Long]
-        .flatMap(i => Seq((i, Map("k" -> i.toString))))
-        .toDF("id", "m").dropDuplicates("id")
-        .groupBy("id").count().count()
-    }
+    LocalSession.warmup(spark, sfDir)
     // JMH-style warmup pass: run every query once at the smallest SF so
     // codegen classes compile and C2 warms before anything is measured —
     // the measured numbers then reflect steady-state execution, which is
@@ -43,6 +23,9 @@ object Bench {
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
     }
+    // drop the warm pass's persisted frames (built at warmDir) so the
+    // measured pass starts with clean executor memory
+    spark.catalog.clearCache()
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -357,7 +357,10 @@ object GraphBuild {
         concat(lit("tpch://sup/"), col("l_suppkey")).as("target_key"))
       .distinct()
       // columnar form of TableLineage.serializer's single
-      // HAS_DOWNSTREAM/HAS_UPSTREAM relationship — spec-asserted equal
+      // HAS_DOWNSTREAM/HAS_UPSTREAM relationship — spec-asserted equal,
+      // with the typeclass path's relationshipValid null/empty-key guard
+      .filter(col("source_key").isNotNull && col("source_key") =!= "" &&
+        col("target_key").isNotNull && col("target_key") =!= "")
       .select(col("source_key"), col("target_key"),
         lit("HAS_DOWNSTREAM").as("rel_type"), lit("HAS_UPSTREAM").as("reverse_type"))
       .orderBy("source_key", "target_key")

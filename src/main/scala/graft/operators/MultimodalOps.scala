@@ -46,7 +46,9 @@ object MultimodalOps {
     * byte length, the fan-out is a posexplode of a transform(sequence),
     * and nothing shuffles — at scale this is the narrow stage right after
     * decode, before any wide op sees the (much smaller) per-frame rows. */
-  def frameSample(spark: SparkSession, dir: String, k: Int = 4, width: Int = 8): DataFrame =
+  def frameSample(spark: SparkSession, dir: String, k: Int = 4, width: Int = 8): DataFrame = {
+    require(k >= 2, s"frameSample needs k >= 2 frames (got $k): offsets span (n-width)/(k-1)")
+    require(width >= 1, s"frameSample needs a positive slice width (got $width)")
     Tables(spark, dir, "documents")
       .withColumn("media", col("text").cast("binary"))
       .withColumn("n", length(col("media")).cast("long"))
@@ -58,6 +60,7 @@ object MultimodalOps {
         expr(s"substring(hex(media), CAST(col * 2 + 1 AS INT), ${width * 2})")
           .as("frame_hex"))
       .orderBy("doc_id", "frame_idx")
+  }
 
   /** Oracle-checkable feature extraction over the binary column: byte
     * length, content hash, leading-bytes sample ("frame sample" analog) —

@@ -83,15 +83,20 @@ object Publish {
     * (publishable, dangling): two semi-joins against the distinct node
     * keys for the valid set, the anti complement for alerting. */
   def validateEndpoints(edges: DataFrame, nodeKeys: DataFrame): (DataFrame, DataFrame) = {
+    // Using-column joins put the join key FIRST in the output, so every
+    // branch is re-projected to the caller's column order — otherwise the
+    // positional union below would swap startKey/endKey for end-dangling
+    // edges and the two frames' layouts would differ from the input's.
+    def ordered(df: DataFrame): DataFrame = df.select(edges.columns.map(col): _*)
     val keys = nodeKeys.select(col("key")).distinct()
-    val startOk = edges.join(keys.withColumnRenamed("key", "startKey"),
-      Seq("startKey"), "left_semi")
-    val valid = startOk.join(keys.withColumnRenamed("key", "endKey"),
-      Seq("endKey"), "left_semi")
-    val dangling = edges
-      .join(keys.withColumnRenamed("key", "startKey"), Seq("startKey"), "left_anti")
-      .union(startOk.join(keys.withColumnRenamed("key", "endKey"),
-        Seq("endKey"), "left_anti"))
+    val startOk = ordered(edges.join(keys.withColumnRenamed("key", "startKey"),
+      Seq("startKey"), "left_semi"))
+    val valid = ordered(startOk.join(keys.withColumnRenamed("key", "endKey"),
+      Seq("endKey"), "left_semi"))
+    val dangling = ordered(edges
+      .join(keys.withColumnRenamed("key", "startKey"), Seq("startKey"), "left_anti"))
+      .union(ordered(startOk.join(keys.withColumnRenamed("key", "endKey"),
+        Seq("endKey"), "left_anti")))
     (valid, dangling)
   }
 

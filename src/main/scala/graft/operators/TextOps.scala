@@ -45,8 +45,10 @@ object TextOps {
         (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("passes_length_filter"))
       .orderBy("doc_id")
 
+  private[operators] val EnMarkers = Seq("the", "a", "of", "and", "is")
+
   private val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
+    "en" -> EnMarkers,
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "la", "de", "y", "es"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
@@ -120,7 +122,7 @@ object TextOps {
         size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
       .withColumn("s_en",
         size(filter(col("toks"), t =>
-          array_contains(lit(markers.head._2.toArray), t))).cast("long"))
+          array_contains(lit(EnMarkers.toArray), t))).cast("long"))
       .withColumn("canonical",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
     val reason =

@@ -250,9 +250,11 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val nodes = Seq("a", "b", "c").toDF("key")
     val edges = Seq(("a", "b"), ("a", "x"), ("y", "b")).toDF("startKey", "endKey")
     val (valid, dangling) = Publish.validateEndpoints(edges, nodes)
-    assert(rows(valid) == Seq(Seq("b", "a")) ||
-      rows(valid.select("startKey", "endKey")) == Seq(Seq("a", "b")))
-    assert(dangling.count() == 2)
+    // both frames preserve the input column ORDER (startKey, endKey)
+    assert(valid.columns.toSeq == Seq("startKey", "endKey"))
+    assert(rows(valid) == Seq(Seq("a", "b")))
+    assert(rows(dangling.orderBy("startKey")).toSet ==
+      Set(Seq("a", "x"), Seq("y", "b")))
   }
 
   test("connected components propagate the min label transitively") {

