@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.HammingDistance
+import graft.functions.{DotProduct, HammingDistance}
 
 /** Session extension point: registers graft's native expressions so they
   * are usable from SQL text as well as the Column API. Install with
@@ -12,19 +12,24 @@ import graft.functions.HammingDistance
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.hammingDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val hammingDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("hamming_distance"),
-    new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
-    (children: Seq[Expression]) => HammingDistance(children(0), children(1)))
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
 
   /** Runtime registration for sessions built without the extensions conf. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = hammingDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

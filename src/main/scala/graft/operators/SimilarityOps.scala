@@ -20,9 +20,12 @@ object SimilarityOps {
   /** Element-wise double cast. */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-order dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product of two double arrays — the native
+    * codegen'd expression (graft.functions.DotProduct); same
+    * left-to-right accumulation as the composable
+    * aggregate(zip_with(...)) form, which Spark would evaluate
+    * interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

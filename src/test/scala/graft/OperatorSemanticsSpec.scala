@@ -355,6 +355,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .select(hamming(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("dot_product native expression matches the HOF form bit-for-bit") {
+    import graft.functions.DotProduct.dot
+    import spark.implicits._
+    val df = Seq(
+        (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+        (Seq(0.1, 0.2), Seq(0.3, 0.4)))
+      .toDF("a", "b")
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
+    val both = df.select(dot(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+    graft.extensions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dot_product(array(1d, 2d), array(3d, 4d))")
+      .collect().head.getDouble(0) == 11.0)
+    // zip_with pad semantics: length mismatch or null array → null
+    assert(Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    assert(Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("isTitle matches Python str.istitle semantics") {
     assert(Graph.isTitle("Table"))
     assert(Graph.isTitle("Dashboardgroup"))
