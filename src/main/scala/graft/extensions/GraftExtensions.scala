@@ -19,13 +19,19 @@ object GraftExtensions {
   private type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def binary(name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression): Descriptor =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"$name takes exactly 2 arguments, got ${children.length}")
+        build(children(0), children(1))
+      })
+
   private val descriptors: Seq[Descriptor] = Seq(
-    (FunctionIdentifier("hamming_distance"),
-      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
-      (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
-    (FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    binary("hamming_distance", classOf[HammingDistance], HammingDistance(_, _)),
+    binary("dot_product", classOf[DotProduct], DotProduct(_, _)))
 
   /** Runtime registration for sessions built without the extensions conf. */
   def register(spark: SparkSession): Unit =

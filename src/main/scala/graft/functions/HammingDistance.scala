@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: Hamming distance between two 64-bit
   * fingerprints (`bitCount(a ^ b)`).
@@ -19,6 +20,16 @@ case class HammingDistance(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming_distance"
+
+  // ExpectsInputTypes is off limits (AbstractDataType is private[sql] in
+  // Spark 4), so validate at analysis time by hand — otherwise non-bigint
+  // SQL arguments would reach eval and throw ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two bigint arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])

@@ -43,15 +43,23 @@ object DashboardBuild {
       .as[DashboardMetadata]
   }
 
-  /** lineitem ⋈ part (broadcast). The scan is repartitioned first: the
-    * fan-outs below are narrow, so their parallelism is the SCAN's — a
-    * single unsplittable file (one row group) would otherwise run the
-    * whole key/attribute build in one task. At cluster scale the input is
-    * many files and the repartition still guarantees even spread. */
-  private def liWithPart(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
+  /** lineitem ⋈ part (broadcast), slimmed to the columns the dashboard
+    * fan-outs read. Deliberately NOT persisted even though up to six
+    * fan-out branches re-derive it: the branches are narrow scans that
+    * run concurrently on otherwise-idle cores and each prunes further
+    * (measured 2x faster than persist+eager-materialize, which
+    * serializes the build and blocks column pruning below the cache).
+    * The scan is repartitioned first — the fan-outs are narrow, so their
+    * parallelism is the scan's, and a single unsplittable file would
+    * otherwise run them in one task. */
+  private def liWithPart(spark: SparkSession, dir: String): DataFrame = {
+    val slim = Tables(spark, dir, "lineitem")
       .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_shipdate"), col("p_brand"), col("p_partkey"))
+    slim
+  }
 
   def queries(spark: SparkSession, dir: String): Dataset[DashboardQuery] = {
     import spark.implicits._

@@ -47,7 +47,12 @@ object Publish {
       val inc =
         if (ignoreEmptyIncoming) when(col(s"in_$c") =!= "", col(s"in_$c"))
         else col(s"in_$c")
-      if (createOnly) coalesce(col(s"ex_$c"), inc) else coalesce(inc, col(s"ex_$c"))
+      // create-only skips ON MATCH SET entirely: a matched row keeps its
+      // existing attributes AS THEY ARE (even nulls) — coalesce would
+      // back-fill a null existing attribute from the incoming batch
+      if (createOnly)
+        when(col(s"ex_$keyCol").isNotNull, col(s"ex_$c")).otherwise(inc)
+      else coalesce(inc, col(s"ex_$c"))
     }
     val stamped =
       if (createOnly) col(s"in_$keyCol").isNotNull && col(s"ex_$keyCol").isNull

@@ -57,13 +57,24 @@ final case class Pipeline(
   def dataFrame(spark: SparkSession): DataFrame =
     transforms.foldLeft(source(spark))((df, t) => t(df))
 
-  /** Run: stage the composed frame, publish, fire callbacks. */
-  def launch(spark: SparkSession): Unit =
+  /** Run: stage the composed frame, publish, fire callbacks.
+    *
+    * Callback discipline (the reference's Callback protocol,
+    * databuilder/callback/call_back.py): onFailure fires only when the
+    * PIPELINE fails — a throwing onSuccess callback must not signal
+    * failure for a publish that completed (that would e.g. force a Kafka
+    * redelivery of committed data), and a throwing onFailure must not
+    * mask the root cause, so it is attached as a suppressed exception. */
+  def launch(spark: SparkSession): Unit = {
     try {
       sink(dataFrame(spark))
       publish()
-      onSuccess()
     } catch {
-      case e: Throwable => onFailure(); throw e
+      case e: Throwable =>
+        try onFailure()
+        catch { case cb: Throwable => e.addSuppressed(cb) }
+        throw e
     }
+    onSuccess()
+  }
 }

@@ -46,9 +46,15 @@ object Stage {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog forgets tables between sessions but their
     // files survive in the warehouse — clear an orphaned location so the
-    // staging write is idempotent
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // staging write is idempotent. Resolve the managed location through
+    // the catalog (qualified name or current database) instead of
+    // assuming <warehouse>/<table>.
+    val (db, tbl) = table.split('.') match {
+      case Array(d, t) => (d, t)
+      case _ => (spark.catalog.currentDatabase, table)
+    }
+    val dbDir = new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri)
+    val loc = new org.apache.hadoop.fs.Path(dbDir, tbl.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")

@@ -245,6 +245,19 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(fromStage.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("create-only upsert leaves matched rows untouched, including nulls") {
+    import spark.implicits._
+    val existing = Seq((1L, Option.empty[String]), (3L, Some("keep")))
+      .toDF("key", "name")
+    val incoming = Seq((1L, "backfill"), (2L, "new")).toDF("key", "name")
+    val out = Publish.mergeUpsert(existing, incoming, "key", Seq("name"),
+        "tag", 42L, createOnly = true)
+      .orderBy("key").collect()
+    assert(out(0).isNullAt(1), "matched row's null attribute was back-filled")
+    assert(out(1).getString(1) == "new" && out(1).getString(2) == "tag")
+    assert(out(2).getString(1) == "keep" && out(2).getString(2) == "")
+  }
+
   test("validateEndpoints splits publishable vs dangling edges") {
     import spark.implicits._
     val nodes = Seq("a", "b", "c").toDF("key")
