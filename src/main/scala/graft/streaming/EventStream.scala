@@ -98,11 +98,15 @@ object EventStream {
             val closed = Iterator.newBuilder[ClosedSession]
             sorted.foreach { us =>
               if (open == null) {
-                open = OpenSession(1L, us, us, 1L)
+                // session_id = session START TIME: unique and monotonic
+                // per user even across event-time state eviction (a
+                // counter would restart at 1 after the timeout removes
+                // state and silently collide downstream)
+                open = OpenSession(us, us, us, 1L)
               } else if (us - open.lastMicros > gapMicros) {
                 closed += ClosedSession(userId, open.sessionId, open.startMicros,
                   open.lastMicros, open.nEvents)
-                open = OpenSession(open.sessionId + 1, us, us, 1L)
+                open = OpenSession(us, us, us, 1L)
               } else {
                 open = open.copy(lastMicros = us, nEvents = open.nEvents + 1)
               }
@@ -125,7 +129,11 @@ object EventStream {
     * State discipline at scale: the kept state is fixed-size (3 longs per
     * user) and idle users are evicted via EventTimeTimeout once the
     * watermark passes their last event + 1 hour, so state growth is
-    * bounded by the active-user set, not the all-time user set. The
+    * bounded by the active-user set, not the all-time user set. That
+    * eviction means n_sessions counts sessions within the retained-state
+    * horizon — after an idle user's state is dropped, a comeback restarts
+    * the count (the price of bounded state; closedSessions keys sessions
+    * by start time instead, which survives eviction). The
     * per-invocation sort is bounded by the user's rows in ONE micro-batch
     * (size the trigger with maxFilesPerTrigger / maxOffsetsPerTrigger),
     * never the full history. */

@@ -115,14 +115,14 @@ class StreamingAndStageSpec extends AnyFunSuite {
       .filter(col("last_us") / 1000L + 1800000L < wmMs)
       .count()
     assert(closed.count() == gapClosed + timedOut)
-    // sessions are disjoint and ordered per user
-    val l = closed.select(col("user_id").as("l_uid"), col("session_id").as("l_sid"),
-      col("end_micros").as("l_end"))
-    val r = closed.select(col("user_id").as("r_uid"), col("session_id").as("r_sid"),
-      col("start_micros").as("r_start"))
-    val bad = l.join(r,
-      col("l_uid") === col("r_uid") && col("l_sid") === col("r_sid") - 1 &&
-        col("l_end") >= col("r_start"))
+    // session_id is the session start time (eviction-stable), so ids are
+    // unique per user and consecutive sessions (by start order) disjoint
+    import org.apache.spark.sql.expressions.Window
+    assert(closed.select("user_id", "session_id").distinct().count() == closed.count())
+    assert(closed.filter(col("session_id") =!= col("start_micros")).count() == 0)
+    val w = Window.partitionBy("user_id").orderBy("start_micros")
+    val bad = closed.withColumn("prev_end", lag("end_micros", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("prev_end") >= col("start_micros"))
     assert(bad.count() == 0, "overlapping consecutive sessions")
   }
 
