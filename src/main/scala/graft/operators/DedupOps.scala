@@ -107,13 +107,20 @@ object DedupOps {
     * hashes; the fat shingle arrays stay in the persisted stage and are
     * joined back only for the (tiny) candidate set. At cluster scale the
     * persisted stage becomes a staged parquet write. */
+  /** Documents plus planted near-dup twins: every 10th doc re-appears as
+    * id + 1,000,000 with its last 20 chars truncated (trigram Jaccard
+    * ~0.9 against the parent), so candidate recall is 1.0 by construction
+    * for both the MinHash and SimHash paths. */
+  private def docsWithTwins(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    base.union(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) - 20)").as("text")))
+  }
+
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val twins = base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        expr("substring(text, 1, length(text) - 20)").as("text"))
     // Repartition off the single-file scan and persist the SLIM
     // (doc_id, text) rows first: the persist is a pushdown barrier, so
     // the expensive tokenize+shingle projection below is evaluated above
@@ -122,7 +129,7 @@ object DedupOps {
     // shingle build runs on the 1-2 scan partitions of the single-file
     // input; the partition count is explicit because AQE sizes by
     // shuffle bytes, which are tiny here relative to the compute.)
-    val spread = base.union(twins)
+    val spread = docsWithTwins(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // derived above the cache (so the barrier holds) and persisted once:
@@ -254,11 +261,8 @@ object DedupOps {
     * identically, so the oracle is exact by construction. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HammingDistance.hamming
-    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val twins = base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        expr("substring(text, 1, length(text) - 20)").as("text"))
-    val sim = simhashOf(spark, base.union(twins).repartition(col("doc_id")))
+    val sim = simhashOf(spark, docsWithTwins(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l = sim.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = sim.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))

@@ -83,6 +83,45 @@ object SimilarityOps {
     * recall-vs-candidate-volume tradeoff; at cluster scale the persisted
     * stage becomes staged parquet and the bucket join is salted on hot
     * buckets. */
+  /** Corpus + planted twins (vec_id % 10 == 0, embedding scaled x2 —
+    * cosine 1 with the parent, and both hyperplane signs and IVF cell
+    * assignment are invariant under positive scaling, so recall is 1.0 by
+    * construction for every bucketing scheme built on top). Spread with
+    * an explicit partition count — AQE would coalesce the small shuffle
+    * bytes and serialize the signature/cosine compute into 1-2 tasks. */
+  private def corpusWithTwins(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
+    e.select(col("vec_id"), col("v"))
+      .union(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(2.0d)).as("v")))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The shared candidate-join tail: self-join the bucket keying, keep
+    * ordered id pairs, dedup the slim pairs, spread them, then join the
+    * fat vectors back ONLY for the exact-cosine verification — the
+    * discipline every bucketed ANN variant shares (salting hot buckets
+    * would land here at cluster scale). */
+  private def verifiedCosinePairs(corpus: DataFrame, keyed: DataFrame,
+      bucketCols: Seq[String]): DataFrame = {
+    val spark = corpus.sparkSession
+    val l = keyed.select((bucketCols.map(col) :+ col("vec_id").as("id_a")): _*)
+    val r = keyed.select((bucketCols.map(col) :+ col("vec_id").as("id_b")): _*)
+    val pairs = l.join(r, bucketCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
+    pairs
+      .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy("id_a", "id_b")
+  }
+
   def annLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
@@ -92,15 +131,7 @@ object SimilarityOps {
       val rnd = new scala.util.Random(42)
       Array.fill(nTables * bitsPerTable, 64)(rnd.nextGaussian())
     }
-    val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
-    val corpus = e.select(col("vec_id"), col("v"))
-      .union(e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("v"), x => x * lit(2.0d)).as("v")))
-      // explicit count: AQE would coalesce the small shuffle bytes and
-      // serialize the signature/cosine compute into 1-2 tasks
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = corpusWithTwins(spark, dir)
     val sigs = corpus.as[(Long, Seq[Double])].mapPartitions(_.flatMap { case (id, v) =>
       val arr = v.toArray
       Iterator.tabulate(nTables) { t =>
@@ -117,21 +148,7 @@ object SimilarityOps {
         (id, t, sig)
       }
     }).toDF("vec_id", "tbl", "sig")
-    val l = sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_a"))
-    val r = sigs.select(col("tbl"), col("sig"), col("vec_id").as("id_b"))
-    val pairs = l.join(r, Seq("tbl", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-      // spread the candidate set before the exact-cosine verify — the
-      // pair rows are slim so AQE would otherwise verify in one task
-      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
-    pairs
-      .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
-      .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= 0.99)
-      .orderBy("id_a", "id_b")
+    verifiedCosinePairs(corpus, sigs, Seq("tbl", "sig"))
   }
 
   /** IVF-style ANN — the coarse-quantizer scale path: vectors are
@@ -149,15 +166,10 @@ object SimilarityOps {
   def annIvfPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
-    val corpus = e.select(col("vec_id"), col("v"))
-      .union(e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("v"), x => x * lit(2.0d)).as("v")))
-      // explicit count — see annLshPairs
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < 64)
+    val corpus = corpusWithTwins(spark, dir)
+    val centroids: Array[Array[Double]] = Tables(spark, dir, "embeddings")
+      .withColumn("v", asDouble(col("embedding")))
+      .filter(col("vec_id") < 64)
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
     val cells = corpus.as[(Long, Seq[Double])].mapPartitions { it =>
       val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
@@ -178,19 +190,6 @@ object SimilarityOps {
         (id, best)
       }
     }.toDF("vec_id", "cell")
-    val l = cells.select(col("cell"), col("vec_id").as("id_a"))
-    val r = cells.select(col("cell"), col("vec_id").as("id_b"))
-    val pairs = l.join(r, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-      // see annLshPairs — spread the verify
-      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
-    pairs
-      .join(corpus.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
-      .join(corpus.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= 0.99)
-      .orderBy("id_a", "id_b")
+    verifiedCosinePairs(corpus, cells, Seq("cell"))
   }
 }
