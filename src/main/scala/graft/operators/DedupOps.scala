@@ -96,17 +96,6 @@ object DedupOps {
     }
   }
 
-  /** MinHash+LSH near-dup pairs: signatures once per doc (typed map, no
-    * expression recomputation), band bucket equi-join on slim
-    * (doc_id, band, band_hash) rows only, exact-Jaccard verification on
-    * deduped candidate id-pairs. The corpus has no natural near-dups, so
-    * every 10th doc gets a truncated twin (id + 1_000_000, Jaccard ~ 0.9).
-    *
-    * Scale shape (100 TB): one shuffle to spread the scan, one on the band
-    * key, one on the candidate pair — shuffled payloads are ids and 64-bit
-    * hashes; the fat shingle arrays stay in the persisted stage and are
-    * joined back only for the (tiny) candidate set. At cluster scale the
-    * persisted stage becomes a staged parquet write. */
   /** Documents plus planted near-dup twins: every 10th doc re-appears as
     * id + 1,000,000 with its last 20 chars truncated (trigram Jaccard
     * ~0.9 against the parent), so candidate recall is 1.0 by construction
@@ -118,6 +107,16 @@ object DedupOps {
         expr("substring(text, 1, length(text) - 20)").as("text")))
   }
 
+  /** MinHash+LSH near-dup pairs: signatures once per doc (typed map, no
+    * expression recomputation), band bucket equi-join on slim
+    * (doc_id, band, band_hash) rows only, exact-Jaccard verification on
+    * deduped candidate id-pairs.
+    *
+    * Scale shape (100 TB): one shuffle to spread the scan, one on the band
+    * key, one on the candidate pair — shuffled payloads are ids and 64-bit
+    * hashes; the fat shingle arrays stay in the persisted stage and are
+    * joined back only for the (tiny) candidate set. At cluster scale the
+    * persisted stage becomes a staged parquet write. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
@@ -218,6 +217,7 @@ object DedupOps {
       labels = jumped
       iter += 1
     }
+    System.err.println(s"[cc] converged after $iter rounds")
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
