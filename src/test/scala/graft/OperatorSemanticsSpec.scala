@@ -245,6 +245,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(fromStage.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("publish cycles compose: merge, re-publish, then staleness sweep") {
+    import spark.implicits._
+    // cycle 1: empty graph + batch1 (a, b) published with tag_1
+    val empty = Seq.empty[(Long, String)].toDF("key", "name")
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("key", "name")
+    val state1 = Publish.mergeUpsert(empty, batch1, "key", Seq("name"), "tag_1", 1000L)
+    // cycle 2: batch2 re-publishes key 1 (renamed) but not key 2
+    val batch2 = Seq((1L, "a2"), (3L, "c")).toDF("key", "name")
+    val state2 = Publish.mergeUpsert(
+      state1.select("key", "name"), batch2, "key", Seq("name"), "tag_2", 2000L)
+    // rows untouched in cycle 2 carry no tag_2 stamp → stale; sweep them
+    // (threshold above the 1/3 stale ratio so the guardrail lets it run)
+    val graph = state2.withColumn("label", lit("Table"))
+    val stale = col("published_tag") =!= "tag_2"
+    Publish.assertStaleGuardrail(graph, stale, "label", 0.9)
+    val survivors = Publish.staleSweep(graph, stale, "label", 0.9)
+      .orderBy("key")
+    assert(rows(survivors.select("key", "name")) ==
+      Seq(Seq(1L, "a2"), Seq(3L, "c")), "cycle-2 graph should keep only re-published rows")
+    // the hard guardrail fires when the stale fraction reaches the limit
+    intercept[Publish.StaleGuardrailException] {
+      Publish.assertStaleGuardrail(graph, stale, "label", 0.3)
+    }
+  }
+
   test("create-only upsert leaves matched rows untouched, including nulls") {
     import spark.implicits._
     val existing = Seq((1L, Option.empty[String]), (3L, Some("keep")))
