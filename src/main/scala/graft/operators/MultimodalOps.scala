@@ -40,6 +40,32 @@ object MultimodalOps {
       }
   }
 
+  /** STUB resize: a real pipeline would call the imaging library here;
+    * the deterministic fake clamps to the target box preserving aspect
+    * ratio (integer arithmetic, so tests are stable) and keeps the byte
+    * length as the "re-encoded" size. */
+  def resizeStub(m: MediaMeta, targetW: Int, targetH: Int): MediaMeta = {
+    require(targetW > 0 && targetH > 0, "resize target must be positive")
+    if (m.width <= 0 || m.height <= 0) m.copy(width = targetW, height = targetH)
+    else {
+      // scale = min(tw/w, th/h) in 1/1024 fixed point — aspect preserved
+      val s = math.min(targetW * 1024L / m.width, targetH * 1024L / m.height)
+      m.copy(width = math.max(1, (m.width * s / 1024).toInt),
+        height = math.max(1, (m.height * s / 1024).toInt))
+    }
+  }
+
+  /** Decode → resize as one partition-local batch stage (codec init once
+    * per partition, binaries never shuffle). */
+  def resizedMeta(spark: SparkSession, dir: String, targetW: Int, targetH: Int): Dataset[MediaMeta] = {
+    val spark0 = spark
+    import spark0.implicits._
+    decodedMeta(spark, dir).mapPartitions { it =>
+      // per-partition init of the (stubbed) resize codec would go here
+      it.map(m => resizeStub(m, targetW, targetH))
+    }
+  }
+
   /** Frame sampling: k evenly-spaced fixed-width slices per asset — the
     * video frame-sample batch shape (one output row per frame, offset
     * carried as typed metadata). The slice positions are computed from the

@@ -304,6 +304,17 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       Seq(20L, 20L), Seq(21L, 20L)))
   }
 
+  test("stubbed resize preserves aspect ratio within the target box") {
+    import graft.operators.MultimodalOps._
+    val m = MediaMeta(1L, 1000L, 640, 480, "png")
+    val r = resizeStub(m, 320, 320)
+    assert(r.width == 320 && r.height == 240) // 2:1.5 aspect kept
+    assert(resizeStub(m.copy(width = 0), 64, 64).width == 64) // degenerate input
+    val out = resizedMeta(spark, "/root/testdata/sf0.001", 64, 64).collect()
+    assert(out.nonEmpty && out.forall(x => x.width <= 64 && x.height <= 64 &&
+      x.width >= 1 && x.height >= 1))
+  }
+
   test("bamboohr XML parse defaults missing fields to empty string") {
     import spark.implicits._
     val parsed = Seq(
