@@ -102,13 +102,26 @@ object SimilarityOps {
   /** The shared candidate-join tail: self-join the bucket keying, keep
     * ordered id pairs, dedup the slim pairs, spread them, then join the
     * fat vectors back ONLY for the exact-cosine verification — the
-    * discipline every bucketed ANN variant shares (salting hot buckets
-    * would land here at cluster scale). */
-  private def verifiedCosinePairs(corpus: DataFrame, keyed: DataFrame,
-      bucketCols: Seq[String]): DataFrame = {
+    * discipline every bucketed ANN variant shares.
+    *
+    * `maxBucket` is the degenerate-bucket guard for cluster scale: a
+    * bucket of n vectors contributes n^2 candidate pairs, so one hot
+    * bucket (all-zero vectors, a constant embedding bug, a hash pileup)
+    * can dominate the whole job quadratically. Buckets over the cap are
+    * dropped whole — the standard LSH practice, trading bounded recall
+    * loss on pathological keys for a hard bound on candidate volume. The
+    * per-bucket sizes are |buckets| rows, broadcast back. */
+  private[graft] def verifiedCosinePairs(corpus: DataFrame, keyed: DataFrame,
+      bucketCols: Seq[String], maxBucket: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val l = keyed.select((bucketCols.map(col) :+ col("vec_id").as("id_a")): _*)
-    val r = keyed.select((bucketCols.map(col) :+ col("vec_id").as("id_b")): _*)
+    val bounded = maxBucket.fold(keyed) { cap =>
+      val ok = keyed.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+        .select(bucketCols.map(col): _*)
+      keyed.join(broadcast(ok), bucketCols, "left_semi")
+    }
+    val l = bounded.select((bucketCols.map(col) :+ col("vec_id").as("id_a")): _*)
+    val r = bounded.select((bucketCols.map(col) :+ col("vec_id").as("id_b")): _*)
     val pairs = l.join(r, bucketCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

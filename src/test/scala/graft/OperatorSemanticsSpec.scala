@@ -304,6 +304,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       Seq(20L, 20L), Seq(21L, 20L)))
   }
 
+  test("candidate join drops buckets over the hot-bucket cap") {
+    import spark.implicits._
+    // bucket 0 is hot (4 members -> 6 pairs); bucket 1 holds a twin pair
+    val corpus = Seq(
+        (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)), (3L, Seq(3.0, 0.0)),
+        (4L, Seq(4.0, 0.0)), (10L, Seq(0.0, 1.0)), (11L, Seq(0.0, 2.0)))
+      .toDF("vec_id", "v")
+    val keyed = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0), (10L, 1), (11L, 1))
+      .toDF("vec_id", "bucket")
+    val uncapped = SimilarityOps.verifiedCosinePairs(corpus, keyed, Seq("bucket"))
+    assert(uncapped.count() == 6 + 1) // all colinear pairs pass cos >= 0.99
+    val capped = SimilarityOps.verifiedCosinePairs(corpus, keyed, Seq("bucket"),
+      maxBucket = Some(3L))
+    assert(rows(capped.select("id_a", "id_b")) == Seq(Seq(10L, 11L)),
+      "hot bucket should be dropped whole, small bucket kept")
+  }
+
   test("stubbed resize preserves aspect ratio within the target box") {
     import graft.operators.MultimodalOps._
     val m = MediaMeta(1L, 1000L, 640, 480, "png")
