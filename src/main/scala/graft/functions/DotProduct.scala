@@ -29,8 +29,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType stays legal: a null literal argument yields null via the
+    // BinaryExpression null short-circuit, matching the HOF form
     def ok(t: DataType) = t match {
       case ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.NullType => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess

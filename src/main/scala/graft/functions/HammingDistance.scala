@@ -24,12 +24,15 @@ case class HammingDistance(left: Expression, right: Expression)
   // ExpectsInputTypes is off limits (AbstractDataType is private[sql] in
   // Spark 4), so validate at analysis time by hand — otherwise non-bigint
   // SQL arguments would reach eval and throw ClassCastException.
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // NullType stays legal: a null literal argument yields null (the
+    // BinaryExpression null short-circuit) exactly as before the check
+    def ok(t: DataType) = t == LongType || t == org.apache.spark.sql.types.NullType
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs two bigint arguments, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])

@@ -52,14 +52,12 @@ object DashboardBuild {
     * The scan is repartitioned first — the fan-outs are narrow, so their
     * parallelism is the scan's, and a single unsplittable file would
     * otherwise run them in one task. */
-  private def liWithPart(spark: SparkSession, dir: String): DataFrame = {
-    val slim = Tables(spark, dir, "lineitem")
+  private def liWithPart(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
       .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), col("l_shipdate"), col("p_brand"), col("p_partkey"))
-    slim
-  }
 
   def queries(spark: SparkSession, dir: String): Dataset[DashboardQuery] = {
     import spark.implicits._

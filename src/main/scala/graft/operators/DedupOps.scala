@@ -217,7 +217,6 @@ object DedupOps {
       labels = jumped
       iter += 1
     }
-    System.err.println(s"[cc] converged after $iter rounds")
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }

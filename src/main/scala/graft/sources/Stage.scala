@@ -43,20 +43,24 @@ object Stage {
     * query time. Files land in the session warehouse. */
   def stageBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val (db, tbl) = table.split('.') match {
+      case Array(t)    => (spark.catalog.currentDatabase, t)
+      case Array(d, t) => (d, t)
+      case _ => throw new IllegalArgumentException(
+        s"stageBucketed takes `table` or `db.table`, got '$table'")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
     // an in-memory catalog forgets tables between sessions but their
     // files survive in the warehouse — clear an orphaned location so the
     // staging write is idempotent. Resolve the managed location through
-    // the catalog (qualified name or current database) instead of
-    // assuming <warehouse>/<table>.
-    val (db, tbl) = table.split('.') match {
-      case Array(d, t) => (d, t)
-      case _ => (spark.catalog.currentDatabase, table)
+    // the catalog; a database the catalog doesn't know yet has no
+    // orphaned files to clean.
+    if (spark.catalog.databaseExists(db)) {
+      val dbDir = new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri)
+      val loc = new org.apache.hadoop.fs.Path(dbDir, tbl.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val dbDir = new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri)
-    val loc = new org.apache.hadoop.fs.Path(dbDir, tbl.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

@@ -108,7 +108,14 @@ object EventStream {
                   open.lastMicros, open.nEvents)
                 open = OpenSession(us, us, us, 1L)
               } else {
-                open = open.copy(lastMicros = us, nEvents = open.nEvents + 1)
+                // a LATE cross-batch event (us < lastMicros but within
+                // the watermark) extends the session backward/forward
+                // rather than regressing its bounds; id stays = start
+                open = OpenSession(
+                  math.min(open.sessionId, us),
+                  math.min(open.startMicros, us),
+                  math.max(open.lastMicros, us),
+                  open.nEvents + 1)
               }
             }
             state.update(open)
@@ -157,7 +164,8 @@ object EventStream {
             sorted.foreach { us =>
               val newSession =
                 st.lastSeenMicros == Long.MinValue || us - st.lastSeenMicros > 1800000000L
-              st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, us,
+              st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId,
+                math.max(st.lastSeenMicros, us), // late events must not regress last-seen
                 st.nEvents + 1)
             }
             state.update(st)

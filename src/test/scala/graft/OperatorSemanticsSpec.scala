@@ -439,6 +439,10 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
     assert(Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
       .select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    // untyped NULL literals pass analysis and yield null (HOF parity)
+    assert(spark.sql("SELECT dot_product(array(1d), NULL)").collect().head.isNullAt(0))
+    assert(spark.sql("SELECT hamming_distance(CAST(1 AS BIGINT), NULL)")
+      .collect().head.isNullAt(0))
   }
 
   test("isTitle matches Python str.istitle semantics") {

@@ -71,6 +71,42 @@ class StreamingAndStageSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == events.count())
   }
 
+  test("late cross-batch events extend the open session instead of regressing it") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import java.sql.Timestamp
+    val inDir = tmp("stream-late")
+    def writeBatch(name: String, eventsAt: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      eventsAt.zipWithIndex.map { case ((uid, ts), i) =>
+        (1000L + i, Timestamp.valueOf(ts), uid, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1100) // distinct mtimes → deterministic file order
+    }
+    // batch 1: 10:00, 10:10 — watermark after it is 09:10
+    writeBatch("b1", Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00")))
+    // batch 2: LATE 09:50 (within watermark) + 10:20
+    writeBatch("b2", Seq((1L, "2024-01-01 09:50:00"), (1L, "2024-01-01 10:20:00")))
+    // batch 3: 11:00 — 40 min after 10:20 closes the session
+    writeBatch("b3", Seq((1L, "2024-01-01 11:00:00")))
+    val src = spark.readStream.schema(EventStream.eventSchemaDDL)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = EventStream.closedSessions(spark, src).writeStream
+      .outputMode(OutputMode.Append()).format("memory").queryName("late_sessions")
+      .option("checkpointLocation", tmp("ckpt-late"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("late_sessions")
+      .select("start_micros", "end_micros", "n_events").collect()
+    assert(rows.length == 1, s"expected one closed session, got ${rows.length}")
+    val (start, end, n) = (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2))
+    assert(start == Timestamp.valueOf("2024-01-01 09:50:00").getTime * 1000,
+      "late event should extend the session start backward")
+    assert(end == Timestamp.valueOf("2024-01-01 10:20:00").getTime * 1000)
+    assert(n == 4 && end > start)
+  }
+
   test("stateful sessionization agrees with the batch window form") {
     val staged = tmp("stream-in3")
     Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
