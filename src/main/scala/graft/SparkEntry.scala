@@ -43,6 +43,7 @@ object SparkEntry {
     "q_graph_edge_counts" -> (GraphBuild.edgeCounts _),
     "q_graph_table_nodes" -> (GraphBuild.tableNodes _),
     "q_table_lineage"     -> (GraphBuild.lineageEdges _),
+    "q_column_lineage"    -> (GraphBuild.columnLineageEdges _),
     // dashboard model family graph build
     "q_dashboard_graph_nodes" -> (DashboardBuild.nodeCounts _),
     // §2.6 search-document queries
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_ann_topk"          -> (SimilarityOps.annBruteForce _),
     "q_ann_lsh_pairs"     -> (SimilarityOps.annLshPairs _),
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
+    "q_embed_neardup_groups" -> (SimilarityOps.embedNearDupGroups _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
     "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -231,6 +233,11 @@ object SparkEntry {
     "q_table_lineage" ->
       """SELECT DISTINCT 'tpch://part/' || l_partkey AS source_key,
            'tpch://sup/' || l_suppkey AS target_key,
+           'HAS_DOWNSTREAM' AS rel_type, 'HAS_UPSTREAM' AS reverse_type
+         FROM lineitem ORDER BY source_key, target_key""",
+    "q_column_lineage" ->
+      """SELECT DISTINCT 'tpch://part/' || l_partkey || '/retailprice' AS source_key,
+           'tpch://sup/' || l_suppkey || '/acctbal' AS target_key,
            'HAS_DOWNSTREAM' AS rel_type, 'HAS_UPSTREAM' AS reverse_type
          FROM lineitem ORDER BY source_key, target_key""",
     "q_dashboard_graph_nodes" ->
@@ -687,6 +694,26 @@ object SparkEntry {
              list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""",
+    // Recall 1.0 by construction (scaled twins), so the brute-force pair
+    // set IS the LSH-verified pair set, and the components over it match.
+    "q_embed_neardup_groups" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id, v FROM e
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+               FROM e WHERE vec_id % 10 = 0),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.99),
+         ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+         reach(vec_id, label) AS (
+           SELECT src, src FROM ed
+           UNION
+           SELECT ed.dst, reach.label FROM reach JOIN ed ON ed.src = reach.vec_id)
+         SELECT vec_id, CAST(min(label) AS BIGINT) AS canonical_id
+         FROM reach GROUP BY vec_id ORDER BY vec_id""",
     // IVF cell assignment is cosine-based, so a scaled twin shares its
     // parent's cell — recall 1.0 against the same brute-force truth.
     "q_ann_ivf_pairs" ->

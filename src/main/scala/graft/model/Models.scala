@@ -60,6 +60,22 @@ object TableLineage {
   }
 }
 
+/** Column-level lineage — edges between column keys, no nodes
+  * (reference: databuilder/models/table_lineage.py:15-121, column variant).
+  * Column keys follow the `{table_key}/{column}` layout of
+  * [[TableMetadata]]'s column fan-out. */
+case class ColumnLineage(sourceColumnKey: String, targetColumnKey: String)
+
+object ColumnLineage {
+  implicit val serializer: GraphSerializable[ColumnLineage] =
+    new GraphSerializable[ColumnLineage] {
+      def nodes(c: ColumnLineage): Seq[GraphNode] = Nil
+      def relationships(c: ColumnLineage): Seq[GraphRelationship] =
+        Seq(GraphRelationship(TableMetadata.ColumnLabel, TableMetadata.ColumnLabel,
+          c.sourceColumnKey, c.targetColumnKey, "HAS_DOWNSTREAM", "HAS_UPSTREAM", Map.empty))
+    }
+}
+
 /** Partition watermark — parses `part_name` as "col=value"
   * (reference: databuilder/models/watermark.py:17-130, parse :43-49). */
 case class Watermark(
@@ -99,6 +115,28 @@ object TableLastUpdated {
         Seq(GraphRelationship(TableMetadata.TableLabel, Label,
           t.tableKey, s"${t.tableKey}/timestamp", "LAST_UPDATED_AT", "LAST_UPDATED_TIME_OF",
           Map.empty))
+    }
+}
+
+/** Table source-file location — Source node keyed `{table_key}/_source`
+  * (reference: databuilder/models/table_source.py:18-116). */
+case class TableSource(
+    database: String, cluster: String, schema: String, table: String,
+    source: String, sourceType: String = "github") {
+  def tableKey: String = s"$database://$cluster.$schema/$table"
+  def key: String = s"$tableKey/_source"
+}
+
+object TableSource {
+  val Label = "Source"
+  implicit val serializer: GraphSerializable[TableSource] =
+    new GraphSerializable[TableSource] {
+      def nodes(s: TableSource): Seq[GraphNode] =
+        Seq(GraphNode(s.key, Label,
+          Map("source" -> s.source, "source_type" -> s.sourceType)))
+      def relationships(s: TableSource): Seq[GraphRelationship] =
+        Seq(GraphRelationship(Label, TableMetadata.TableLabel, s.key, s.tableKey,
+          "SOURCE_OF", "SOURCE", Map.empty))
     }
 }
 

@@ -365,6 +365,23 @@ object GraphBuild {
         lit("HAS_DOWNSTREAM").as("rel_type"), lit("HAS_UPSTREAM").as("reverse_type"))
       .orderBy("source_key", "target_key")
 
+  /** Column-level lineage fan-out — the ColumnLineage variant of
+    * table_lineage.py:15-121: HAS_DOWNSTREAM/HAS_UPSTREAM edges between
+    * `{table_key}/{column}` keys, no nodes. Pairs here are the distinct
+    * (part, supplier) flows with a representative column on each side,
+    * so the run is deterministic and joins stay key-equality. */
+  def columnLineageEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        concat(lit("tpch://part/"), col("l_partkey"), lit("/retailprice")).as("source_key"),
+        concat(lit("tpch://sup/"), col("l_suppkey"), lit("/acctbal")).as("target_key"))
+      .distinct()
+      .filter(col("source_key").isNotNull && col("source_key") =!= "" &&
+        col("target_key").isNotNull && col("target_key") =!= "")
+      .select(col("source_key"), col("target_key"),
+        lit("HAS_DOWNSTREAM").as("rel_type"), lit("HAS_UPSTREAM").as("reverse_type"))
+      .orderBy("source_key", "target_key")
+
   /** Grouped node count per label — the staleness guardrail shape
     * (reference: databuilder/task/neo4j_staleness_removal_task.py:211-232). */
   def nodeCounts(spark: SparkSession, dir: String): DataFrame =

@@ -164,6 +164,18 @@ object SimilarityOps {
     verifiedCosinePairs(corpus, sigs, Seq("tbl", "sig"))
   }
 
+  /** Embedding-cosine near-duplicate GROUPS — the vector-space analog of
+    * [[DedupOps.nearDupGroups]]: hyperplane-LSH candidate pairs verified
+    * by exact cosine (>= 0.99), then min-label connected components, so
+    * each vector maps to the smallest vec_id in its near-dup cluster (the
+    * survivor a dedup pass keeps). Planted twins make recall 1.0 by
+    * construction, so the brute-force DuckDB truth reproduces the exact
+    * same pair set and components. */
+  def embedNearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.connectedComponents(annLshPairs(spark, dir).select("id_a", "id_b"))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+      .orderBy("vec_id")
+
   /** IVF-style ANN — the coarse-quantizer scale path: vectors are
     * assigned to their max-cosine centroid cell (centroids = the first 64
     * corpus vectors, deterministic; k-means iterations would refine them

@@ -85,12 +85,27 @@ class GraphModelSpec extends AnyFunSuite {
     assert(TableLineage.serializer.nodes(lin).isEmpty)
     assert(TableLineage.serializer.relationships(lin).head.relType == "HAS_DOWNSTREAM")
 
+    val cl = ColumnLineage("hive://gold.core/a/c1", "hive://gold.core/b/c2")
+    assert(ColumnLineage.serializer.nodes(cl).isEmpty)
+    val clRel = ColumnLineage.serializer.relationships(cl).head
+    assert(clRel.startLabel == TableMetadata.ColumnLabel &&
+      clRel.endLabel == TableMetadata.ColumnLabel)
+    assert((clRel.relType, clRel.reverseType) == ("HAS_DOWNSTREAM", "HAS_UPSTREAM"))
+
     val wm = Watermark("hive", "gold", "core", "t", "ds=2024-01-01", "high_watermark", "1700000000")
     assert(wm.key == "hive://gold.core/t/high_watermark/")
     assert(wm.partitionKey == "ds" && wm.partitionValue == "2024-01-01")
 
     val lu = TableLastUpdated("hive://gold.core/t", 123L)
     assert(TableLastUpdated.serializer.nodes(lu).head.key == "hive://gold.core/t/timestamp")
+
+    val src = TableSource("hive", "gold", "core", "t", "github.com/x/y.sql")
+    assert(src.key == "hive://gold.core/t/_source")
+    val srcNode = TableSource.serializer.nodes(src).head
+    assert(srcNode.label == "Source" && srcNode.attributes("source_type") == "github")
+    val srcRel = TableSource.serializer.relationships(src).head
+    assert((srcRel.relType, srcRel.reverseType) == ("SOURCE_OF", "SOURCE") &&
+      srcRel.endKey == "hive://gold.core/t")
   }
 }
 
