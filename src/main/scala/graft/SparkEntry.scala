@@ -256,6 +256,7 @@ object SparkEntry {
       """WITH colagg AS (
            SELECT o_custkey,
              array_to_string(list_sort(list('o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'))), ',') AS column_names,
+             array_to_string(list_sort(list(o_orderpriority)), ',') AS column_descriptions,
              CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_updated_timestamp
            FROM orders GROUP BY o_custkey),
          usage_agg AS (
@@ -264,7 +265,11 @@ object SparkEntry {
          SELECT 'tpch' AS "database", r_name AS cluster, n_name AS "schema", c_name AS name,
            'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
            c_mktsegment AS description, lower(c_mktsegment) AS tags,
+           'schema ' || lower(n_name) AS schema_description,
+           'tier ' || CAST(c_custkey % 3 AS VARCHAR) AS programmatic_descriptions,
+           CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'delinquent' END AS badges,
            COALESCE(column_names, '') AS column_names,
+           COALESCE(column_descriptions, '') AS column_descriptions,
            COALESCE(last_updated_timestamp, 0) AS last_updated_timestamp,
            COALESCE(total_usage, 0) AS total_usage,
            COALESCE(unique_usage, 0) AS unique_usage
@@ -292,6 +297,7 @@ object SparkEntry {
       """WITH u AS (
            SELECT l_partkey, COUNT(*) AS total_usage,
              CAST(epoch(MAX(l_shipdate)) AS BIGINT) AS last_successful_run_timestamp,
+             array_to_string(list_sort(list(DISTINCT 'supplier ' || l_suppkey)), ',') AS query_names,
              array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names
            FROM lineitem GROUP BY l_partkey)
          SELECT p_brand AS group_name, 'd' || p_partkey AS name,
@@ -299,6 +305,7 @@ object SparkEntry {
            COALESCE(p_type, '') AS description,
            COALESCE(total_usage, 0) AS total_usage,
            COALESCE(last_successful_run_timestamp, 0) AS last_successful_run_timestamp,
+           COALESCE(query_names, '') AS query_names,
            COALESCE(chart_names, '') AS chart_names
          FROM part LEFT JOIN u ON p_partkey = l_partkey
          ORDER BY group_name, name""",

@@ -77,6 +77,30 @@ case class DashboardTable(
   def dashboardKey: String = s"${product}_dashboard://$cluster.$dashboardGroup/$dashboardName"
 }
 
+/** Dashboard ownership — OWNER/OWNER_OF between Dashboard and User
+  * (reference: dashboard_owner.py:23-71, owner_constants.py:5-6). */
+case class DashboardOwner(
+    dashboardGroup: String,
+    dashboardName: String,
+    email: String,
+    cluster: String = "gold",
+    product: String = "") {
+  def dashboardKey: String = s"${product}_dashboard://$cluster.$dashboardGroup/$dashboardName"
+}
+
+/** Dashboard last-modified Timestamp node keyed
+  * `{dashboard_key}/_last_modified_timestamp`
+  * (reference: dashboard_last_modified.py:22-108, timestamp_constants.py). */
+case class DashboardLastModified(
+    dashboardGroup: String,
+    dashboardName: String,
+    lastModifiedTimestamp: Long,
+    cluster: String = "gold",
+    product: String = "") {
+  def dashboardKey: String = s"${product}_dashboard://$cluster.$dashboardGroup/$dashboardName"
+  def key: String = s"$dashboardKey/_last_modified_timestamp"
+}
+
 object Dashboard {
   val ClusterLabel = "Cluster"
   val GroupLabel = "Dashboardgroup"
@@ -166,5 +190,25 @@ object Dashboard {
       def relationships(t: DashboardTable): Seq[GraphRelationship] = Seq(
         GraphRelationship(DashboardLabel, TableLabel, t.dashboardKey, t.tableKey,
           "DASHBOARD_WITH_TABLE", "TABLE_OF_DASHBOARD", none))
+    }
+
+  implicit val ownerSerializer: GraphSerializable[DashboardOwner] =
+    new GraphSerializable[DashboardOwner] {
+      def nodes(o: DashboardOwner): Seq[GraphNode] = Nil
+      def relationships(o: DashboardOwner): Seq[GraphRelationship] = Seq(
+        GraphRelationship(DashboardLabel, UserLabel, o.dashboardKey, o.email,
+          "OWNER", "OWNER_OF", none))
+    }
+
+  val TimestampLabel = "Timestamp"
+  implicit val lastModifiedSerializer: GraphSerializable[DashboardLastModified] =
+    new GraphSerializable[DashboardLastModified] {
+      def nodes(m: DashboardLastModified): Seq[GraphNode] = Seq(
+        GraphNode(m.key, TimestampLabel, Map(
+          "timestamp" -> m.lastModifiedTimestamp.toString,
+          "name" -> "last_updated_timestamp")))
+      def relationships(m: DashboardLastModified): Seq[GraphRelationship] = Seq(
+        GraphRelationship(DashboardLabel, TimestampLabel, m.dashboardKey, m.key,
+          "LAST_UPDATED_AT", "LAST_UPDATED_TIME_OF", none))
     }
 }

@@ -179,8 +179,9 @@ object DedupOps {
     * set: (doc_id, canonical_id) where canonical is the component
     * minimum. Each round takes the min over neighbors' labels, then
     * shortcuts label -> label-of-label, so chains converge in O(log
-    * diameter) rounds instead of O(diameter); one persisted frame and ONE
-    * action per round (the convergence count), nothing on the driver. */
+    * diameter) rounds instead of O(diameter); one persisted frame and at
+    * most ONE action per round (the convergence count — skipped in round
+    * 1, which always changes), nothing on the driver. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     // The loop state is |near-dup docs|-sized — orders of magnitude
     // smaller than the corpus — so size its partitioning to that volume
@@ -212,7 +213,12 @@ object DedupOps {
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(false) // lazy: the convergence count below is
                                 // the one job that materializes the round
-      changed = jumped.filter(col("label") =!= col("old")).count()
+      // Round 1 always changes when any edge exists (every pair member
+      // adopts the smaller id), so its convergence count is a wasted job
+      // — defer it and let round 2's count materialize both rounds. For
+      // the common near-dup shape (small-diameter clusters) this halves
+      // the number of driver-scheduled jobs in the loop.
+      if (iter > 0) changed = jumped.filter(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = jumped
       iter += 1

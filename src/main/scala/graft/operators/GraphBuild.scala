@@ -295,13 +295,61 @@ object GraphBuild {
       concat(col("tableKey"), lit("/timestamp")).as("endKey"),
       lit("LAST_UPDATED_AT").as("relType"), lit("LAST_UPDATED_TIME_OF").as("reverseType"),
       noAttrs.as("attributes"))
+    // Badge fan-out (badge.py:33-162): one deterministic per-table badge
+    // from the account-balance sign — BadgeMetadata's HAS_BADGE/BADGE_FOR
+    // pair with the Badge node carrying its category.
+    val badged = Tables(spark, dir, "customer")
+      .join(keyed, Seq("c_custkey"))
+      .select(col("tableKey"),
+        when(col("c_acctbal") >= 0, lit("active")).otherwise(lit("delinquent")).as("badge"))
+    val badgeNodes = badged.select(col("badge")).distinct()
+      .select(col("badge").as("key"), lit("Badge").as("label"),
+        map(lit("category"), lit("table_status")).as("attributes"))
+    val badgeEdges = badged.select(lit("Table").as("startLabel"), lit("Badge").as("endLabel"),
+      col("tableKey").as("startKey"), col("badge").as("endKey"),
+      lit("HAS_BADGE").as("relType"), lit("BADGE_FOR").as("reverseType"),
+      noAttrs.as("attributes"))
+    // Programmatic description per table (description_metadata's
+    // Programmatic_Description label, table_metadata.py:120-244): key
+    // `{table}/_quality_description`, deterministic tier text.
+    val progTxt = concat(lit("tier "), (col("c_custkey") % 3).cast("string"))
+    val prog = Tables(spark, dir, "customer").join(keyed, Seq("c_custkey"))
+      .select(col("tableKey"),
+        concat(col("tableKey"), lit("/_quality_description")).as("pkey"), progTxt.as("ptxt"))
+    val progNodes = prog.select(col("pkey").as("key"),
+      lit("Programmatic_Description").as("label"),
+      map(lit("description"), col("ptxt"),
+        lit("description_source"), lit("quality")).as("attributes"))
+    val progEdges = prog.select(lit("Table").as("startLabel"),
+      lit("Programmatic_Description").as("endLabel"),
+      col("tableKey").as("startKey"), col("pkey").as("endKey"),
+      lit("DESCRIPTION").as("relType"), lit("DESCRIPTION_OF").as("reverseType"),
+      noAttrs.as("attributes"))
+    // Schema description (schema/schema.py:25-115): one Description node
+    // per schema, navigated by the search query's schema branch.
+    val schemas = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(concat(lit("tpch://"), col("r_name"), lit("."), col("n_name")).as("schemaKey"),
+        concat(lit("schema "), lower(col("n_name"))).as("stxt"))
+    val schemaDescNodes = schemas.select(
+      concat(col("schemaKey"), lit("/_description")).as("key"),
+      lit("Description").as("label"),
+      map(lit("description"), col("stxt"),
+        lit("description_source"), lit("description")).as("attributes"))
+    val schemaDescEdges = schemas.select(lit("Schema").as("startLabel"),
+      lit("Description").as("endLabel"), col("schemaKey").as("startKey"),
+      concat(col("schemaKey"), lit("/_description")).as("endKey"),
+      lit("DESCRIPTION").as("relType"), lit("DESCRIPTION_OF").as("reverseType"),
+      noAttrs.as("attributes"))
     // Metadata fan-out: hierarchy + tag branches duplicate per customer →
     // dedup them; column/description branches are unique by construction
     // (per-order keys under a per-customer table key).
     val allNodes = columnarNodesDupFree(md)
-      .union(usgNodes).union(tsNodes).as[GraphNode]
+      .union(usgNodes).union(tsNodes).union(badgeNodes).union(progNodes)
+      .union(schemaDescNodes).as[GraphNode]
     val allEdges = columnarEdgesDupFree(md)
-      .union(usgEdges).union(tsEdges).as[GraphRelationship]
+      .union(usgEdges).union(tsEdges).union(badgeEdges).union(progEdges)
+      .union(schemaDescEdges).as[GraphRelationship]
     (allNodes, allEdges)
   }
 

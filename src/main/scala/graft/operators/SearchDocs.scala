@@ -30,7 +30,8 @@ object SearchDocs {
       nodesDf.filter(col("label") === label)
         .select(col("key") +: attrs.map { case (a, out) => col("attributes")(a).as(out) }: _*)
     def edgesOf(relType: String): DataFrame =
-      edgesDf.filter(col("relType") === relType).select("startLabel", "startKey", "endKey")
+      edgesDf.filter(col("relType") === relType)
+        .select("startLabel", "endLabel", "startKey", "endKey")
 
     // MATCH (db)-[:CLUSTER]->(cl)-[:SCHEMA]->(sch)-[:TABLE]->(tbl)
     val hierarchy = nodesOf("Table", "name" -> "name")
@@ -58,16 +59,34 @@ object SearchDocs {
     def tall(df: DataFrame, kind: String, s: Column, n: Column): DataFrame =
       df.select(col("table_key"), lit(kind).as("kind"), s.as("str_val"), n.as("num_val"))
 
-    val descs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Table")
+    val descs = edgesOf("DESCRIPTION")
+      .filter(col("startLabel") === "Table" && col("endLabel") === "Description")
       .select(col("startKey").as("table_key"), col("endKey").as("desc_key"))
       .join(nodesOf("Description", "description" -> "description")
         .withColumnRenamed("key", "desc_key"), "desc_key")
+    // programmatic descriptions → COLLECT (reference :36-38)
+    val progDescs = edgesOf("DESCRIPTION")
+      .filter(col("startLabel") === "Table" && col("endLabel") === "Programmatic_Description")
+      .select(col("startKey").as("table_key"), col("endKey").as("pdesc_key"))
+      .join(nodesOf("Programmatic_Description", "description" -> "pdesc")
+        .withColumnRenamed("key", "pdesc_key"), "pdesc_key")
+    // badges → COLLECT DISTINCT badges.key (reference :50-52)
+    val badges = edgesOf("HAS_BADGE")
+      .select(col("startKey").as("table_key"), col("endKey").as("badge"))
     val tags = edgesOf("TAGGED_BY")
       .select(col("startKey").as("table_key"), col("endKey").as("tag"))
     val cols = edgesOf("COLUMN")
       .select(col("startKey").as("table_key"), col("endKey").as("col_key"))
       .join(nodesOf("Column", "name" -> "col_name").withColumnRenamed("key", "col_key"),
         "col_key")
+    // two-hop (table)-[:COLUMN]->(col)-[:DESCRIPTION]->(d) — the ES doc's
+    // column_descriptions COLLECT (table_elasticsearch_document.py:9-49)
+    val colDescs = edgesOf("COLUMN")
+      .select(col("startKey").as("table_key"), col("endKey").as("col_key"))
+      .join(edgesOf("DESCRIPTION").filter(col("startLabel") === "Column")
+        .select(col("startKey").as("col_key"), col("endKey").as("cdesc_key")), "col_key")
+      .join(nodesOf("Description", "description" -> "cdesc")
+        .withColumnRenamed("key", "cdesc_key"), "cdesc_key")
     val ts = edgesOf("LAST_UPDATED_AT")
       .select(col("startKey").as("table_key"), col("endKey").as("ts_key"))
       .join(nodesOf("Timestamp", "last_updated_timestamp" -> "ts_val")
@@ -78,27 +97,49 @@ object SearchDocs {
 
     val branches =
       tall(descs, "desc", col("description"), lit(null).cast("long"))
+        .union(tall(progDescs, "prog", col("pdesc"), lit(null).cast("long")))
+        .union(tall(badges, "badge", col("badge"), lit(null).cast("long")))
         .union(tall(tags, "tag", col("tag"), lit(null).cast("long")))
         .union(tall(cols, "col", col("col_name"), lit(null).cast("long")))
+        .union(tall(colDescs, "col_desc", col("cdesc"), lit(null).cast("long")))
         .union(tall(ts, "ts", lit(null).cast("string"), col("ts_val").cast("long")))
         .union(tall(usage, "usage", lit(null).cast("string"), col("read_count")))
       .groupBy("table_key")
       .agg(
         max(when(col("kind") === "desc", col("str_val"))).as("description"),
+        array_join(sort_array(collect_list(when(col("kind") === "prog", col("str_val")))),
+          ",").as("programmatic_descriptions"),
+        array_join(sort_array(collect_set(when(col("kind") === "badge", col("str_val")))),
+          ",").as("badges"),
         max(when(col("kind") === "tag", col("str_val"))).as("tags"),
         array_join(sort_array(collect_list(when(col("kind") === "col", col("str_val")))),
           ",").as("column_names"),
+        array_join(sort_array(collect_list(when(col("kind") === "col_desc", col("str_val")))),
+          ",").as("column_descriptions"),
         max(when(col("kind") === "ts", col("num_val"))).as("last_updated_timestamp"),
         sum(when(col("kind") === "usage", col("num_val"))).as("total_usage"),
         count(when(col("kind") === "usage", col("num_val"))).as("unique_usage"))
 
+    // schema_description rides the already-matched schema node
+    // (reference :33-35) — a broadcast dimension joined at the end.
+    val schemaDescs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Schema")
+      .select(col("startKey").as("schema_key"), col("endKey").as("sdesc_key"))
+      .join(nodesOf("Description", "description" -> "schema_description")
+        .withColumnRenamed("key", "sdesc_key"), "sdesc_key")
+      .select("schema_key", "schema_description")
+
     hierarchy
       .join(branches, Seq("table_key"), "left")
+      .join(broadcast(schemaDescs), Seq("schema_key"), "left")
       .select(
         col("database"), col("cluster"), col("schema"), col("name"),
         col("table_key").as("key"),
         col("description"), col("tags"),
+        coalesce(col("schema_description"), lit("")).as("schema_description"),
+        coalesce(col("programmatic_descriptions"), lit("")).as("programmatic_descriptions"),
+        coalesce(col("badges"), lit("")).as("badges"),
         coalesce(col("column_names"), lit("")).as("column_names"),
+        coalesce(col("column_descriptions"), lit("")).as("column_descriptions"),
         coalesce(col("last_updated_timestamp"), lit(0L)).as("last_updated_timestamp"),
         coalesce(col("total_usage"), lit(0L)).as("total_usage"),
         coalesce(col("unique_usage"), lit(0L)).as("unique_usage"))
@@ -182,6 +223,11 @@ object SearchDocs {
       .select(col("startKey").as("dash_key"), col("endKey").as("desc_key"))
       .join(nodesOf("Description", "description" -> "description")
         .withColumnRenamed("key", "desc_key"), "desc_key")
+    // OPTIONAL MATCH (dashboard)-[:HAS_QUERY]->(query:Query) — query names
+    val queries = edgesOf("HAS_QUERY")
+      .select(col("startKey").as("dash_key"), col("endKey").as("query_key"))
+      .join(nodesOf("Query", "name" -> "query_name").withColumnRenamed("key", "query_key"),
+        "query_key")
     // the two-hop: dashboard -> query -> chart
     val charts = edgesOf("HAS_QUERY")
       .select(col("startKey").as("dash_key"), col("endKey").as("query_key"))
@@ -189,8 +235,11 @@ object SearchDocs {
         col("endKey").as("chart_key")), "query_key")
       .join(nodesOf("Chart", "name" -> "chart_name").withColumnRenamed("key", "chart_key"),
         "chart_key")
+    // WHERE split(last_exec.key, '/')[5] = '_last_successful_execution'
+    // (reference :94) — the execution id is the key's 6th slash segment
     val execs = edgesOf("EXECUTED")
       .select(col("startKey").as("dash_key"), col("endKey").as("exec_key"))
+      .filter(element_at(split(col("exec_key"), "/"), 6) === "_last_successful_execution")
       .join(nodesOf("Execution", "timestamp" -> "ts").withColumnRenamed("key", "exec_key"),
         "exec_key")
 
@@ -198,12 +247,15 @@ object SearchDocs {
       df.select(col("dash_key"), lit(kind).as("kind"), s.as("str_val"), n.as("num_val"))
     val branches =
       tall(descs, "desc", col("description"), lit(null).cast("long"))
+        .union(tall(queries, "query", col("query_name"), lit(null).cast("long")))
         .union(tall(charts, "chart", col("chart_name"), lit(null).cast("long")))
         .union(tall(execs, "exec", lit(null).cast("string"), col("ts").cast("long")))
       .groupBy("dash_key")
       .agg(
         max(when(col("kind") === "desc", col("str_val"))).as("description"),
         count(when(col("kind") === "chart", col("str_val"))).as("total_usage"),
+        array_join(sort_array(collect_set(when(col("kind") === "query", col("str_val")))),
+          ",").as("query_names"),
         array_join(sort_array(collect_set(when(col("kind") === "chart", col("str_val")))),
           ",").as("chart_names"),
         max(when(col("kind") === "exec", col("num_val"))).as("last_successful_run_timestamp"))
@@ -214,6 +266,7 @@ object SearchDocs {
         coalesce(col("description"), lit("")).as("description"),
         coalesce(col("total_usage"), lit(0L)).as("total_usage"),
         coalesce(col("last_successful_run_timestamp"), lit(0L)).as("last_successful_run_timestamp"),
+        coalesce(col("query_names"), lit("")).as("query_names"),
         coalesce(col("chart_names"), lit("")).as("chart_names"))
       .orderBy("group_name", "name")
   }

@@ -47,6 +47,20 @@ class ModelFanoutSpec extends AnyFunSuite {
     assert(Dashboard.tableSerializer.relationships(t).head.relType == "DASHBOARD_WITH_TABLE")
   }
 
+  test("owner and last-modified complete the dashboard family") {
+    val o = DashboardOwner("g", "d", "a@b.c", product = "mode")
+    assert(Dashboard.ownerSerializer.nodes(o).isEmpty)
+    val or = Dashboard.ownerSerializer.relationships(o).head
+    assert((or.relType, or.reverseType) == ("OWNER", "OWNER_OF") && or.endKey == "a@b.c")
+
+    val m = DashboardLastModified("g", "d", 456L, product = "mode")
+    assert(m.key == "mode_dashboard://gold.g/d/_last_modified_timestamp")
+    val mn = Dashboard.lastModifiedSerializer.nodes(m).head
+    assert(mn.label == "Timestamp" && mn.attributes("timestamp") == "456")
+    val mr = Dashboard.lastModifiedSerializer.relationships(m).head
+    assert((mr.relType, mr.reverseType) == ("LAST_UPDATED_AT", "LAST_UPDATED_TIME_OF"))
+  }
+
   test("BadgeMetadata validates start keys per label") {
     val ok = BadgeMetadata("Table", "hive://gold.public/users", Seq("beta"))
     assert(BadgeMetadata.serializer.nodes(ok).map(_.key) == Seq("beta"))
