@@ -283,13 +283,18 @@ object SparkEntry {
            SELECT l_suppkey, COUNT(*) AS total_read, COUNT(DISTINCT l_partkey) AS total_own,
              COUNT(DISTINCT l_orderkey) AS total_follow
            FROM lineitem GROUP BY l_suppkey)
-         SELECT s_name AS name, n_name AS team_name,
+         SELECT 's' || s_suppkey AS email,
+           string_split(s_name, '#')[1] AS first_name,
+           string_split(s_name, '#')[2] AS last_name,
+           s_name AS full_name, n_name AS team_name,
+           's' || ((s_suppkey + 1) % 10) AS manager_email,
+           'true' AS is_active,
            COALESCE(total_read, 0) AS total_read,
            COALESCE(total_own, 0) AS total_own,
            COALESCE(total_follow, 0) AS total_follow
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
            LEFT JOIN r ON s_suppkey = l_suppkey
-         WHERE s_name IS NOT NULL ORDER BY name""",
+         WHERE s_name IS NOT NULL ORDER BY email""",
     // Oracle recomputes what the dashboard graph encodes: dashboards are
     // parts ('d'+partkey under the brand group), charts are lineitems, the
     // last-successful execution is the max ship date.

@@ -367,7 +367,18 @@ object GraphBuild {
       .join(broadcast(Tables(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(email.as("key"), lit("User").as("label"),
         map(lit("email"), email, lit("full_name"), col("s_name"),
+          lit("first_name"), element_at(split(col("s_name"), "#"), 1),
+          lit("last_name"), element_at(split(col("s_name"), "#"), 2),
           lit("team_name"), col("n_name"), lit("is_active"), lit("true")).as("attributes"))
+    // MANAGE_BY/MANAGE (user.py:18-223): deterministic manager ring over
+    // the first ten users, which exist at every SF.
+    val manageEdges = Tables(spark, dir, "supplier")
+      .select(email.as("startKey"),
+        concat(lit("s"), (col("s_suppkey") + 1) % 10).as("endKey"))
+      .select(lit("User").as("startLabel"), lit("User").as("endLabel"),
+        col("startKey"), col("endKey"),
+        lit("MANAGE_BY").as("relType"), lit("MANAGE").as("reverseType"),
+        noAttrs.as("attributes"))
     val li = Tables(spark, dir, "lineitem")
     val readEdges = usageFrom(spark, dir, keyedTables(spark, dir)).toDF()
       .select(lit("Table").as("startLabel"), lit("User").as("endLabel"),
@@ -390,7 +401,7 @@ object GraphBuild {
         col("startKey"), col("endKey"),
         lit("FOLLOWED_BY").as("relType"), lit("FOLLOW").as("reverseType"),
         noAttrs.as("attributes"))
-    val edges = readEdges.union(ownEdges).union(followEdges)
+    val edges = readEdges.union(ownEdges).union(followEdges).union(manageEdges)
       .dropDuplicates("startKey", "endKey", "relType")
     (userNodes.dropDuplicates("label", "key"), edges)
   }

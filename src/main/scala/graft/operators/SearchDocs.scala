@@ -170,8 +170,12 @@ object SearchDocs {
     val users = nodesDf.filter(col("label") === "User" &&
         col("attributes")("full_name").isNotNull)
       .select(col("key").as("user_key"),
-        col("attributes")("full_name").as("name"),
-        col("attributes")("team_name").as("team_name"))
+        col("attributes")("email").as("email"),
+        col("attributes")("first_name").as("first_name"),
+        col("attributes")("last_name").as("last_name"),
+        col("attributes")("full_name").as("full_name"),
+        col("attributes")("team_name").as("team_name"),
+        col("attributes")("is_active").as("is_active"))
     def tall(relType: String, userKey: Column, kind: String, n: Column) =
       edgesDf.filter(col("relType") === relType)
         .select(userKey.as("user_key"), lit(kind).as("kind"), n.as("n"))
@@ -185,13 +189,23 @@ object SearchDocs {
         sum(when(col("kind") === "read", col("n"))).as("total_read"),
         count(when(col("kind") === "own", col("n"))).as("total_own"),
         count(when(col("kind") === "follow", col("n"))).as("total_follow"))
+    // OPTIONAL MATCH (user)-[:MANAGE_BY]->(manager) → manager.email
+    // (reference :70,77) — navigate the edge, then read the manager node.
+    val managers = edgesDf.filter(col("relType") === "MANAGE_BY")
+      .select(col("startKey").as("user_key"), col("endKey").as("mgr_key"))
+      .join(nodesDf.filter(col("label") === "User")
+        .select(col("key").as("mgr_key"),
+          col("attributes")("email").as("manager_email")), "mgr_key")
+      .select("user_key", "manager_email")
     users.join(branches, Seq("user_key"), "left")
+      .join(managers, Seq("user_key"), "left")
       .select(
-        col("name"), col("team_name"),
+        col("email"), col("first_name"), col("last_name"), col("full_name"),
+        col("team_name"), col("manager_email"), col("is_active"),
         coalesce(col("total_read"), lit(0L)).as("total_read"),
         coalesce(col("total_own"), lit(0L)).as("total_own"),
         coalesce(col("total_follow"), lit(0L)).as("total_follow"))
-      .orderBy("name")
+      .orderBy("email")
   }
 
   /** Builds the user graph and runs the user-document query over it. */
