@@ -92,6 +92,7 @@ object SparkEntry {
     "q_ann_lsh_pairs"     -> (SimilarityOps.annLshPairs _),
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     "q_embed_neardup_groups" -> (SimilarityOps.embedNearDupGroups _),
+    "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
     "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -472,11 +473,13 @@ object SparkEntry {
          ORDER BY p_partkey, pos""",
     "q_text_tokens" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
-             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '') AS pieces
            FROM documents)
          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(pieces) AS BIGINT) AS n_pieces
          FROM t ORDER BY doc_id""",
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id,
@@ -706,6 +709,30 @@ object SparkEntry {
              list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""",
+    // IVF cell assignment is deterministic (first-64 centroids, lowest-id
+    // tie-break), so DuckDB recomputes the buckets and the bucketed top-k
+    // search compares bit-for-bit.
+    "q_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cen AS (SELECT vec_id AS c_id, v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
+         cellscore AS (SELECT e.vec_id, e.v, cen.c_id,
+             list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
+           FROM e CROSS JOIN cen),
+         cell AS (SELECT vec_id, v, c_id AS cell FROM (
+             SELECT vec_id, v, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+             FROM cellscore) WHERE rn = 1),
+         n AS (SELECT vec_id, v, cell,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM cell),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s) WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // Recall 1.0 by construction (scaled twins), so the brute-force pair
     // set IS the LSH-verified pair set, and the components over it match.
     "q_embed_neardup_groups" ->

@@ -189,14 +189,23 @@ object SimilarityOps {
     * broadcast in the closure; assignment is a narrow map; the only wide
     * ops are the cell-key candidate join and the slim-pair dedup. */
   def annIvfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithTwins(spark, dir)
+    verifiedCosinePairs(corpus, ivfCells(spark, dir, corpus), Seq("cell"))
+  }
+
+  /** Max-cosine centroid assignment over a (vec_id, v) corpus — the IVF
+    * coarse quantizer shared by the pairs and top-k paths. Centroids (the
+    * first 64 corpus vectors, deterministic) are a driver-side k x d
+    * artifact broadcast in the closure; assignment is a narrow map. Ties
+    * keep the lowest centroid id (strict `>` in the scan). */
+  private def ivfCells(spark: SparkSession, dir: String, corpus: DataFrame): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val corpus = corpusWithTwins(spark, dir)
     val centroids: Array[Array[Double]] = Tables(spark, dir, "embeddings")
       .withColumn("v", asDouble(col("embedding")))
       .filter(col("vec_id") < 64)
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
-    val cells = corpus.as[(Long, Seq[Double])].mapPartitions { it =>
+    corpus.select("vec_id", "v").as[(Long, Seq[Double])].mapPartitions { it =>
       val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
       it.map { case (id, v) =>
         val arr = v.toArray
@@ -215,6 +224,30 @@ object SimilarityOps {
         (id, best)
       }
     }.toDF("vec_id", "cell")
-    verifiedCosinePairs(corpus, cells, Seq("cell"))
+  }
+
+  /** IVF top-k SEARCH — the complete scale-path search contract: query
+    * vectors (vec_id < 20) probe their cell (nprobe=1), candidates are the
+    * cell's members, exact cosine ranks them, row_number keeps the top 5.
+    * Same output shape as [[annBruteForce]], so recall against the exact
+    * baseline is directly comparable; the DuckDB oracle recomputes the
+    * cell assignment exactly (deterministic centroids + lowest-id
+    * tie-break), making this bucketed search bit-for-bit checkable. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cells = ivfCells(spark, dir, e).join(e, "vec_id")
+    val q = cells.filter(col("vec_id") < 20)
+      .select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = cells.select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
+      .join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
   }
 }

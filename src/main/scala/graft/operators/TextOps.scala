@@ -15,8 +15,10 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
-  /** Token counting — whitespace tokenizer + a BPE-ish subword estimate
-    * (word count + punctuation-split pieces). */
+  /** Token counting — whitespace tokenizer + a BPE-ish subword estimate:
+    * `n_pieces` splits on every non-alphanumeric run, so punctuation and
+    * compound separators each start a new piece (the cheap proxy for a
+    * subword tokenizer's piece count). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("toks", tokens(col("text")))
@@ -24,7 +26,9 @@ object TextOps {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(filter(split(col("text"), "[^A-Za-z0-9]+"), t => t =!= ""))
+          .cast("long").as("n_pieces"))
       .orderBy("doc_id")
 
   /** Quality scoring: length, type-token ratio, mean token length —
