@@ -93,6 +93,7 @@ object SparkEntry {
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     "q_embed_neardup_groups" -> (SimilarityOps.embedNearDupGroups _),
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
+    "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
     "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -733,6 +734,42 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
            FROM s) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // Per-query recall of the IVF search vs the brute-force truth: both
+    // top-k sets are deterministic, so the fraction is exact.
+    "q_ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         sb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         bf AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM sb) WHERE rank <= 5),
+         cen AS (SELECT vec_id AS c_id, v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
+         cellscore AS (SELECT e.vec_id, e.v, cen.c_id,
+             list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
+           FROM e CROSS JOIN cen),
+         cell AS (SELECT vec_id, v, c_id AS cell FROM (
+             SELECT vec_id, v, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+             FROM cellscore) WHERE rn = 1),
+         nc AS (SELECT vec_id, v, cell,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM cell),
+         si AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM nc q JOIN nc c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM si) WHERE rank <= 5),
+         h AS (SELECT bf.query_id, COUNT(ivf.neighbor_id) AS hits
+           FROM bf LEFT JOIN ivf
+             ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+           GROUP BY bf.query_id)
+         SELECT query_id, CAST(hits AS BIGINT) AS hits, hits / 5.0 AS recall
+         FROM h ORDER BY query_id""",
     // Recall 1.0 by construction (scaled twins), so the brute-force pair
     // set IS the LSH-verified pair set, and the components over it match.
     "q_embed_neardup_groups" ->

@@ -164,6 +164,24 @@ object SimilarityOps {
     verifiedCosinePairs(corpus, sigs, Seq("tbl", "sig"))
   }
 
+  /** Recall of the IVF top-k search against the brute-force exact
+    * baseline — the honesty metric every approximate index owes its
+    * users: per query, how many of the true top-5 the bucketed search
+    * returned. Both sides are deterministic, so the oracle recomputes
+    * the same number exactly. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(spark, dir).select("query_id", "neighbor_id")
+    val approx = annIvfTopK(spark, dir).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Embedding-cosine near-duplicate GROUPS — the vector-space analog of
     * [[DedupOps.nearDupGroups]]: hyperplane-LSH candidate pairs verified
     * by exact cosine (>= 0.99), then min-label connected components, so
@@ -197,8 +215,11 @@ object SimilarityOps {
     * coarse quantizer shared by the pairs and top-k paths. Centroids (the
     * first 64 corpus vectors, deterministic) are a driver-side k x d
     * artifact broadcast in the closure; assignment is a narrow map. Ties
-    * keep the lowest centroid id (strict `>` in the scan). */
-  private def ivfCells(spark: SparkSession, dir: String, corpus: DataFrame): DataFrame = {
+    * keep the lowest centroid id (strict `>` in the scan). `probes` > 1
+    * emits one row per top-cell — the query-side nprobe knob that trades
+    * candidate volume for recall. */
+  private def ivfCells(spark: SparkSession, dir: String, corpus: DataFrame,
+      probes: Int = 1): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
     val centroids: Array[Array[Double]] = Tables(spark, dir, "embeddings")
@@ -207,21 +228,36 @@ object SimilarityOps {
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
     corpus.select("vec_id", "v").as[(Long, Seq[Double])].mapPartitions { it =>
       val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-      it.map { case (id, v) =>
+      it.flatMap { case (id, v) =>
         val arr = v.toArray
-        var best = 0
-        var bestCos = Double.MinValue
+        val cos = new Array[Double](centroids.length)
         var c = 0
         while (c < centroids.length) {
           val cen = centroids(c)
           var d = 0.0
           var i = 0
           while (i < arr.length) { d += cen(i) * arr(i); i += 1 }
-          val cos = d / norms(c) // vector norm constant across cells — omit
-          if (cos > bestCos) { bestCos = cos; best = c }
+          cos(c) = d / norms(c) // vector norm constant across cells — omit
           c += 1
         }
-        (id, best)
+        // selection of the top `probes` cells, lowest id on ties —
+        // probes is tiny (1-2), so the repeated scan beats a sort
+        val taken = new Array[Int](probes)
+        var p = 0
+        while (p < probes) {
+          var best = -1
+          var bestCos = Double.MinValue
+          var j = 0
+          while (j < cos.length) {
+            val already = { var t = 0; var hit = false
+              while (t < p) { if (taken(t) == j) hit = true; t += 1 }; hit }
+            if (!already && cos(j) > bestCos) { bestCos = cos(j); best = j }
+            j += 1
+          }
+          taken(p) = best
+          p += 1
+        }
+        taken.iterator.take(probes).map(cell => (id, cell))
       }
     }.toDF("vec_id", "cell")
   }
@@ -233,12 +269,19 @@ object SimilarityOps {
     * baseline is directly comparable; the DuckDB oracle recomputes the
     * cell assignment exactly (deterministic centroids + lowest-id
     * tie-break), making this bucketed search bit-for-bit checkable. */
-  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    annIvfTopKProbes(spark, dir, nprobe = 1)
+
+  /** nprobe > 1 probes the query's next-best cells too — more candidate
+    * joins bought for more recall, the standard IVF accuracy knob
+    * (spec-asserted: nprobe=2 recall dominates nprobe=1). */
+  def annIvfTopKProbes(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cells = ivfCells(spark, dir, e).join(e, "vec_id")
-    val q = cells.filter(col("vec_id") < 20)
+    val q = ivfCells(spark, dir, e.filter(col("vec_id") < 20), probes = nprobe)
+      .join(e, "vec_id")
       .select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = cells.select(col("cell"), col("vec_id").as("neighbor_id"), col("v").as("nv"))
       .join(broadcast(q), "cell")

@@ -455,4 +455,19 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(!Graph.isTitle("123"))
     assert(!Graph.isTitle(""))
   }
+
+  test("IVF nprobe=2 recall dominates nprobe=1 against the exact top-k") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SimilarityOps.annBruteForce(spark, dir)
+      .select("query_id", "neighbor_id")
+    def hits(nprobe: Int): Long = exact.join(
+      SimilarityOps.annIvfTopKProbes(spark, dir, nprobe)
+        .select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val h1 = hits(1)
+    val h2 = hits(2)
+    assert(h1 > 0, "single-probe search should find some true neighbors")
+    assert(h2 >= h1, s"nprobe=2 ($h2) must not lose recall vs nprobe=1 ($h1)")
+    assert(h2 > h1, s"on this corpus the second probe should add recall ($h1 -> $h2)")
+  }
 }

@@ -53,7 +53,8 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name plans a cartesian product")
       // BroadcastNestedLoopJoin is allowed ONLY for the intentional
       // brute-force ANN baseline (20 query vectors, exactness oracle)
-      if (name != "q_ann_topk")
+      // and the recall report that embeds it as the ground truth
+      if (name != "q_ann_topk" && name != "q_ann_ivf_recall")
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
