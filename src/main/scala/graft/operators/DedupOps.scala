@@ -139,6 +139,10 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // populate the cache in ONE job before fan-out: the band join's two
+    // sides and the two verify-join sides otherwise race to fill it and
+    // each recomputes the full tokenize+shingle pass (measured 4x)
+    shingled.count()
     val bands = shingled.as[(Long, Seq[String])]
       .mapPartitions(_.flatMap { case (id, sh) =>
         val bh = bandHashes(sh)
@@ -188,8 +192,15 @@ object DedupOps {
     // rather than inheriting the corpus-wide partition count: every round
     // dispatches tasks per cached partition, and at bench scale the
     // dispatch would dominate the (tiny) per-round work.
+    // Both directions come from ONE pass over the pair set (explode, not
+    // union-of-swapped): a union's branches would each execute the whole
+    // upstream candidate pipeline, racing to populate its caches before
+    // they exist — measured as the full signature build running twice.
     val edges = pairs.toDF("src", "dst")
-      .union(pairs.toDF("dst", "src").select("src", "dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
       .coalesce(4)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()

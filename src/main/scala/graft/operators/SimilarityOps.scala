@@ -91,12 +91,16 @@ object SimilarityOps {
     * bytes and serialize the signature/cosine compute into 1-2 tasks. */
   private def corpusWithTwins(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
-    e.select(col("vec_id"), col("v"))
+    val corpus = e.select(col("vec_id"), col("v"))
       .union(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * lit(2.0d)).as("v")))
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one-job cache fill before the signature map and the two verify-join
+    // sides fan out — racing consumers would each recompute the union
+    corpus.count()
+    corpus
   }
 
   /** The shared candidate-join tail: self-join the bucket keying, keep
