@@ -77,6 +77,8 @@ object SparkEntry {
     "q_lang_id"         -> (TextOps.langId _),
     "q_doc_fingerprint" -> (TextOps.fingerprint _),
     "q_clean_pipeline"  -> (TextOps.cleanDecisions _),
+    "q_text_repetition" -> (TextOps.repetitionSignals _),
+    "q_domain_mix"      -> (TextOps.domainMix _),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
@@ -512,6 +514,67 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, reason, reason = 'keep' AS keep
          FROM r ORDER BY doc_id""",
+    // Gopher-style repetition: top-1 unigram/bigram/trigram frequency
+    // fraction; both engines build the n-gram lists then count the mode
+    // via distinct×filter, so the doubles divide identically.
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1]) END AS bg,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS tg
+           FROM t)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN NULL
+                ELSE CAST(list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END AS top_token_frac,
+           CASE WHEN len(bg) = 0 THEN NULL
+                ELSE CAST(list_max(list_transform(list_distinct(bg),
+                       d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                     / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac,
+           CASE WHEN len(tg) = 0 THEN NULL
+                ELSE CAST(list_max(list_transform(list_distinct(tg),
+                       d -> len(list_filter(tg, x -> x = d)))) AS DOUBLE)
+                     / CAST(len(tg) AS DOUBLE) END AS top_trigram_frac
+         FROM g ORDER BY doc_id""",
+    // Deterministic stratified mixing: md5(doc_id)-derived uniform vs a
+    // per-language target rate over the language-ID assignment.
+    "q_domain_mix" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(toks, x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT) AS s_es,
+           CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(toks, x -> list_contains(['的','是','在'], x))) AS BIGINT) AS s_zh
+           FROM t),
+         g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s),
+         lang AS (SELECT doc_id,
+           CASE WHEN s_en = best AND best > 0 THEN 'en'
+                WHEN s_de = best AND best > 0 THEN 'de'
+                WHEN s_es = best AND best > 0 THEN 'es'
+                WHEN s_fr = best AND best > 0 THEN 'fr'
+                WHEN s_zh = best AND best > 0 THEN 'zh'
+                ELSE 'unknown' END AS predicted_lang
+           FROM g),
+         m AS (SELECT doc_id, predicted_lang,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS DOUBLE)
+             / 1000000.0 AS sample_u,
+           CASE predicted_lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                WHEN 'es' THEN 0.8 WHEN 'fr' THEN 0.3 WHEN 'zh' THEN 1.0
+                ELSE 0.1 END AS rate
+           FROM lang)
+         SELECT doc_id, predicted_lang, sample_u, rate
+         FROM m WHERE sample_u < rate ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

@@ -81,6 +81,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language target sampling rates for [[domainMix]] — plan literals. */
+  private[graft] val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "de" -> 1.0, "es" -> 0.8, "fr" -> 0.3, "zh" -> 1.0,
+    "unknown" -> 0.1)
+
+  /** Domain mixing — deterministic stratified downsampling to target
+    * per-language weights, the data-mixing step of a training-data build.
+    * Each document draws a reproducible uniform from md5(doc_id) and
+    * survives iff u < rate(lang). No RNG state, no sampling operator:
+    * the same document always makes the same keep/drop decision on any
+    * cluster layout, so reruns and incremental builds agree — and the
+    * whole thing stays a narrow filter over the language-ID map. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = MixRates.tail.foldLeft(
+      when(col("predicted_lang") === MixRates.head._1, lit(MixRates.head._2))) {
+      case (acc, (l, r)) => acc.when(col("predicted_lang") === l, lit(r))
+    }.otherwise(lit(0.0))
+    langId(spark, dir)
+      .withColumn("sample_u",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
+          .cast("double") / lit(1000000.0))
+      .withColumn("rate", rate)
+      .filter(col("sample_u") < col("rate"))
+      .select(col("doc_id"), col("predicted_lang"), col("sample_u"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints: token-level polynomial rolling hash over
     * trigram windows, then the min hash of every 4-window — the
     * MOSS/winnowing scheme used for scaled document fingerprinting. All
@@ -107,6 +134,39 @@ object TextOps {
         size(array_distinct(col("fps"))).cast("long").as("n_distinct_fp"),
         coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
         coalesce(array_max(col("fps")), lit(-1L)).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition signals — the Gopher-style duplicate-n-gram heuristics
+    * (fraction of tokens claimed by the single most frequent unigram /
+    * bigram / trigram). High top-n-gram fractions mark boilerplate and
+    * degenerate generations. Pure higher-order column expressions: the
+    * per-document distinct×filter count is O(d²) on a bounded token list,
+    * still a narrow zero-shuffle map over the scan at any corpus size. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    def topFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(null).cast("double"))
+        .otherwise(
+          array_max(transform(array_distinct(arr), d => size(filter(arr, x => x === d))))
+            .cast("double") / size(arr).cast("double"))
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      // sequence(1, n) steps DOWN when n < 1, so empty-guard explicitly
+      .withColumn("bg", expr(
+        """CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)
+            ELSE transform(sequence(1, size(toks) - 1),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""))
+      .withColumn("tg", expr(
+        """CASE WHEN size(toks) < 3 THEN cast(array() as array<string>)
+            ELSE transform(sequence(1, size(toks) - 2),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',
+                          element_at(toks, i + 2))) END"""))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        topFrac(col("toks")).as("top_token_frac"),
+        topFrac(col("bg")).as("top_bigram_frac"),
+        topFrac(col("tg")).as("top_trigram_frac"))
       .orderBy("doc_id")
   }
 

@@ -456,6 +456,39 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(!Graph.isTitle(""))
   }
 
+  test("repetition signals count the top n-gram fraction exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("rep_docs").toString
+    import spark.implicits._
+    Seq(
+      (1L, "a a a b"),        // top unigram a=3/4; top bigram "a a"=2/3; trigram "a a a"=1/2
+      (2L, "x y"),            // bigram list has 1 element; no trigrams
+      (3L, "w"))              // single token: no bigrams/trigrams -> nulls
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.repetitionSignals(spark, dir).collect()
+    assert(out.length == 3)
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4L)
+    assert(r1.getDouble(2) == 3.0 / 4.0)
+    assert(r1.getDouble(3) == 2.0 / 3.0)
+    assert(r1.getDouble(4) == 1.0 / 2.0)
+    val r2 = out(1)
+    assert(r2.getDouble(3) == 1.0 && r2.isNullAt(4))
+    val r3 = out(2)
+    assert(r3.getDouble(2) == 1.0 && r3.isNullAt(3) && r3.isNullAt(4))
+  }
+
+  test("domain mix is deterministic and honors per-language rates") {
+    val dir = "/root/testdata/sf0.001"
+    val a = TextOps.domainMix(spark, dir).collect()
+    val b = TextOps.domainMix(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "same corpus must make identical keep decisions")
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getDouble(2) < r.getDouble(3)),
+      "every survivor drew u below its language rate")
+    val rates = TextOps.MixRates.toMap
+    assert(a.forall(r => rates(r.getString(1)) == r.getDouble(3)))
+  }
+
   test("IVF nprobe=2 recall dominates nprobe=1 against the exact top-k") {
     val dir = "/root/testdata/sf0.01"
     val exact = SimilarityOps.annBruteForce(spark, dir)
