@@ -38,6 +38,7 @@ object SparkEntry {
     "q_windowed_events" -> (Events.windowedAgg _),
     "q_json_props"      -> (Events.jsonProps _),
     "q_sessionize"      -> (Events.sessionize _),
+    "q_asof_join"       -> (Events.asofAttribution _),
     // graph model pipeline (§1, §2.7 serializer fan-out + dedup)
     "q_graph_node_counts" -> (GraphBuild.nodeCounts _),
     "q_graph_edge_counts" -> (GraphBuild.edgeCounts _),
@@ -83,6 +84,7 @@ object SparkEntry {
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
     "q_ngram_jaccard" -> (DedupOps.ngramJaccard _),
+    "q_shared_ngrams" -> (DedupOps.sharedNgrams _),
     "q_minhash_lsh"   -> (DedupOps.minhashLshPairs _),
     "q_neardup_groups" -> (DedupOps.nearDupGroups _),
     "q_simhash"       -> (DedupOps.simhashBuckets _),
@@ -186,6 +188,18 @@ object SparkEntry {
            CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // As-of attribution: DuckDB's native ASOF LEFT JOIN is the oracle for
+    // the Spark sorted-window re-expression; both compare epoch micros.
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+         c AS (SELECT * FROM e WHERE event_type = 'click'),
+         v AS (SELECT * FROM e WHERE event_type = 'view')
+         SELECT c.event_id, c.user_id, c.us AS click_us,
+           v.event_id AS view_event_id, v.us AS view_us,
+           c.us - v.us AS lag_us
+         FROM c ASOF LEFT JOIN v
+           ON c.user_id = v.user_id AND v.us <= c.us
+         ORDER BY c.event_id""",
     "q_sessionize" ->
       """WITH b AS (
            SELECT user_id, ts, event_id, value,
@@ -628,6 +642,25 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY 1 ORDER BY canonical_doc_id""",
+    // Contamination: per-doc fraction of distinct trigram shingles shared
+    // with any other document.
+    "q_shared_ngrams" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS sh
+           FROM t),
+         x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         c AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM x GROUP BY g)
+         SELECT x.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+         FROM x JOIN c USING (g) GROUP BY x.doc_id ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

@@ -22,7 +22,10 @@ object DedupOps {
         s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
 
   private def withShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    withShingles(Tables(spark, dir, "documents"))
+
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(3))
 
@@ -48,6 +51,47 @@ object DedupOps {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .orderBy("doc_a")
+  }
+
+  /** Cross-document shared-n-gram detection — the repeated-passage /
+    * contamination primitive: for each document, the fraction of its
+    * distinct trigram shingles that also occur in at least one other
+    * document. Two key-shuffles (corpus-wide shingle counts, then the
+    * join back to per-doc grain), both linear in total shingle volume —
+    * never a doc×doc comparison, so a 100 TB corpus shards cleanly on
+    * the shingle key. Docs too short to shingle are excluded. */
+  def sharedNgrams(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the slim (doc_id, sh) frame BEFORE the explode. Without
+    // the cache barrier, InferFiltersFromGenerate derives a
+    // `size(sh) > 0 AND sh IS NOT NULL` filter, pushes it to the scan
+    // side, and evaluates the full interpreted shingle HOF chain several
+    // times per row inside the un-eliminated conjuncts (measured 8 s of a
+    // 12 s query — the round-1 MinHash recomputation pathology in filter
+    // form). Cached arrays make that inferred filter a column reference.
+    // The raw scan is repartitioned below the projection so the one real
+    // shingle evaluation spreads across the cores, and the eager count
+    // fills the cache before the two consumers (corpus-wide count + join
+    // back) fan out.
+    val shingled = withShingles(
+        Tables(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .select(col("doc_id"), col("sh"))
+      // no explicit size(sh)>0 filter here: it would be pushed into the
+      // cache-build plan where the filter re-derives the whole shingle
+      // expression per row; explode already drops empty arrays, and the
+      // generate's own inferred filter runs cheaply on the cached column
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingled.count()
+    val x = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+    val counts = x.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+    x.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
   }
 
   // ---- deterministic 64-bit hashing for MinHash permutations ----

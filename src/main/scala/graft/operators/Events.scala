@@ -31,6 +31,35 @@ object Events {
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
       .orderBy("event_type")
 
+  /** As-of join — attribute each click to the most recent preceding view
+    * by the same user. Spark has no native ASOF JOIN; the scalable
+    * re-expression is the sorted-merge pattern: union both event kinds,
+    * shuffle ONCE on user_id, and carry the latest view forward with a
+    * running `last(..., ignoreNulls)` window — never a range join (whose
+    * candidate set explodes quadratically on hot users). At equal
+    * timestamps the view sorts before the click, matching the oracle's
+    * inclusive `v.us <= c.us` bound; timestamps compare as epoch micros
+    * end-to-end so both engines use exact integer order. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val kindRank = when(col("event_type") === "view", 0).otherwise(1)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), kindRank, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("view_event_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+        col("view_event_id"), col("view_us"),
+        (col("us") - col("view_us")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
   /** Sessionization: a new session starts after a >30 min gap per user.
     * Batch form uses lag + running sum windows; the streaming form is
     * flatMapGroupsWithState (graft.streaming.Sessionize). Per-user windows

@@ -477,6 +477,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(r3.getDouble(2) == 1.0 && r3.isNullAt(3) && r3.isNullAt(4))
   }
 
+  test("as-of attribution picks the latest prior view, inclusive at ties") {
+    val dir = java.nio.file.Files.createTempDirectory("asof_events").toString
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision is enough here
+    Seq(
+      (1L, ts(1000000L), 7L, "click", 0.0, "{}"),  // click before any view -> null
+      (2L, ts(2000000L), 7L, "view", 0.0, "{}"),
+      (3L, ts(3000000L), 7L, "click", 0.0, "{}"),  // -> view 2
+      (4L, ts(4000000L), 7L, "view", 0.0, "{}"),
+      (5L, ts(4000000L), 7L, "click", 0.0, "{}"),  // equal ts -> view 4 (inclusive)
+      (6L, ts(9000000L), 8L, "view", 0.0, "{}"))   // other user, no clicks
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Events.asofAttribution(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(out(0).isNullAt(3) && out(0).isNullAt(5))
+    assert(out(1).getLong(3) == 2L && out(1).getLong(5) == 1000000L)
+    assert(out(2).getLong(3) == 4L && out(2).getLong(5) == 0L)
+  }
+
   test("domain mix is deterministic and honors per-language rates") {
     val dir = "/root/testdata/sf0.001"
     val a = TextOps.domainMix(spark, dir).collect()

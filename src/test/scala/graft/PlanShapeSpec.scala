@@ -44,6 +44,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("shared-ngram explode reads cached arrays, not the shingle expression") {
+    // InferFiltersFromGenerate derives a size(sh)>0 filter under the
+    // explode; if the shingle HOF chain is still a live expression there,
+    // the filter re-evaluates it several times per row (measured 8 s of a
+    // 12 s query at sf0.1). The cache barrier must leave the generate
+    // reading materialized arrays only.
+    val plan = physical(DedupOps.sharedNgrams(spark, dir))
+    val cacheAt = plan.indexOf("InMemoryRelation")
+    assert(cacheAt >= 0, s"shingle cache missing:\n$plan")
+    // only the cache-BUILD plan (printed under InMemoryRelation, executed
+    // once) may contain the shingle expression; everything live above the
+    // cache must read the materialized column
+    val live = plan.substring(0, cacheAt)
+    assert(!live.contains("array_join(slice"),
+      s"shingle expression escaped the cache barrier into the live plan:\n$plan")
+  }
+
   test("no query in the inventory plans a cartesian product") {
     // q_neardup_groups executes its fixpoint loop eagerly at construction
     // and returns a checkpoint scan — there is no plan left to inspect
