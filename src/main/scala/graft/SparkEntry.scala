@@ -80,6 +80,7 @@ object SparkEntry {
     "q_clean_pipeline"  -> (TextOps.cleanDecisions _),
     "q_text_repetition" -> (TextOps.repetitionSignals _),
     "q_domain_mix"      -> (TextOps.domainMix _),
+    "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
@@ -528,6 +529,15 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, reason, reason = 'keep' AS keep
          FROM r ORDER BY doc_id""",
+    // Vocabulary build: token count + doc frequency, deterministic
+    // top-k via a total order on (n DESC, token).
+    "q_vocab_topk" ->
+      """WITH x AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS token
+           FROM documents)
+         SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+         FROM x WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
     // Gopher-style repetition: top-1 unigram/bigram/trigram frequency
     // fraction; both engines build the n-gram lists then count the mode
     // via distinct×filter, so the doubles divide identically.

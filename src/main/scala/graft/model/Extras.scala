@@ -59,7 +59,9 @@ object TableColumnStats {
     new GraphSerializable[TableColumnStats] {
       def nodes(s: TableColumnStats): Seq[GraphNode] = Seq(
         GraphNode(s.statKey, Label, Map(
-          "stat_name" -> s.statName, "stat_val" -> s.statVal,
+          // the reference attribute is stat_type even though the ctor
+          // param is stat_name (table_stats.py:49,100)
+          "stat_type" -> s.statName, "stat_val" -> s.statVal,
           "start_epoch" -> s.startEpoch.toString, "end_epoch" -> s.endEpoch.toString)))
       def relationships(s: TableColumnStats): Seq[GraphRelationship] = Seq(
         GraphRelationship(Label, "Column", s.statKey, s.columnKey,

@@ -5,30 +5,56 @@ package graft.model
   * each class; fan-out is pure and unit-tested.
   */
 
-/** User — keyed by email (reference: databuilder/models/user.py:18-223). */
+/** User — keyed by email (reference: databuilder/models/user.py:18-223).
+  * Reference-exact fan-out: every string attribute is emitted with an ''
+  * default (user.py:131-150), `updated_at` defaults to 0, and the
+  * `do_not_update_empty_attribute` option deletes ALL falsy attributes —
+  * including `is_active` when false, a faithful reference quirk
+  * (user.py:154-157 deletes on `not v`). Only the MANAGE_BY relation is
+  * produced for a manager; the manager's own node is someone else's row
+  * (user.py:202-214 yields no manager node). */
 case class User(
     email: String,
     firstName: Option[String] = None,
     lastName: Option[String] = None,
     fullName: Option[String] = None,
+    githubUsername: Option[String] = None,
     teamName: Option[String] = None,
     employeeType: Option[String] = None,
     managerEmail: Option[String] = None,
-    isActive: Boolean = true)
+    slackId: Option[String] = None,
+    roleName: Option[String] = None,
+    isActive: Boolean = true,
+    updatedAt: Long = 0L,
+    doNotUpdateEmptyAttribute: Boolean = false)
 
 object User {
   val Label = "User"
   implicit val serializer: GraphSerializable[User] = new GraphSerializable[User] {
     def nodes(u: User): Seq[GraphNode] = {
-      val attrs = Map("email" -> u.email, "is_active" -> u.isActive.toString) ++
-        u.firstName.map("first_name" -> _) ++ u.lastName.map("last_name" -> _) ++
-        u.fullName.map("full_name" -> _) ++ u.teamName.map("team_name" -> _) ++
-        u.employeeType.map("employee_type" -> _)
-      Seq(GraphNode(u.email, Label, attrs)) ++
-        u.managerEmail.map(m => GraphNode(m, Label, Map("email" -> m)))
+      val base = Map(
+        "email" -> u.email,
+        "is_active" -> u.isActive.toString,
+        "first_name" -> u.firstName.getOrElse(""),
+        "last_name" -> u.lastName.getOrElse(""),
+        "full_name" -> u.fullName.getOrElse(""),
+        "github_username" -> u.githubUsername.getOrElse(""),
+        "team_name" -> u.teamName.getOrElse(""),
+        "employee_type" -> u.employeeType.getOrElse(""),
+        "slack_id" -> u.slackId.getOrElse(""),
+        "role_name" -> u.roleName.getOrElse(""))
+      val withUpdated =
+        if (u.updatedAt != 0L) base + ("updated_at" -> u.updatedAt.toString)
+        else if (!u.doNotUpdateEmptyAttribute) base + ("updated_at" -> "0")
+        else base
+      val attrs =
+        if (u.doNotUpdateEmptyAttribute)
+          withUpdated.filter { case (_, v) => v.nonEmpty && v != "false" }
+        else withUpdated
+      Seq(GraphNode(u.email, Label, attrs))
     }
     def relationships(u: User): Seq[GraphRelationship] =
-      u.managerEmail.toSeq.map(m =>
+      u.managerEmail.filter(_.nonEmpty).toSeq.map(m =>
         GraphRelationship(Label, Label, u.email, m, "MANAGE_BY", "MANAGE", Map.empty))
   }
 }
@@ -83,8 +109,11 @@ case class Watermark(
     partName: String, partType: String, createTime: String) {
   def tableKey: String = s"$database://$cluster.$schema/$table"
   def key: String = s"$tableKey/$partType/"
-  def partitionKey: String = partName.split("=").head
-  def partitionValue: String = partName.split("=").lift(1).getOrElse("")
+  // split on the FIRST '=' only: a nested part name like
+  // "ds=2017-09-18/feature_id=9" keeps the remainder intact as the value
+  // (watermark.py:46-49)
+  def partitionKey: String = partName.split("=", 2).head
+  def partitionValue: String = partName.split("=", 2).lift(1).getOrElse("")
 }
 
 object Watermark {

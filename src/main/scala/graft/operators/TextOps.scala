@@ -81,6 +81,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build — corpus-wide token counts + document frequency,
+    * the first pass of any tokenizer training / vocab pruning job. The
+    * explode runs over a plain codegen'd split (no higher-order filter
+    * under the generator — empty tokens drop AFTER the fan-out, so the
+    * inferred generate-filter stays cheap), then one shuffle on the token
+    * key; the top-k is a TakeOrdered, never a global sort. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("doc_freq"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Per-language target sampling rates for [[domainMix]] — plan literals. */
   private[graft] val MixRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 1.0, "es" -> 0.8, "fr" -> 0.3, "zh" -> 1.0,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.sources.Tables
@@ -51,6 +51,14 @@ object Transforms {
     * (transformer/table_tag_transformer.py:12). */
   def addTags(df: DataFrame, tagsCol: String, tags: Seq[String]): DataFrame =
     df.withColumn(tagsCol, array_union(col(tagsCol), lit(tags.toArray)))
+
+  /** TagMetadata.format_tags analog (table_metadata.py:34-41): split a
+    * comma-separated tag string, drop empty SEGMENTS, then lowercase and
+    * trim — in that order, exactly as the reference (`filter(None, ...)`
+    * runs before `.lower().strip()`, so a pure-whitespace segment
+    * survives as an empty tag). */
+  def formatTags(c: Column): Column =
+    transform(filter(split(c, ","), t => t =!= ""), t => lower(trim(t)))
 
   /** GenericTransformer — callback on one named field
     * (transformer/generic_transformer.py:17); the callback is a Column

@@ -445,6 +445,19 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("formatTags matches _format_as_list: filter empties BEFORE strip") {
+    import spark.implicits._
+    val out = Seq("A, B ,c", "a,, ,B", "", "x").toDF("t")
+      .select(Transforms.formatTags(col("t")).as("tags"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a", "b", "c"))
+    // ",," drops the empty segment; " " survives the filter then strips
+    // to an empty tag — exactly the reference's order of operations
+    assert(out(1) == Seq("a", "", "b"))
+    assert(out(2) == Seq())
+    assert(out(3) == Seq("x"))
+  }
+
   test("isTitle matches Python str.istitle semantics") {
     assert(Graph.isTitle("Table"))
     assert(Graph.isTitle("Dashboardgroup"))

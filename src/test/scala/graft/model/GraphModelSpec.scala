@@ -70,10 +70,27 @@ class GraphModelSpec extends AnyFunSuite {
 
   test("user fan-out: manager edge only when manager present") {
     val u = User("a@x.com", managerEmail = Some("boss@x.com"))
-    assert(User.serializer.nodes(u).map(_.key).toSet == Set("a@x.com", "boss@x.com"))
+    // the manager gets a relation but NO stub node (user.py:202-214)
+    assert(User.serializer.nodes(u).map(_.key) == Seq("a@x.com"))
     val rel = User.serializer.relationships(u).head
     assert((rel.relType, rel.reverseType) == ("MANAGE_BY", "MANAGE"))
     assert(User.serializer.relationships(User("b@x.com")).isEmpty)
+  }
+
+  test("user attrs carry reference defaults; empty-attr option trims falsy") {
+    val attrs = User.serializer.nodes(User("a@x.com")).head.attributes
+    // every string field defaults to '' and updated_at to 0 (user.py:131-150)
+    assert(attrs == Map(
+      "email" -> "a@x.com", "is_active" -> "true", "first_name" -> "",
+      "last_name" -> "", "full_name" -> "", "github_username" -> "",
+      "team_name" -> "", "employee_type" -> "", "slack_id" -> "",
+      "role_name" -> "", "updated_at" -> "0"))
+    val trimmed = User.serializer.nodes(User("a@x.com",
+      firstName = Some("Ann"), isActive = false,
+      doNotUpdateEmptyAttribute = true)).head.attributes
+    // do_not_update_empty_attribute deletes ALL falsy values — including
+    // is_active=false, the reference's own quirk (user.py:154-157)
+    assert(trimmed == Map("email" -> "a@x.com", "first_name" -> "Ann"))
   }
 
   test("usage / lineage / watermark / last-updated fan-outs") {

@@ -82,6 +82,10 @@ class ModelFanoutSpec extends AnyFunSuite {
     val w = Watermark("hive", "gold", "public", "sales", "ds=2024-01-01",
       "high_watermark", "")
     assert(w.partitionKey == "ds" && w.partitionValue == "2024-01-01")
+    // nested part names split on the FIRST '=' only (watermark.py:46-49)
+    val nested = w.copy(partName = "ds=2017-09-18/feature_id=9")
+    assert(nested.partitionKey == "ds")
+    assert(nested.partitionValue == "2017-09-18/feature_id=9")
     val n = Watermark.serializer.nodes(w).head
     assert(n.key == "hive://gold.public/sales/high_watermark/")
     assert(Watermark.serializer.relationships(w).head.relType == "BELONG_TO_TABLE")
