@@ -21,6 +21,7 @@ object SparkEntry {
     // §2.4 aggregations
     "q1_agg"        -> (Relational.groupAgg _),
     "q_count_group" -> (Relational.countGroup _),
+    "q_usage_email_filter" -> (Relational.usageEmailFilter _),
     "q_max_group"   -> (Relational.maxGroup _),
     "q_collect_agg" -> (Relational.collectAgg _),
     // §2.3 joins
@@ -125,6 +126,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS unique_users,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_usage_email_filter" ->
+      """SELECT 's' || l_suppkey AS email, COUNT(*) AS read_count
+         FROM lineitem
+         WHERE regexp_matches('s' || l_suppkey, '^s[0-9]*[02468]$')
+         GROUP BY 1 ORDER BY email""",
     "q_max_group" ->
       """SELECT o_custkey, MAX(o_orderdate) AS last_order, MIN(o_orderdate) AS first_order,
            COUNT(*) AS n_orders
@@ -261,7 +267,10 @@ object SparkEntry {
          FROM lineitem ORDER BY source_key, target_key""",
     "q_dashboard_graph_nodes" ->
       """SELECT label, n FROM (
-           SELECT 'Chart' AS label, (SELECT COUNT(*) FROM lineitem) AS n
+           SELECT 'Badge' AS label,
+             (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
+              FROM part WHERE p_partkey % 5 = 0) AS n
+           UNION ALL SELECT 'Chart', (SELECT COUNT(*) FROM lineitem)
            UNION ALL SELECT 'Cluster', CAST(1 AS BIGINT)
            UNION ALL SELECT 'Dashboard', (SELECT COUNT(*) FROM part)
            UNION ALL SELECT 'Dashboardgroup', (SELECT COUNT(DISTINCT p_brand) FROM part)
@@ -270,7 +279,7 @@ object SparkEntry {
            UNION ALL SELECT 'Query',
              (SELECT COUNT(DISTINCT l_partkey || '_' || l_suppkey) FROM lineitem)
            UNION ALL SELECT 'Tag', (SELECT COUNT(DISTINCT lower(p_brand)) FROM part)
-         ) ORDER BY label""",
+         ) WHERE n > 0 ORDER BY label""",
     "q_table_search_doc" ->
       """WITH colagg AS (
            SELECT o_custkey,
@@ -282,6 +291,7 @@ object SparkEntry {
            SELECT o_custkey, COUNT(*) AS total_usage, COUNT(DISTINCT l_suppkey) AS unique_usage
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey)
          SELECT 'tpch' AS "database", r_name AS cluster, n_name AS "schema", c_name AS name,
+           n_name || '.' || c_name AS display_name,
            'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
            c_mktsegment AS description, lower(c_mktsegment) AS tags,
            'schema ' || lower(n_name) AS schema_description,
@@ -308,6 +318,10 @@ object SparkEntry {
            s_name AS full_name, n_name AS team_name,
            's' || ((s_suppkey + 1) % 10) AS manager_email,
            'true' AS is_active,
+           'gh_s' || s_suppkey AS github_username,
+           '@s' || s_suppkey AS slack_id,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'eng' ELSE 'analyst' END AS role_name,
+           'fte' AS employee_type,
            COALESCE(total_read, 0) AS total_read,
            COALESCE(total_own, 0) AS total_own,
            COALESCE(total_follow, 0) AS total_follow
@@ -325,12 +339,19 @@ object SparkEntry {
              array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names
            FROM lineitem GROUP BY l_partkey)
          SELECT p_brand AS group_name, 'd' || p_partkey AS name,
-           'mode_dashboard://gold.' || p_brand || '/d' || p_partkey AS key,
+           'gold' AS cluster,
            COALESCE(p_type, '') AS description,
-           COALESCE(total_usage, 0) AS total_usage,
+           '' AS group_description,
+           'https://mode.example/' || p_brand AS group_url,
+           'https://mode.example/' || p_brand || '/d' || p_partkey AS url,
+           'mode_dashboard://gold.' || p_brand || '/d' || p_partkey AS uri,
+           'mode' AS product,
            COALESCE(last_successful_run_timestamp, 0) AS last_successful_run_timestamp,
            COALESCE(query_names, '') AS query_names,
-           COALESCE(chart_names, '') AS chart_names
+           COALESCE(chart_names, '') AS chart_names,
+           COALESCE(total_usage, 0) AS total_usage,
+           lower(p_brand) AS tags,
+           CASE WHEN p_partkey % 5 = 0 THEN 'certified' ELSE '' END AS badges
          FROM part LEFT JOIN u ON p_partkey = l_partkey
          ORDER BY group_name, name""",
     "q_publish_upsert" ->

@@ -14,7 +14,9 @@ case class DashboardMetadata(
     cluster: String = "gold",
     product: String = "",
     dashboardGroupDescription: Option[String] = None,
-    createdTimestamp: Option[Long] = None) {
+    createdTimestamp: Option[Long] = None,
+    dashboardUrl: Option[String] = None,
+    groupUrl: Option[String] = None) {
   def clusterKey: String = s"${product}_dashboard://$cluster"
   def groupKey: String = s"${product}_dashboard://$cluster.$dashboardGroup"
   def groupDescriptionKey: String = s"$groupKey/_description"
@@ -119,12 +121,16 @@ object Dashboard {
     new GraphSerializable[DashboardMetadata] {
       def nodes(d: DashboardMetadata): Seq[GraphNode] = {
         val cluster = GraphNode(d.clusterKey, ClusterLabel, Map("name" -> d.cluster))
-        val group = GraphNode(d.groupKey, GroupLabel, Map("name" -> d.dashboardGroup))
+        // urls ride the nodes only when set (dashboard_metadata.py:160-180)
+        val group = GraphNode(d.groupKey, GroupLabel,
+          Map("name" -> d.dashboardGroup) ++
+            d.groupUrl.map("dashboard_group_url" -> _))
         val groupDesc = d.dashboardGroupDescription.map(t =>
           GraphNode(d.groupDescriptionKey, DescriptionLabel, Map("description" -> t)))
         val dash = GraphNode(d.dashboardKey, DashboardLabel,
           Map("name" -> d.dashboardName) ++
-            d.createdTimestamp.map(t => "created_timestamp" -> t.toString))
+            d.createdTimestamp.map(t => "created_timestamp" -> t.toString) ++
+            d.dashboardUrl.map("dashboard_url" -> _))
         val desc = d.description.map(t =>
           GraphNode(d.descriptionKey, DescriptionLabel, Map("description" -> t)))
         val tags = d.tags.map(t => GraphNode(t, TagLabel, Map("tag_type" -> "default")))

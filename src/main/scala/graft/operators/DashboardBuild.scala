@@ -39,7 +39,10 @@ object DashboardBuild {
       lit(Cluster).as("cluster"),
       lit(Product).as("product"),
       lit(null).cast("string").as("dashboardGroupDescription"),
-      lit(null).cast("long").as("createdTimestamp"))
+      lit(null).cast("long").as("createdTimestamp"),
+      concat(lit("https://mode.example/"), col("p_brand"), lit("/d"),
+        col("p_partkey")).as("dashboardUrl"),
+      concat(lit("https://mode.example/"), col("p_brand")).as("groupUrl"))
       .as[DashboardMetadata]
   }
 
@@ -196,9 +199,11 @@ object DashboardBuild {
         struct(col("_cluster_key").as("key"), lit(ClusterLabel).as("label"),
           m("name" -> lit(Cluster)).as("attributes")),
         struct(col("_group_key").as("key"), lit(GroupLabel).as("label"),
-          m("name" -> col("dashboardGroup")).as("attributes")),
+          m("name" -> col("dashboardGroup"),
+            "dashboard_group_url" -> col("groupUrl")).as("attributes")),
         struct(col("_dash_key").as("key"), lit(DashboardLabel).as("label"),
-          m("name" -> col("dashboardName")).as("attributes")))).as("n"))
+          m("name" -> col("dashboardName"),
+            "dashboard_url" -> col("dashboardUrl")).as("attributes")))).as("n"))
       .select("n.*")
       .union(md.filter(col("description").isNotNull)
         .select(concat(col("_dash_key"), lit("/_description")).as("key"),
@@ -247,6 +252,24 @@ object DashboardBuild {
       noAttrs.as("attributes"))
   }
 
+  /** Dashboard badge fan-out (badge.py Badge rows with start_label
+    * Dashboard): every fifth dashboard carries a deterministic
+    * 'certified' badge. Nodes collapse to the distinct badge keys. */
+  private[graft] def columnarBadgeNodes(spark: SparkSession, dir: String): DataFrame =
+    dashKeys(dashboards(spark, dir).toDF())
+      .filter(substring(col("dashboardName"), 2, 100).cast("long") % 5 === 0)
+      .select(lit("certified").as("key")).distinct()
+      .select(col("key"), lit("Badge").as("label"),
+        m("category" -> lit("dashboard_status")).as("attributes"))
+
+  private[graft] def columnarBadgeEdges(spark: SparkSession, dir: String): DataFrame =
+    dashKeys(dashboards(spark, dir).toDF())
+      .filter(substring(col("dashboardName"), 2, 100).cast("long") % 5 === 0)
+      .select(lit(DashboardLabel).as("startLabel"), lit("Badge").as("endLabel"),
+        col("_dash_key").as("startKey"), lit("certified").as("endKey"),
+        lit("HAS_BADGE").as("relType"), lit("BADGE_FOR").as("reverseType"),
+        noAttrs.as("attributes"))
+
   // The global (label, key) dedup decomposes per-branch: every branch
   // emits a disjoint label set (Dashboard-family vs Query/Chart vs
   // Execution), so deduplicating the duplicate-capable dashboard branch
@@ -260,6 +283,7 @@ object DashboardBuild {
       .dropDuplicates("label", "key")
       .union(columnarExecutionNodes(spark, dir))
       .union(columnarQueryChartNodes(spark, dir))
+      .union(columnarBadgeNodes(spark, dir))
       .as[GraphNode]
   }
 
@@ -269,6 +293,7 @@ object DashboardBuild {
       .dropDuplicates("startKey", "endKey", "relType")
       .union(columnarExecutionEdges(spark, dir))
       .union(columnarQueryChartEdges(spark, dir))
+      .union(columnarBadgeEdges(spark, dir))
       .as[GraphRelationship]
   }
 

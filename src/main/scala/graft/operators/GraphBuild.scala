@@ -369,7 +369,15 @@ object GraphBuild {
         map(lit("email"), email, lit("full_name"), col("s_name"),
           lit("first_name"), element_at(split(col("s_name"), "#"), 1),
           lit("last_name"), element_at(split(col("s_name"), "#"), 2),
-          lit("team_name"), col("n_name"), lit("is_active"), lit("true")).as("attributes"))
+          lit("team_name"), col("n_name"), lit("is_active"), lit("true"),
+          // deterministic stand-ins for the remaining reference User
+          // attributes (user.py:24-35), so the search document can carry
+          // the full ES field list (user_elasticsearch_document.py)
+          lit("github_username"), concat(lit("gh_"), email),
+          lit("slack_id"), concat(lit("@"), email),
+          lit("role_name"),
+          when(col("s_suppkey") % 2 === 0, lit("eng")).otherwise(lit("analyst")),
+          lit("employee_type"), lit("fte")).as("attributes"))
     // MANAGE_BY/MANAGE (user.py:18-223): deterministic manager ring over
     // the first ten users, which exist at every SF.
     val manageEdges = Tables(spark, dir, "supplier")

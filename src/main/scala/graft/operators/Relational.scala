@@ -141,6 +141,19 @@ object Relational {
         moneySum(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  /** BigQueryTableUsageExtractor's email-pattern gate (reference:
+    * databuilder/extractor/bigquery_usage_extractor.py:88-95): usage is
+    * counted only for emails matching the configured regex. The
+    * start-anchored pattern reproduces Python re.match semantics; rlike
+    * is codegen'd and the filter sits directly on the scan. */
+  def usageEmailFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(concat(lit("s"), col("l_suppkey")).as("email"))
+      .filter(col("email").rlike("^s[0-9]*[02468]$"))
+      .groupBy("email")
+      .agg(count(lit(1)).as("read_count"))
+      .orderBy("email")
+
   /** Max/min aggregation — table-last-updated (reference:
     * databuilder/extractor/hive_table_last_updated_extractor.py:61-72). */
   def maxGroup(spark: SparkSession, dir: String): DataFrame =

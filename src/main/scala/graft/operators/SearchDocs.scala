@@ -133,6 +133,8 @@ object SearchDocs {
       .join(broadcast(schemaDescs), Seq("schema_key"), "left")
       .select(
         col("database"), col("cluster"), col("schema"), col("name"),
+        // table_elasticsearch_document.py:30 display_name = schema.name
+        concat(col("schema"), lit("."), col("name")).as("display_name"),
         col("table_key").as("key"),
         col("description"), col("tags"),
         coalesce(col("schema_description"), lit("")).as("schema_description"),
@@ -175,7 +177,11 @@ object SearchDocs {
         col("attributes")("last_name").as("last_name"),
         col("attributes")("full_name").as("full_name"),
         col("attributes")("team_name").as("team_name"),
-        col("attributes")("is_active").as("is_active"))
+        col("attributes")("is_active").as("is_active"),
+        col("attributes")("github_username").as("github_username"),
+        col("attributes")("slack_id").as("slack_id"),
+        col("attributes")("role_name").as("role_name"),
+        col("attributes")("employee_type").as("employee_type"))
     def tall(relType: String, userKey: Column, kind: String, n: Column) =
       edgesDf.filter(col("relType") === relType)
         .select(userKey.as("user_key"), lit(kind).as("kind"), n.as("n"))
@@ -202,6 +208,8 @@ object SearchDocs {
       .select(
         col("email"), col("first_name"), col("last_name"), col("full_name"),
         col("team_name"), col("manager_email"), col("is_active"),
+        col("github_username"), col("slack_id"), col("role_name"),
+        col("employee_type"),
         coalesce(col("total_read"), lit(0L)).as("total_read"),
         coalesce(col("total_own"), lit(0L)).as("total_own"),
         coalesce(col("total_follow"), lit(0L)).as("total_follow"))
@@ -226,12 +234,29 @@ object SearchDocs {
     def edgesOf(relType: String): DataFrame =
       edgesDf.filter(col("relType") === relType).select("startLabel", "startKey", "endKey")
 
-    val hierarchy = nodesOf("Dashboard", "name" -> "name")
+    // MATCH (dashboard)-[:DASHBOARD_OF]->(dbg)-[:DASHBOARD_GROUP_OF]->
+    // (cluster) — the full hierarchy walk of the reference query, with
+    // the url attributes riding their nodes
+    // (neo4j_search_data_extractor.py:85-113)
+    val hierarchy = nodesOf("Dashboard", "name" -> "name", "dashboard_url" -> "url")
       .withColumnRenamed("key", "dash_key")
       .join(edgesOf("DASHBOARD").select(col("startKey").as("group_key"),
         col("endKey").as("dash_key")), "dash_key")
-      .join(broadcast(nodesOf("Dashboardgroup", "name" -> "group_name")
+      .join(broadcast(nodesOf("Dashboardgroup", "name" -> "group_name",
+        "dashboard_group_url" -> "group_url")
         .withColumnRenamed("key", "group_key")), "group_key")
+      .join(broadcast(edgesOf("DASHBOARD_GROUP")
+        .select(col("startKey").as("cluster_key"), col("endKey").as("group_key"))),
+        "group_key")
+      .join(broadcast(nodesOf("Cluster", "name" -> "cluster")
+        .withColumnRenamed("key", "cluster_key")), "cluster_key")
+
+    // OPTIONAL MATCH (dbg)-[:DESCRIPTION]->(descr) — group description
+    val groupDescs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Dashboardgroup")
+      .select(col("startKey").as("group_key"), col("endKey").as("gdesc_key"))
+      .join(nodesOf("Description", "description" -> "group_description")
+        .withColumnRenamed("key", "gdesc_key"), "gdesc_key")
+      .select("group_key", "group_description")
 
     val descs = edgesOf("DESCRIPTION").filter(col("startLabel") === "Dashboard")
       .select(col("startKey").as("dash_key"), col("endKey").as("desc_key"))
@@ -257,6 +282,11 @@ object SearchDocs {
       .join(nodesOf("Execution", "timestamp" -> "ts").withColumnRenamed("key", "exec_key"),
         "exec_key")
 
+    val tags = edgesOf("TAG")
+      .select(col("startKey").as("dash_key"), col("endKey").as("tag"))
+    val badges = edgesOf("HAS_BADGE").filter(col("startLabel") === "Dashboard")
+      .select(col("startKey").as("dash_key"), col("endKey").as("badge"))
+
     def tall(df: DataFrame, kind: String, s: Column, n: Column) =
       df.select(col("dash_key"), lit(kind).as("kind"), s.as("str_val"), n.as("num_val"))
     val branches =
@@ -264,6 +294,8 @@ object SearchDocs {
         .union(tall(queries, "query", col("query_name"), lit(null).cast("long")))
         .union(tall(charts, "chart", col("chart_name"), lit(null).cast("long")))
         .union(tall(execs, "exec", lit(null).cast("string"), col("ts").cast("long")))
+        .union(tall(tags, "tag", col("tag"), lit(null).cast("long")))
+        .union(tall(badges, "badge", col("badge"), lit(null).cast("long")))
       .groupBy("dash_key")
       .agg(
         max(when(col("kind") === "desc", col("str_val"))).as("description"),
@@ -272,16 +304,28 @@ object SearchDocs {
           ",").as("query_names"),
         array_join(sort_array(collect_set(when(col("kind") === "chart", col("str_val")))),
           ",").as("chart_names"),
-        max(when(col("kind") === "exec", col("num_val"))).as("last_successful_run_timestamp"))
+        max(when(col("kind") === "exec", col("num_val"))).as("last_successful_run_timestamp"),
+        array_join(sort_array(collect_set(when(col("kind") === "tag", col("str_val")))),
+          ",").as("tags"),
+        array_join(sort_array(collect_set(when(col("kind") === "badge", col("str_val")))),
+          ",").as("badges"))
 
+    // full reference RETURN list (neo4j_search_data_extractor.py:105-113):
+    // product = split(key, '_')[0], uri = the dashboard key itself
     hierarchy.join(branches, Seq("dash_key"), "left")
+      .join(broadcast(groupDescs), Seq("group_key"), "left")
       .select(
-        col("group_name"), col("name"), col("dash_key").as("key"),
+        col("group_name"), col("name"), col("cluster"),
         coalesce(col("description"), lit("")).as("description"),
-        coalesce(col("total_usage"), lit(0L)).as("total_usage"),
+        coalesce(col("group_description"), lit("")).as("group_description"),
+        col("group_url"), col("url"), col("dash_key").as("uri"),
+        element_at(split(col("dash_key"), "_"), 1).as("product"),
         coalesce(col("last_successful_run_timestamp"), lit(0L)).as("last_successful_run_timestamp"),
         coalesce(col("query_names"), lit("")).as("query_names"),
-        coalesce(col("chart_names"), lit("")).as("chart_names"))
+        coalesce(col("chart_names"), lit("")).as("chart_names"),
+        coalesce(col("total_usage"), lit(0L)).as("total_usage"),
+        coalesce(col("tags"), lit("")).as("tags"),
+        coalesce(col("badges"), lit("")).as("badges"))
       .orderBy("group_name", "name")
   }
 

@@ -134,7 +134,9 @@ class PipelineSpec extends AnyFunSuite {
         lit("gold").as("cluster"),
         lit("mode").as("product"),
         lit(null).cast("string").as("dashboardGroupDescription"),
-        col("createdTimestamp").cast("long").as("createdTimestamp"))
+        col("createdTimestamp").cast("long").as("createdTimestamp"),
+        lit(null).cast("string").as("dashboardUrl"),
+        lit(null).cast("string").as("groupUrl"))
       .as[graft.model.DashboardMetadata] // DictToModel
       .collect().sortBy(_.dashboardName)
     assert(modeled.map(_.dashboardName).toSeq == Seq("Costs", "Revenue", "Signups"))
