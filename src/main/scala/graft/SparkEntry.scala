@@ -82,6 +82,7 @@ object SparkEntry {
     "q_text_repetition" -> (TextOps.repetitionSignals _),
     "q_domain_mix"      -> (TextOps.domainMix _),
     "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
+    "q_token_shards"    -> ((s, d) => TextOps.tokenShards(s, d)),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_shared_ngrams" -> (DedupOps.sharedNgrams _),
     "q_minhash_lsh"   -> (DedupOps.minhashLshPairs _),
     "q_neardup_groups" -> (DedupOps.nearDupGroups _),
+    "q_neardup_keep_best" -> (DedupOps.nearDupKeepBest _),
     "q_simhash"       -> (DedupOps.simhashBuckets _),
     "q_simhash_pairs" -> (DedupOps.simhashPairs _),
     // similarity search
@@ -550,6 +552,22 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, reason, reason = 'keep' AS keep
          FROM r ORDER BY doc_id""",
+    // Token-budget sharding: shard = preceding-token count div budget,
+    // over the doc_id-ordered prefix sum.
+    "q_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM t)
+         SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY shard""",
     // Vocabulary build: token count + doc frequency, deterministic
     // top-k via a total order on (n DESC, token).
     "q_vocab_topk" ->
@@ -756,6 +774,45 @@ object SparkEntry {
            SELECT e.dst, reach.label FROM reach JOIN e ON e.src = reach.doc_id)
          SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
          FROM reach GROUP BY doc_id ORDER BY doc_id""",
+    // Keep-best selection: same recursive-CTE groups, argmax quality
+    // (ttr DESC, doc_id) per group.
+    "q_neardup_keep_best" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         s AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.8),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(doc_id, label) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, reach.label FROM reach JOIN e ON e.src = reach.doc_id),
+         g AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS canonical_id
+           FROM reach GROUP BY doc_id),
+         q AS (SELECT doc_id,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr
+           FROM t),
+         r AS (SELECT g.canonical_id, g.doc_id, q.ttr,
+             ROW_NUMBER() OVER (PARTITION BY g.canonical_id
+               ORDER BY q.ttr DESC, g.doc_id) AS rk
+           FROM g JOIN q USING (doc_id))
+         SELECT canonical_id, COUNT(*) AS n_members,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+           MAX(CASE WHEN rk = 1 THEN ttr END) AS keep_ttr
+         FROM r GROUP BY canonical_id ORDER BY canonical_id""",
     // Token hash = first 15 hex chars of md5 (60 bits) so DuckDB can
     // reproduce the bit-vote exactly; the vote is order-insensitive.
     "q_simhash" ->

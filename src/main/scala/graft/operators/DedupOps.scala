@@ -223,6 +223,30 @@ object DedupOps {
     connectedComponents(minhashLshPairs(spark, dir).select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** Canonical SELECTION policy over the near-dup groups: instead of
+    * min-id-wins, keep the highest-quality member (type-token ratio,
+    * doc_id as the deterministic tie-break) — the "keep the best copy"
+    * step a real dedup pass applies before dropping the rest. One extra
+    * shuffle on the (tiny) group id beyond the group computation. */
+  def nearDupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = docsWithTwins(spark, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("ttr"))
+    val w = Window.partitionBy("canonical_id").orderBy(col("ttr").desc, col("doc_id"))
+    nearDupGroups(spark, dir)
+      .join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("canonical_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("keep_doc_id"),
+        max(when(col("rk") === 1, col("ttr"))).as("keep_ttr"))
+      .orderBy("canonical_id")
+  }
+
   /** Min-label propagation with pointer jumping over an undirected pair
     * set: (doc_id, canonical_id) where canonical is the component
     * minimum. Each round takes the min over neighbors' labels, then

@@ -96,6 +96,42 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Token-budget sharding — assign documents (in doc_id order) to
+    * ~`budget`-token shards, the sequence-packing/sharding step before
+    * pretraining concatenation. The global running token count is
+    * computed as a DISTRIBUTED two-pass prefix sum: range-partition by
+    * doc_id, window-cumsum within each partition, then add per-partition
+    * offsets (a partition-count-sized frame, broadcast back) — never the
+    * naive single-partition global window, which would serialize the
+    * whole corpus through one task at scale. Shard id is exact integer
+    * division of the preceding-tokens count, so the assignment is
+    * independent of the partitioning. */
+  def tokenShards(spark: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = base.withColumn("local_cum", sum(col("n_tokens")).over(wIn))
+    val offsets = withLocal.groupBy("pid").agg(max(col("local_cum")).as("part_sum"))
+      .withColumn("offset",
+        coalesce(sum(col("part_sum")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    withLocal.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .withColumn("shard", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
   /** Per-language target sampling rates for [[domainMix]] — plan literals. */
   private[graft] val MixRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 1.0, "es" -> 0.8, "fr" -> 0.3, "zh" -> 1.0,

@@ -510,6 +510,22 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(out(2).getLong(3) == 4L && out(2).getLong(5) == 0L)
   }
 
+  test("token sharding's distributed prefix sum equals the naive scan") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = 500L
+    val naive = {
+      val toks = TextOps.tokenCount(spark, dir)
+        .select("doc_id", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var cum = 0L
+      toks.map { case (id, n) => val s = cum / budget; cum += n; (id, s) }
+        .groupBy(_._2).map { case (s, xs) => (s, xs.length.toLong) }
+    }
+    val got = TextOps.tokenShards(spark, dir, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive, s"distributed shard assignment diverged: $got vs $naive")
+  }
+
   test("domain mix is deterministic and honors per-language rates") {
     val dir = "/root/testdata/sf0.001"
     val a = TextOps.domainMix(spark, dir).collect()
