@@ -272,7 +272,11 @@ object SparkEntry {
            SELECT 'Badge' AS label,
              (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
               FROM part WHERE p_partkey % 5 = 0) AS n
-           UNION ALL SELECT 'Chart', (SELECT COUNT(*) FROM lineitem)
+           -- MERGE semantics: chart nodes are key-unique; the synthetic
+           -- lineitem data contains duplicate full tuples
+           UNION ALL SELECT 'Chart',
+             (SELECT COUNT(DISTINCT l_partkey || '_' || l_suppkey || '_'
+                || l_orderkey || '_' || l_linenumber) FROM lineitem)
            UNION ALL SELECT 'Cluster', CAST(1 AS BIGINT)
            UNION ALL SELECT 'Dashboard', (SELECT COUNT(*) FROM part)
            UNION ALL SELECT 'Dashboardgroup', (SELECT COUNT(DISTINCT p_brand) FROM part)
@@ -335,7 +339,10 @@ object SparkEntry {
     // last-successful execution is the max ship date.
     "q_dashboard_search_doc" ->
       """WITH u AS (
-           SELECT l_partkey, COUNT(*) AS total_usage,
+           SELECT l_partkey,
+             -- chart paths after MERGE dedup: distinct (query, chart) keys
+             COUNT(DISTINCT l_suppkey || '_' || l_orderkey || '_' || l_linenumber)
+               AS total_usage,
              CAST(epoch(MAX(l_shipdate)) AS BIGINT) AS last_successful_run_timestamp,
              array_to_string(list_sort(list(DISTINCT 'supplier ' || l_suppkey)), ',') AS query_names,
              array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names

@@ -272,17 +272,19 @@ object DashboardBuild {
 
   // The global (label, key) dedup decomposes per-branch: every branch
   // emits a disjoint label set (Dashboard-family vs Query/Chart vs
-  // Execution), so deduplicating the duplicate-capable dashboard branch
-  // and leaving the uniquely-keyed columnar branches untouched is EXACTLY
-  // the same multiset — without shuffling the 600k fat chart rows. Same
-  // argument for edges on relType. Execution keys are unique (one row per
-  // dashboard after the groupBy), so that branch skips the shuffle too.
+  // Execution), so per-branch dedup is EXACTLY the same multiset as a
+  // global one — each branch shuffles only its own slim rows. The
+  // query/chart branch MUST dedup: the synthetic lineitem data contains
+  // duplicate (part, supplier, order, linenumber) tuples, and a MERGE
+  // publisher collapses same-key nodes/edges — the graph contract is
+  // key-unique. Execution keys are unique (one row per dashboard after
+  // the groupBy), so that branch skips the shuffle.
   def nodes(spark: SparkSession, dir: String): Dataset[GraphNode] = {
     import spark.implicits._
     columnarDashboardNodes(spark, dir)
       .dropDuplicates("label", "key")
       .union(columnarExecutionNodes(spark, dir))
-      .union(columnarQueryChartNodes(spark, dir))
+      .union(columnarQueryChartNodes(spark, dir).dropDuplicates("label", "key"))
       .union(columnarBadgeNodes(spark, dir))
       .as[GraphNode]
   }
@@ -292,7 +294,8 @@ object DashboardBuild {
     columnarDashboardEdges(spark, dir)
       .dropDuplicates("startKey", "endKey", "relType")
       .union(columnarExecutionEdges(spark, dir))
-      .union(columnarQueryChartEdges(spark, dir))
+      .union(columnarQueryChartEdges(spark, dir)
+        .dropDuplicates("startKey", "endKey", "relType"))
       .union(columnarBadgeEdges(spark, dir))
       .as[GraphRelationship]
   }
