@@ -100,6 +100,7 @@ object SparkEntry {
     "q_ann_lsh_pairs"     -> (SimilarityOps.annLshPairs _),
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     "q_embed_neardup_groups" -> (SimilarityOps.embedNearDupGroups _),
+    "q_embed_quantize"    -> (SimilarityOps.quantize _),
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
     // multimodal binary plumbing
@@ -869,6 +870,24 @@ object SparkEntry {
       """SELECT vec_id,
            sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
          FROM embeddings ORDER BY vec_id""",
+    // Quantization: per-vector affine map to 0..255; floor(x+0.5)
+    // rounding and list_sum reconstruction error match Spark's
+    // left-to-right aggregate bit-for-bit on exact doubles.
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+             list_aggregate(v, 'min') AS vmin, list_aggregate(v, 'max') AS vmax
+           FROM e),
+         s AS (SELECT *, CASE WHEN vmax > vmin THEN (vmax - vmin) / 255.0
+                              ELSE 1.0 END AS scale FROM m),
+         q AS (SELECT vec_id, v, vmin, vmax, scale,
+             list_transform(v, x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)) AS qv
+           FROM s)
+         SELECT vec_id, vmin, vmax, qv[1] AS q0,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS qmax,
+           list_sum(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - (vmin + qv[i] * scale)))) / len(v) AS mae
+         FROM q ORDER BY vec_id""",
     "q_embed_pair_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)

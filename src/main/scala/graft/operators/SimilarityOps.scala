@@ -103,6 +103,33 @@ object SimilarityOps {
     corpus
   }
 
+  /** Per-vector int8-style quantization — the memory-compression step a
+    * billion-vector ANN index applies before sharding: affine-map each
+    * vector onto 0..255 with its own (min, scale), report the first/max
+    * quantized levels and the mean absolute reconstruction error. A
+    * narrow map over the scan (codegen'd HOFs, zero shuffle); rounding
+    * is floor(x + 0.5) so both engines round identically on exact
+    * doubles. */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale",
+        when(col("vmax") > col("vmin"),
+          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
+      .withColumn("q",
+        expr("transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
+      .withColumn("mae", expr(
+        """aggregate(
+             transform(sequence(1, size(v)),
+               i -> abs(element_at(v, i) - (vmin + element_at(q, i) * scale))),
+             0d, (acc, x) -> acc + x) / size(v)"""))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        element_at(col("q"), 1).as("q0"), array_max(col("q")).as("qmax"),
+        col("mae"))
+      .orderBy("vec_id")
+
   /** The shared candidate-join tail: self-join the bucket keying, keep
     * ordered id pairs, dedup the slim pairs, spread them, then join the
     * fat vectors back ONLY for the exact-cosine verification — the
