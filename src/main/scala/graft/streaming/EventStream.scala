@@ -179,4 +179,58 @@ object EventStream {
       }
       .toDF("user_id", "n_sessions", "n_events")
   }
+
+  case class AsofState(latestViewId: Long, latestViewUs: Long, hasView: Boolean,
+      buffered: Seq[(Long, Long, Int)]) // (us, event_id, kind 0=view 1=click)
+
+  /** Streaming as-of attribution — the real-time twin of
+    * Events.asofAttribution: attribute each click to the latest
+    * preceding view by the same user. A click is emitted only once the
+    * WATERMARK passes its timestamp — at that point no view at-or-before
+    * it can still arrive, so the answer is final and identical to the
+    * batch result (parity is spec-asserted on out-of-order multi-batch
+    * input).
+    *
+    * State discipline at scale: matured events leave the buffer at every
+    * invocation, collapsing all consumed views into ONE carried
+    * (latest view id, ts) pair — state is the unmatured tail (bounded by
+    * the watermark window) plus two longs, never the user's history.
+    * Idle users evict a day after their last activity. */
+  def streamingAsof(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"), col("ts"))
+      .as[(Long, Long, Long, Int, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, Long, Int, java.sql.Timestamp)],
+            state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(0L, 0L, false, Nil))
+          val buf = st0.buffered ++ rows.map(r => (r._2, r._3, r._4))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (matured, pending) = buf.partition(_._1 <= horizonUs)
+          var (lvId, lvUs, hasV) = (st0.latestViewId, st0.latestViewUs, st0.hasView)
+          val out = Seq.newBuilder[(Long, Long, Long, java.lang.Long, java.lang.Long)]
+          // views sort before clicks at equal timestamps (inclusive
+          // bound), larger event_id wins among equal views — the same
+          // total order as the batch window
+          matured.sortBy(e => (e._1, e._3, e._2)).foreach { case (us, id, kind) =>
+            if (kind == 0) { lvId = id; lvUs = us; hasV = true }
+            else out += ((id, userId, us,
+              if (hasV) Long.box(lvId) else null, if (hasV) Long.box(lvUs) else null))
+          }
+          state.update(AsofState(lvId, lvUs, hasV, pending))
+          state.setTimeoutTimestamp(
+            if (pending.nonEmpty)
+              math.max(pending.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1000L)
+            else state.getCurrentWatermarkMs() + 86400000L)
+          out.result().iterator
+      }
+      .toDF("event_id", "user_id", "click_us", "view_event_id", "view_us")
+  }
 }

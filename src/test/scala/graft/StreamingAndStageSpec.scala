@@ -162,6 +162,50 @@ class StreamingAndStageSpec extends AnyFunSuite {
     assert(bad.count() == 0, "overlapping consecutive sessions")
   }
 
+  test("streaming as-of attribution matches the batch result on out-of-order input") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import java.sql.Timestamp
+    val base = tmp("asof-stream")
+    val evDir = s"$base/events.parquet"
+    def writeBatch(rows: Seq[(Long, String, Long, String)]): Unit = {
+      import spark.implicits._
+      rows.map { case (id, ts, uid, kind) =>
+        (id, Timestamp.valueOf(ts), uid, kind, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(evDir)
+      Thread.sleep(1100)
+    }
+    // out-of-order within the 1 h watermark, across micro-batches
+    writeBatch(Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 10:20:00", 7L, "click")))
+    writeBatch(Seq(
+      (3L, "2024-01-01 10:10:00", 7L, "view"),   // late view between 1 and 2
+      (4L, "2024-01-01 10:30:00", 7L, "click"),
+      (5L, "2024-01-01 10:05:00", 8L, "click"))) // user 8: click before any view
+    // sentinel far-future view pushes the watermark past every click
+    writeBatch(Seq((99L, "2024-01-01 13:00:00", 9L, "view")))
+    val q = EventStream.streamingAsof(spark,
+        spark.readStream.schema(EventStream.eventSchemaDDL)
+          .option("maxFilesPerTrigger", "1").parquet(evDir))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("asof_stream").option("checkpointLocation", tmp("ckpt-asof"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("asof_stream")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val batch = Events.asofAttribution(spark, base)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // click 2 -> view 3: the LATE view (10:10, arriving a batch later)
+    // must win over view 1 because the click only matures at the
+    // watermark; click 4 -> view 3; click 5 -> no prior view
+    assert(batch == Set((2L, 3L), (4L, 3L), (5L, -1L)))
+    assert(streamed == batch,
+      s"streaming attribution diverged: $streamed vs $batch")
+  }
+
   test("graph staging round-trips with per-label partitioning") {
     val out = tmp("staged-graph")
     val meta = GraphBuild.tableMetadata(spark, dir)
