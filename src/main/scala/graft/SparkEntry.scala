@@ -22,6 +22,7 @@ object SparkEntry {
     "q1_agg"        -> (Relational.groupAgg _),
     "q_count_group" -> (Relational.countGroup _),
     "q_usage_email_filter" -> (Relational.usageEmailFilter _),
+    "q_column_stats" -> (Relational.columnStats _),
     "q_max_group"   -> (Relational.maxGroup _),
     "q_collect_agg" -> (Relational.collectAgg _),
     // §2.3 joins
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_neardup_keep_best" -> (DedupOps.nearDupKeepBest _),
     "q_simhash"       -> (DedupOps.simhashBuckets _),
     "q_simhash_pairs" -> (DedupOps.simhashPairs _),
+    "q_dedup_signals" -> (DedupOps.dedupSignals _),
     // similarity search
     "q_embed_norm"        -> (SimilarityOps.norms _),
     "q_embed_pair_cosine" -> (SimilarityOps.pairCosine _),
@@ -129,6 +131,29 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS unique_users,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Column stats melt: min/max/sum/count per numeric column, keyed
+    // `{column}/{stat}/` like the reference Stat nodes.
+    "q_column_stats" ->
+      """WITH a AS (SELECT
+             MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_sum,
+             CAST(COUNT(l_quantity) AS DOUBLE) AS q_cnt,
+             MIN(l_extendedprice) AS e_min, MAX(l_extendedprice) AS e_max,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS e_sum,
+             CAST(COUNT(l_extendedprice) AS DOUBLE) AS e_cnt
+           FROM lineitem),
+         m AS (
+           SELECT 'l_quantity' AS col_name, 'count' AS stat_type, q_cnt AS stat_val FROM a
+           UNION ALL SELECT 'l_quantity', 'max', q_max FROM a
+           UNION ALL SELECT 'l_quantity', 'min', q_min FROM a
+           UNION ALL SELECT 'l_quantity', 'sum', q_sum FROM a
+           UNION ALL SELECT 'l_extendedprice', 'count', e_cnt FROM a
+           UNION ALL SELECT 'l_extendedprice', 'max', e_max FROM a
+           UNION ALL SELECT 'l_extendedprice', 'min', e_min FROM a
+           UNION ALL SELECT 'l_extendedprice', 'sum', e_sum FROM a)
+         SELECT col_name, stat_type, stat_val,
+           'hive://gold.tpch/lineitem/' || col_name || '/' || stat_type || '/' AS stat_key
+         FROM m ORDER BY col_name, stat_type""",
     "q_usage_email_filter" ->
       """SELECT 's' || l_suppkey AS email, COUNT(*) AS read_count
          FROM lineitem
@@ -838,6 +863,48 @@ object SparkEntry {
                     THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
            FROM h)
          SELECT doc_id, simhash, simhash >> 44 AS bucket FROM s ORDER BY doc_id""",
+    // Ensemble calibration: the three near-dup signals on the
+    // consecutive-pair probe set with a majority vote. Every kernel
+    // (Jaccard, md5 SimHash + bit_count(xor), double cosine) is computed
+    // identically by both engines.
+    "q_dedup_signals" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS sh
+           FROM t),
+         jac AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+           FROM s a JOIN s b ON b.doc_id = a.doc_id + 1),
+         hsh AS (SELECT doc_id,
+             list_transform(list_distinct(toks),
+               tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS th
+           FROM t),
+         sim AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(th,
+                      hh -> CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+           FROM hsh),
+         ham AS (SELECT a.doc_id AS doc_a,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         cosp AS (SELECT a.vec_id AS doc_a,
+             list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON b.vec_id = a.vec_id + 1)
+         SELECT jac.doc_a, jac.doc_b, jac.jaccard, ham.hamming, cosp.cos,
+           CAST(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END
+             + CASE WHEN hamming <= 10 THEN 1 ELSE 0 END
+             + CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END AS BIGINT) AS dup_votes
+         FROM jac JOIN ham USING (doc_a) JOIN cosp USING (doc_a)
+         ORDER BY doc_a""",
     // Candidate generation (bucket equality) and the Hamming verify are
     // both deterministic functions computed identically by both engines
     // (md5-based token hashes), so the compare is exact by construction.

@@ -332,6 +332,32 @@ object DedupOps {
     }.toDF("doc_id", "simhash", "bucket")
   }
 
+  /** Cross-signal dedup agreement — the three near-dup signals (word
+    * n-gram Jaccard, SimHash Hamming distance, embedding cosine) side by
+    * side on the deterministic consecutive-pair probe set, with a
+    * majority vote. Real ensemble dedup thresholds one signal and
+    * verifies with another; this query is that calibration table. Each
+    * signal is a narrow per-pair kernel; the three pair frames co-join
+    * on the pair id. */
+  def dedupSignals(spark: SparkSession, dir: String): DataFrame = {
+    val jac = ngramJaccard(spark, dir) // doc_a, doc_b, jaccard
+    val sim = simhashOf(spark, Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val ham = sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      .join(sim.select((col("doc_id") - 1).as("doc_a"), col("simhash").as("sim_b")),
+        "doc_a")
+      .select(col("doc_a"),
+        graft.functions.HammingDistance.hamming(col("sim_a"), col("sim_b"))
+          .cast("int").as("hamming"))
+    val cos = SimilarityOps.pairCosine(spark, dir)
+      .select(col("id_a").as("doc_a"), col("cos"))
+    jac.join(ham, "doc_a").join(cos, "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("hamming"), col("cos"),
+        ((col("jaccard") >= 0.8).cast("long") + (col("hamming") <= 10).cast("long") +
+          (col("cos") >= 0.95).cast("long")).as("dup_votes"))
+      .orderBy("doc_a")
+  }
+
   /** 60-bit SimHash + high-16 bucket per document. */
   def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
     simhashOf(spark, Tables(spark, dir, "documents").select(col("doc_id"), col("text")))

@@ -141,6 +141,31 @@ object Relational {
         moneySum(col("value")).as("total_value"))
       .orderBy("event_type")
 
+  /** Column-stats extraction — the TableColumnStats pipeline
+    * (table_stats.py:17-132): per-column min/max/sum/count melted to one
+    * Stat row per (column, stat_type) with the reference's
+    * `{column}/{stat}/` key. One full-scan aggregate then a plan-literal
+    * stack() unpivot — no shuffle beyond the single partial-agg tree. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(
+        min(col("l_quantity")).as("q_min"), max(col("l_quantity")).as("q_max"),
+        moneySum(col("l_quantity")).as("q_sum"),
+        count(col("l_quantity")).cast("double").as("q_cnt"),
+        min(col("l_extendedprice")).as("e_min"), max(col("l_extendedprice")).as("e_max"),
+        moneySum(col("l_extendedprice")).as("e_sum"),
+        count(col("l_extendedprice")).cast("double").as("e_cnt"))
+      .select(expr(
+        """stack(8,
+             'l_quantity', 'count', q_cnt, 'l_quantity', 'max', q_max,
+             'l_quantity', 'min', q_min,   'l_quantity', 'sum', q_sum,
+             'l_extendedprice', 'count', e_cnt, 'l_extendedprice', 'max', e_max,
+             'l_extendedprice', 'min', e_min,   'l_extendedprice', 'sum', e_sum)
+           AS (col_name, stat_type, stat_val)"""))
+      .withColumn("stat_key",
+        format_string("hive://gold.tpch/lineitem/%s/%s/", col("col_name"), col("stat_type")))
+      .orderBy("col_name", "stat_type")
+
   /** BigQueryTableUsageExtractor's email-pattern gate (reference:
     * databuilder/extractor/bigquery_usage_extractor.py:88-95): usage is
     * counted only for emails matching the configured regex. The
