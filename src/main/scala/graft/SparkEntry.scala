@@ -18,6 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 sources + §2.2 projections/filters
     "q_scan_filter_project" -> (Relational.scanFilterProject _),
+    "q_csv_table_column" -> (CsvIngest.csvTableColumn _),
+    "q_csv_badges"       -> (CsvIngest.csvTableBadges _),
     // §2.4 aggregations
     "q1_agg"        -> (Relational.groupAgg _),
     "q_count_group" -> (Relational.countGroup _),
@@ -127,6 +129,30 @@ object SparkEntry {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_csv_table_column" ->
+      """SELECT 'tpch' AS database, r_name AS cluster, n_name AS "schema", c_name AS name,
+           c_mktsegment || ',seg' AS description,
+           o_orderkey AS sort_order,
+           CASE WHEN o_orderkey IS NULL THEN NULL
+                ELSE 'o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') END AS col_name,
+           o_orderstatus AS col_type,
+           o_orderpriority AS col_description
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN orders ON o_custkey = c_custkey
+         ORDER BY cluster, "schema", name, sort_order""",
+    "q_csv_badges" ->
+      """SELECT 'tpch' AS database, r_name AS cluster, n_name AS "schema", c_name AS name,
+           COALESCE(array_to_string(list_sort(list(DISTINCT 'st_' || lower(o_orderstatus))
+             FILTER (WHERE o_orderstatus IS NOT NULL)), ','), '') AS badges,
+           COUNT(DISTINCT o_orderstatus) AS n_badges
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1, 2, 3, 4
+         ORDER BY cluster, "schema", name""",
     "q_count_group" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS unique_users,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
