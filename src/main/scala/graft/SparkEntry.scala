@@ -63,6 +63,8 @@ object SparkEntry {
     "q_delete_relation"     -> (Publish.deleteRelationQuery _),
     "q_edge_endpoint_check" -> (Publish.endpointCheckQuery _),
     "q_stale_sweep"         -> (Publish.staleSweepQuery _),
+    "q_rds_stale_sweep"     -> (Publish.rdsStaleSweepQuery _),
+    "q_neptune_stale_sweep" -> (Publish.neptuneStaleSweepQuery _),
     // §2.7 RDS relational-record universe
     "q_rds_records" -> (RdsBuild.rdsRecordCounts _),
     // §2.3 REST-join framework (rest_api_query.py analog)
@@ -506,6 +508,27 @@ object SparkEntry {
          FROM nodes n JOIN r ON n.label = r.label
          WHERE status <> 'F' OR ratio >= 0.40
          GROUP BY n.label ORDER BY label""",
+    "q_rds_stale_sweep" ->
+      """WITH recs AS (
+           SELECT 'orders_rec' AS rds_table, o_orderdate AS d FROM orders
+           UNION ALL SELECT 'lineitem_rec', l_shipdate FROM lineitem)
+         SELECT rds_table, COUNT(*) AS n_kept FROM recs
+         WHERE d >= TIMESTAMP '1995-01-01'
+         GROUP BY rds_table ORDER BY rds_table""",
+    "q_neptune_stale_sweep" ->
+      """WITH edges AS (
+           SELECT l_returnflag AS label,
+             CASE WHEN l_linenumber % 4 = 0 THEN 'user' ELSE 'job' END AS ct,
+             l_shipdate AS d FROM lineitem),
+         r AS (
+           SELECT label,
+             SUM(CASE WHEN ct = 'job' AND d < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*) AS ratio
+           FROM edges GROUP BY label)
+         SELECT e.label AS label, COUNT(*) AS n_kept
+         FROM edges e JOIN r ON e.label = r.label
+         WHERE NOT (ct = 'job' AND d < TIMESTAMP '1996-01-01') OR ratio >= 0.75
+         GROUP BY e.label ORDER BY label""",
     // REST-join framework: values round-trip through a JSON payload on the
     // Spark side (JSONPath extract + zip + explode); the oracle joins the
     // base tables directly — identical values prove the join semantics.

@@ -151,6 +151,62 @@ object Publish {
     }
   }
 
+  /** RDS stale-record condition — the MySQL task's two expiry modes
+    * (task/mysql_staleness_removal_task.py:172-184): epoch cutoff when
+    * `msToExpire` is configured, else publish-tag mismatch (one mode or
+    * the other, never both — matching the reference's if/else). */
+  def rdsStaleCondition(
+      marker: String,
+      nowMs: Long,
+      msToExpire: Option[Long],
+      tagCol: String = "published_tag",
+      epochCol: String = "publisher_last_updated_epoch_ms"): Column =
+    msToExpire match {
+      case Some(ms) => col(epochCol) < lit(nowMs - ms)
+      case None     => col(tagCol) =!= lit(marker)
+    }
+
+  /** Neptune stale condition — job-created AND last extracted before the
+    * cutoff (task/neptune_staleness_removal_task.py:103-117): records a
+    * user created by hand are never swept regardless of age. */
+  def neptuneStaleCondition(
+      cutoffEpochMs: Long,
+      creationTypeCol: String = "creation_type",
+      lastExtractedCol: String = "last_extracted_epoch_ms"): Column =
+    col(creationTypeCol) === "job" && col(lastExtractedCol) < lit(cutoffEpochMs)
+
+  /** MySQLStalenessRemovalTask analog
+    * (task/mysql_staleness_removal_task.py:105-170): per-RDS-table stale
+    * ratios with per-table threshold overrides (`staleness_max_pct_dict`);
+    * any table at or over its threshold aborts the WHOLE sweep before
+    * anything is deleted — the reference raises inside validate, rolling
+    * back the session. Returns the surviving records.
+    *
+    * The guardrail is a |tables|-row aggregate collected to the driver;
+    * survivors are a plain filter — no row-level data leaves the
+    * executors, so this holds at any scale. Callers sweeping the same
+    * frame they then re-stage should persist it across the two passes. */
+  def rdsStaleSweep(
+      recs: DataFrame,
+      staleCond: Column,
+      tableCol: String,
+      defaultMaxPct: Double,
+      perTablePct: Map[String, Double] = Map.empty): DataFrame = {
+    val flagged = recs.withColumn("_stale", staleCond.cast("int"))
+    val over = flagged.groupBy(tableCol)
+      .agg((sum(col("_stale")) / count(lit(1))).as("stale_ratio"))
+      .collect()
+      .filter { r =>
+        r.getDouble(1) >= perTablePct.getOrElse(r.getString(0), defaultMaxPct)
+      }
+    if (over.nonEmpty) {
+      val detail = over.map(r => s"${r.getString(0)}=${r.getDouble(1)}").mkString(", ")
+      throw new StaleGuardrailException(
+        s"stale ratio over threshold for table(s): $detail — aborting sweep")
+    }
+    flagged.filter(col("_stale") === 0).drop("_stale")
+  }
+
   /** Mark-and-sweep staleness removal with the 5%-style guardrail:
     * a label whose stale ratio reaches `maxStalePct` is NOT swept (the
     * label is kept whole — callers wanting the reference's hard abort use
@@ -245,6 +301,48 @@ object Publish {
       .distinct()
     deleteRelations(current, toDelete, Seq("start_key", "end_key"))
       .orderBy("start_key", "end_key")
+  }
+
+  /** RDS staleness sweep (epoch-expiry mode) over a stamped two-table
+    * record universe: orders and lineitems as RDS records whose publish
+    * epoch is their order/ship date; everything last published before
+    * 1995-01-01 is expired. Thresholds are set above the actual ratios so
+    * the guardrail passes (the abort path is spec-tested). Output is the
+    * per-table survivor count. */
+  def rdsStaleSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(
+      lit("orders_rec").as("rds_table"),
+      concat(lit("o"), col("o_orderkey")).as("rk"),
+      (unix_timestamp(col("o_orderdate")) * 1000).as("publisher_last_updated_epoch_ms"))
+    val l = Tables(spark, dir, "lineitem").select(
+      lit("lineitem_rec").as("rds_table"),
+      concat(lit("l"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("rk"),
+      (unix_timestamp(col("l_shipdate")) * 1000).as("publisher_last_updated_epoch_ms"))
+    val nowMs = 912470400000L                       // 1998-12-01 UTC
+    val cutoffMs = 788918400000L                    // 1995-01-01 UTC
+    val cond = rdsStaleCondition("cur", nowMs, Some(nowMs - cutoffMs))
+    rdsStaleSweep(o.union(l), cond, "rds_table", 0.99,
+        Map("orders_rec" -> 0.95))
+      .groupBy("rds_table").agg(count(lit(1)).as("n_kept"))
+      .orderBy("rds_table")
+  }
+
+  /** Neptune staleness sweep over lineitems-as-edges: creation_type is
+    * 'user' for every 4th line (never swept), 'job' otherwise; last
+    * extracted = ship date, cutoff 1996-01-01. Labels (return flags) at or
+    * over 75% stale are kept whole — both guardrail branches fire across
+    * the three flags. Output is the per-label survivor count. */
+  def neptuneStaleSweepQuery(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(spark, dir, "lineitem").select(
+      col("l_returnflag").as("label"),
+      concat(col("l_orderkey"), lit("-"), col("l_linenumber")).as("key"),
+      when(col("l_linenumber") % 4 === 0, lit("user")).otherwise(lit("job"))
+        .as("creation_type"),
+      (unix_timestamp(col("l_shipdate")) * 1000).as("last_extracted_epoch_ms"))
+    staleSweep(edges, neptuneStaleCondition(820454400000L /* 1996-01-01 UTC */),
+        "label", 0.75)
+      .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      .orderBy("label")
   }
 
   /** Staleness sweep over orders-as-nodes: label = order priority, stale =

@@ -165,6 +165,40 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     Publish.assertStaleGuardrail(nodes, col("stale"), "label", 0.7)
   }
 
+  test("rdsStaleSweep honors per-table threshold overrides and aborts whole") {
+    val recs = spark.createDataFrame(Seq(
+      ("t1", "a", "cur"), ("t1", "b", "old"),          // t1: 50% stale
+      ("t2", "c", "cur"), ("t2", "d", "cur"), ("t2", "e", "old"))) // t2: 33%
+      .toDF("table", "rk", "published_tag")
+    val stale = Publish.rdsStaleCondition("cur", 0L, None)
+    // default threshold passes both tables; survivors are the fresh rows
+    val kept = Publish.rdsStaleSweep(recs, stale, "table", 0.9)
+    assert(rows(kept.select("rk").orderBy("rk")).flatten == Seq("a", "c", "d"))
+    // a per-table override at t2's exact ratio aborts the WHOLE sweep,
+    // even though t1 is under the default — nothing is deleted
+    intercept[Publish.StaleGuardrailException] {
+      Publish.rdsStaleSweep(recs, stale, "table", 0.9, Map("t2" -> 1.0 / 3))
+    }
+  }
+
+  test("rds/neptune stale conditions select the reference's expiry modes") {
+    val recs = spark.createDataFrame(Seq(
+      ("a", "cur", 100L, "job"), ("b", "old", 900L, "job"),
+      ("c", "cur", 900L, "user"), ("d", "old", 100L, "user")))
+      .toDF("rk", "published_tag", "publisher_last_updated_epoch_ms", "creation_type")
+    // tag mode ignores the epoch entirely
+    val byTag = recs.filter(Publish.rdsStaleCondition("cur", 99999L, None))
+    assert(rows(byTag.select("rk").orderBy("rk")).flatten == Seq("b", "d"))
+    // epoch mode ignores the tag entirely: now=1000, expire after 500ms
+    val byEpoch = recs.filter(Publish.rdsStaleCondition("cur", 1000L, Some(500L)))
+    assert(rows(byEpoch.select("rk").orderBy("rk")).flatten == Seq("a", "d"))
+    // neptune: job-created AND older than cutoff — user rows never sweep
+    val nep = recs.withColumnRenamed(
+      "publisher_last_updated_epoch_ms", "last_extracted_epoch_ms")
+      .filter(Publish.neptuneStaleCondition(500L))
+    assert(rows(nep.select("rk")).flatten == Seq("a"))
+  }
+
   // ---- columnar fan-out ≡ typeclass fan-out ----
 
   test("dashboard columnar query/chart fan-out matches the typeclass") {
