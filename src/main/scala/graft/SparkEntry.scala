@@ -89,6 +89,8 @@ object SparkEntry {
     "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q_token_shards"    -> ((s, d) => TextOps.tokenShards(s, d)),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
+    "q_pii_redact"      -> (TextOps.piiRedact _),
+    "q_url_canon"       -> (TextOps.urlCanon _),
     // dedup family
     "q_dedup_exact"   -> (DedupOps.exactDedup _),
     "q_ngram_jaccard" -> (DedupOps.ngramJaccard _),
@@ -770,6 +772,47 @@ object SparkEntry {
            COALESCE(CAST(list_aggregate(fps, 'min') AS BIGINT), -1) AS min_fp,
            COALESCE(CAST(list_aggregate(fps, 'max') AS BIGINT), -1) AS max_fp
          FROM f ORDER BY doc_id""",
+    "q_pii_redact" ->
+      """WITH t AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                  ELSE '' END AS text2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+         FROM t ORDER BY doc_id""",
+    "q_url_canon" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'HTTPS://WWW.Site' || (doc_id % 7) || '.COM/Path/' || (doc_id % 3) ||
+             CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&id=' || (doc_id % 5) || '&utm_campaign=c'
+                  ELSE '' END AS url
+           FROM documents),
+         q AS (
+           SELECT doc_id, url,
+             array_to_string(list_filter(string_split(regexp_extract(url, '\?(.*)$', 1), '&'),
+               p -> p <> '' AND substring(p, 1, 4) <> 'utm_'), '&') AS q2
+           FROM u),
+         c AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([^:]+)://', 1)) || '://' ||
+             regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?]+)', 1)), '^www\.', '') ||
+             regexp_replace(regexp_extract(url, '^[^:]+://[^/?]+([^?]*)', 1), '/+$', '') ||
+             CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canon_url
+           FROM q)
+         SELECT canon_url, COUNT(*) AS n_docs
+         FROM c GROUP BY canon_url ORDER BY canon_url""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
          FROM documents GROUP BY 1 ORDER BY canonical_doc_id""",

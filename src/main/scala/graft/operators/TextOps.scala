@@ -261,4 +261,66 @@ object TextOps {
         md5(substring(col("text"), 1, 64)).as("prefix_fp"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id")
+
+  /** PII redaction — the scrub stage of a web-corpus cleaning pipeline:
+    * emails, phone numbers, and IPv4 addresses replaced with placeholder
+    * tokens, with per-type match counts for the removal report. Pure
+    * regexp expressions over the scan (narrow map, zero shuffle, whole-
+    * stage codegen'd); the patterns avoid backtracking-only syntax so the
+    * same class of regex engine handles them anywhere.
+    *
+    * PII spans are planted deterministically from doc_id so the oracle
+    * recomputes the exact redacted text and counts. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val planted = Tables(spark, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      when(col("doc_id") % 3 === 0, concat(lit(" from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
+      .as("text2"))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("text2"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text2"), lit(phone)).cast("long").as("n_phones"),
+      regexp_count(col("text2"), lit(ip)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("text2"),
+        lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")),
+        lit(ip), lit("<IP>")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** URL canonicalization + exact-duplicate counting at canonical-URL
+    * grain — the URL-normalize stage of a web-crawl pipeline: lowercase
+    * scheme and host, strip `www.`, drop `utm_*` tracking params, strip
+    * the trailing slash; then one count shuffle on the canonical key (the
+    * crawl-frequency signal a URL-dedup pass keys on). */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW.Site"), (col("doc_id") % 7).cast("string"),
+      lit(".COM/Path/"), (col("doc_id") % 3).cast("string"),
+      when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=c"))).otherwise(lit("")))
+    val scheme = lower(regexp_extract(col("url"), "^([^:]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[^:]+://([^/?]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^[^:]+://[^/?]+([^?]*)", 1), "/+$", "")
+    val kept = filter(split(regexp_extract(col("url"), "\\?(.*)$", 1), "&"),
+      p => p =!= "" && substring(p, 1, 4) =!= "utm_")
+    val q2 = array_join(kept, "&")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), concat(scheme, lit("://"), host, path,
+        when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit(""))).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("canon_url")
+  }
 }

@@ -10,6 +10,13 @@ import graft.model.{ColumnMetadata, TableMetadata}
   */
 object Generic {
 
+  /** GenericExtractor (generic_extractor.py:12): a literal record list
+    * from config becomes a local-relation DataFrame — no scan, no files;
+    * Catalyst folds it like any other leaf. */
+  def fromRecords[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, records: Seq[T]): DataFrame =
+    spark.createDataFrame(records)
+
   /** EsLastUpdatedExtractor (es_last_updated_extractor.py:13): one record
     * carrying the job timestamp — injected by the driver, never `now()`
     * inside the plan (keeps runs replayable). */

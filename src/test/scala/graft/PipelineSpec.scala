@@ -146,6 +146,8 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("EsLastUpdated emits the driver-injected timestamp") {
+    val lit = Generic.fromRecords(spark, Seq(("a", 1), ("b", 2)))
+    assert(lit.collect().map(_.toSeq).toSeq == Seq(Seq("a", 1), Seq("b", 2)))
     val df = Generic.esLastUpdated(spark, 1234L)
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1234L))
   }
