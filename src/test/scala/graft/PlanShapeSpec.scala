@@ -61,6 +61,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shingle expression escaped the cache barrier into the live plan:\n$plan")
   }
 
+  test("pii redaction is a pure narrow map — no exchange in the plan") {
+    val plan = physical(TextOps.piiRedact(spark, dir))
+    // the trailing orderBy is oracle-determinism harness cost; everything
+    // under it must be scan → project (regexps), with no shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"piiRedact shuffles:\n$plan")
+  }
+
+  test("csv badge ingest broadcasts the badge side") {
+    val plan = physical(CsvIngest.csvTableBadges(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("no query in the inventory plans a cartesian product") {
     // q_neardup_groups executes its fixpoint loop eagerly at construction
     // and returns a checkpoint scan — there is no plan left to inspect
