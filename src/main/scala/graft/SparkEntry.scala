@@ -117,6 +117,12 @@ object SparkEntry {
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
+    // watermark model fan-out (part_name parse)
+    "q_watermark_parse" -> (GraphBuild.watermarkNodes _),
+    // corpus audit + decontamination
+    "q_tfidf_topk"       -> ((s, d) => TextOps.tfidfTopK(s, d)),
+    "q_length_quantiles" -> (TextOps.lengthQuantiles _),
+    "q_decontaminate"    -> (DedupOps.decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1211,5 +1217,86 @@ object SparkEntry {
            CASE WHEN s_suppkey % 2 = 0 THEN 'supplier' ELSE '' END AS role_name
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          ORDER BY email""",
+    // Watermark model: low/high partition bounds per table, part_name
+    // "col=value" parsed back into partition key/value (watermark.py:43-49).
+    "q_watermark_parse" ->
+      """WITH b AS (
+           SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m-%d') AS lo,
+             strftime(MAX(o_orderdate), '%Y-%m-%d') AS hi
+           FROM orders GROUP BY o_custkey),
+         p AS (
+           SELECT c_custkey, r_name AS cluster, n_name AS sch, c_name AS tbl
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey),
+         w AS (
+           SELECT cluster, sch, tbl, 'low_watermark' AS pt, lo AS v
+           FROM b JOIN p ON o_custkey = c_custkey
+           UNION ALL
+           SELECT cluster, sch, tbl, 'high_watermark', hi
+           FROM b JOIN p ON o_custkey = c_custkey)
+         SELECT 'tpch://' || cluster || '.' || sch || '/' || tbl || '/' || pt || '/' AS key,
+           'o_orderdate' AS partition_key, v AS partition_value, v AS create_time
+         FROM w ORDER BY key""",
+    // TF-IDF rank keys are integer-only (tf DESC, doc_freq ASC, token) so
+    // the top-k selection is floating-point-free; the score is informational
+    // and rounded to 6 dp on both sides (ln = natural log in DuckDB).
+    "q_tfidf_topk" ->
+      """WITH x AS (SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         df AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM x GROUP BY token),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         tf AS (SELECT lang, token, COUNT(*) AS tf FROM x GROUP BY lang, token),
+         s AS (SELECT lang, token, tf, doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY tf DESC, doc_freq ASC, token) AS rk
+           FROM tf JOIN df USING (token))
+         SELECT lang, rk, token, tf, doc_freq,
+           round(CAST(tf AS DOUBLE)
+             * ln(CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+         FROM s, n WHERE rk <= 5 ORDER BY lang, rk""",
+    // Exact interpolated quantiles: Spark percentile() and DuckDB
+    // quantile_cont both linearly interpolate at (n-1)*q.
+    "q_length_quantiles" ->
+      """WITH q AS (
+           SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs, min_chars, max_chars,
+           q[1] AS p25, q[2] AS p50, q[3] AS p75
+         FROM q ORDER BY lang""",
+    // Decontamination: the eval set is a 200-char excerpt of every 50th
+    // document, so both engines rebuild it deterministically; overlap is
+    // counted on distinct word 5-grams.
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END AS sh
+           FROM t),
+         ev AS (SELECT doc_id + 2000000 AS eval_id,
+             list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT eval_id, unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         hits AS (SELECT doc_id, COUNT(DISTINCT g) AS n_overlap,
+             COUNT(DISTINCT eval_id) AS n_eval_docs
+           FROM cg JOIN es USING (g) GROUP BY doc_id)
+         SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+           COALESCE(n_overlap, 0) AS n_overlap,
+           COALESCE(n_eval_docs, 0) AS n_eval_docs,
+           CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(len(sh) AS DOUBLE) AS overlap_frac,
+           COALESCE(n_overlap, 0) >= 8 AS contaminated
+         FROM s LEFT JOIN hits USING (doc_id)
+         WHERE len(sh) > 0
+         ORDER BY doc_id""",
   )
 }

@@ -94,6 +94,52 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the eval-set overlap check a training-data
+    * build runs before shipping: flag corpus documents sharing word 5-grams
+    * with any benchmark document. The eval set is planted by construction
+    * (a 200-char excerpt of every 50th document, offset ids), so recall is
+    * verifiable: every excerpt's source document must be flagged.
+    *
+    * Scale shape (100 TB corpus × small benchmark): corpus shingles explode
+    * to (doc_id, shingle) and join the benchmark shingle set on the shingle
+    * key — the benchmark side is tiny and broadcasts, so the check is one
+    * narrow pass over the corpus plus one aggregation shuffle on doc_id;
+    * never doc×doc, and corpus-side shingles are computed exactly once
+    * (persisted slim frame, same barrier pattern as [[sharedNgrams]]). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(5))
+      .select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val evalDocs = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(5))
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+    val hits = corpus.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalDocs), "g")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("g")).as("n_overlap"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    corpus.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("overlap_frac"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 8).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   // ---- deterministic 64-bit hashing for MinHash permutations ----
   // Signature hashes only affect candidate *recall* (the emitted pairs are
   // exact Jaccard on candidates, oracle-checked), so a cheap FNV-1a +

@@ -449,6 +449,49 @@ object GraphBuild {
         lit("HAS_DOWNSTREAM").as("rel_type"), lit("HAS_UPSTREAM").as("reverse_type"))
       .orderBy("source_key", "target_key")
 
+  /** Partition-watermark fan-out through the [[graft.model.Watermark]]
+    * model: per-table low/high bounds (one groupBy over the fact table)
+    * become two Watermark records each, whose `col=value` part names the
+    * model parses back into partition key/value — the reference's
+    * Watermark extractor + model path (databuilder/models/watermark.py:
+    * 17-130, parse :43-49). The fan-out is a narrow flatMap; dimensions
+    * broadcast. */
+  def watermarkNodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bounds = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("low"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("high"))
+    val parts = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), lit("tpch").as("database"), col("r_name").as("cluster"),
+        col("n_name").as("schema"), col("c_name").as("table"))
+    val ser = Watermark.serializer
+    bounds.join(parts, col("o_custkey") === col("c_custkey"))
+      .select(col("database"), col("cluster"), col("schema"), col("table"),
+        explode(array(
+          struct(
+            concat(lit("o_orderdate="), col("low")).as("partName"),
+            lit("low_watermark").as("partType"),
+            col("low").as("createTime")),
+          struct(
+            concat(lit("o_orderdate="), col("high")).as("partName"),
+            lit("high_watermark").as("partType"),
+            col("high").as("createTime")))).as("w"))
+      .select(col("database"), col("cluster"), col("schema"), col("table"),
+        col("w.partName").as("partName"), col("w.partType").as("partType"),
+        col("w.createTime").as("createTime"))
+      .as[Watermark]
+      .flatMap(w => ser.nodes(w).filter(Graph.nodeValid))
+      .select(col("key"),
+        col("attributes")("partition_key").as("partition_key"),
+        col("attributes")("partition_value").as("partition_value"),
+        col("attributes")("create_time").as("create_time"))
+      .orderBy("key")
+  }
+
   /** Grouped node count per label — the staleness guardrail shape
     * (reference: databuilder/task/neo4j_staleness_removal_task.py:211-232). */
   def nodeCounts(spark: SparkSession, dir: String): DataFrame =

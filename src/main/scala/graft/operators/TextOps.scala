@@ -96,6 +96,57 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-language distinguishing terms — TF-IDF over the corpus at the
+    * language grain (the "what characterizes this slice" report of a
+    * corpus audit). Two key-shuffles (corpus-wide token doc-frequency,
+    * per-language term frequency) joined on the token key, then a top-k
+    * window over the scored frame. The rank key is integer-only
+    * (tf desc, doc_freq asc, token) so the selection is reproducible
+    * across engines regardless of floating-point log behavior; the
+    * tf-idf score itself is reported rounded to 6 dp. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val docFreq = toks.groupBy("token").agg(countDistinct("doc_id").as("doc_freq"))
+    // corpus size joins in as a broadcast 1-row frame — no driver action
+    val nDocs = Tables(spark, dir, "documents")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    val tf = toks.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("tf").desc, col("doc_freq").asc, col("token"))
+    tf.join(docFreq, "token")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("lang"), col("rk").cast("long").as("rk"), col("token"),
+        col("tf"), col("doc_freq"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("doc_freq").cast("double")), 6)
+          .as("tfidf"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Per-language document-length quantiles — the corpus length-profile
+    * report (exact interpolated percentiles, matching DuckDB's
+    * quantile_cont). Exact percentile sorts within each group, which is
+    * fine at per-language-report grain; a per-domain profile over
+    * billions of rows would switch to approx_percentile with the same
+    * query shape. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("lang"), col("n_docs"), col("min_chars"), col("max_chars"),
+        col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+      .orderBy("lang")
+
   /** Token-budget sharding — assign documents (in doc_id order) to
     * ~`budget`-token shards, the sequence-packing/sharding step before
     * pretraining concatenation. The global running token count is

@@ -572,6 +572,49 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(a.forall(r => rates(r.getString(1)) == r.getDouble(3)))
   }
 
+  test("decontamination flags every planted eval excerpt's source document") {
+    val dir = "/root/testdata/sf0.01"
+    val out = DedupOps.decontaminate(spark, dir)
+      .select("doc_id", "n_overlap", "contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every 50th doc seeded a 200-char excerpt into the eval set; the
+    // excerpt's 5-grams come verbatim from the source text, so the source
+    // doc must be flagged (docs long enough to shingle at all)
+    val sources = out.keys.filter(id => id % 50 == 0)
+    assert(sources.nonEmpty, "fixture must contain planted sources")
+    sources.foreach { id =>
+      assert(out(id)._2, s"planted source doc $id must be contaminated (overlap=${out(id)._1})")
+    }
+    // contamination must be the exception, not the rule: unplanted docs
+    // overwhelmingly carry zero overlapping 5-grams
+    val unplanted = out.view.filterKeys(_ % 50 != 0)
+    val clean = unplanted.count(!_._2._2)
+    assert(clean.toDouble / unplanted.size > 0.9,
+      s"expected >90% of unplanted docs clean, got $clean/${unplanted.size}")
+  }
+
+  test("watermark nodes parse col=value and key by part type") {
+    val dir = "/root/testdata/sf0.01"
+    val out = GraphBuild.watermarkNodes(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = r.getString(0)
+      assert(key.startsWith("tpch://") &&
+        (key.endsWith("/low_watermark/") || key.endsWith("/high_watermark/")))
+      assert(r.getString(1) == "o_orderdate")
+      assert(r.getString(2).matches("\\d{4}-\\d{2}-\\d{2}"))
+    }
+    // low <= high per table prefix
+    val byTable = out.groupBy(r => r.getString(0).stripSuffix("low_watermark/")
+      .stripSuffix("high_watermark/"))
+    byTable.values.foreach { rs =>
+      assert(rs.length == 2, "exactly one low and one high watermark per table")
+      val lo = rs.find(_.getString(0).endsWith("/low_watermark/")).get.getString(2)
+      val hi = rs.find(_.getString(0).endsWith("/high_watermark/")).get.getString(2)
+      assert(lo <= hi)
+    }
+  }
+
   test("IVF nprobe=2 recall dominates nprobe=1 against the exact top-k") {
     val dir = "/root/testdata/sf0.01"
     val exact = SimilarityOps.annBruteForce(spark, dir)
