@@ -123,6 +123,10 @@ object SparkEntry {
     "q_tfidf_topk"       -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "q_length_quantiles" -> (TextOps.lengthQuantiles _),
     "q_decontaminate"    -> (DedupOps.decontaminate _),
+    "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
+    "q_split_assign"     -> (TextOps.splitAssign _),
+    // distributed clustering (IVF index build step)
+    "q_kmeans_iter"      -> ((s, d) => SimilarityOps.kmeansIterate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1298,5 +1302,68 @@ object SparkEntry {
          FROM s LEFT JOIN hits USING (doc_id)
          WHERE len(sh) > 0
          ORDER BY doc_id""",
+    // Unigram surprisal: the per-doc sum folds in position order on both
+    // engines; round(6) absorbs last-ulp ln() differences.
+    "q_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         x AS (SELECT doc_id, u.p AS pos, u.tk AS token FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+               i -> {'p': i, 'tk': toks[i]})) AS u
+             FROM t)),
+         c AS (SELECT token, COUNT(*) AS c FROM x GROUP BY token),
+         n AS (SELECT COUNT(*) AS t FROM x),
+         lp AS (SELECT doc_id, pos, -ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS logp
+           FROM x JOIN c USING (token), n),
+         g AS (SELECT doc_id, COUNT(*) AS n_tokens, list(logp ORDER BY pos) AS lps
+           FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           round(list_sum(lps) / n_tokens, 6) AS mean_surprisal
+         FROM g ORDER BY doc_id""",
+    // Split assignment: md5(doc_id)-derived uniform, 80/10/10.
+    "q_split_assign" ->
+      """WITH s AS (SELECT lang, n_chars,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM s GROUP BY lang, split ORDER BY lang, split""",
+    // One Lloyd iteration: assignment = argmin squared L2 (lowest-id
+    // tie-break); the centroid update accumulates 1e-6 fixed-point
+    // integers (exact + associative), so both engines produce the same
+    // means bit-for-bit; norms/shifts fold per-dimension in dim order.
+    "q_kmeans_iter" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cen AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT e.vec_id, cen.cluster,
+             list_sum(list_transform(range(1, 65),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS dist
+           FROM e CROSS JOIN cen),
+         a AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM d) WHERE rn = 1),
+         q AS (SELECT a.cluster, i.i AS dim,
+             CAST(floor(v[i.i] * 1000000 + 0.5) AS BIGINT) AS qx
+           FROM a JOIN e USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i),
+         s AS (SELECT cluster, dim, CAST(SUM(qx) AS BIGINT) AS sq, COUNT(*) AS n
+           FROM q GROUP BY cluster, dim),
+         m AS (SELECT cluster, dim,
+             CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mu, n
+           FROM s),
+         arrs AS (SELECT cluster, MAX(n) AS n_members, list(mu ORDER BY dim) AS mus
+           FROM m GROUP BY cluster),
+         j AS (SELECT arrs.cluster, n_members, mus, cv
+           FROM arrs JOIN cen ON arrs.cluster = cen.cluster)
+         SELECT cluster, n_members, mus[1] AS mu0,
+           sqrt(list_sum(list_transform(mus, x -> x * x))) AS new_norm,
+           sqrt(list_sum(list_transform(range(1, 65),
+             i -> (mus[i] - cv[i]) * (mus[i] - cv[i])))) AS shift
+         FROM j ORDER BY cluster""",
   )
 }

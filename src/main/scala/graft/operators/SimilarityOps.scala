@@ -293,6 +293,68 @@ object SimilarityOps {
     }.toDF("vec_id", "cell")
   }
 
+  /** One distributed k-means (Lloyd) iteration over the embedding corpus —
+    * the clustering step under IVF index builds and corpus bucketing.
+    * Assignment (nearest centroid by squared L2, lowest-id tie-break) is a
+    * narrow map against a broadcast k×d centroid artifact; the centroid
+    * update is ONE shuffle on (cluster, dim) after a posexplode fan-out.
+    *
+    * Reproducibility at cluster scale: floating-point sums are
+    * order-dependent, and a 1000-executor aggregation adds in whatever
+    * order tasks finish — so per-dimension coordinates accumulate as
+    * 1e-6 FIXED-POINT integers (exact, associative, deterministic on any
+    * layout), and only the final mean divides back into doubles. The
+    * DuckDB oracle reproduces the iteration bit-for-bit. */
+  def kmeansIterate(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centroids: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
+    val assigned = e.as[(Long, Seq[Double])].mapPartitions { it =>
+      it.map { case (id, v) =>
+        val arr = v.toArray
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val cen = centroids(c)
+          var d = 0.0
+          var i = 0
+          while (i < arr.length) { val t = arr(i) - cen(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, best.toLong)
+      }
+    }.toDF("vec_id", "cluster")
+    val sums = assigned.join(e, "vec_id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .select(col("cluster"), (col("dim0") + 1).as("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("qx"))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("mu",
+        col("sq").cast("double") / lit(1000000.0) / col("n").cast("double"))
+    val mus = sums.groupBy("cluster")
+      .agg(max(col("n")).as("n_members"),
+        transform(sort_array(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).as("mus"))
+    val cenDf = spark.createDataFrame(
+      centroids.toIndexedSeq.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) })
+      .toDF("cluster", "cv")
+    mus.join(broadcast(cenDf), "cluster")
+      .select(
+        col("cluster"), col("n_members"),
+        element_at(col("mus"), 1).as("mu0"),
+        sqrt(aggregate(transform(col("mus"), x => x * x),
+          lit(0.0), (a, b) => a + b)).as("new_norm"),
+        sqrt(aggregate(zip_with(col("mus"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (a, b) => a + b)).as("shift"))
+      .orderBy("cluster")
+  }
+
   /** IVF top-k SEARCH — the complete scale-path search contract: query
     * vectors (vec_id < 20) probe their cell (nprobe=1), candidates are the
     * cell's members, exact cosine ranks them, row_number keeps the top 5.

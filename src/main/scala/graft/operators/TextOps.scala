@@ -210,6 +210,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM surprisal scoring — the cheap perplexity-style quality
+    * signal: score each document by the mean negative log-probability of
+    * its tokens under the corpus unigram distribution (high = rare-token
+    * soup, low = stopword boilerplate; both tails get filtered). One
+    * shuffle for the corpus counts, one join back on the token key;
+    * the per-document sum folds in POSITION order (collected, sorted,
+    * left-to-right aggregate) so the double accumulation is identical on
+    * any cluster layout, and the result is rounded to 6 dp on both
+    * engines to absorb last-ulp ln() differences. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as(Seq("pos", "token")))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"),
+        (-log(col("c").cast("double") / col("t").cast("double"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(sort_array(collect_list(struct(col("pos"), col("logp")))),
+          s => s.getField("logp")).as("lps"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("lps"), lit(0.0), (a, b) => a + b) /
+          col("n_tokens").cast("double"), 6).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified train/val/test split — the 80/10/10
+    * assignment a corpus build stamps before sharding. The split draw is
+    * md5(doc_id)-derived (same device-independent uniform as
+    * [[domainMix]]), so any rerun or incremental build assigns every
+    * document identically; reported at (lang, split) grain, the
+    * stratification audit. Narrow map + one count shuffle. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    Tables(spark, dir, "documents")
+      .withColumn("split",
+        when(u < 80, "train").when(u < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
   /** Winnowing fingerprints: token-level polynomial rolling hash over
     * trigram windows, then the min hash of every 4-window — the
     * MOSS/winnowing scheme used for scaled document fingerprinting. All

@@ -81,10 +81,15 @@ class PlanShapeSpec extends AnyFunSuite {
       val plan = physical(fn(spark, dir))
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
-      // BroadcastNestedLoopJoin is allowed ONLY for the intentional
+      // BroadcastNestedLoopJoin is allowed ONLY for (a) the intentional
       // brute-force ANN baseline (20 query vectors, exactness oracle)
-      // and the recall report that embeds it as the ground truth
-      if (name != "q_ann_topk" && name != "q_ann_ivf_recall")
+      // and the recall report that embeds it as the ground truth, and
+      // (b) scalar corpus-total joins (crossJoin of a broadcast 1-row
+      // aggregate — the build side is a single row by construction, so
+      // the "nested loop" is one probe per row, the correct plan)
+      val scalarTotalJoin = Set("q_tfidf_topk", "q_unigram_logprob")
+      if (name != "q_ann_topk" && name != "q_ann_ivf_recall" &&
+          !scalarTotalJoin(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
