@@ -125,8 +125,13 @@ object SparkEntry {
     "q_decontaminate"    -> (DedupOps.decontaminate _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_split_assign"     -> (TextOps.splitAssign _),
+    "q_corpus_rollup"    -> (TextOps.corpusRollup _),
     // distributed clustering (IVF index build step)
     "q_kmeans_iter"      -> ((s, d) => SimilarityOps.kmeansIterate(s, d)),
+    // skew-safe salted join (identical results to the plain join)
+    "q_salted_join"      -> (Relational.saltedJoinQuery _),
+    // publish snapshot diff (CDC audit of a publish tag)
+    "q_snapshot_diff"    -> (Publish.snapshotDiffQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1365,5 +1370,38 @@ object SparkEntry {
            sqrt(list_sum(list_transform(range(1, 65),
              i -> (mus[i] - cv[i]) * (mus[i] - cv[i])))) AS shift
          FROM j ORDER BY cluster""",
+    // Rollup: (lang, source), per-lang subtotal, grand total in one pass.
+    "q_corpus_rollup" ->
+      """SELECT COALESCE(lang, '(all)') AS lang,
+           COALESCE(source, '(all)') AS source,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY ROLLUP (lang, source)
+         ORDER BY lang, source""",
+    // The oracle computes the PLAIN join: identical results prove the
+    // salting rewrite (spread hot keys over sub-keys, replicate the
+    // small side) is semantics-preserving.
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // Snapshot diff: before = custkey % 3 != 0, after = custkey % 2 == 0
+    // with the segment lowercased for every 4th key.
+    "q_snapshot_diff" ->
+      """WITH before AS (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 3 <> 0),
+         after AS (
+           SELECT c_custkey AS key, c_name AS name,
+             CASE WHEN c_custkey % 4 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS segment
+           FROM customer WHERE c_custkey % 2 = 0)
+         SELECT COALESCE(b.key, a.key) AS key,
+           CASE WHEN b.key IS NULL THEN 'added'
+                WHEN a.key IS NULL THEN 'removed'
+                WHEN b.name <> a.name OR b.segment <> a.segment THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM before b FULL OUTER JOIN after a ON b.key = a.key
+         ORDER BY key""",
   )
 }

@@ -227,6 +227,48 @@ object Publish {
 
   // ---- oracle-checkable query shapes ----
 
+  /** Snapshot diff — classify every key across two published snapshots as
+    * added / removed / changed / unchanged, the change-data-capture report
+    * an incremental publish emits (and the audit trail behind the
+    * reference's publish-tag watermarking: what did this tag actually
+    * touch?). One full-outer join on the key; attribute comparison is a
+    * fingerprint over the declared attribute columns computed on each
+    * side BEFORE the join, so only (key, fingerprint) shuffles, not the
+    * attribute payload. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keyCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, as: String): DataFrame =
+      df.select(col(keyCol),
+        md5(concat_ws("\u0001", attrCols.map(c => coalesce(col(c), lit(""))): _*)).as(as))
+    val b = fp(before, "fp_before")
+    val a = fp(after, "fp_after")
+    b.join(a, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("fp_before").isNull, "added")
+          .when(col("fp_after").isNull, "removed")
+          .when(col("fp_before") =!= col("fp_after"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Oracle-gated snapshot-diff query: before = custkey % 3 != 0, after =
+    * custkey % 2 == 0 with the segment rewritten for every 4th key —
+    * exercising all four statuses. */
+  def snapshotDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val before = c.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    val after = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        when(col("c_custkey") % 4 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("segment"))
+    snapshotDiff(before, after, "key", Seq("name", "segment"))
+      .orderBy("key")
+  }
+
   /** Upsert of a customer attribute batch over an existing snapshot:
     * existing = custkey % 3 != 0 (old tag), incoming = custkey % 2 == 0
     * with rewritten segment. */

@@ -74,6 +74,20 @@ object Relational {
     bigS.join(smallS, keys :+ "_salt").drop("_salt")
   }
 
+  /** Oracle-gated salted-join query: orders (the skewed fact side)
+    * against customer keyed by custkey, aggregated per market segment.
+    * The DuckDB oracle computes the PLAIN join — identical results prove
+    * the salting rewrite is semantics-preserving end to end. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables(spark, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+      Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      Seq("custkey"), col("o_orderkey"), salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+
   /** Multi-hop inner equi-join chain — the Cypher MATCH pattern
     * Database←Cluster←Schema←Table (reference:
     * databuilder/extractor/neo4j_search_data_extractor.py:23-60). Dimensions

@@ -240,6 +240,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus composition rollup — doc/char counts at (lang, source),
+    * per-lang subtotal, and grand-total grains in ONE aggregation pass
+    * (Spark plans rollup as a single Expand + hash-agg, so the three
+    * grains cost one shuffle, not three). Subtotal rows surface as
+    * '(all)'. The standard corpus-composition report of a data build. */
+  def corpusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source")
+
   /** Deterministic stratified train/val/test split — the 80/10/10
     * assignment a corpus build stamps before sharding. The split draw is
     * md5(doc_id)-derived (same device-independent uniform as
