@@ -41,6 +41,7 @@ object SparkEntry {
     // events / streaming-equivalent
     "q_windowed_events" -> (Events.windowedAgg _),
     "q_json_props"      -> (Events.jsonProps _),
+    "q_bad_records"     -> (Events.badRecords _),
     "q_sessionize"      -> (Events.sessionize _),
     "q_asof_join"       -> (Events.asofAttribution _),
     // graph model pipeline (§1, §2.7 serializer fan-out + dedup)
@@ -132,6 +133,8 @@ object SparkEntry {
     "q_salted_join"      -> (Relational.saltedJoinQuery _),
     // publish snapshot diff (CDC audit of a publish tag)
     "q_snapshot_diff"    -> (Publish.snapshotDiffQuery _),
+    // ChainedTransformer composition through the Pipeline abstraction
+    "q_transform_chain"  -> (Transforms.transformChain _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1403,5 +1406,31 @@ object SparkEntry {
                 ELSE 'unchanged' END AS status
          FROM before b FULL OUTER JOIN after a ON b.key = a.key
          ORDER BY key""",
+    // Bad-records channel: every 7th event's props gains a doubled
+    // opening brace; good = parseable JSON on both engines.
+    "q_bad_records" ->
+      """WITH r AS (SELECT event_type, event_id,
+             CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS raw
+           FROM events)
+         SELECT event_type,
+           COUNT(CASE WHEN COALESCE(json_valid(raw), false) THEN 1 END) AS n_good,
+           COUNT(CASE WHEN NOT COALESCE(json_valid(raw), false) THEN 1 END) AS n_bad,
+           CAST(SUM(CASE WHEN json_valid(raw)
+             THEN TRY_CAST(regexp_extract(raw, '"k": (\d+)', 1) AS BIGINT)
+             END) AS BIGINT) AS sum_k_good
+         FROM r GROUP BY event_type ORDER BY event_type""",
+    // ChainedTransformer: template key -> literal replace -> None-drop ->
+    // per-tag fan-out -> field removal, composed as DefaultTask would.
+    "q_transform_chain" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name,
+             replace(c_mktsegment, 'MACHINERY', 'MACHINES') AS segment,
+             'tpch://' || r_name || '.' || n_name || '/' || c_name AS key
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey),
+         f AS (SELECT * FROM base WHERE segment <> 'FURNITURE')
+         SELECT c_custkey, c_name, segment, key,
+           unnest([lower(segment), 'default']) AS tag
+         FROM f ORDER BY c_custkey, tag""",
   )
 }

@@ -31,6 +31,36 @@ object Events {
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
       .orderBy("event_type")
 
+  /** Record-level drop-on-error channel — the reference task loop's
+    * transform-with-drop (kafka_source_extractor.py:99-114: a record that
+    * fails to transform is counted and skipped, never kills the job).
+    * A malformed-JSON minority is planted (every 7th event loses its
+    * opening brace), parsed with the non-throwing from_json path, and the
+    * report splits good/bad per event type with the good-side aggregate —
+    * the Spark form of a bad-records side channel. Narrow parse + one
+    * aggregation shuffle. */
+  def badRecords(spark: SparkSession, dir: String): DataFrame = {
+    // plant a doubled opening brace — unparseable by any JSON parser, so
+    // both engines agree on what "bad" means
+    val raw = when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
+      .otherwise(col("props"))
+    // PERMISSIVE parse with an explicit corrupt-record column: a failed
+    // row lands its raw text in _corrupt instead of throwing (a null
+    // struct would be indistinguishable from a parsed-but-empty record)
+    val schema = org.apache.spark.sql.types.DataType.fromDDL("k BIGINT, _corrupt STRING")
+    Tables(spark, dir, "events")
+      .withColumn("raw", raw)
+      .withColumn("parsed", from_json(col("raw"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("bad", col("parsed").isNull || col("parsed._corrupt").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(when(!col("bad"), 1)).as("n_good"),
+        count(when(col("bad"), 1)).as("n_bad"),
+        sum(when(!col("bad"), col("parsed.k"))).as("sum_k_good"))
+      .orderBy("event_type")
+  }
+
   /** As-of join — attribute each click to the most recent preceding view
     * by the same user. Spark has no native ASOF JOIN; the scalable
     * re-expression is the sorted-merge pattern: union both event kinds,

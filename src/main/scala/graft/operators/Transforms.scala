@@ -66,6 +66,35 @@ object Transforms {
   def onField(df: DataFrame, field: String, fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     df.withColumn(field, fn(col(field)))
 
+  /** ChainedTransformer end-to-end through the Pipeline abstraction
+    * (base_transformer.py:42-83 + task/task.py:49-77): sequential stages
+    * where a None return filters the record out and an iterator return
+    * fans out. The chain here is template key-building → literal replace
+    * → None-drop → per-tag fan-out → field removal — each stage one of
+    * the reference transformers, composed exactly as DefaultTask would. */
+  def transformChain(spark: SparkSession, dir: String): DataFrame = {
+    val pipe = graft.pipeline.Pipeline(
+      name = "chained-transformers",
+      source = s => Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment").as("segment"),
+          col("r_name").as("cluster"), col("n_name").as("schema")),
+      transforms = Seq(
+        // TemplateVariableSubstitutionTransformer: key from record fields
+        df => df.withColumn("key", concat(lit("tpch://"), col("cluster"),
+          lit("."), col("schema"), lit("/"), col("c_name"))),
+        // RegexStrReplaceTransformer: ordered literal replace on one field
+        df => onField(df, "segment", regexp_replace(_, "MACHINERY", "MACHINES")),
+        // per-stage None filter: a transformer returning None drops the row
+        df => df.filter(col("segment") =!= "FURNITURE"),
+        // iterator fan-out: one record -> one row per tag
+        df => df.withColumn("tag", explode(array(lower(col("segment")), lit("default")))),
+        // RemoveFieldTransformer
+        df => removeFields(df, "cluster", "schema")))
+    pipe.dataFrame(spark).orderBy("c_custkey", "tag")
+  }
+
   /** GlueExtractor's positional column fan-out —
     * posexplode(concat(columns, partition_keys)), positions continuing
     * across the concat (extractor/glue_extractor.py:42-90). */

@@ -180,6 +180,31 @@ object EventStream {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Stream-stream INTERVAL join — every (click, view) pair of the same
+    * user with the view inside the click's preceding hour: Spark's
+    * built-in watermarked range join. Both sides buffer only the rows the
+    * range condition + watermarks still allow (clicks 1 h, views 2 h), and
+    * the engine evicts state automatically — the built-in alternative to
+    * [[streamingAsof]] when ALL in-window matches are wanted rather than
+    * the single latest one. Inner join, so results are final on emit. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").cast("long").as("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").cast("long").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   case class AsofState(latestViewId: Long, latestViewUs: Long, hasView: Boolean,
       buffered: Seq[(Long, Long, Int)]) // (us, event_id, kind 0=view 1=click)
 

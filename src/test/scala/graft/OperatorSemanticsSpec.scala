@@ -615,6 +615,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct tracks the exact vocabulary size within 5%") {
+    // the sketch path a 100 TB vocabulary/usage report would take —
+    // HLL++ is merge-associative (one narrow pass + tiny state) where
+    // exact countDistinct shuffles every token; assert the accuracy
+    // envelope that makes the swap safe
+    val toks = TextOps.tokens(col("text"))
+    val df = graft.sources.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(explode(toks).as("token"))
+    val exact = df.select(countDistinct("token")).head.getLong(0)
+    val approx = df.select(approx_count_distinct("token", 0.02)).head.getLong(0)
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact drifts over 5%")
+  }
+
   test("IVF nprobe=2 recall dominates nprobe=1 against the exact top-k") {
     val dir = "/root/testdata/sf0.01"
     val exact = SimilarityOps.annBruteForce(spark, dir)

@@ -206,6 +206,35 @@ class StreamingAndStageSpec extends AnyFunSuite {
       s"streaming attribution diverged: $streamed vs $batch")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val staged = tmp("stream-ij")
+    Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
+    val q = EventStream.intervalJoin(EventStream.source(spark, staged))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("interval_join").option("checkpointLocation", tmp("ckpt-ij"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("interval_join")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        expr("unix_micros(ts)").as("cus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        expr("unix_micros(ts)").as("vus"))
+    val batch = clicks.join(views,
+        col("cu") === col("vu") && col("vus") <= col("cus") &&
+          col("vus") >= col("cus") - expr("3600000000L"))
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must produce in-window pairs")
+    assert(streamed == batch,
+      s"interval join diverged: ${streamed.size} streamed vs ${batch.size} batch pairs")
+  }
+
   test("graph staging round-trips with per-label partitioning") {
     val out = tmp("staged-graph")
     val meta = GraphBuild.tableMetadata(spark, dir)
