@@ -26,43 +26,60 @@ object Bench {
     // drop the warm pass's persisted frames (built at warmDir) so the
     // measured pass starts with clean executor memory
     spark.catalog.clearCache()
-    var errors = List.empty[(String, String)]
-    // Two measured passes, per-query MIN reported: a single shared-session
-    // pass is noisy (GC pauses and cache-fill order shift individual
-    // queries by several seconds run to run); min-of-2 is the standard
-    // steady-state throughput estimate and what a long-running cluster
-    // actually sustains. Failures are recorded on EITHER pass.
+    var errors = Map.empty[String, String]
+    // Two measured passes with the cache CLEARED between them, per-query
+    // MIN reported: a single shared-session pass is noisy (GC pauses and
+    // cache-fill order shift individual queries by several seconds run to
+    // run). Clearing between passes means BOTH passes pay their own
+    // cache-build cost — the min is a repeatable cold-cache number, and a
+    // regression in cache *construction* is visible, not amortized away.
+    // Within a pass caches are shared across queries on purpose — a
+    // long-running session reuses staged frames the same way, and the
+    // executor heap at bench SF is far from eviction pressure.
+    // `cold` records pass 1 verbatim alongside the min so both the
+    // first-touch and the steady-state number exist in the artifact.
     val passes = 2
+    // a failed pass contributes +Inf so the min only reflects successful
+    // runs; a query failing every pass surfaces as -1 (and in `errors`,
+    // and via exit 1) instead of poisoning the totals
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         // record the failure loudly — a broken query must not read as fast
-        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        if (!errors.contains(name))
+          errors += (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        Double.PositiveInfinity
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val measured = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-    val results = (1 to passes)
-      .map(_ => measured.map { case (name, fn) =>
-        // NOTE: caches are shared across measured queries on purpose — a
-        // long-running session reuses staged frames the same way, and the
-        // executor heap at bench SF is far from eviction pressure. Only
-        // the warm pass's dead caches are dropped (above).
-        name -> timed(name, fn)
-      })
+    val allPasses = (1 to passes).map { p =>
+      if (p > 1) spark.catalog.clearCache()
+      measured.map { case (name, fn) => name -> timed(name, fn) }
+    }
+    val cold = allPasses.head
+    val results = allPasses
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      .map { case (k, v) => k -> (if (v.isInfinite) -1.0 else v) }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def jnum(v: Double): String = if (v.isInfinite) "-1" else v.toString
+    val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val coldJson = cold.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(json)
+    // stdout tails get truncated by log capture — always also land the
+    // full artifact in a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -54,6 +54,7 @@ object SparkEntry {
     "q_dashboard_graph_nodes" -> (DashboardBuild.nodeCounts _),
     // §2.6 search-document queries
     "q_table_search_doc"     -> (SearchDocs.tableDocs _),
+    "q_staged_table_search_doc" -> (SearchDocs.tableDocsStaged _),
     "q_user_search_doc"      -> (SearchDocs.userDocs _),
     "q_dashboard_search_doc" -> (SearchDocs.dashboardDocs _),
     // §2.7 publisher + staleness
@@ -361,6 +362,34 @@ object SparkEntry {
            UNION ALL SELECT 'Tag', (SELECT COUNT(DISTINCT lower(p_brand)) FROM part)
          ) WHERE n > 0 ORDER BY label""",
     "q_table_search_doc" ->
+      """WITH colagg AS (
+           SELECT o_custkey,
+             array_to_string(list_sort(list('o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'))), ',') AS column_names,
+             array_to_string(list_sort(list(o_orderpriority)), ',') AS column_descriptions,
+             CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_updated_timestamp
+           FROM orders GROUP BY o_custkey),
+         usage_agg AS (
+           SELECT o_custkey, COUNT(*) AS total_usage, COUNT(DISTINCT l_suppkey) AS unique_usage
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey)
+         SELECT 'tpch' AS "database", r_name AS cluster, n_name AS "schema", c_name AS name,
+           n_name || '.' || c_name AS display_name,
+           'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
+           c_mktsegment AS description, lower(c_mktsegment) AS tags,
+           'schema ' || lower(n_name) AS schema_description,
+           'tier ' || CAST(c_custkey % 3 AS VARCHAR) AS programmatic_descriptions,
+           CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'delinquent' END AS badges,
+           COALESCE(column_names, '') AS column_names,
+           COALESCE(column_descriptions, '') AS column_descriptions,
+           COALESCE(last_updated_timestamp, 0) AS last_updated_timestamp,
+           COALESCE(total_usage, 0) AS total_usage,
+           COALESCE(unique_usage, 0) AS unique_usage
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           LEFT JOIN colagg ON c_custkey = colagg.o_custkey
+           LEFT JOIN usage_agg ON c_custkey = usage_agg.o_custkey
+         ORDER BY name""",
+    // The staged round trip is lossless, so the oracle is the same query.
+    "q_staged_table_search_doc" ->
       """WITH colagg AS (
            SELECT o_custkey,
              array_to_string(list_sort(list('o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'))), ',') AS column_names,

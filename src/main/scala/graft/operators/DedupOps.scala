@@ -300,23 +300,42 @@ object DedupOps {
     * diameter) rounds instead of O(diameter); one persisted frame and at
     * most ONE action per round (the convergence count — skipped in round
     * 1, which always changes), nothing on the driver. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Partition count for the CC loop state: enough tasks that no task
+    * holds more than `rowsPerTask` edges, floored at 4 so tiny graphs
+    * still parallelize past a single core. At bench scale (thousands of
+    * edges) this lands on the floor and per-round driver dispatch stays
+    * cheap; a billion-pair corpus gets pair-count-proportional tasks
+    * instead of serializing every round through 4. */
+  private[graft] def ccPartitions(edgeCount: Long, rowsPerTask: Long): Int =
+    math.max(4L, (edgeCount + rowsPerTask - 1) / rowsPerTask).toInt
+
+  private[graft] def connectedComponents(
+      pairs: DataFrame, rowsPerTask: Long = 2000000L): DataFrame = {
     // The loop state is |near-dup docs|-sized — orders of magnitude
     // smaller than the corpus — so size its partitioning to that volume
     // rather than inheriting the corpus-wide partition count: every round
     // dispatches tasks per cached partition, and at bench scale the
-    // dispatch would dominate the (tiny) per-round work.
+    // dispatch would dominate the (tiny) per-round work. The volume is
+    // not known until the candidate pipeline runs, so persist first, let
+    // the count fill the cache, then coalesce the cached frame down to a
+    // count-derived layout (coalesce on a cached frame is a narrow read —
+    // never a recompute, never a shuffle).
     // Both directions come from ONE pass over the pair set (explode, not
     // union-of-swapped): a union's branches would each execute the whole
     // upstream candidate pipeline, racing to populate its caches before
     // they exist — measured as the full signature build running twice.
-    val edges = pairs.toDF("src", "dst")
+    val exploded = pairs.toDF("src", "dst")
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select("e.src", "e.dst")
-      .coalesce(4)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = ccPartitions(exploded.count(), rowsPerTask)
+    // upstream partitioning is data-proportional already, so only ever
+    // narrow down to `parts`; never shuffle up
+    val edges =
+      if (parts < exploded.rdd.getNumPartitions) exploded.coalesce(parts)
+      else exploded
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -348,7 +367,7 @@ object DedupOps {
       labels = jumped
       iter += 1
     }
-    edges.unpersist()
+    exploded.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 

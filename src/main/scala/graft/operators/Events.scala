@@ -50,8 +50,14 @@ object Events {
     val schema = org.apache.spark.sql.types.DataType.fromDDL("k BIGINT, _corrupt STRING")
     Tables(spark, dir, "events")
       .withColumn("raw", raw)
+      // Jackson's lax defaults (single quotes, NaN literals) accept
+      // inputs DuckDB's json_valid rejects — pin the parser strict so
+      // the Spark definition of "bad" matches the oracle's for ANY
+      // input, not just the strict-JSON fixture
       .withColumn("parsed", from_json(col("raw"), schema,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt",
+          "allowSingleQuotes" -> "false", "allowNonNumericNumbers" -> "false",
+          "allowUnquotedFieldNames" -> "false", "allowBackslashEscapingAnyCharacter" -> "false")))
       .withColumn("bad", col("parsed").isNull || col("parsed._corrupt").isNotNull)
       .groupBy("event_type")
       .agg(

@@ -240,9 +240,16 @@ object Publish {
       after: DataFrame,
       keyCol: String,
       attrCols: Seq[String]): DataFrame = {
+    // NULL must fingerprint differently from empty string (the oracle's
+    // NULL-propagating <> comparison treats them differently for nullable
+    // attribute columns): encode each column as "\u0002N" when NULL vs
+    // "\u0002V" + value otherwise — concat returns NULL on a NULL input,
+    // so the coalesce picks the sentinel exactly for NULLs, and \u0002
+    // cannot appear in data.
     def fp(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol),
-        md5(concat_ws("\u0001", attrCols.map(c => coalesce(col(c), lit(""))): _*)).as(as))
+        md5(concat_ws("\u0001",
+          attrCols.map(c => coalesce(concat(lit("\u0002V"), col(c)), lit("\u0002N"))): _*)).as(as))
     val b = fp(before, "fp_before")
     val a = fp(after, "fp_after")
     b.join(a, Seq(keyCol), "full_outer")

@@ -163,6 +163,29 @@ object SearchDocs {
     tableDocsFromGraph(nodes.toDF(), edges.toDF())
   }
 
+  /** The full reference lifecycle (SURVEY §3.1→§3.2) end to end: build the
+    * graph, STAGE it to parquet exactly as the loader/publisher would
+    * (Stage.stageNodes/stageEdges — partitioned by label/relType, the
+    * per-shard file contract of file_system_neo4j_csv_loader.py:153-198),
+    * READ the staged store back, and run the table-document query over
+    * what was read — the same path the reference takes when
+    * neo4j_search_data_extractor.py:161-175 queries the *published* store
+    * rather than the in-flight records. Same oracle as q_table_search_doc:
+    * the round trip must be lossless.
+    *
+    * The staging dir is fixed (overwritten each run) so the query is
+    * idempotent; label/relType partitioning means every branch filter in
+    * tableDocsFromGraph becomes partition pruning on the read side. */
+  def tableDocsStaged(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
+    val out = sys.props("java.io.tmpdir") + "/graft-staged-search-graph"
+    graft.sources.Stage.stageNodes(nodes, out)
+    graft.sources.Stage.stageEdges(edges, out)
+    tableDocsFromGraph(
+      graft.sources.Stage.readNodes(spark, out),
+      graft.sources.Stage.readEdges(spark, out))
+  }
+
   /** DEFAULT_NEO4J_USER_CYPHER_QUERY analog (reference :64-82) over the
     * published user graph: READ/OWNER_OF/FOLLOWED_BY are edge tables, the
     * WHERE full_name IS NOT NULL filter and REDUCE/count(distinct)

@@ -20,13 +20,22 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object Stage {
 
+  // partitionBy writes one file per (task × partition value) — the classic
+  // small-files trap: a 32-task graph build × 7 labels = 200+ tiny files,
+  // and at cluster scale thousands of tasks × labels would swamp the
+  // namenode. Repartitioning BY THE PARTITION COLUMN first routes each
+  // label to one shuffle partition, so each label directory gets one
+  // well-sized file (raise the partition count per label via a salt if a
+  // single label outgrows a task — not the case for catalog-sized data).
   def stageNodes(nodes: Dataset[GraphNode], outDir: String): Unit =
     nodes.toDF()
       .select(col("key"), col("label"), col("attributes"))
+      .repartition(col("label"))
       .write.mode(SaveMode.Overwrite).partitionBy("label").parquet(s"$outDir/nodes")
 
   def stageEdges(edges: Dataset[GraphRelationship], outDir: String): Unit =
     edges.toDF()
+      .repartition(col("relType"))
       .write.mode(SaveMode.Overwrite).partitionBy("relType").parquet(s"$outDir/edges")
 
   def readNodes(spark: SparkSession, outDir: String): DataFrame =

@@ -57,4 +57,26 @@ class ConnectedComponentsPropSpec extends AnyFunSuite {
     val result = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("cc loop partitioning is adaptive: floor of 4, pair-count proportional above") {
+    // bench scale: thousands of edges land on the floor
+    assert(DedupOps.ccPartitions(0L, 2000000L) == 4)
+    assert(DedupOps.ccPartitions(5000L, 2000000L) == 4)
+    // corpus scale: a billion-pair edge set gets ~1000 tasks, not 4
+    assert(DedupOps.ccPartitions(2000000000L, 2000000L) == 1000)
+    assert(DedupOps.ccPartitions(2000000001L, 2000000L) == 1001)
+  }
+
+  test("connectedComponents stays correct when >4 partitions engage") {
+    import spark.implicits._
+    // a long chain (worst case for label propagation) plus cliques, with
+    // rowsPerTask tiny enough that the loop state spreads over many tasks
+    val chain = (0L until 400L).map(i => (i, i + 1))
+    val clique = for (a <- 1000L to 1010L; b <- (a + 1) to 1010L) yield (a, b)
+    val pairs = (chain ++ clique).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs, rowsPerTask = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = unionFind(chain ++ clique)
+    assert(got == expected)
+  }
 }

@@ -209,7 +209,12 @@ class StreamingAndStageSpec extends AnyFunSuite {
   test("stream-stream interval join matches the batch range join") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val staged = tmp("stream-ij")
-    Tables(spark, dir, "events").write.mode("overwrite").parquet(staged)
+    // single file → single micro-batch: the parity assertion requires
+    // that the 1h/2h watermarks never fire mid-stream (a multi-file
+    // staged write could deliver batches in arbitrary file order and
+    // evict state the batch range join keeps — that would be a property
+    // of file ordering, not of the join)
+    Tables(spark, dir, "events").coalesce(1).write.mode("overwrite").parquet(staged)
     val q = EventStream.intervalJoin(EventStream.source(spark, staged))
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("interval_join").option("checkpointLocation", tmp("ckpt-ij"))
