@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.DashboardMetadata
+import graft.operators.RestJoin.JsonField
+import graft.sources.RestFetch
+import graft.sources.RestFetch.{FailureHandler, HttpClient, NeverSkip, RetryPolicy}
+
+/** The concrete Mode dashboard extractor configuration — the reference's
+  * `ModeDashboardExtractor` (extractor/dashboard/mode_analytics/
+  * mode_dashboard_extractor.py:38-109) expressed as DATA over the generic
+  * machinery: a seed record, two chained REST queries (spaces →
+  * paginated reports), and a transformer chain (TimestampStringToEpoch →
+  * 2× TemplateVariableSubstitution → DictToModel) landing in the typed
+  * `DashboardMetadata` model the graph builder consumes.
+  *
+  * Query chain (mode_dashboard_utils.py:23-55 + mode_dashboard_extractor
+  * .py:92-109):
+  *  - seed: `[{organization}]`;
+  *  - spaces: `/batch/{organization}/spaces`, JSONPath
+  *    `spaces[*].[token,name,description]` → (dashboard_group_id,
+  *    dashboard_group, dashboard_group_description), paginated at
+  *    `spaces[*]` with page size 1000;
+  *  - reports: `/api/{organization}/spaces/{dashboard_group_id}/reports`,
+  *    JSONPath `_embedded.reports[*].[token,name,description,created_at]`
+  *    → (dashboard_id, dashboard_name, description, created_timestamp),
+  *    paginated at `_embedded.reports[*]` with page size 30,
+  *    skip_no_result=true (spaces without reports drop).
+  *
+  * The driver-side fetch universe is |spaces|+1 HTTP calls — catalog-
+  * sized, like the reference; everything after the fetch is declarative
+  * and distributed.
+  */
+object ModeDashboard {
+
+  /** One link of the reference's RestApiQuery decorator chain, as data. */
+  final case class RestQueryConfig(
+      urlTemplate: String,
+      payloadSchema: String,
+      fields: Seq[JsonField],
+      paginationPath: Option[String] = None,
+      maxRecordSize: Int = 30,
+      skipNoResult: Boolean = false)
+
+  /** `{placeholder}` names a URL template pulls from the outer record. */
+  private[graft] def templateKeys(template: String): Seq[String] =
+    "\\{([A-Za-z0-9_]+)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+
+  /** Execute one configured query against the outer frame: collect the
+    * distinct template-key combinations (API-entity-sized), run the
+    * fetch loop (paginated when configured), land the payloads as a
+    * responses frame, and apply the declarative REST join. Pages of one
+    * key each join and explode independently — the union-of-pages
+    * semantics of the reference's pagination loop falls out of the join. */
+  def runQuery(
+      outer: DataFrame,
+      cfg: RestQueryConfig,
+      client: HttpClient,
+      retry: RetryPolicy = RetryPolicy(),
+      failureHandler: FailureHandler = NeverSkip): DataFrame = {
+    val keys = templateKeys(cfg.urlTemplate)
+    val missing = keys.filterNot(outer.columns.contains)
+    require(missing.isEmpty,
+      s"URL template needs columns ${missing.mkString(",")} not present in the outer frame")
+    val records = outer.select(keys.map(col): _*).distinct().collect()
+      .map(r => keys.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(i)).map(_.toString).orNull }.toMap).toSeq
+    val fetched = cfg.paginationPath match {
+      case Some(p) => RestFetch.fetchPaginated(records, cfg.urlTemplate, p,
+        cfg.maxRecordSize, client, retry, failureHandler)
+      case None => RestFetch.fetchPerRecord(records, cfg.urlTemplate,
+        client, retry, failureHandler)
+    }
+    val responses = RestFetch.responsesDF(outer.sparkSession, keys, fetched).drop("page")
+    RestJoin.restApiJoin(outer, responses, keys, "payload",
+      cfg.payloadSchema, cfg.fields, cfg.skipNoResult)
+  }
+
+  /** Spaces query (mode_dashboard_utils.py:23-55). `baseUrl` replaces the
+    * hardcoded https://app.mode.com so specs point at a local stub. */
+  def spacesQuery(baseUrl: String): RestQueryConfig = RestQueryConfig(
+    urlTemplate = s"$baseUrl/batch/{organization}/spaces",
+    payloadSchema =
+      "STRUCT<spaces: ARRAY<STRUCT<token: STRING, name: STRING, description: STRING>>>",
+    fields = Seq(
+      JsonField("dashboard_group_id", "spaces.token"),
+      JsonField("dashboard_group", "spaces.name"),
+      JsonField("dashboard_group_description", "spaces.description")),
+    paginationPath = Some("spaces"),
+    maxRecordSize = 1000)
+
+  /** Reports query (mode_dashboard_extractor.py:92-109): paginated at 30
+    * records per page, inner-join semantics. */
+  def reportsQuery(baseUrl: String): RestQueryConfig = RestQueryConfig(
+    urlTemplate = s"$baseUrl/api/{organization}/spaces/{dashboard_group_id}/reports",
+    payloadSchema =
+      "STRUCT<_embedded: STRUCT<reports: ARRAY<STRUCT<token: STRING, name: STRING, " +
+        "description: STRING, created_at: STRING>>>>",
+    fields = Seq(
+      JsonField("dashboard_id", "_embedded.reports.token"),
+      JsonField("dashboard_name", "_embedded.reports.name"),
+      JsonField("description", "_embedded.reports.description"),
+      JsonField("created_timestamp", "_embedded.reports.created_at")),
+    paginationPath = Some("_embedded.reports"),
+    maxRecordSize = 30,
+    skipNoResult = true)
+
+  /** The full extractor: seed → spaces → reports → transformer chain →
+    * typed model. The transformer chain is the reference's, in order:
+    *  1. TimestampStringToEpoch on created_timestamp (ISO8601 with
+    *     fractional seconds; 0 on parse failure — transformer/
+    *     timestamp_string_to_epoch.py:30-44);
+    *  2. TemplateVariableSubstitution → dashboard_group_url;
+    *  3. TemplateVariableSubstitution → dashboard_url;
+    *  4. DictToModel → DashboardMetadata (product=mode, cluster=gold).
+    */
+  def dashboardMetadata(
+      spark: SparkSession,
+      organization: String,
+      baseUrl: String,
+      client: HttpClient,
+      retry: RetryPolicy = RetryPolicy(),
+      failureHandler: FailureHandler = NeverSkip): Dataset[DashboardMetadata] = {
+    import spark.implicits._
+    val seed = Seq(organization).toDF("organization")
+    val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry, failureHandler)
+    val reports = runQuery(spaces, reportsQuery(baseUrl), client, retry, failureHandler)
+    reports
+      .withColumn("created_timestamp",
+        coalesce(unix_timestamp(try_to_timestamp(col("created_timestamp"),
+          lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))), lit(0L)))
+      .withColumn("dashboard_group_url",
+        format_string("https://app.mode.com/%s/spaces/%s",
+          col("organization"), col("dashboard_group_id")))
+      .withColumn("dashboard_url",
+        format_string("https://app.mode.com/%s/reports/%s",
+          col("organization"), col("dashboard_id")))
+      .select(
+        col("dashboard_group").as("dashboardGroup"),
+        col("dashboard_name").as("dashboardName"),
+        col("description"),
+        array().cast("array<string>").as("tags"),
+        lit("gold").as("cluster"),
+        lit("mode").as("product"),
+        col("dashboard_group_description").as("dashboardGroupDescription"),
+        col("created_timestamp").as("createdTimestamp"),
+        col("dashboard_url").as("dashboardUrl"),
+        col("dashboard_group_url").as("groupUrl"))
+      .as[DashboardMetadata]
+  }
+}

@@ -44,12 +44,39 @@ object RestJoin {
   private def navigate(parsed: Column, path: String): Column =
     path.split('.').foldLeft(parsed)(_.getField(_))
 
+  /** Whether the dotted path crosses an array level in the declared
+    * payload type — a scalar path (the reference's 1:1 join,
+    * e.g. `foo.name` into `{"foo":{"name":…}}`) extracts one value per
+    * payload and is lifted to a 1-element array so the zip/explode tail
+    * is uniform. */
+  private def crossesArray(dt: org.apache.spark.sql.types.DataType, path: String): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    var cur = dt
+    var array = false
+    path.split('.').foreach { seg =>
+      while (cur.isInstanceOf[ArrayType]) {
+        array = true
+        cur = cur.asInstanceOf[ArrayType].elementType
+      }
+      cur match {
+        case st: StructType => cur = st(seg).dataType
+        case other => throw new IllegalArgumentException(
+          s"path '$path' segment '$seg' navigates into non-struct type $other")
+      }
+    }
+    array || cur.isInstanceOf[ArrayType]
+  }
+
   /** OR fallthrough: a path whose extraction is null or all-null (the
     * field is absent from the payload) yields no match. */
-  private def extractField(parsed: Column, f: JsonField): Column = {
+  private def extractField(
+      parsed: Column,
+      schema: org.apache.spark.sql.types.DataType,
+      f: JsonField): Column = {
     val alts = f.paths.map { p =>
       val a = navigate(parsed, p)
-      when(a.isNotNull && exists(a, _.isNotNull), a)
+      if (crossesArray(schema, p)) when(a.isNotNull && exists(a, _.isNotNull), a)
+      else when(a.isNotNull, array(a))
     }
     coalesce(alts: _*)
   }
@@ -73,10 +100,10 @@ object RestJoin {
       payloadSchema: String,
       fields: Seq[JsonField],
       skipNoResult: Boolean): DataFrame = {
-    val parsed = from_json(col(payloadCol),
-      org.apache.spark.sql.types.DataType.fromDDL(payloadSchema))
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(payloadSchema)
+    val parsed = from_json(col(payloadCol), schema)
     val extracted = responses.select(
-      keyCols.map(col) ++ fields.map(f => extractField(parsed, f).as(f.name)): _*)
+      keyCols.map(col) ++ fields.map(f => extractField(parsed, schema, f).as(f.name)): _*)
     // a field with no match zips as an empty array (arrays_zip pads with
     // nulls), so one absent field nulls that column instead of dropping
     // the whole outer record

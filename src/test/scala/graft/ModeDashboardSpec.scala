@@ -1,0 +1,109 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Dashboard
+import graft.model.Graph
+import graft.operators.ModeDashboard
+import graft.sources.RestFetch.{RetryPolicy, defaultClient}
+import java.net.InetSocketAddress
+
+/** End-to-end Mode extractor config: a stub Mode API (spaces + paginated
+  * reports endpoints) drives seed → spaces → reports → transformer chain
+  * → Dataset[DashboardMetadata] → graph fan-out, the full composition of
+  * mode_dashboard_extractor.py:38-109 over fixture payloads.
+  */
+class ModeDashboardSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val noSleep = RetryPolicy(sleeper = _ => ())
+
+  private def space(token: String, name: String, desc: String) =
+    s"""{"token":"$token","name":"$name","description":"$desc"}"""
+  private def report(i: Int) =
+    s"""{"token":"r$i","name":"report $i","description":"about $i",""" +
+      s""""created_at":"2021-02-05T21:20:${(i % 60).formatted("%02d")}.019Z"}"""
+
+  private def withModeStub(body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, payload: String): Unit = {
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    // spaces: one short page (page size 1000 — never paginates here)
+    server.createContext("/batch/org1/spaces", (ex: HttpExchange) =>
+      respond(ex, s"""{"spaces":[${space("s1", "Marketing", "mkt space")},
+        ${space("s2", "Finance", "fin space")}, ${space("s3", "Empty", "no reports")}]}"""))
+    // reports: s1 has 31 (30 = full page → page 2 fetched), s2 has 1, s3 none
+    server.createContext("/api/org1/spaces", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath // /api/org1/spaces/{token}/reports
+      val token = path.split('/')(4)
+      val page = Option(ex.getRequestURI.getQuery).getOrElse("page=1").stripPrefix("page=").toInt
+      val reports = (token, page) match {
+        case ("s1", 1) => (0 until 30).map(report)
+        case ("s1", _) => Seq(report(30))
+        case ("s2", 1) => Seq(report(99))
+        case _         => Seq.empty
+      }
+      respond(ex, s"""{"_embedded":{"reports":[${reports.mkString(",")}]}}""")
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("Mode config end to end: spaces -> paginated reports -> transformer chain -> model") {
+    withModeStub { base =>
+      val models = ModeDashboard.dashboardMetadata(
+        spark, "org1", base, defaultClient(), noSleep).collect()
+      // 31 reports in Marketing + 1 in Finance; Empty dropped (skip_no_result)
+      assert(models.length == 32)
+      assert(models.map(_.dashboardGroup).toSet == Set("Marketing", "Finance"))
+      val r0 = models.find(_.dashboardName == "report 0").get
+      assert(r0.product == "mode" && r0.cluster == "gold")
+      assert(r0.description.contains("about 0"))
+      assert(r0.dashboardGroupDescription.contains("mkt space"))
+      // TimestampStringToEpoch: 2021-02-05T21:20:00.019Z -> epoch seconds
+      assert(r0.createdTimestamp.contains(1612560000L))
+      // TemplateVariableSubstitution results
+      assert(r0.groupUrl.contains("https://app.mode.com/org1/spaces/s1"))
+      assert(r0.dashboardUrl.contains("https://app.mode.com/org1/reports/r0"))
+      // key format {product}_dashboard://{cluster}.{group}/{name}
+      assert(r0.dashboardKey == "mode_dashboard://gold.Marketing/report 0")
+      // pagination really crossed a page boundary
+      assert(models.count(_.dashboardGroup == "Marketing") == 31)
+
+      // the models feed the existing graph fan-out with valid shapes
+      val nodes = models.toSeq.flatMap(Dashboard.metadataSerializer.nodes)
+      val rels = models.toSeq.flatMap(Dashboard.metadataSerializer.relationships)
+      assert(nodes.forall(Graph.nodeValid))
+      assert(rels.forall(Graph.relationshipValid))
+      assert(nodes.count(_.label == "Dashboard") == 32)
+    }
+  }
+
+  test("unparseable created_at lands 0, not null (reference 0-on-failure)") {
+    withModeStub { base =>
+      // drive just the transformer stage: a report with a junk timestamp
+      // report 99 carries seconds 39 — rewrite exactly its created_at to
+      // junk via a wrapping client
+      val models = ModeDashboard.dashboardMetadata(
+        spark, "org1", base, url => {
+          val res = defaultClient()(url)
+          res.copy(body = res.body.replace("2021-02-05T21:20:39.019Z", "not-a-date"))
+        }, noSleep).collect()
+      assert(models.find(_.dashboardName == "report 99")
+        .get.createdTimestamp.contains(0L))
+      // the other timestamps still parse
+      assert(models.exists(_.createdTimestamp.exists(_ > 0L)))
+    }
+  }
+}
