@@ -51,7 +51,8 @@ final case class Pipeline(
     sink: DataFrame => Unit = _ => (),
     publish: () => Unit = () => (),
     onSuccess: () => Unit = () => (),
-    onFailure: () => Unit = () => ()) {
+    onFailure: () => Unit = () => (),
+    metrics: (String, Long) => Unit = (_, _) => ()) {
 
   /** The composed declarative plan (no execution). */
   def dataFrame(spark: SparkSession): DataFrame =
@@ -65,6 +66,17 @@ final case class Pipeline(
     * failure for a publish that completed (that would e.g. force a Kafka
     * redelivery of committed data), and a throwing onFailure must not
     * mask the root cause, so it is attached as a suppressed exception. */
+  /** statsd-style counter emission (job/job.py:68-89: `statsd.incr(
+    * 'success')` / `incr('fail')` in the launch finally-block): exactly
+    * one of `job.<name>.success` / `job.<name>.fail` increments per
+    * launch. The hook is fire-and-forget — a throwing metrics sink never
+    * changes the launch outcome (suppressed, like callbacks). */
+  private def incr(key: String, cause: Throwable = null): Unit =
+    try metrics(s"job.$name.$key", 1L)
+    catch {
+      case m: Throwable => if (cause != null) cause.addSuppressed(m)
+    }
+
   def launch(spark: SparkSession): Unit = {
     try {
       sink(dataFrame(spark))
@@ -73,8 +85,10 @@ final case class Pipeline(
       case e: Throwable =>
         try onFailure()
         catch { case cb: Throwable => e.addSuppressed(cb) }
+        incr("fail", e)
         throw e
     }
+    incr("success")
     onSuccess()
   }
 }

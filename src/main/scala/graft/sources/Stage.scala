@@ -104,19 +104,64 @@ object Stage {
     df.toDF(typedHeader(df.schema): _*)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** The ES index-mapping artifact the publisher creates the new index
+    * with (reference publisher/elasticsearch_publisher.py:94 +
+    * elasticsearch_constants.py's TABLE_ELASTICSEARCH_INDEX_MAPPING):
+    * derived deterministically from the document schema — text fields get
+    * the simple analyzer plus a `raw` keyword subfield (the searchable-
+    * and-aggregatable double mapping of the reference), epoch columns map
+    * to `date/epoch_second`, numerics to long/double — and the `_id`
+    * routing contract (`idCol`) is recorded so a consumer knows which
+    * source column keys each document. */
+  def esIndexMapping(
+      schema: org.apache.spark.sql.types.StructType,
+      docType: String,
+      idCol: String): String = {
+    import org.apache.spark.sql.types._
+    def fieldJson(name: String, dt: DataType): String = dt match {
+      case LongType | IntegerType if name.endsWith("timestamp") =>
+        """{"type":"date","format":"epoch_second"}"""
+      case LongType | IntegerType | ShortType => """{"type":"long"}"""
+      case DoubleType | FloatType => """{"type":"double"}"""
+      case BooleanType => """{"type":"boolean"}"""
+      case ArrayType(el, _) => fieldJson(name, el)
+      case _ =>
+        """{"type":"text","analyzer":"simple","fields":{"raw":{"type":"keyword"}}}"""
+    }
+    val props = schema.fields.sortBy(_.name)
+      .map(f => s""""${f.name}":${fieldJson(f.name, f.dataType)}""").mkString(",")
+    s"""{"mappings":{"$docType":{"properties":{$props}}},"_id_from":"$idCol"}"""
+  }
+
   /** NDJSON with deterministic (sorted) column order — the ES document
-    * contract (models/elasticsearch_document.py:14-22 sorts keys). */
-  def writeSearchDocs(docs: DataFrame, outDir: String): Unit =
+    * contract (models/elasticsearch_document.py:14-22 sorts keys). When
+    * `idCol` is given, the column must exist and be non-null — the
+    * document-id routing contract — and the index-mapping artifact lands
+    * beside the documents as `_MAPPING.json`. */
+  def writeSearchDocs(docs: DataFrame, outDir: String, docType: String = null,
+      idCol: String = null): Unit = {
+    if (idCol != null)
+      require(docs.columns.contains(idCol),
+        s"id routing column '$idCol' missing from ${docs.columns.mkString(",")}")
     docs.select(docs.columns.sorted.map(col): _*)
       .write.mode(SaveMode.Overwrite).json(outDir)
+    if (idCol != null) {
+      val mapping = esIndexMapping(docs.schema,
+        Option(docType).getOrElse("table"), idCol)
+      Files.writeString(Paths.get(outDir, "_MAPPING.json"), mapping,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+  }
 
   /** Blue/green swap: write to a fresh versioned dir, then atomically
     * repoint CURRENT. Readers resolve via `current()`; old generations
     * remain until cleaned — identical failure semantics to the reference's
-    * alias flip (create new index, swap alias, drop old). */
-  def publishBlueGreen(docs: DataFrame, baseDir: String, generation: String): String = {
+    * alias flip (create new index, swap alias, drop old). The new
+    * generation carries its mapping artifact + id contract when given. */
+  def publishBlueGreen(docs: DataFrame, baseDir: String, generation: String,
+      docType: String = null, idCol: String = null): String = {
     val target = s"$baseDir/gen=$generation"
-    writeSearchDocs(docs, target)
+    writeSearchDocs(docs, target, docType, idCol)
     val marker = Paths.get(baseDir, "CURRENT.tmp")
     Files.createDirectories(Paths.get(baseDir))
     Files.writeString(marker, target, StandardOpenOption.CREATE,

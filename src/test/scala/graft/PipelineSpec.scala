@@ -57,6 +57,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(failed == 1)
   }
 
+  test("Pipeline emits statsd-style success/fail counters (job.py:68-89)") {
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val p = Pipeline(
+      name = "metered",
+      source = s => Tables(s, "/root/testdata/sf0.001", "region"),
+      sink = df => { df.count(); () },
+      metrics = (k, v) => counts(k) += v)
+    p.launch(spark)
+    assert(counts("job.metered.success") == 1L && counts("job.metered.fail") == 0L)
+    // failure increments fail exactly once, success not at all
+    val bad = p.copy(sink = _ => throw new RuntimeException("down"))
+    intercept[RuntimeException] { bad.launch(spark) }
+    assert(counts("job.metered.success") == 1L && counts("job.metered.fail") == 1L)
+    // a throwing metrics sink never changes the outcome
+    var ok = 0
+    val noisy = p.copy(metrics = (_, _) => throw new IllegalStateException("statsd down"),
+      onSuccess = () => ok += 1)
+    noisy.launch(spark)
+    assert(ok == 1)
+  }
+
   test("CSV extractor family: column group-join and badge join") {
     val dir = Files.createTempDirectory("csv_ingest")
     val tablesCsv = dir.resolve("tables.csv")
@@ -101,6 +122,30 @@ class PipelineSpec extends AnyFunSuite {
     // exclusion list drops it
     assert(Generic.catalogTables(spark, "spark", "gold", Set("cat_region"))
       .forall(_.name != "cat_region"))
+  }
+
+  test("catalog last-updated emission from table detail (DeltaLake analog)") {
+    // a real managed catalog table so the DESCRIBE EXTENDED branch runs
+    spark.sql("DROP TABLE IF EXISTS cat_lu_tbl")
+    Tables(spark, "/root/testdata/sf0.001", "region").limit(2)
+      .write.mode("overwrite").saveAsTable("cat_lu_tbl")
+    Tables(spark, "/root/testdata/sf0.001", "region").createOrReplaceTempView("cat_lu_view")
+    try {
+      val got = Generic.catalogLastUpdated(spark, "spark", "gold")
+        .filter(_.tableKey.endsWith("/cat_lu_tbl"))
+      // the managed table emits a positive epoch from its Created Time
+      assert(got.length == 1)
+      assert(got.head.lastUpdatedEpoch > 1500000000L)
+      assert(got.head.tableKey == "spark://gold.default/cat_lu_tbl")
+      // views never emit (reference view branch has no lastModified)
+      assert(Generic.catalogLastUpdated(spark, "spark", "gold")
+        .forall(!_.tableKey.endsWith("/cat_lu_view")))
+      // a Delta-style detail map with epoch lastModified wins over Created Time
+      val injected = Generic.catalogLastUpdated(spark, "spark", "gold",
+        detail = _ => Map("lastModified" -> "1700000000", "Created Time" -> "ignored"))
+        .filter(_.tableKey.endsWith("/cat_lu_tbl"))
+      assert(injected.head.lastUpdatedEpoch == 1700000000L)
+    } finally spark.sql("DROP TABLE IF EXISTS cat_lu_tbl")
   }
 
   test("Mode dashboard extractor pipeline: spaces seed → reports REST join → transforms → DashboardMetadata") {

@@ -266,4 +266,33 @@ class StreamingAndStageSpec extends AnyFunSuite {
     // old generation still present (cleanup is a separate concern)
     assert(spark.read.json(s"$base/gen=v1").count() == docs1.count())
   }
+
+  test("ES publish contract: mapping artifact + _id routing column") {
+    val base = tmp("docs-pub-es")
+    val docs = operators.SearchDocs.tableDocs(spark, dir)
+    // the id column must exist — a typo is a publish-time error
+    intercept[IllegalArgumentException] {
+      Stage.publishBlueGreen(docs, base, "bad", docType = "table", idCol = "nope")
+    }
+    val target = Stage.publishBlueGreen(docs, base, "v1",
+      docType = "table", idCol = "key")
+    val mapping = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(target, "_MAPPING.json"))
+    // the new index is created WITH the mapping
+    // (elasticsearch_publisher.py:94): text fields carry the simple
+    // analyzer + raw keyword subfield, epochs map to date/epoch_second,
+    // counters to long, and the id contract names the routing column
+    assert(mapping.contains(""""_id_from":"key""""))
+    assert(mapping.contains(
+      """"name":{"type":"text","analyzer":"simple","fields":{"raw":{"type":"keyword"}}}"""))
+    assert(mapping.contains(
+      """"last_updated_timestamp":{"type":"date","format":"epoch_second"}"""))
+    assert(mapping.contains(""""total_usage":{"type":"long"}"""))
+    // documents still read back, id column intact and unique
+    val got = Stage.current(spark, base)
+    assert(got.count() == docs.count())
+    assert(got.select("key").distinct().count() == docs.count())
+    // the mapping sidecar must not corrupt the json read
+    assert(got.columns.contains("key"))
+  }
 }
