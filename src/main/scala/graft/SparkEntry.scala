@@ -52,6 +52,7 @@ object SparkEntry {
     "q_column_lineage"    -> (GraphBuild.columnLineageEdges _),
     // dashboard model family graph build
     "q_dashboard_graph_nodes" -> (DashboardBuild.nodeCounts _),
+    "q_dashboard_graph_nodes_staged" -> (DashboardBuild.nodeCountsStaged _),
     // §2.6 search-document queries
     "q_table_search_doc"     -> (SearchDocs.tableDocs _),
     "q_staged_table_search_doc" -> (SearchDocs.tableDocsStaged _),
@@ -349,6 +350,24 @@ object SparkEntry {
               FROM part WHERE p_partkey % 5 = 0) AS n
            -- MERGE semantics: chart nodes are key-unique; the synthetic
            -- lineitem data contains duplicate full tuples
+           UNION ALL SELECT 'Chart',
+             (SELECT COUNT(DISTINCT l_partkey || '_' || l_suppkey || '_'
+                || l_orderkey || '_' || l_linenumber) FROM lineitem)
+           UNION ALL SELECT 'Cluster', CAST(1 AS BIGINT)
+           UNION ALL SELECT 'Dashboard', (SELECT COUNT(*) FROM part)
+           UNION ALL SELECT 'Dashboardgroup', (SELECT COUNT(DISTINCT p_brand) FROM part)
+           UNION ALL SELECT 'Description', (SELECT COUNT(*) FROM part)
+           UNION ALL SELECT 'Execution', (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+           UNION ALL SELECT 'Query',
+             (SELECT COUNT(DISTINCT l_partkey || '_' || l_suppkey) FROM lineitem)
+           UNION ALL SELECT 'Tag', (SELECT COUNT(DISTINCT lower(p_brand)) FROM part)
+         ) WHERE n > 0 ORDER BY label""",
+    // staged-facts twin: identical result by construction, same oracle
+    "q_dashboard_graph_nodes_staged" ->
+      """SELECT label, n FROM (
+           SELECT 'Badge' AS label,
+             (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
+              FROM part WHERE p_partkey % 5 = 0) AS n
            UNION ALL SELECT 'Chart',
              (SELECT COUNT(DISTINCT l_partkey || '_' || l_suppkey || '_'
                 || l_orderkey || '_' || l_linenumber) FROM lineitem)

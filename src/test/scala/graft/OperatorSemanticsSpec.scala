@@ -239,6 +239,18 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(colEdges == tcEdges)
   }
 
+  test("staged-facts dashboard build equals the inline-plan build") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("dash-facts").toString
+    DashboardBuild.stageFacts(spark, dir, staged)
+    val inlineNodes = DashboardBuild.nodes(spark, dir).collect().toSet
+    val stagedNodes = DashboardBuild.nodesStaged(spark, dir, staged).collect().toSet
+    assert(stagedNodes == inlineNodes)
+    val inlineEdges = DashboardBuild.edges(spark, dir).collect().toSet
+    val stagedEdges = DashboardBuild.edgesStaged(spark, dir, staged).collect().toSet
+    assert(stagedEdges == inlineEdges)
+  }
+
   test("columnar lineage fan-out matches the TableLineage typeclass") {
     import spark.implicits._
     val ser = TableLineage.serializer
