@@ -76,6 +76,47 @@ object RestFetch {
     }
   }
 
+  /** POST client shape — (url, body, headers) → response. The GraphQL
+    * ingestion edges (Tableau's metadata API) POST a JSON query document
+    * (tableau_dashboard_utils.py:90-109). */
+  type HttpPostClient = (String, String, Map[String, String]) => HttpResponse
+
+  def defaultPostClient(timeoutMs: Long = 10000L): HttpPostClient = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    (url, body, headers) => {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val res = client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      HttpResponse(res.statusCode(), res.body())
+    }
+  }
+
+  /** POST with the same retry/raise-for-status discipline as GETs. */
+  def sendPostWithRetry(
+      client: HttpPostClient,
+      url: String,
+      body: String,
+      headers: Map[String, String],
+      retry: RetryPolicy): HttpResponse = {
+    var attempt = 1
+    while (true) {
+      try {
+        val res = client(url, body, headers)
+        if (res.status < 200 || res.status >= 300) throw HttpStatusException(res.status, url)
+        return res
+      } catch {
+        case e: Throwable =>
+          if (attempt >= retry.maxAttempts) throw e
+          retry.sleeper(retry.waitMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** `url.format(**record)`: every `{field}` placeholder replaced from the
     * record; an unresolved placeholder is an error, like Python's KeyError. */
   def formatUrl(template: String, record: Map[String, String]): String = {
