@@ -106,6 +106,85 @@ object ModeDashboard {
     maxRecordSize = 30,
     skipNoResult = true)
 
+  /** Reports as id-only rows — the slimmer middle link the queries/owner
+    * chains use (mode_dashboard_queries_extractor.py:92-96 extracts just
+    * `(_embedded.reports[*].token)`). */
+  def reportTokensQuery(baseUrl: String): RestQueryConfig = reportsQuery(baseUrl).copy(
+    fields = Seq(JsonField("dashboard_id", "_embedded.reports.token")))
+
+  /** The queries chain (mode_dashboard_queries_extractor.py:25-109):
+    * spaces → report tokens → per-report queries API, then the
+    * transformer chain — query URL template substitution and the
+    * backslash escape (RegexStrReplaceTransformer with ('\','\\')) —
+    * producing the DashboardQuery fields. */
+  def queriesQuery(baseUrl: String): RestQueryConfig = RestQueryConfig(
+    urlTemplate = s"$baseUrl/api/{organization}/reports/{dashboard_id}/queries",
+    payloadSchema =
+      "STRUCT<_embedded: STRUCT<queries: ARRAY<STRUCT<token: STRING, name: STRING, " +
+        "raw_query: STRING>>>>",
+    fields = Seq(
+      JsonField("query_id", "_embedded.queries.token"),
+      JsonField("query_name", "_embedded.queries.name"),
+      JsonField("query_text", "_embedded.queries.raw_query")),
+    skipNoResult = true)
+
+  def dashboardQueries(
+      spark: SparkSession,
+      organization: String,
+      baseUrl: String,
+      client: HttpClient,
+      retry: RetryPolicy = RetryPolicy(),
+      failureHandler: FailureHandler = NeverSkip): DataFrame = {
+    import spark.implicits._
+    val seed = Seq(organization).toDF("organization")
+    val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry, failureHandler)
+    val reports = runQuery(spaces, reportTokensQuery(baseUrl), client, retry, failureHandler)
+    runQuery(reports, queriesQuery(baseUrl), client, retry, failureHandler)
+      .withColumn("url",
+        format_string("https://app.mode.com/%s/reports/%s/queries/%s",
+          col("organization"), col("dashboard_id"), col("query_id")))
+      // escape backslashes — they break the downstream Cypher statement
+      // (RegexStrReplaceTransformer config in the reference)
+      .withColumn("query_text", regexp_replace(col("query_text"), "\\\\", "\\\\\\\\"))
+      .select("organization", "dashboard_group_id", "dashboard_group",
+        "dashboard_id", "query_id", "query_name", "url", "query_text")
+  }
+
+  /** The owner chain (mode_dashboard_owner_extractor.py:25-100): the
+    * reports page OR-zips two paths per report — token AND the creator
+    * href — then each creator resource is fetched individually with a
+    * 404-skip failure handler, inner-joining the owner email. */
+  def ownerReportsQuery(baseUrl: String): RestQueryConfig = reportsQuery(baseUrl).copy(
+    payloadSchema =
+      "STRUCT<_embedded: STRUCT<reports: ARRAY<STRUCT<token: STRING, " +
+        "_links: STRUCT<creator: STRUCT<href: STRING>>>>>>",
+    fields = Seq(
+      JsonField("dashboard_id", "_embedded.reports.token"),
+      JsonField("creator_resource_path", "_embedded.reports._links.creator.href")))
+
+  def dashboardOwners(
+      spark: SparkSession,
+      organization: String,
+      baseUrl: String,
+      client: HttpClient,
+      retry: RetryPolicy = RetryPolicy()): DataFrame = {
+    import spark.implicits._
+    val seed = Seq(organization).toDF("organization")
+    val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry)
+    val reports = runQuery(spaces, ownerReportsQuery(baseUrl), client, retry)
+    // per-creator user fetch: skip-on-404 (HttpFailureSkipOnStatus in
+    // rest_api_failure_handlers.py), inner-join semantics
+    val creatorCfg = RestQueryConfig(
+      urlTemplate = s"$baseUrl{creator_resource_path}",
+      payloadSchema = "STRUCT<email: STRING>",
+      fields = Seq(JsonField("email", "email")),
+      skipNoResult = true)
+    runQuery(reports, creatorCfg, client, retry, RestFetch.SkipOnStatus(Set(404)))
+      .filter(col("email").isNotNull)
+      .select("organization", "dashboard_group_id", "dashboard_group",
+        "dashboard_id", "email")
+  }
+
   /** The full extractor: seed → spaces → reports → transformer chain →
     * typed model. The transformer chain is the reference's, in order:
     *  1. TimestampStringToEpoch on created_timestamp (ISO8601 with

@@ -28,6 +28,7 @@ class ModeDashboardSpec extends AnyFunSuite {
     s"""{"token":"$token","name":"$name","description":"$desc"}"""
   private def report(i: Int) =
     s"""{"token":"r$i","name":"report $i","description":"about $i",""" +
+      s""""_links":{"creator":{"href":"/api/users/u$i"}},""" +
       s""""created_at":"2021-02-05T21:20:${(i % 60).formatted("%02d")}.019Z"}"""
 
   private def withModeStub(body: String => Unit): Unit = {
@@ -54,6 +55,25 @@ class ModeDashboardSpec extends AnyFunSuite {
         case _         => Seq.empty
       }
       respond(ex, s"""{"_embedded":{"reports":[${reports.mkString(",")}]}}""")
+    })
+    // per-report queries API (ModeDashboardQueriesExtractor chain)
+    server.createContext("/api/org1/reports", (ex: HttpExchange) => {
+      val token = ex.getRequestURI.getPath.split('/')(4)
+      val qs = token match {
+        case "r0" => Seq(
+          """{"token":"q1","name":"daily","raw_query":"select 1"}""",
+          """{"token":"q2","name":"weekly","raw_query":"select c:\\x from t"}""")
+        case "r99" => Seq("""{"token":"q3","name":"fin","raw_query":"select 2"}""")
+        case _ => Seq.empty
+      }
+      respond(ex, s"""{"_embedded":{"queries":[${qs.mkString(",")}]}}""")
+    })
+    // creator user API: u99 is gone (404-skip path)
+    server.createContext("/api/users", (ex: HttpExchange) => {
+      val who = ex.getRequestURI.getPath.split('/')(3)
+      if (who == "u99") {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      } else respond(ex, s"""{"email":"$who@ex.com"}""")
     })
     server.start()
     try body(s"http://127.0.0.1:${server.getAddress.getPort}")
@@ -87,6 +107,41 @@ class ModeDashboardSpec extends AnyFunSuite {
       assert(nodes.forall(Graph.nodeValid))
       assert(rels.forall(Graph.relationshipValid))
       assert(nodes.count(_.label == "Dashboard") == 32)
+    }
+  }
+
+  test("Mode queries chain: spaces -> report tokens -> per-report queries + escape") {
+    withModeStub { base =>
+      val q = ModeDashboard.dashboardQueries(spark, "org1", base,
+        graft.sources.RestFetch.defaultClient(), noSleep)
+        .orderBy("query_id").collect()
+      // r0 has 2 queries, r99 has 1; the other 30 reports have none and
+      // drop (skip_no_result)
+      assert(q.length == 3)
+      val q2 = q.find(_.getAs[String]("query_id") == "q2").get
+      assert(q2.getAs[String]("dashboard_id") == "r0")
+      assert(q2.getAs[String]("dashboard_group") == "Marketing")
+      assert(q2.getAs[String]("url") ==
+        "https://app.mode.com/org1/reports/r0/queries/q2")
+      // backslash escape for the downstream Cypher statement: the payload
+      // carries one literal backslash, the transformer doubles it
+      assert(q2.getAs[String]("query_text") == "select c:\\\\x from t")
+      assert(q.find(_.getAs[String]("query_id") == "q3").get
+        .getAs[String]("dashboard_group") == "Finance")
+    }
+  }
+
+  test("Mode owner chain: OR-zipped creator href + 404-skip user fetch") {
+    withModeStub { base =>
+      val owners = ModeDashboard.dashboardOwners(spark, "org1", base,
+        graft.sources.RestFetch.defaultClient(), noSleep)
+        .orderBy("dashboard_id").collect()
+      // 32 reports; r99's creator u99 404s and is skipped
+      assert(owners.length == 31)
+      assert(owners.forall(_.getAs[String]("dashboard_id") != "r99"))
+      val o0 = owners.find(_.getAs[String]("dashboard_id") == "r0").get
+      assert(o0.getAs[String]("email") == "u0@ex.com")
+      assert(o0.getAs[String]("dashboard_group") == "Marketing")
     }
   }
 
