@@ -212,6 +212,51 @@ object RestFetch {
       out.toList
     }
 
+  /** Distributed fetch — the scale path the driver loop is not. The
+    * reference fetches on one thread (or a 500-thread pool,
+    * hive_table_last_updated_extractor.py:110-117) because its universes
+    * are catalog-sized; a training-data pipeline refreshing millions of
+    * URLs needs the fetch ON THE EXECUTORS: each partition initializes
+    * its own client once (mapPartitions — the same codec-init discipline
+    * as MultimodalOps), paces itself with a per-partition rate limit so
+    * total QPS = partitions × perPartitionQps is an explicit knob, and
+    * emits (url, status, body) rows with failures as data (status-coded
+    * rows, never task retries for a 404).
+    *
+    * `clientFactory` must be serializable — pass a function object that
+    * builds the client executor-side, NOT a captured client. Retries are
+    * per-URL with the same backoff policy; a URL that exhausts retries
+    * lands its final status (or -1 for transport errors) so the caller
+    * filters/routes bad rows as a side channel instead of losing the
+    * partition. */
+  def fetchDistributed(
+      urls: org.apache.spark.sql.Dataset[String],
+      clientFactory: () => HttpClient,
+      retry: RetryPolicy = RetryPolicy(),
+      perPartitionQps: Double = 10.0): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val minIntervalNs = (1e9 / perPartitionQps).toLong
+    urls.mapPartitions { it =>
+      val client = clientFactory()
+      var lastSend = 0L
+      it.map { url =>
+        // pace: busy-wait-free sleep to the next allowed send slot
+        val now = System.nanoTime()
+        val waitNs = lastSend + minIntervalNs - now
+        if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+        lastSend = System.nanoTime()
+        try {
+          val res = sendWithRetry(client, url, retry)
+          (url, res.status, res.body)
+        } catch {
+          case HttpStatusException(status, _) => (url, status, null: String)
+          case _: Throwable => (url, -1, null: String)
+        }
+      }
+    }.toDF("url", "status", "payload")
+  }
+
   /** Land fetched payloads as the `responses` DataFrame RestJoin.restApiJoin
     * consumes: one row per (outer keys, page, payload). */
   def responsesDF(

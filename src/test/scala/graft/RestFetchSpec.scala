@@ -134,6 +134,46 @@ class RestFetchSpec extends AnyFunSuite {
     assert(countAtPath("""{}""", "a.b") == 0)
   }
 
+  test("distributed fetch: per-partition clients, failures as status rows") {
+    val hits = new AtomicInteger(0)
+    withServer(
+      "/ok" -> { _ => hits.incrementAndGet(); (200, """{"d":1}""") },
+      "/gone" -> { _ => (404, "nope") }
+    ) { base =>
+      import spark.implicits._
+      val urls = (1 to 6).map(i => s"$base/ok/$i") :+ s"$base/gone/x"
+      val got = RestFetch.fetchDistributed(
+        urls.toDS().repartition(3),
+        // factory builds the client executor-side; noSleep retry keeps
+        // the 404 from pausing the test
+        () => defaultClient(),
+        RetryPolicy(maxAttempts = 1, sleeper = _ => ()),
+        perPartitionQps = 1000.0)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      assert(got.length == 7)
+      // successes carry bodies, the 404 is a status-coded row, not a crash
+      assert(got.count(_._2 == 200) == 6)
+      assert(got.filter(_._2 == 200).forall(_._3 == """{"d":1}"""))
+      val bad = got.find(_._2 == 404).get
+      assert(bad._1.endsWith("/gone/x") && bad._3 == null)
+      assert(hits.get() == 6)
+    }
+  }
+
+  test("distributed fetch paces to the per-partition rate limit") {
+    withServer("/fast" -> { _ => (200, "{}") }) { base =>
+      import spark.implicits._
+      // 4 requests in ONE partition at 20 qps → ≥150ms between-send floor
+      val t0 = System.nanoTime()
+      RestFetch.fetchDistributed(
+        (1 to 4).map(i => s"$base/fast/$i").toDS().coalesce(1),
+        () => defaultClient(), RetryPolicy(sleeper = _ => ()),
+        perPartitionQps = 20.0).collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs >= 150, s"4 reqs at 20qps finished in ${elapsedMs}ms")
+    }
+  }
+
   test("fetched payloads drive restApiJoin end to end (reference unit-test shape)") {
     // mirrors test_rest_api_query: seed records join per-record payloads,
     // extracted fields merge into copies of the outer record
