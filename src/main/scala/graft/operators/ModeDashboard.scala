@@ -112,6 +112,60 @@ object ModeDashboard {
   def reportTokensQuery(baseUrl: String): RestQueryConfig = reportsQuery(baseUrl).copy(
     fields = Seq(JsonField("dashboard_id", "_embedded.reports.token")))
 
+  /** Usage chain (mode_dashboard_usage_extractor.py:25-80): the reports
+    * page carries each report's accumulated view count — same paginated
+    * walk, different field list. */
+  def usageQuery(baseUrl: String): RestQueryConfig = reportsQuery(baseUrl).copy(
+    payloadSchema =
+      "STRUCT<_embedded: STRUCT<reports: ARRAY<STRUCT<token: STRING, " +
+        "view_count: BIGINT>>>>",
+    fields = Seq(
+      JsonField("dashboard_id", "_embedded.reports.token"),
+      JsonField("accumulated_view_count", "_embedded.reports.view_count")))
+
+  /** Last-successful-execution chain
+    * (mode_dashboard_last_successful_executions_extractor.py): reports →
+    * (token, last_successfully_run_at) → epoch. */
+  def lastSuccessfulRunQuery(baseUrl: String): RestQueryConfig = reportsQuery(baseUrl).copy(
+    payloadSchema =
+      "STRUCT<_embedded: STRUCT<reports: ARRAY<STRUCT<token: STRING, " +
+        "last_successfully_run_at: STRING>>>>",
+    fields = Seq(
+      JsonField("dashboard_id", "_embedded.reports.token"),
+      JsonField("last_successful_run_timestamp", "_embedded.reports.last_successfully_run_at")))
+
+  /** Last-modified chain (mode_dashboard_last_modified_timestamp_extractor
+    * .py): reports → (token, edited_at) → epoch. */
+  def lastModifiedQuery(baseUrl: String): RestQueryConfig = reportsQuery(baseUrl).copy(
+    payloadSchema =
+      "STRUCT<_embedded: STRUCT<reports: ARRAY<STRUCT<token: STRING, " +
+        "edited_at: STRING>>>>",
+    fields = Seq(
+      JsonField("dashboard_id", "_embedded.reports.token"),
+      JsonField("last_modified_timestamp", "_embedded.reports.edited_at")))
+
+  /** Run one of the reports-page sibling chains (usage / last-run /
+    * last-modified): seed → spaces → the given reports-page variant, with
+    * any `*_timestamp` string column epoched 0-on-failure. */
+  def reportsChain(
+      spark: SparkSession,
+      organization: String,
+      cfg: RestQueryConfig,
+      baseUrl: String,
+      client: HttpClient,
+      retry: RetryPolicy = RetryPolicy()): DataFrame = {
+    import spark.implicits._
+    val seed = Seq(organization).toDF("organization")
+    val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry)
+    val out = runQuery(spaces, cfg, client, retry)
+    out.schema.fields.filter(f =>
+      f.name.endsWith("_timestamp") && f.dataType ==
+        org.apache.spark.sql.types.StringType)
+      .foldLeft(out)((df, f) => df.withColumn(f.name,
+        coalesce(unix_timestamp(try_to_timestamp(col(f.name),
+          lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))), lit(0L))))
+  }
+
   /** The queries chain (mode_dashboard_queries_extractor.py:25-109):
     * spaces → report tokens → per-report queries API, then the
     * transformer chain — query URL template substitution and the

@@ -26,10 +26,13 @@ class ModeDashboardSpec extends AnyFunSuite {
 
   private def space(token: String, name: String, desc: String) =
     s"""{"token":"$token","name":"$name","description":"$desc"}"""
-  private def report(i: Int) =
+  private def report(i: Int) = {
+    val ts = s"2021-02-05T21:20:${(i % 60).formatted("%02d")}.019Z"
     s"""{"token":"r$i","name":"report $i","description":"about $i",""" +
       s""""_links":{"creator":{"href":"/api/users/u$i"}},""" +
-      s""""created_at":"2021-02-05T21:20:${(i % 60).formatted("%02d")}.019Z"}"""
+      s""""view_count":${100 + i},"last_successfully_run_at":"$ts",""" +
+      s""""edited_at":"$ts","created_at":"$ts"}"""
+  }
 
   private def withModeStub(body: String => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -128,6 +131,26 @@ class ModeDashboardSpec extends AnyFunSuite {
       assert(q2.getAs[String]("query_text") == "select c:\\\\x from t")
       assert(q.find(_.getAs[String]("query_id") == "q3").get
         .getAs[String]("dashboard_group") == "Finance")
+    }
+  }
+
+  test("Mode sibling chains: usage view counts, last-run + last-modified epochs") {
+    withModeStub { base =>
+      val client = defaultClient()
+      val usage = ModeDashboard.reportsChain(spark, "org1",
+        ModeDashboard.usageQuery(base), base, client, noSleep)
+        .orderBy("dashboard_id").collect()
+      assert(usage.length == 32)
+      assert(usage.head.getAs[Long]("accumulated_view_count") == 100L) // r0
+      val lastRun = ModeDashboard.reportsChain(spark, "org1",
+        ModeDashboard.lastSuccessfulRunQuery(base), base, client, noSleep)
+        .orderBy("dashboard_id").collect()
+      // string timestamps auto-epoch; the stub serves the created_at shape
+      assert(lastRun.head.getAs[Long]("last_successful_run_timestamp") == 1612560000L)
+      val lastMod = ModeDashboard.reportsChain(spark, "org1",
+        ModeDashboard.lastModifiedQuery(base), base, client, noSleep)
+        .orderBy("dashboard_id").collect()
+      assert(lastMod.head.getAs[Long]("last_modified_timestamp") == 1612560000L)
     }
   }
 
