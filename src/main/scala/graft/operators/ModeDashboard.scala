@@ -204,6 +204,39 @@ object ModeDashboard {
         "dashboard_id", "query_id", "query_name", "url", "query_text")
   }
 
+  /** The charts chain (mode_dashboard_charts_extractor.py:55-100) — the
+    * reference's deepest composition: spaces → report tokens →
+    * per-report queries → per-(report, query) charts, the last link
+    * OR-zipping the chart token with its viz-web href. */
+  def dashboardCharts(
+      spark: SparkSession,
+      organization: String,
+      baseUrl: String,
+      client: HttpClient,
+      retry: RetryPolicy = RetryPolicy()): DataFrame = {
+    import spark.implicits._
+    val seed = Seq(organization).toDF("organization")
+    val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry)
+    val reports = runQuery(spaces, reportTokensQuery(baseUrl), client, retry)
+    val queryNames = runQuery(reports, queriesQuery(baseUrl).copy(
+      fields = Seq(
+        JsonField("query_id", "_embedded.queries.token"),
+        JsonField("query_name", "_embedded.queries.name"))), client, retry)
+    val chartsCfg = RestQueryConfig(
+      urlTemplate =
+        s"$baseUrl/api/{organization}/reports/{dashboard_id}/queries/{query_id}/charts",
+      payloadSchema =
+        "STRUCT<_embedded: STRUCT<charts: ARRAY<STRUCT<token: STRING, " +
+          "_links: STRUCT<report_viz_web: STRUCT<href: STRING>>>>>>",
+      fields = Seq(
+        JsonField("chart_id", "_embedded.charts.token"),
+        JsonField("chart_url", "_embedded.charts._links.report_viz_web.href")),
+      skipNoResult = true)
+    runQuery(queryNames, chartsCfg, client, retry)
+      .select("organization", "dashboard_group_id", "dashboard_group",
+        "dashboard_id", "query_id", "query_name", "chart_id", "chart_url")
+  }
+
   /** The owner chain (mode_dashboard_owner_extractor.py:25-100): the
     * reports page OR-zips two paths per report — token AND the creator
     * href — then each creator resource is fetched individually with a

@@ -59,17 +59,28 @@ class ModeDashboardSpec extends AnyFunSuite {
       }
       respond(ex, s"""{"_embedded":{"reports":[${reports.mkString(",")}]}}""")
     })
-    // per-report queries API (ModeDashboardQueriesExtractor chain)
+    // per-report queries API + per-(report, query) charts API
+    // (/api/org1/reports/{token}/queries[/{qid}/charts])
     server.createContext("/api/org1/reports", (ex: HttpExchange) => {
-      val token = ex.getRequestURI.getPath.split('/')(4)
-      val qs = token match {
-        case "r0" => Seq(
-          """{"token":"q1","name":"daily","raw_query":"select 1"}""",
-          """{"token":"q2","name":"weekly","raw_query":"select c:\\x from t"}""")
-        case "r99" => Seq("""{"token":"q3","name":"fin","raw_query":"select 2"}""")
-        case _ => Seq.empty
+      val parts = ex.getRequestURI.getPath.split('/')
+      if (parts.length >= 8 && parts(7) == "charts") {
+        val cs = (parts(4), parts(6)) match {
+          case ("r0", "q1") => Seq(
+            """{"token":"c1","_links":{"report_viz_web":{"href":"/viz/c1"}}}""",
+            """{"token":"c2","_links":{"report_viz_web":{"href":"/viz/c2"}}}""")
+          case _ => Seq.empty
+        }
+        respond(ex, s"""{"_embedded":{"charts":[${cs.mkString(",")}]}}""")
+      } else {
+        val qs = parts(4) match {
+          case "r0" => Seq(
+            """{"token":"q1","name":"daily","raw_query":"select 1"}""",
+            """{"token":"q2","name":"weekly","raw_query":"select c:\\x from t"}""")
+          case "r99" => Seq("""{"token":"q3","name":"fin","raw_query":"select 2"}""")
+          case _ => Seq.empty
+        }
+        respond(ex, s"""{"_embedded":{"queries":[${qs.mkString(",")}]}}""")
       }
-      respond(ex, s"""{"_embedded":{"queries":[${qs.mkString(",")}]}}""")
     })
     // creator user API: u99 is gone (404-skip path)
     server.createContext("/api/users", (ex: HttpExchange) => {
@@ -151,6 +162,22 @@ class ModeDashboardSpec extends AnyFunSuite {
         ModeDashboard.lastModifiedQuery(base), base, client, noSleep)
         .orderBy("dashboard_id").collect()
       assert(lastMod.head.getAs[Long]("last_modified_timestamp") == 1612560000L)
+    }
+  }
+
+  test("Mode charts chain: four-level composition with OR-zipped chart urls") {
+    withModeStub { base =>
+      val charts = ModeDashboard.dashboardCharts(spark, "org1", base,
+        defaultClient(), noSleep).orderBy("chart_id").collect()
+      // only r0/q1 has charts; q2 and q3 fetch empty chart lists and drop
+      assert(charts.length == 2)
+      assert(charts.map(_.getAs[String]("chart_id")).toSeq == Seq("c1", "c2"))
+      val c1 = charts.head
+      assert(c1.getAs[String]("dashboard_id") == "r0")
+      assert(c1.getAs[String]("query_id") == "q1")
+      assert(c1.getAs[String]("query_name") == "daily")
+      assert(c1.getAs[String]("chart_url") == "/viz/c1")
+      assert(c1.getAs[String]("dashboard_group") == "Marketing")
     }
   }
 
