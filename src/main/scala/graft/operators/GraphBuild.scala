@@ -33,6 +33,14 @@ object GraphBuild {
         col("o_orderkey").cast("int").as("sortOrder"),
         array().cast("array<string>").as("badges")
       ))).as("columns"))
+    // NOTE on layout: the customer scan is a single parquet file at test
+    // SFs, so the join + struct build and the searchGraph cache fill run
+    // in ONE task (~1.7 s) — but the fan-out branches are separate
+    // concurrent jobs that fill otherwise-idle cores, and a measured
+    // repartition(defaultParallelism) here made the query *slower*
+    // (3.5→3.7 s at sf0.1: 32 tiny tasks × 10 branches of scheduling
+    // overhead for work this small). At real scale the scan has many
+    // splits and the point is moot; leave the layout to the source.
     Tables(spark, dir, "customer")
       .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))

@@ -120,7 +120,11 @@ object RestFetch {
   /** `url.format(**record)`: every `{field}` placeholder replaced from the
     * record; an unresolved placeholder is an error, like Python's KeyError. */
   def formatUrl(template: String, record: Map[String, String]): String = {
-    val out = record.foldLeft(template) { case (u, (k, v)) => u.replace(s"{$k}", v) }
+    val out = record.foldLeft(template) { case (u, (k, v)) =>
+      if (u.contains(s"{$k}"))
+        require(v != null, s"null value for URL placeholder {$k} in $template")
+      u.replace(s"{$k}", if (v == null) "" else v)
+    }
     val leftover = "\\{[A-Za-z0-9_]+\\}".r.findFirstIn(out)
     require(leftover.isEmpty, s"unresolved URL placeholder ${leftover.get} in $template")
     out

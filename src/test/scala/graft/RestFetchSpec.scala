@@ -52,6 +52,12 @@ class RestFetchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       formatUrl("http://h/{missing}", Map("space" -> "s1"))
     }
+    // a null record value for a used placeholder is a loud error, not an NPE
+    intercept[IllegalArgumentException] {
+      formatUrl("http://h/{space}", Map("space" -> null))
+    }
+    // a null value for an UNUSED key is fine
+    assert(formatUrl("http://h/{a}", Map("a" -> "1", "b" -> null)) == "http://h/1")
   }
 
   test("retry backoff is exponential with a cap: 1s, 2s, 4s, 8s, 10s") {
