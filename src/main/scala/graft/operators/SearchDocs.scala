@@ -179,8 +179,17 @@ object SearchDocs {
   def tableDocsStaged(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
     val out = sys.props("java.io.tmpdir") + "/graft-staged-search-graph"
-    graft.sources.Stage.stageNodes(nodes, out)
-    graft.sources.Stage.stageEdges(edges, out)
+    // the two staged outputs are independent jobs over the SAME cached
+    // graph build (searchGraph fills its caches eagerly) — submit them
+    // concurrently so the writes overlap instead of serializing; Spark's
+    // scheduler interleaves independent jobs safely
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future(graft.sources.Stage.stageNodes(nodes, out)),
+      Future(graft.sources.Stage.stageEdges(edges, out)))
+    writes.foreach(Await.result(_, Duration.Inf))
     tableDocsFromGraph(
       graft.sources.Stage.readNodes(spark, out),
       graft.sources.Stage.readEdges(spark, out))
