@@ -137,6 +137,9 @@ object SparkEntry {
     "q_snapshot_diff"    -> (Publish.snapshotDiffQuery _),
     // ChainedTransformer composition through the Pipeline abstraction
     "q_transform_chain"  -> (Transforms.transformChain _),
+    // continuous MERGE publishing: streamed micro-batch fold vs the
+    // batch LWW oracle (disjoint per-batch key cohorts → order-free)
+    "q_stream_publish_fold" -> (graft.streaming.StreamPublish.streamPublishFoldQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1480,5 +1483,15 @@ object SparkEntry {
          SELECT c_custkey, c_name, segment, key,
            unnest([lower(segment), 'default']) AS tag
          FROM f ORDER BY c_custkey, tag""",
+    // the streamed fold over disjoint cohorts equals the global per-user
+    // last write (ts desc, event_id desc)
+    "q_stream_publish_fold" ->
+      """SELECT key, event_type, eid FROM (
+           SELECT CAST(user_id AS VARCHAR) AS key, event_type,
+             CAST(event_id AS VARCHAR) AS eid,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY key""",
   )
 }

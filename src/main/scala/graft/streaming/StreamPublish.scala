@@ -112,4 +112,34 @@ object StreamPublish {
   def readCurrent(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(
       Files.readString(Paths.get(baseDir, "CURRENT")).trim)
+
+  /** Oracle-gated query: stage the events table as two DISJOINT-keyed
+    * files (user cohorts), stream them through the continuous publisher
+    * one file per micro-batch, and read the folded snapshot back.
+    * Because the cohorts are key-disjoint, the fold equals the global
+    * per-user last-write-wins regardless of which file becomes batch 0 —
+    * so the result is deterministic and SQL-expressible even though
+    * FileStreamSource's batch order is not. */
+  def streamPublishFoldQuery(spark: SparkSession, dir: String): DataFrame = {
+    val in = Files.createTempDirectory("graft-spq-in").toString
+    val base = Files.createTempDirectory("graft-spq-out").toString
+    val ckpt = Files.createTempDirectory("graft-spq-ckpt").toString
+    val ev = graft.sources.Tables(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"),
+        col("event_type"),
+        col("event_id").cast("string").as("eid"),
+        col("ts"), col("event_id"), col("user_id"))
+    ev.filter(col("user_id") % 3 === 0).drop("user_id")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    ev.filter(col("user_id") % 3 =!= 0).drop("user_id")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    val src = spark.readStream.schema(ev.drop("user_id").schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = publishStream(src, base, ckpt, "key", Seq("event_type", "eid"),
+      Seq(col("ts"), col("event_id")), "fold_")
+    q.awaitTermination()
+    readCurrent(spark, base)
+      .select(col("key"), col("event_type"), col("eid"))
+      .orderBy("key")
+  }
 }
