@@ -34,6 +34,20 @@ import graft.sources.RestFetch.{FailureHandler, HttpClient, NeverSkip, RetryPoli
   */
 object ModeDashboard {
 
+  /** TimestampStringToEpoch analog shared by the dashboard products:
+    * ISO8601 with 0 to 6 fractional digits (Python's %f accepts any of
+    * them; Spark's S patterns count digits exactly, hence the coalesce
+    * ladder), 0 on parse failure
+    * (transformer/timestamp_string_to_epoch.py:30-44). */
+  def isoEpoch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(unix_timestamp(coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.S'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SS'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")))), lit(0L))
+
   /** One link of the reference's RestApiQuery decorator chain, as data. */
   final case class RestQueryConfig(
       urlTemplate: String,
@@ -161,9 +175,7 @@ object ModeDashboard {
     out.schema.fields.filter(f =>
       f.name.endsWith("_timestamp") && f.dataType ==
         org.apache.spark.sql.types.StringType)
-      .foldLeft(out)((df, f) => df.withColumn(f.name,
-        coalesce(unix_timestamp(try_to_timestamp(col(f.name),
-          lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))), lit(0L))))
+      .foldLeft(out)((df, f) => df.withColumn(f.name, isoEpoch(col(f.name))))
   }
 
   /** The queries chain (mode_dashboard_queries_extractor.py:25-109):
@@ -259,6 +271,10 @@ object ModeDashboard {
     val seed = Seq(organization).toDF("organization")
     val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry)
     val reports = runQuery(spaces, ownerReportsQuery(baseUrl), client, retry)
+      // a report without a creator link (deleted user) OR-zips a null
+      // resource path — drop it here like the reference's 404-skip drops
+      // the fetch, instead of failing URL templating for the whole run
+      .filter(col("creator_resource_path").isNotNull)
     // per-creator user fetch: skip-on-404 (HttpFailureSkipOnStatus in
     // rest_api_failure_handlers.py), inner-join semantics
     val creatorCfg = RestQueryConfig(
@@ -293,9 +309,7 @@ object ModeDashboard {
     val spaces = runQuery(seed, spacesQuery(baseUrl), client, retry, failureHandler)
     val reports = runQuery(spaces, reportsQuery(baseUrl), client, retry, failureHandler)
     reports
-      .withColumn("created_timestamp",
-        coalesce(unix_timestamp(try_to_timestamp(col("created_timestamp"),
-          lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))), lit(0L)))
+      .withColumn("created_timestamp", isoEpoch(col("created_timestamp")))
       .withColumn("dashboard_group_url",
         format_string("https://app.mode.com/%s/spaces/%s",
           col("organization"), col("dashboard_group_id")))

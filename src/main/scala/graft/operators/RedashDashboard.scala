@@ -33,14 +33,16 @@ object RedashDashboard {
       client: HttpClient,
       retry: RetryPolicy = RetryPolicy()): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
+    // the loop is driven by a LOCAL page counter — a response missing
+    // page/page_size must terminate, not refetch page 1 forever
     var page = 1L
     var continue = true
     while (continue) {
       val body = RestFetch.sendWithRetry(client, s"$url?page=$page", retry).body
       out += body
-      val (count, p, pageSize) = pageMeta(body)
-      continue = p * pageSize < count
-      page = p + 1
+      val (count, _, pageSize) = pageMeta(body)
+      continue = pageSize > 0 && page * pageSize < count
+      page += 1
     }
     out.toList
   }
@@ -65,10 +67,7 @@ object RedashDashboard {
       cluster: String = "prod",
       redashVersion: Int = 9): DataFrame = {
     import spark.implicits._
-    def epoch(c: org.apache.spark.sql.Column) =
-      coalesce(unix_timestamp(coalesce(
-        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))), lit(0L))
+    def epoch(c: org.apache.spark.sql.Column) = ModeDashboard.isoEpoch(c)
     val url =
       if (redashVersion >= 9)
         concat(lit(s"$redashBaseUrl/dashboards/"), col("id"))

@@ -178,7 +178,10 @@ object SearchDocs {
     * tableDocsFromGraph becomes partition pruning on the read side. */
   def tableDocsStaged(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
-    val out = sys.props("java.io.tmpdir") + "/graft-staged-search-graph"
+    // pid-suffixed: concurrent graft JVMs (Verify while Bench runs) must
+    // not overwrite each other's staged files mid-read
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft-staged-search-graph-${ProcessHandle.current().pid()}"
     // the two staged outputs are independent jobs over the SAME cached
     // graph build (searchGraph fills its caches eagerly) — submit them
     // concurrently so the writes overlap instead of serializing; Spark's

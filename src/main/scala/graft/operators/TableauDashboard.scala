@@ -118,10 +118,7 @@ object TableauDashboard {
         lit(cluster).as("cluster"),
         lit("tableau").as("product"),
         lit(null).cast("string").as("dashboardGroupDescription"),
-        coalesce(unix_timestamp(coalesce(
-          try_to_timestamp(col("createdAt"), lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
-          try_to_timestamp(col("createdAt"), lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))),
-          lit(0L)).as("createdTimestamp"),
+        ModeDashboard.isoEpoch(col("createdAt")).as("createdTimestamp"),
         concat(lit(s"$tableauBaseUrl/#$sitePath/workbooks/"),
           col("vizportalUrlId"), lit("/views")).as("dashboardUrl"),
         concat(lit(s"$tableauBaseUrl/#$sitePath/projects/"),

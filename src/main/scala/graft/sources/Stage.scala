@@ -153,6 +153,26 @@ object Stage {
     }
   }
 
+  /** The single-logical-commit marker swap shared by every blue/green
+    * consumer (search-doc publish, the streaming snapshot publisher):
+    * write CURRENT.tmp, then ATOMIC_MOVE onto CURRENT — readers see the
+    * old target or the new one, never a partial write. */
+  def atomicRepoint(baseDir: String, target: String): Unit = {
+    val marker = Paths.get(baseDir, "CURRENT.tmp")
+    Files.createDirectories(Paths.get(baseDir))
+    Files.writeString(marker, target, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(marker, Paths.get(baseDir, "CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The committed target CURRENT points at, or None before any publish. */
+  def currentTarget(baseDir: String): Option[String] = {
+    val marker = Paths.get(baseDir, "CURRENT")
+    if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
+  }
+
   /** Blue/green swap: write to a fresh versioned dir, then atomically
     * repoint CURRENT. Readers resolve via `current()`; old generations
     * remain until cleaned — identical failure semantics to the reference's
@@ -162,13 +182,7 @@ object Stage {
       docType: String = null, idCol: String = null): String = {
     val target = s"$baseDir/gen=$generation"
     writeSearchDocs(docs, target, docType, idCol)
-    val marker = Paths.get(baseDir, "CURRENT.tmp")
-    Files.createDirectories(Paths.get(baseDir))
-    Files.writeString(marker, target, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(marker, Paths.get(baseDir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    atomicRepoint(baseDir, target)
     target
   }
 

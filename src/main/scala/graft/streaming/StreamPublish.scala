@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Publish
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 /** Continuous metadata publishing: a streaming source MERGE-upserted into
   * a versioned snapshot per micro-batch — the reference's canonical loop
@@ -34,12 +34,11 @@ object StreamPublish {
 
   private def currentSnapshot(spark: SparkSession, baseDir: String,
       keyCol: String, attrCols: Seq[String]): DataFrame = {
-    val marker = Paths.get(baseDir, "CURRENT")
-    if (Files.exists(marker))
-      spark.read.parquet(Files.readString(marker).trim)
-    else {
-      // first batch: empty snapshot with the full schema
-      val schema = org.apache.spark.sql.types.StructType(
+    graft.sources.Stage.currentTarget(baseDir) match {
+      case Some(target) => spark.read.parquet(target)
+      case None =>
+        // first batch: empty snapshot with the full schema
+        val schema = org.apache.spark.sql.types.StructType(
         (keyCol +: attrCols).map(c =>
           org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
           org.apache.spark.sql.types.StructField("published_tag",
@@ -49,6 +48,14 @@ object StreamPublish {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
   }
+
+  /** Best-effort recursive delete for the harness temp staging dirs. */
+  private def deleteRecursively(path: java.nio.file.Path): Unit =
+    if (Files.exists(path)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => try Files.delete(p) catch { case _: Exception => () })
+    }
 
   /** One micro-batch publish step (exposed for specs): LWW → MERGE →
     * stamp retention → versioned write → atomic CURRENT swap. */
@@ -61,6 +68,14 @@ object StreamPublish {
       orderCols: Seq[Column],
       tagPrefix: String): Unit = {
     val spark = batch.sparkSession
+    val target = s"$baseDir/gen=$batchId"
+    // Redelivery guard: a crash AFTER the CURRENT swap but BEFORE the
+    // checkpoint commit redelivers this batch with CURRENT already
+    // pointing at gen=<batchId> — re-merging would read `prior` from the
+    // very directory the overwrite is about to clobber (Spark refuses:
+    // "cannot overwrite a path that is also being read from"), wedging
+    // every retry. The batch's effect is already durable, so skip.
+    if (graft.sources.Stage.currentTarget(baseDir).contains(target)) return
     val prior = currentSnapshot(spark, baseDir, keyCol, attrCols)
     val incoming = Publish.lastWriteWins(
       batch.select((keyCol +: attrCols).map(col) ++ orderCols: _*), keyCol, orderCols)
@@ -80,14 +95,8 @@ object StreamPublish {
           when(col("published_tag") =!= "", col("publisher_last_updated_epoch_ms"))
             .otherwise(coalesce(col("_pe"), lit(0L)))
             .as("publisher_last_updated_epoch_ms"): _*)
-    val target = s"$baseDir/gen=$batchId"
     retained.write.mode(SaveMode.Overwrite).parquet(target)
-    val tmp = Paths.get(baseDir, "CURRENT.tmp")
-    Files.writeString(tmp, target, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, Paths.get(baseDir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.Stage.atomicRepoint(baseDir, target)
   }
 
   /** The continuous publisher. `orderCols` define within-batch LWW order;
@@ -110,8 +119,8 @@ object StreamPublish {
       .start()
 
   def readCurrent(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.parquet(
-      Files.readString(Paths.get(baseDir, "CURRENT")).trim)
+    spark.read.parquet(graft.sources.Stage.currentTarget(baseDir)
+      .getOrElse(throw new IllegalStateException(s"no CURRENT in $baseDir")))
 
   /** Oracle-gated query: stage the events table as two DISJOINT-keyed
     * files (user cohorts), stream them through the continuous publisher
@@ -121,9 +130,16 @@ object StreamPublish {
     * so the result is deterministic and SQL-expressible even though
     * FileStreamSource's batch order is not. */
   def streamPublishFoldQuery(spark: SparkSession, dir: String): DataFrame = {
-    val in = Files.createTempDirectory("graft-spq-in").toString
-    val base = Files.createTempDirectory("graft-spq-out").toString
-    val ckpt = Files.createTempDirectory("graft-spq-ckpt").toString
+    // per-process fixed dirs, wiped per run: repeated bench/verify passes
+    // reuse the same paths instead of leaking an events-table-sized copy
+    // per invocation; the pid suffix isolates concurrent graft JVMs
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-spq-${ProcessHandle.current().pid()}")
+    deleteRecursively(root)
+    Files.createDirectories(root)
+    val in = root.resolve("in").toString
+    val base = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
     val ev = graft.sources.Tables(spark, dir, "events")
       .select(col("user_id").cast("string").as("key"),
         col("event_type"),

@@ -28,8 +28,10 @@ class ModeDashboardSpec extends AnyFunSuite {
     s"""{"token":"$token","name":"$name","description":"$desc"}"""
   private def report(i: Int) = {
     val ts = s"2021-02-05T21:20:${(i % 60).formatted("%02d")}.019Z"
-    s"""{"token":"r$i","name":"report $i","description":"about $i",""" +
-      s""""_links":{"creator":{"href":"/api/users/u$i"}},""" +
+    // report 30 has no creator link — the deleted-user shape the owner
+    // chain must skip rather than crash on
+    val links = if (i == 30) "" else s""""_links":{"creator":{"href":"/api/users/u$i"}},"""
+    s"""{"token":"r$i","name":"report $i","description":"about $i",$links""" +
       s""""view_count":${100 + i},"last_successfully_run_at":"$ts",""" +
       s""""edited_at":"$ts","created_at":"$ts"}"""
   }
@@ -186,9 +188,11 @@ class ModeDashboardSpec extends AnyFunSuite {
       val owners = ModeDashboard.dashboardOwners(spark, "org1", base,
         graft.sources.RestFetch.defaultClient(), noSleep)
         .orderBy("dashboard_id").collect()
-      // 32 reports; r99's creator u99 404s and is skipped
-      assert(owners.length == 31)
-      assert(owners.forall(_.getAs[String]("dashboard_id") != "r99"))
+      // 32 reports; r99's creator 404s (skip handler) and r30 carries no
+      // creator link at all (null-path skip) — both drop, neither crashes
+      assert(owners.length == 30)
+      assert(owners.forall(r => r.getAs[String]("dashboard_id") != "r99" &&
+        r.getAs[String]("dashboard_id") != "r30"))
       val o0 = owners.find(_.getAs[String]("dashboard_id") == "r0").get
       assert(o0.getAs[String]("email") == "u0@ex.com")
       assert(o0.getAs[String]("dashboard_group") == "Marketing")

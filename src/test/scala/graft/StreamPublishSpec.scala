@@ -80,6 +80,22 @@ class StreamPublishSpec extends AnyFunSuite {
       java.nio.file.Paths.get(base, "CURRENT")).contains("gen=1"))
   }
 
+  test("a redelivered batch whose CURRENT swap already landed is a no-op") {
+    import spark.implicits._
+    val base = tmp("sp3-out")
+    val batch = Seq(("u1", "click", "1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("key", "event_type", "value", "ts", "event_id")
+    StreamPublish.publishBatch(batch, 0L, base, "key",
+      Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
+    val snap1 = StreamPublish.readCurrent(spark, base).collect().toSeq
+    // the crash-after-swap-before-checkpoint-commit shape: the SAME batch
+    // id arrives again — without the guard this reads gen=0 as prior and
+    // overwrites gen=0 while reading it
+    StreamPublish.publishBatch(batch, 0L, base, "key",
+      Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
+    assert(StreamPublish.readCurrent(spark, base).collect().toSeq == snap1)
+  }
+
   test("redelivery is idempotent: replaying the stream converges to the same snapshot") {
     val in = tmp("sp2-in")
     val base = tmp("sp2-out")

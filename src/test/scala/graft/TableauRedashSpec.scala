@@ -103,6 +103,18 @@ class TableauRedashSpec extends AnyFunSuite {
         "updated_at":"2022-06-01T09:00:00Z","is_archived":$archived,
         "is_draft":$draft,"user":{"email":"u$id@ex.com"}}"""
 
+  test("Redash pagination terminates when the server omits page/page_size") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    serve("/api/dashboards" -> { _ =>
+      hits.incrementAndGet()
+      (200, """{"count": 5, "results": []}""")
+    }) { base =>
+      val pages = RedashDashboard.fetchCountPaginated(
+        s"$base/api/dashboards", defaultClient(), noSleep)
+      assert(pages.length == 1 && hits.get() == 1)
+    }
+  }
+
   test("Redash: count paging + published filter + widget fan-out + description") {
     serve("/api/dashboards" -> { ex =>
       val page = Option(ex.getRequestURI.getQuery).getOrElse("page=1")
