@@ -104,6 +104,7 @@ object SparkEntry {
     "q_simhash"       -> (DedupOps.simhashBuckets _),
     "q_simhash_pairs" -> (DedupOps.simhashPairs _),
     "q_dedup_signals" -> (DedupOps.dedupSignals _),
+    "q_dedup_gate"    -> (DedupOps.dedupGate _),
     // similarity search
     "q_embed_norm"        -> (SimilarityOps.norms _),
     "q_embed_pair_cosine" -> (SimilarityOps.pairCosine _),
@@ -921,6 +922,49 @@ object SparkEntry {
     // Oracle is the brute-force all-pairs truth set; the Spark side is
     // MinHash+LSH banding + exact verification, which attains 100% recall
     // at jaccard>=0.8 on this (deterministic) corpus.
+    // Admission gate: incoming docs vs the corpus — brute-force exact
+    // Jaccard in the oracle (the LSH candidates have full recall for
+    // pairs at this threshold, verified exactly, so the sets agree).
+    "q_dedup_gate" ->
+      """WITH incoming AS (
+           SELECT doc_id + 1000000 AS doc_id, substr(text, 1, length(text) - 20) AS text
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, reverse(text) FROM documents WHERE doc_id % 10 = 5),
+         ti AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM incoming),
+         si AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM ti WHERE len(toks) > 2),
+         tc AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         sc AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM tc WHERE len(toks) > 2),
+         v AS (SELECT i.doc_id AS in_id, c.doc_id AS corpus_id,
+             CAST(len(list_filter(i.sh, x -> list_contains(c.sh, x))) AS DOUBLE)
+               / (len(i.sh) + len(c.sh)
+                 - len(list_filter(i.sh, x -> list_contains(c.sh, x)))) AS jaccard
+           FROM si i JOIN sc c ON TRUE),
+         hits AS (SELECT * FROM v WHERE jaccard >= 0.8),
+         m AS (SELECT in_id, COUNT(*) AS n_matches FROM hits GROUP BY in_id),
+         b AS (SELECT in_id, corpus_id AS best_match, jaccard AS best_jaccard
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY in_id
+               ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM hits)
+           WHERE rn = 1)
+         SELECT i.doc_id,
+           CASE WHEN m.in_id IS NULL THEN 'admit' ELSE 'reject' END AS decision,
+           COALESCE(m.n_matches, 0) AS n_matches,
+           COALESCE(b.best_match, 0) AS best_match,
+           COALESCE(b.best_jaccard, 0.0) AS best_jaccard
+         FROM incoming i
+           LEFT JOIN m ON i.doc_id = m.in_id
+           LEFT JOIN b ON i.doc_id = b.in_id
+         ORDER BY i.doc_id""",
     "q_minhash_lsh" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -371,6 +371,88 @@ object DedupOps {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Near-dup admission GATE — the training-pipeline shape the pairwise
+    * dedup is not: a batch of INCOMING documents is checked against an
+    * EXISTING corpus index and each doc gets an admit/reject verdict with
+    * its best-matching corpus doc. Candidates come from the same MinHash
+    * band join (incoming bands ⋈ corpus bands — never incoming × corpus),
+    * verification is exact Jaccard on the candidate set only.
+    *
+    * Scale shape: the corpus side's band index is buildable once and
+    * staged (at 100 TB it IS the staged artifact, refreshed as the corpus
+    * grows); each incoming batch shuffles |batch|×16 slim band rows plus
+    * the (tiny) candidate set. Nothing pairwise, nothing driver-side. */
+  def dedupGateFrames(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    def shingledOf(docs: DataFrame): DataFrame = {
+      val spread = docs
+        .repartition(spark0.sparkContext.defaultParallelism, col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sh = spread
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("sh", shingles(3))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sh.count() // one fill job before multi-consumer fan-out (see above)
+      sh
+    }
+    def bandsOf(sh: DataFrame): DataFrame =
+      sh.as[(Long, Seq[String])]
+        .mapPartitions(_.flatMap { case (id, s) =>
+          val bh = bandHashes(s)
+          Iterator.tabulate(bh.length)(b => (id, b, bh(b)))
+        })
+        .toDF("doc_id", "band", "band_hash")
+    val cSh = shingledOf(corpus)
+    val iSh = shingledOf(incoming)
+    val candidates = bandsOf(iSh)
+      .select(col("band"), col("band_hash"), col("doc_id").as("in_id"))
+      .join(bandsOf(cSh)
+        .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id")),
+        Seq("band", "band_hash"))
+      .select("in_id", "corpus_id")
+      .dropDuplicates("in_id", "corpus_id")
+    val verified = candidates
+      .join(iSh.select(col("doc_id").as("in_id"), col("sh").as("sh_i")), "in_id")
+      .join(cSh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .select(col("in_id"), col("corpus_id"),
+        (size(array_intersect(col("sh_i"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_c"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    // per-incoming verdict: best match by (jaccard desc, corpus_id asc)
+    val matches = verified
+      .groupBy(col("in_id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard"), (-col("corpus_id")).as("neg_id"))).as("best"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("best.neg_id")).cast("long").as("best_match"),
+        col("best.jaccard").as("best_jaccard"))
+    incoming.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_matches").isNotNull, "reject").otherwise("admit").as("decision"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match"), lit(0L)).as("best_match"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }
+
+  /** Oracle-gated gate query: corpus = the documents table; incoming =
+    * the truncated twins of every 10th doc (near-dups → reject) plus
+    * reversed copies of every (10k+5)th doc (novel shingles → admit). */
+  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val incoming = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) - 20)").as("text"))
+      .union(base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+    dedupGateFrames(base, incoming).orderBy("doc_id")
+  }
+
   /** SimHash core: (doc_id, simhash, bucket) over an input with doc_id +
     * text. The token hash is the first 15 hex chars of md5 (60 bits,
     * always positive) so the DuckDB oracle reproduces it exactly; hashes

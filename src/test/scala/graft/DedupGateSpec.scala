@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupOps
+import graft.sources.Tables
+import graft.streaming.DedupGateStream
+import java.nio.file.Files
+
+/** The near-dup admission gate: verdict semantics on known dup/novel
+  * cohorts, and streaming batch-parity — micro-batched incoming docs
+  * against the static corpus index produce exactly the batch decisions.
+  */
+class DedupGateSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  private def incoming = {
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) - 20)").as("text"))
+      .union(base.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+  }
+
+  test("truncated twins reject against their parent; reversed docs admit") {
+    val got = DedupOps.dedupGate(spark, dir).collect()
+    val twins = got.filter(_.getAs[Long]("doc_id") < 2000000L)
+    val fresh = got.filter(_.getAs[Long]("doc_id") >= 2000000L)
+    assert(twins.nonEmpty && fresh.nonEmpty)
+    // truncated twins are near-dups of their parents — rejected, except
+    // where sf0.001's shortest docs lose enough text that true Jaccard
+    // drops under the 0.8 threshold (the oracle gate confirms those
+    // admits are CORRECT, not missed); every rejection names the parent
+    val rejected = twins.filter(_.getAs[String]("decision") == "reject")
+    assert(rejected.length * 2 > twins.length,
+      s"only ${rejected.length}/${twins.length} twins rejected")
+    assert(rejected.forall(_.getAs[Long]("n_matches") >= 1L))
+    assert(rejected.forall(_.getAs[Double]("best_jaccard") >= 0.8))
+    // the best match is usually the planted parent; corpus-internal
+    // duplicates can legitimately outrank it (equal jaccard, smaller id)
+    assert(rejected.count(r =>
+      r.getAs[Long]("best_match") == r.getAs[Long]("doc_id") - 1000000L) * 2
+      > rejected.length)
+    // reversed text shares no shingles with the corpus — admitted clean
+    assert(fresh.forall(_.getAs[String]("decision") == "admit"))
+    assert(fresh.forall(_.getAs[Long]("n_matches") == 0L))
+  }
+
+  test("streamed micro-batches produce exactly the batch decisions") {
+    val in = tmp("gate-in")
+    val out = tmp("gate-out")
+    // two micro-batches split by doc_id parity of the incoming set
+    incoming.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    incoming.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(in)
+    val corpus = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val q = DedupGateStream.run(corpus,
+      spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      out, tmp("gate-ckpt"))
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("decision"),
+        r.getAs[Long]("n_matches"), r.getAs[Long]("best_match"))
+    val streamed = spark.read.parquet(out).collect().map(key).toSet
+    val batch = DedupOps.dedupGate(spark, dir).collect().map(key).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
