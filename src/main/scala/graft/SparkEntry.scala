@@ -91,6 +91,7 @@ object SparkEntry {
     "q_domain_mix"      -> (TextOps.domainMix _),
     "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q_token_shards"    -> ((s, d) => TextOps.tokenShards(s, d)),
+    "q_pack_sequences"  -> ((s, d) => TextOps.packSequences(s, d)),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     "q_pii_redact"      -> (TextOps.piiRedact _),
     "q_url_canon"       -> (TextOps.urlCanon _),
@@ -722,6 +723,34 @@ object SparkEntry {
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM c GROUP BY 1 ORDER BY shard""",
+    // Sequence packing: segment by the same running-cumsum rule, then
+    // next-fit within each segment via a per-segment recursive walk —
+    // one recursion step advances every segment's next document at once.
+    "q_pack_sequences" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM t),
+         d AS (SELECT doc_id, n_tokens,
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS seg,
+             ROW_NUMBER() OVER (PARTITION BY CAST((cum - n_tokens) // 2048 AS BIGINT)
+               ORDER BY doc_id) AS rn
+           FROM c),
+         r AS (
+           SELECT seg, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+             n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT nxt.seg, nxt.rn, nxt.doc_id, nxt.n_tokens,
+             CASE WHEN r.fill + nxt.n_tokens <= 512 THEN r.bin ELSE r.bin + 1 END,
+             CASE WHEN r.fill + nxt.n_tokens <= 512 THEN r.fill + nxt.n_tokens
+                  ELSE nxt.n_tokens END
+           FROM r JOIN d nxt ON nxt.seg = r.seg AND nxt.rn = r.rn + 1)
+         SELECT doc_id, seg, bin, n_tokens FROM r ORDER BY doc_id""",
     // Vocabulary build: token count + doc frequency, deterministic
     // top-k via a total order on (n DESC, token).
     "q_vocab_topk" ->

@@ -183,6 +183,56 @@ object TextOps {
       .orderBy("shard")
   }
 
+  /** Sequence PACKING — the context-window assembly step of a training
+    * pipeline: documents (in deterministic doc_id order) are packed into
+    * fixed-budget bins by NEXT-FIT — a doc joins the current bin if it
+    * fits, else opens a new one (an oversized doc gets its own bin).
+    * Pure next-fit is a sequential recurrence, so the distributed shape
+    * is two-level: the corpus is first cut into token-budgeted SEGMENTS
+    * by the same two-pass prefix sum as [[tokenShards]] (never a global
+    * single-partition window), then next-fit runs independently inside
+    * each segment — bounded task state (a segment holds at most
+    * segmentBudget tokens), bins never span segments, and the only
+    * packing-quality cost is the amortized boundary waste. Output is the
+    * per-document (segment, bin) assignment — deterministic on any
+    * cluster layout. */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Long = 512L, segmentBudget: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = base.withColumn("local_cum", sum(col("n_tokens")).over(wIn))
+    val offsets = withLocal.groupBy("pid").agg(max(col("local_cum")).as("part_sum"))
+      .withColumn("offset",
+        coalesce(sum(col("part_sum")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    withLocal.join(broadcast(offsets), "pid")
+      .withColumn("seg", expr(s"(local_cum + offset - n_tokens) div $segmentBudget"))
+      .select(col("doc_id"), col("n_tokens"), col("seg"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (seg: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.toArray.sortBy(_._1)
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        docs.iterator.map { case (id, n, _) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= budget) fill += n
+          else { bin += 1; fill = n }
+          (id, seg, bin, n)
+        }
+      }
+      .toDF("doc_id", "seg", "bin", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Per-language target sampling rates for [[domainMix]] — plan literals. */
   private[graft] val MixRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "de" -> 1.0, "es" -> 0.8, "fr" -> 0.3, "zh" -> 1.0,

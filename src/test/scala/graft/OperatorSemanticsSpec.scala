@@ -572,6 +572,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == naive, s"distributed shard assignment diverged: $got vs $naive")
   }
 
+  test("sequence packing: budget respected, bins contiguous, layout-independent") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = 256L
+    val rows = TextOps.packSequences(spark, dir, budget, 4 * budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a bin's token total exceeds the budget only when it holds a single
+    // oversized document (next-fit gives oversized docs their own bin)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, ds) =>
+      assert(ds.map(_._4).sum <= budget || ds.length == 1,
+        s"overfull multi-doc bin: $ds")
+    }
+    // within a segment, bins cover contiguous doc_id runs in order
+    rows.groupBy(_._2).foreach { case (_, ds) =>
+      val byId = ds.sortBy(_._1).map(_._3)
+      assert(byId.zip(byId.drop(1)).forall { case (a, b) => b == a || b == a + 1 })
+    }
+    // deterministic across runs (layout-independent by construction —
+    // the segment cut is the distributed prefix sum, packing is a pure
+    // fold in doc order)
+    val again = TextOps.packSequences(spark, dir, budget, 4 * budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("domain mix is deterministic and honors per-language rates") {
     val dir = "/root/testdata/sf0.001"
     val a = TextOps.domainMix(spark, dir).collect()
