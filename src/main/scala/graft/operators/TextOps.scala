@@ -183,6 +183,23 @@ object TextOps {
       .orderBy("shard")
   }
 
+  /** Scale-path twin of [[lengthQuantiles]]: `approx_percentile` runs on
+    * a mergeable KLL-style sketch — bounded memory per group regardless
+    * of group size, map-side combinable — where exact `percentile`
+    * buffers every value of the group. At fine grains (per-domain,
+    * per-shard) on a 100 TB corpus the sketch is the only viable shape;
+    * the spec bounds its error against the exact answer. */
+  def lengthQuantilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), $accuracy)").as("q"))
+      .select(col("lang"), col("n_docs"),
+        col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+      .orderBy("lang")
+
   /** Sequence PACKING — the context-window assembly step of a training
     * pipeline: documents (in deterministic doc_id order) are packed into
     * fixed-budget bins by NEXT-FIT — a doc joins the current bin if it

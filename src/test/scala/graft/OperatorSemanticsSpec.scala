@@ -597,6 +597,38 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("approx length quantiles track the exact percentiles (sketch scale path)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TextOps.lengthQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val approx = TextOps.lengthQuantilesApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    // approx_percentile returns an actual value ≤ one rank away at this
+    // accuracy; allow 10% relative slack per quantile
+    approx.foreach { case (lang, (a25, a50, a75)) =>
+      val (e25, e50, e75) = exact(lang)
+      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(2.0, e * 0.1),
+          s"$lang approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("quantized ANN holds high recall against full-precision top-k") {
+    val dir = "/root/testdata/sf0.001"
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val full = topk(SimilarityOps.annBruteForce(spark, dir))
+    val quant = topk(SimilarityOps.annBruteForceQuantized(spark, dir))
+    assert(quant.keySet == full.keySet)
+    val recalls = full.map { case (q, exact) =>
+      quant(q).intersect(exact).size.toDouble / exact.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.85, s"avg recall@5 of int8 ranking was $avg")
+  }
+
   test("domain mix is deterministic and honors per-language rates") {
     val dir = "/root/testdata/sf0.001"
     val a = TextOps.domainMix(spark, dir).collect()
