@@ -92,6 +92,11 @@ object SparkEntry {
     "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q_token_shards"    -> ((s, d) => TextOps.tokenShards(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextOps.packSequences(s, d)),
+    // scale-path twins of exact operators; approximate results have no
+    // SQL-expressible oracle (sketch/quantization error is bounded by
+    // spec instead) -> rows-only check by design
+    "q_length_quantiles_approx" -> ((s, d) => TextOps.lengthQuantilesApprox(s, d)),
+    "q_ann_topk_quantized" -> (SimilarityOps.annBruteForceQuantized _),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     "q_pii_redact"      -> (TextOps.piiRedact _),
     "q_url_canon"       -> (TextOps.urlCanon _),
