@@ -92,10 +92,12 @@ object SparkEntry {
     "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q_token_shards"    -> ((s, d) => TextOps.tokenShards(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextOps.packSequences(s, d)),
-    // scale-path twins of exact operators; approximate results have no
-    // SQL-expressible oracle (sketch/quantization error is bounded by
-    // spec instead) -> rows-only check by design
+    // scale-path twin of the exact quantiles; the KLL sketch is not
+    // SQL-reproducible (error is bounded by spec instead) -> rows-only
+    // check by design. This is the ONLY rows-only query.
     "q_length_quantiles_approx" -> ((s, d) => TextOps.lengthQuantilesApprox(s, d)),
+    // int8 twin of q_ann_topk: the affine quantize/dequantize is exact
+    // double arithmetic, so it carries a full DuckDB oracle
     "q_ann_topk_quantized" -> (SimilarityOps.annBruteForceQuantized _),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     "q_pii_redact"      -> (TextOps.piiRedact _),
@@ -1205,6 +1207,30 @@ object SparkEntry {
          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
          s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s) WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // int8 twin: quantize = floor((x - vmin)/scale + 0.5) with
+    // scale = (vmax - vmin)/255, dequantize = code*scale + vmin — exact
+    // affine double arithmetic both engines reproduce bit-for-bit, then
+    // the same brute-force cosine ranking as q_ann_topk over the
+    // dequantized vectors.
+    "q_ann_topk_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         qd AS (SELECT vec_id, v, list_min(v) AS vmin,
+             CASE WHEN list_max(v) > list_min(v)
+                  THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+           FROM e),
+         d AS (SELECT vec_id,
+             list_transform(v,
+               x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) * scale + vmin) AS dv
+           FROM qd),
+         n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM d),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm) AS cos
            FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
          SELECT query_id, rank, neighbor_id, cos FROM (
            SELECT query_id, neighbor_id, cos,

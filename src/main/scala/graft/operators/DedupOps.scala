@@ -382,22 +382,39 @@ object DedupOps {
     * staged (at 100 TB it IS the staged artifact, refreshed as the corpus
     * grows); each incoming batch shuffles |batch|×16 slim band rows plus
     * the (tiny) candidate set. Nothing pairwise, nothing driver-side. */
+  /** Shingle index for one side of the gate: repartition off the source,
+    * shingle once, persist, and fill the cache in ONE job before the
+    * multi-consumer fan-out (band join + verify join both read it). The
+    * repartition is a pushdown barrier too — without it the shingle
+    * projection runs on the source's 1-2 scan partitions. The caller
+    * owns the returned frame's unpersist. */
+  private[graft] def gateShingles(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    sh
+  }
+
   def dedupGateFrames(corpus: DataFrame, incoming: DataFrame): DataFrame = {
-    val spark0 = corpus.sparkSession
+    val cSh = gateShingles(corpus)
+    try dedupGateOnIndex(cSh, incoming)
+    finally cSh.unpersist()
+  }
+
+  /** Gate a batch of incoming docs against a PRE-BUILT (persisted) corpus
+    * shingle index — the streaming entry point: the corpus index lives
+    * across micro-batches (its lifecycle belongs to the stream), the
+    * incoming side's cache is scoped to this call, and the returned
+    * verdict frame is already materialized (persisted + counted, it is
+    * |incoming| rows), so callers may unpersist it once sunk. */
+  private[graft] def dedupGateOnIndex(cSh: DataFrame, incoming: DataFrame): DataFrame = {
+    val spark0 = incoming.sparkSession
     import spark0.implicits._
-    def shingledOf(docs: DataFrame): DataFrame = {
-      val spread = docs
-        .repartition(spark0.sparkContext.defaultParallelism, col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val sh = spread
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .withColumn("sh", shingles(3))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      sh.count() // one fill job before multi-consumer fan-out (see above)
-      sh
-    }
     def bandsOf(sh: DataFrame): DataFrame =
       sh.as[(Long, Seq[String])]
         .mapPartitions(_.flatMap { case (id, s) =>
@@ -405,8 +422,7 @@ object DedupOps {
           Iterator.tabulate(bh.length)(b => (id, b, bh(b)))
         })
         .toDF("doc_id", "band", "band_hash")
-    val cSh = shingledOf(corpus)
-    val iSh = shingledOf(incoming)
+    val iSh = gateShingles(incoming)
     val candidates = bandsOf(iSh)
       .select(col("band"), col("band_hash"), col("doc_id").as("in_id"))
       .join(bandsOf(cSh)
@@ -430,13 +446,19 @@ object DedupOps {
       .select(col("doc_id"), col("n_matches"),
         (-col("best.neg_id")).cast("long").as("best_match"),
         col("best.jaccard").as("best_jaccard"))
-    incoming.select(col("doc_id"))
+    val verdict = incoming.select(col("doc_id"))
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("n_matches").isNotNull, "reject").otherwise("admit").as("decision"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("best_match"), lit(0L)).as("best_match"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the verdict while both shingle caches are hot, then
+    // release the batch-scoped incoming cache
+    verdict.count()
+    iSh.unpersist()
+    verdict
   }
 
   /** Oracle-gated gate query: corpus = the documents table; incoming =
@@ -521,12 +543,22 @@ object DedupOps {
     val sim = simhashOf(spark, docsWithTwins(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one fill job before the self-join's two sides fan out — racing
+    // consumers would each recompute the simhash pass (see :232-235)
+    sim.count()
     val l = sim.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = sim.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("bucket"))
+    val out = l.join(r, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= 10)
       .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the (tiny) pair set while the simhash cache is hot,
+    // then release the fat cache — the result frame is KBs, the cache
+    // is the whole corpus's simhashes
+    out.count()
+    sim.unpersist()
+    out
   }
 }

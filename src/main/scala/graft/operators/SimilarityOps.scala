@@ -103,13 +103,6 @@ object SimilarityOps {
     corpus
   }
 
-  /** Per-vector int8-style quantization — the memory-compression step a
-    * billion-vector ANN index applies before sharding: affine-map each
-    * vector onto 0..255 with its own (min, scale), report the first/max
-    * quantized levels and the mean absolute reconstruction error. A
-    * narrow map over the scan (codegen'd HOFs, zero shuffle); rounding
-    * is floor(x + 0.5) so both engines round identically on exact
-    * doubles. */
   /** Top-k search over int8-QUANTIZED vectors — the memory-bound scale
     * path: the candidate store holds 8x fewer bytes per vector (the
     * broadcast/shuffle payload shrinks identically), scores rank on
@@ -143,6 +136,13 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-vector int8-style quantization — the memory-compression step a
+    * billion-vector ANN index applies before sharding: affine-map each
+    * vector onto 0..255 with its own (min, scale), report the first/max
+    * quantized levels and the mean absolute reconstruction error. A
+    * narrow map over the scan (codegen'd HOFs, zero shuffle); rounding
+    * is floor(x + 0.5) so both engines round identically on exact
+    * doubles. */
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .withColumn("v", asDouble(col("embedding")))

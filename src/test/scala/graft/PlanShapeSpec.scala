@@ -88,8 +88,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // aggregate — the build side is a single row by construction, so
       // the "nested loop" is one probe per row, the correct plan)
       val scalarTotalJoin = Set("q_tfidf_topk", "q_unigram_logprob")
-      if (name != "q_ann_topk" && name != "q_ann_ivf_recall" &&
-          !scalarTotalJoin(name))
+      // q_ann_topk_quantized is the int8 twin of q_ann_topk: the same
+      // intentional 20-query brute-force baseline (broadcast query set,
+      // exactness oracle), so it carries the same BNLJ by design
+      val bruteForceAnn =
+        Set("q_ann_topk", "q_ann_ivf_recall", "q_ann_topk_quantized")
+      if (!bruteForceAnn(name) && !scalarTotalJoin(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
     }
