@@ -4,13 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Publish
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 
 /** Continuous metadata publishing: a streaming source MERGE-upserted into
-  * a versioned snapshot per micro-batch — the reference's canonical loop
-  * (Kafka extract → stage → Neo4jCsvPublisher MERGE → offset commit on
-  * success, kafka_source_extractor.py:116-130 + neo4j_csv_publisher.py)
-  * as one Structured Streaming query.
+  * a BUCKETED versioned snapshot per micro-batch — the reference's
+  * canonical loop (Kafka extract → stage → Neo4jCsvPublisher MERGE →
+  * offset commit on success, kafka_source_extractor.py:116-130 +
+  * neo4j_csv_publisher.py) as one Structured Streaming query.
   *
   * Semantics carried over:
   *  - within-batch last-write-wins before the merge (the reference
@@ -19,46 +20,106 @@ import java.nio.file.{Files, Paths}
   *    (Publish.mergeUpsert), untouched rows RETAINING their previous
   *    stamp — the reference never clears a row's tag, it only re-stamps
   *    what the batch touched;
-  *  - each batch lands a fresh `gen=<batchId>` snapshot then atomically
-  *    repoints CURRENT — the publisher's single-logical-commit;
+  *  - each batch's changes land under a fresh `gen=<batchId>` dir, then a
+  *    MANIFEST swap atomically commits them — the publisher's
+  *    single-logical-commit;
   *  - the checkpoint advances only after the batch function returns, so
   *    a failed publish is redelivered (at-least-once) and re-merging the
   *    same batch is idempotent — exactly the offset-commit-on-success
   *    Callback contract.
   *
-  * Scale: state lives in the snapshot files, not executor memory; each
-  * batch is one full-outer merge shuffle on the key — the same shape a
-  * nightly batch publish would run, just continuous.
+  * Scale — why the snapshot is bucketed: a continuous publisher that
+  * full-outer-merges and rewrites the WHOLE snapshot every micro-batch
+  * pays O(snapshot) write amplification per batch — at a 100 TB snapshot
+  * that is the scale-killer in the one component whose point is
+  * continuity. Here the snapshot is hash-partitioned into `nBuckets` key
+  * buckets; each batch merges and rewrites ONLY the buckets its keys
+  * touch (a sparse trickle touches few), and the manifest — a tiny
+  * bucket→generation-path table — is what swaps atomically. Untouched
+  * buckets' files are never rewritten, re-read, or even listed by the
+  * merge; a reader sees the old manifest or the new one, never a partial
+  * publish. State lives in the snapshot files, not executor memory, and
+  * the per-batch merge shuffles only the incoming batch plus the touched
+  * buckets' rows.
   */
 object StreamPublish {
 
-  private def currentSnapshot(spark: SparkSession, baseDir: String,
-      keyCol: String, attrCols: Seq[String]): DataFrame = {
-    graft.sources.Stage.currentTarget(baseDir) match {
-      case Some(target) => spark.read.parquet(target)
-      case None =>
-        // first batch: empty snapshot with the full schema
-        val schema = org.apache.spark.sql.types.StructType(
-        (keyCol +: attrCols).map(c =>
-          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
-          org.apache.spark.sql.types.StructField("published_tag",
-            org.apache.spark.sql.types.StringType) :+
-          org.apache.spark.sql.types.StructField("publisher_last_updated_epoch_ms",
-            org.apache.spark.sql.types.LongType))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  /** Bucket count for the snapshot layout. 16 keeps per-bucket files
+    * chunky at gate scale; a 100 TB deployment raises it so one bucket
+    * ~= a few GB (the unit of rewrite amplification). */
+  val DefaultBuckets = 16
+
+  /** Deterministic key→bucket assignment (xxhash64 is seed-fixed, so the
+    * layout is stable across runs and engines). */
+  private def bucketOf(keyCol: String, nBuckets: Int): Column =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
+
+  /** The committed snapshot state: which batch produced it and, per
+    * bucket, the baseDir-relative directory holding that bucket's
+    * current rows. The manifest is the atomic-commit unit — bytes on
+    * disk are one header line + one line per non-empty bucket. */
+  private[streaming] case class Manifest(batchId: Long, buckets: Map[Int, String])
+
+  private[streaming] def readManifest(baseDir: String): Option[Manifest] =
+    graft.sources.Stage.currentTarget(baseDir).map { mf =>
+      val lines = Files.readAllLines(Paths.get(mf)).asScala.toList
+      val head = lines.head.split('\t')
+      require(head(0) == "batch_id", s"bad manifest header in $mf")
+      Manifest(head(1).toLong,
+        lines.tail.map { l =>
+          val a = l.split('\t'); a(0).toInt -> a(1)
+        }.toMap)
     }
+
+  /** Write manifest-<batchId> (truncating any abandoned attempt's file)
+    * and atomically repoint CURRENT at it — the single logical commit. */
+  private def commitManifest(baseDir: String, m: Manifest): Unit = {
+    val mf = Paths.get(baseDir, s"manifest-${m.batchId}")
+    val body = (s"batch_id\t${m.batchId}" +:
+      m.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+      .mkString("\n")
+    Files.createDirectories(Paths.get(baseDir))
+    Files.writeString(mf, body, StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    graft.sources.Stage.atomicRepoint(baseDir, mf.toString)
+  }
+
+  /** A generation dir for this batch's writes that no committed bucket
+    * path points into: normally `gen=<batchId>`, but after a checkpoint
+    * reset the same batch id can recur while live buckets still reference
+    * the old `gen=<batchId>` — overwriting it would destroy (or deadlock
+    * reading) committed data, so suffix until clear. Deterministic given
+    * the committed manifest. */
+  private def freshGenDir(batchId: Long, committed: Map[Int, String]): String = {
+    val taken = committed.values.map(_.split('/').head).toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) s"gen=$batchId" else s"gen=$batchId.r$i")
+      .find(g => !taken.contains(g)).get
+  }
+
+  private def emptySnapshot(spark: SparkSession,
+      keyCol: String, attrCols: Seq[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      (keyCol +: attrCols).map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("published_tag",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("publisher_last_updated_epoch_ms",
+          org.apache.spark.sql.types.LongType))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
   /** Best-effort recursive delete for the harness temp staging dirs. */
   private def deleteRecursively(path: java.nio.file.Path): Unit =
     if (Files.exists(path)) {
-      import scala.jdk.CollectionConverters._
       Files.walk(path).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => try Files.delete(p) catch { case _: Exception => () })
     }
 
-  /** One micro-batch publish step (exposed for specs): LWW → MERGE →
-    * stamp retention → versioned write → atomic CURRENT swap. */
+  /** One micro-batch publish step (exposed for specs): LWW → bucket the
+    * incoming keys → MERGE against ONLY the touched buckets' prior rows →
+    * stamp retention → write the touched buckets under a fresh gen dir →
+    * atomic manifest swap. */
   def publishBatch(
       batch: DataFrame,
       batchId: Long,
@@ -66,25 +127,38 @@ object StreamPublish {
       keyCol: String,
       attrCols: Seq[String],
       orderCols: Seq[Column],
-      tagPrefix: String): Unit = {
+      tagPrefix: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
-    val target = s"$baseDir/gen=$batchId"
-    // Redelivery guard: a crash AFTER the CURRENT swap but BEFORE the
-    // checkpoint commit redelivers this batch with CURRENT already
-    // pointing at gen=<batchId> — re-merging would read `prior` from the
-    // very directory the overwrite is about to clobber (Spark refuses:
-    // "cannot overwrite a path that is also being read from"), wedging
-    // every retry. The batch's effect is already durable, so skip.
-    if (graft.sources.Stage.currentTarget(baseDir).contains(target)) return
-    val prior = currentSnapshot(spark, baseDir, keyCol, attrCols)
+    val committed = readManifest(baseDir)
+    // Redelivery guard: a crash AFTER the manifest swap but BEFORE the
+    // checkpoint commit redelivers this batch with CURRENT already at
+    // manifest-<batchId>. The batch's effect is already durable — re-
+    // merging it would double-apply nothing (idempotent) but waste a full
+    // rewrite of its buckets, so skip.
+    if (committed.exists(_.batchId == batchId)) return
+    val committedBuckets = committed.map(_.buckets).getOrElse(Map.empty)
     val incoming = Publish.lastWriteWins(
       batch.select((keyCol +: attrCols).map(col) ++ orderCols: _*), keyCol, orderCols)
       .select((keyCol +: attrCols).map(col): _*)
+      .withColumn("_bucket", bucketOf(keyCol, nBuckets))
+      .persist()
+    // the driver sees only the touched-bucket SET (≤ nBuckets ints),
+    // never data rows
+    val touched = incoming.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { incoming.unpersist(); return }
+    val priorPaths = touched.flatMap(committedBuckets.get)
+      .map(rel => s"$baseDir/$rel")
+    val prior =
+      if (priorPaths.isEmpty) emptySnapshot(spark, keyCol, attrCols)
+      else spark.read.parquet(priorPaths.toIndexedSeq: _*)
     val tag = s"$tagPrefix$batchId"
-    val merged = Publish.mergeUpsert(prior, incoming, keyCol, attrCols, tag,
-      epochMs = batchId)
+    val merged = Publish.mergeUpsert(prior, incoming.drop("_bucket"),
+      keyCol, attrCols, tag, epochMs = batchId)
     // stamp retention: mergeUpsert blanks the tag of rows the batch did
-    // not touch; re-join the prior stamps so untouched rows keep theirs
+    // not touch; re-join the prior stamps so untouched rows in a TOUCHED
+    // bucket keep theirs (untouched buckets are not rewritten at all)
     val prev = prior.select(col(keyCol),
       col("published_tag").as("_pt"), col("publisher_last_updated_epoch_ms").as("_pe"))
     val retained = merged.join(prev, Seq(keyCol), "left")
@@ -95,8 +169,17 @@ object StreamPublish {
           when(col("published_tag") =!= "", col("publisher_last_updated_epoch_ms"))
             .otherwise(coalesce(col("_pe"), lit(0L)))
             .as("publisher_last_updated_epoch_ms"): _*)
-    retained.write.mode(SaveMode.Overwrite).parquet(target)
-    graft.sources.Stage.atomicRepoint(baseDir, target)
+    val gen = freshGenDir(batchId, committedBuckets)
+    // one task (= one file) per bucket: repartition on the bucket key
+    // before partitionBy, the small-files discipline (see Stage notes)
+    retained.withColumn("bucket", bucketOf(keyCol, nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(SaveMode.Overwrite).parquet(s"$baseDir/$gen")
+    incoming.unpersist()
+    val next = Manifest(batchId,
+      committedBuckets ++ touched.map(b => b -> s"$gen/bucket=$b"))
+    commitManifest(baseDir, next)
   }
 
   /** The continuous publisher. `orderCols` define within-batch LWW order;
@@ -109,18 +192,27 @@ object StreamPublish {
       keyCol: String,
       attrCols: Seq[String],
       orderCols: Seq[Column],
-      tagPrefix: String = "batch_"): StreamingQuery =
+      tagPrefix: String = "batch_",
+      nBuckets: Int = DefaultBuckets): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        publishBatch(batch, batchId, baseDir, keyCol, attrCols, orderCols, tagPrefix)
+        publishBatch(batch, batchId, baseDir, keyCol, attrCols, orderCols,
+          tagPrefix, nBuckets)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  def readCurrent(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.parquet(graft.sources.Stage.currentTarget(baseDir)
-      .getOrElse(throw new IllegalStateException(s"no CURRENT in $baseDir")))
+  /** Read the committed snapshot: the manifest's bucket dirs, as one
+    * scan. Bucket dirs are independent parquet roots, so a reader needing
+    * only some keys can prune to their buckets — the point of the
+    * layout. */
+  def readCurrent(spark: SparkSession, baseDir: String): DataFrame = {
+    val m = readManifest(baseDir)
+      .getOrElse(throw new IllegalStateException(s"no CURRENT manifest in $baseDir"))
+    require(m.buckets.nonEmpty, s"empty snapshot manifest in $baseDir")
+    spark.read.parquet(m.buckets.values.map(rel => s"$baseDir/$rel").toSeq: _*)
+  }
 
   /** Oracle-gated query: stage the events table as two DISJOINT-keyed
     * files (user cohorts), stream them through the continuous publisher

@@ -74,10 +74,59 @@ class StreamPublishSpec extends AnyFunSuite {
       .select("key").distinct().collect().map(_.getString(0))
     assert(batch0Only.nonEmpty && batch0Only.forall(k => tags(k) == "tag_0"))
     assert(touched.nonEmpty && touched.forall(k => tags(k) == "tag_1"))
-    // both generations exist; CURRENT points at the last
+    // both generations exist; CURRENT points at the last batch's manifest
     assert(Files.exists(java.nio.file.Paths.get(base, "gen=0")))
+    assert(Files.exists(java.nio.file.Paths.get(base, "gen=1")))
     assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(base, "CURRENT")).contains("gen=1"))
+      java.nio.file.Paths.get(base, "CURRENT")).contains("manifest-1"))
+  }
+
+  test("a batch rewrites only the buckets it touches; untouched bucket files are byte-identical") {
+    import spark.implicits._
+    val base = tmp("sp4-out")
+    def md5s(gen: String): Map[String, String] = {
+      val root = java.nio.file.Paths.get(base, gen)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-"))
+        .map(p => p.toString ->
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString)
+        .toMap
+    }
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // batch 0 spreads 200 keys over every bucket
+    val b0 = (1 to 200).map(i => (s"u$i", "seed", s"v$i", ts, i.toLong))
+      .toDF("key", "event_type", "value", "ts", "event_id")
+    StreamPublish.publishBatch(b0, 0L, base, "key",
+      Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
+    val gen0 = md5s("gen=0")
+    val m0 = java.nio.file.Files.readString(java.nio.file.Paths.get(base, "manifest-0"))
+    val buckets0 = m0.linesIterator.drop(1).map(_.split('\t')(0).toInt).toSet
+    assert(buckets0.size > 1, s"batch 0 should span several buckets:\n$m0")
+    // batch 1 touches a single key → a single bucket
+    val b1 = Seq(("u1", "update", "v1b", ts, 1000L))
+      .toDF("key", "event_type", "value", "ts", "event_id")
+    StreamPublish.publishBatch(b1, 1L, base, "key",
+      Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
+    val m1 = java.nio.file.Files.readString(java.nio.file.Paths.get(base, "manifest-1"))
+    val entries1 = m1.linesIterator.drop(1)
+      .map { l => val a = l.split('\t'); a(0).toInt -> a(1) }.toMap
+    val rewritten = entries1.filter(_._2.startsWith("gen=1"))
+    assert(rewritten.size == 1, s"batch 1 should rewrite exactly one bucket:\n$m1")
+    assert(entries1.count(_._2.startsWith("gen=0")) == buckets0.size - 1)
+    // the untouched buckets' files were not rewritten — same paths, same bytes
+    assert(md5s("gen=0") == gen0)
+    // and the folded snapshot is still the global LWW state
+    val snap = StreamPublish.readCurrent(spark, base)
+    assert(snap.count() == 200)
+    val u1 = snap.filter(col("key") === "u1")
+      .select("event_type", "value", "published_tag").collect().head
+    assert((u1.getString(0), u1.getString(1), u1.getString(2)) == ("update", "v1b", "t_1"))
+    // an untouched key keeps its batch-0 row and stamp
+    val u2 = snap.filter(col("key") === "u2")
+      .select("event_type", "value", "published_tag").collect().head
+    assert((u2.getString(0), u2.getString(1), u2.getString(2)) == ("seed", "v2", "t_0"))
   }
 
   test("a redelivered batch whose CURRENT swap already landed is a no-op") {
