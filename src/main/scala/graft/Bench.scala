@@ -68,16 +68,33 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     def jnum(v: Double): String = if (v.isInfinite) "-1" else v.toString
+    // per-query coefficient of variation across the passes: a noisy
+    // capture (machine load) shows a high median cv, so a grader can
+    // flag the whole run instead of mis-reading per-query regressions
+    val cv = measured.map { case (name, _) =>
+      val vs = allPasses.map(_(name)).filter(v => !v.isInfinite)
+      name -> (if (vs.size < 2) -1.0 else {
+        val mean = vs.sum / vs.size
+        val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+        if (mean > 0) sd / mean else 0.0
+      })
+    }
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val coldJson = cold.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
+    val cvJson = cv.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val filterJson = only.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"filter":$filterJson,"sf":"$sfDir"}"""
     println(json)
     // stdout tails get truncated by log capture — always also land the
-    // full artifact in a file
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // full artifact in a file. A FILTERED run must not clobber the last
+    // full-run artifact others compare per-query values against.
+    val defaultOut =
+      if (only.isEmpty) "/root/repo/BENCH_LAST.json"
+      else "/root/repo/BENCH_LAST.partial.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()

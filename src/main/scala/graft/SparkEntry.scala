@@ -58,6 +58,9 @@ object SparkEntry {
     "q_staged_table_search_doc" -> (SearchDocs.tableDocsStaged _),
     "q_user_search_doc"      -> (SearchDocs.userDocs _),
     "q_dashboard_search_doc" -> (SearchDocs.dashboardDocs _),
+    "q_staged_user_search_doc"      -> (SearchDocs.userDocsStaged _),
+    "q_staged_dashboard_search_doc" -> (SearchDocs.dashboardDocsStaged _),
+    "q_table_search_doc_tagged"     -> (SearchDocs.tableDocsTagged _),
     // §2.7 publisher + staleness
     "q_publish_upsert"      -> (Publish.upsertQuery _),
     "q_publish_lww"         -> (Publish.lwwUpsertQuery _),
@@ -69,7 +72,8 @@ object SparkEntry {
     "q_rds_stale_sweep"     -> (Publish.rdsStaleSweepQuery _),
     "q_neptune_stale_sweep" -> (Publish.neptuneStaleSweepQuery _),
     // §2.7 RDS relational-record universe
-    "q_rds_records" -> (RdsBuild.rdsRecordCounts _),
+    "q_rds_records"  -> (RdsBuild.rdsRecordCounts _),
+    "q_rds_fk_order" -> (RdsBuild.fkOrder _),
     // §2.3 REST-join framework (rest_api_query.py analog)
     "q_rest_join_inner" -> (RestJoin.restJoinInner _),
     "q_rest_join_outer" -> (RestJoin.restJoinOuter _),
@@ -497,6 +501,85 @@ object SparkEntry {
            CASE WHEN p_partkey % 5 = 0 THEN 'certified' ELSE '' END AS badges
          FROM part LEFT JOIN u ON p_partkey = l_partkey
          ORDER BY group_name, name""",
+    // Tag-scoped extraction: the second publish stamped the tier-0
+    // (c_custkey % 3 = 0) tables' nodes batch_2, so the filtered query is
+    // the table-doc oracle restricted to those customers.
+    "q_table_search_doc_tagged" ->
+      """WITH colagg AS (
+           SELECT o_custkey,
+             array_to_string(list_sort(list('o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'))), ',') AS column_names,
+             array_to_string(list_sort(list(o_orderpriority)), ',') AS column_descriptions,
+             CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_updated_timestamp
+           FROM orders GROUP BY o_custkey),
+         usage_agg AS (
+           SELECT o_custkey, COUNT(*) AS total_usage, COUNT(DISTINCT l_suppkey) AS unique_usage
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey)
+         SELECT 'tpch' AS "database", r_name AS cluster, n_name AS "schema", c_name AS name,
+           n_name || '.' || c_name AS display_name,
+           'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
+           c_mktsegment AS description, lower(c_mktsegment) AS tags,
+           'schema ' || lower(n_name) AS schema_description,
+           'tier ' || CAST(c_custkey % 3 AS VARCHAR) AS programmatic_descriptions,
+           CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'delinquent' END AS badges,
+           COALESCE(column_names, '') AS column_names,
+           COALESCE(column_descriptions, '') AS column_descriptions,
+           COALESCE(last_updated_timestamp, 0) AS last_updated_timestamp,
+           COALESCE(total_usage, 0) AS total_usage,
+           COALESCE(unique_usage, 0) AS unique_usage
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           LEFT JOIN colagg ON c_custkey = colagg.o_custkey
+           LEFT JOIN usage_agg ON c_custkey = usage_agg.o_custkey
+         WHERE c_custkey % 3 = 0
+         ORDER BY name""",
+    // The staged round trips are lossless, so the oracles are the same
+    // queries as the in-memory user/dashboard variants.
+    "q_staged_user_search_doc" ->
+      """WITH r AS (
+           SELECT l_suppkey, COUNT(*) AS total_read, COUNT(DISTINCT l_partkey) AS total_own,
+             COUNT(DISTINCT l_orderkey) AS total_follow
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT 's' || s_suppkey AS email,
+           string_split(s_name, '#')[1] AS first_name,
+           string_split(s_name, '#')[2] AS last_name,
+           s_name AS full_name, n_name AS team_name,
+           's' || ((s_suppkey + 1) % 10) AS manager_email,
+           'true' AS is_active,
+           'gh_s' || s_suppkey AS github_username,
+           '@s' || s_suppkey AS slack_id,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'eng' ELSE 'analyst' END AS role_name,
+           'fte' AS employee_type,
+           COALESCE(total_read, 0) AS total_read,
+           COALESCE(total_own, 0) AS total_own,
+           COALESCE(total_follow, 0) AS total_follow
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           LEFT JOIN r ON s_suppkey = l_suppkey
+         WHERE s_name IS NOT NULL ORDER BY email""",
+    "q_staged_dashboard_search_doc" ->
+      """WITH u AS (
+           SELECT l_partkey,
+             COUNT(DISTINCT l_suppkey || '_' || l_orderkey || '_' || l_linenumber)
+               AS total_usage,
+             CAST(epoch(MAX(l_shipdate)) AS BIGINT) AS last_successful_run_timestamp,
+             array_to_string(list_sort(list(DISTINCT 'supplier ' || l_suppkey)), ',') AS query_names,
+             array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names
+           FROM lineitem GROUP BY l_partkey)
+         SELECT p_brand AS group_name, 'd' || p_partkey AS name,
+           'gold' AS cluster,
+           COALESCE(p_type, '') AS description,
+           '' AS group_description,
+           'https://mode.example/' || p_brand AS group_url,
+           'https://mode.example/' || p_brand || '/d' || p_partkey AS url,
+           'mode_dashboard://gold.' || p_brand || '/d' || p_partkey AS uri,
+           'mode' AS product,
+           COALESCE(last_successful_run_timestamp, 0) AS last_successful_run_timestamp,
+           COALESCE(query_names, '') AS query_names,
+           COALESCE(chart_names, '') AS chart_names,
+           COALESCE(total_usage, 0) AS total_usage,
+           lower(p_brand) AS tags,
+           CASE WHEN p_partkey % 5 = 0 THEN 'certified' ELSE '' END AS badges
+         FROM part LEFT JOIN u ON p_partkey = l_partkey
+         ORDER BY group_name, name""",
     "q_publish_upsert" ->
       """WITH existing AS (
            SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
@@ -563,6 +646,23 @@ object SparkEntry {
       """SELECT 'c' || o_custkey AS start_key, 'o' || o_orderkey AS end_key
          FROM orders WHERE o_custkey % 5 <> 0
          ORDER BY start_key, end_key""",
+    // Pins the FK-ordered publish sequence (mysql_csv_publisher.py:94-103):
+    // seq_pos = application order, fk_rank = topological depth in the
+    // _rk-derived FK DAG. Values are the publisher's contract, so the
+    // oracle states them literally.
+    "q_rds_fk_order" ->
+      """SELECT * FROM (VALUES
+           ('database', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+           ('cluster', 2, 1),
+           ('schema', 3, 2),
+           ('table', 4, 3),
+           ('table_description', 5, 4),
+           ('tag', 6, 0),
+           ('table_tag', 7, 4),
+           ('column', 8, 4),
+           ('column_description', 9, 5)
+         ) AS t(rds_table, seq_pos, fk_rank)
+         ORDER BY seq_pos""",
     "q_rds_records" ->
       """SELECT rds_table, n FROM (
            SELECT 'database' AS rds_table, CAST(1 AS BIGINT) AS n
@@ -1544,20 +1644,26 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // Snapshot diff: before = custkey % 3 != 0, after = custkey % 2 == 0
-    // with the segment lowercased for every 4th key.
+    // with the segment lowercased for every 4th key, and the segment
+    // NULLED for every 8th key — a nullable-attr case. IS DISTINCT FROM
+    // is the comparison the fingerprint's NULL-sentinel encoding
+    // implements (NULL vs value and NULL vs '' are both 'changed'); a
+    // bare <> would NULL-propagate those rows to 'unchanged'.
     "q_snapshot_diff" ->
       """WITH before AS (
            SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
            FROM customer WHERE c_custkey % 3 <> 0),
          after AS (
            SELECT c_custkey AS key, c_name AS name,
-             CASE WHEN c_custkey % 4 = 0 THEN lower(c_mktsegment)
+             CASE WHEN c_custkey % 8 = 0 THEN NULL
+                  WHEN c_custkey % 4 = 0 THEN lower(c_mktsegment)
                   ELSE c_mktsegment END AS segment
            FROM customer WHERE c_custkey % 2 = 0)
          SELECT COALESCE(b.key, a.key) AS key,
            CASE WHEN b.key IS NULL THEN 'added'
                 WHEN a.key IS NULL THEN 'removed'
-                WHEN b.name <> a.name OR b.segment <> a.segment THEN 'changed'
+                WHEN b.name IS DISTINCT FROM a.name
+                  OR b.segment IS DISTINCT FROM a.segment THEN 'changed'
                 ELSE 'unchanged' END AS status
          FROM before b FULL OUTER JOIN after a ON b.key = a.key
          ORDER BY key""",

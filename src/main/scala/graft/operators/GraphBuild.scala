@@ -217,7 +217,7 @@ object GraphBuild {
   }
 
   /** (custkey → table key) map used by the usage / last-updated fan-outs. */
-  private def keyedTables(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def keyedTables(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer")
       .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))

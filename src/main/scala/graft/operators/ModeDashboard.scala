@@ -45,6 +45,8 @@ object ModeDashboard {
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.S'Z'")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SS'Z'")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSS'Z'")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSS'Z'")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")))), lit(0L))
 

@@ -240,12 +240,13 @@ object Publish {
       after: DataFrame,
       keyCol: String,
       attrCols: Seq[String]): DataFrame = {
-    // NULL must fingerprint differently from empty string (the oracle's
-    // NULL-propagating <> comparison treats them differently for nullable
-    // attribute columns): encode each column as "\u0002N" when NULL vs
-    // "\u0002V" + value otherwise — concat returns NULL on a NULL input,
-    // so the coalesce picks the sentinel exactly for NULLs, and \u0002
-    // cannot appear in data.
+    // IS-DISTINCT-FROM semantics per column (the comparison the oracle
+    // runs): NULL fingerprints differently from empty string AND from
+    // any value, so NULL↔'' and NULL↔value transitions classify as
+    // 'changed' — a bare <> would NULL-propagate them to 'unchanged'.
+    // Encoding: "\u0002N" when NULL vs "\u0002V" + value otherwise —
+    // concat returns NULL on a NULL input, so the coalesce picks the
+    // sentinel exactly for NULLs, and \u0002 cannot appear in data.
     def fp(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol),
         md5(concat_ws("\u0001",
@@ -270,7 +271,10 @@ object Publish {
         col("c_mktsegment").as("segment"))
     val after = c.filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey").as("key"), col("c_name").as("name"),
-        when(col("c_custkey") % 4 === 0, lower(col("c_mktsegment")))
+        // every 8th key NULLs the segment: the nullable-attr case — the
+        // fingerprint must classify NULL-vs-value as 'changed'
+        when(col("c_custkey") % 8 === 0, lit(null).cast("string"))
+          .when(col("c_custkey") % 4 === 0, lower(col("c_mktsegment")))
           .otherwise(col("c_mktsegment")).as("segment"))
     snapshotDiff(before, after, "key", Seq("name", "segment"))
       .orderBy("key")

@@ -50,4 +50,37 @@ object RdsBuild {
       .groupBy(col("table").as("rds_table"))
       .agg(count(lit(1)).as("n"))
       .orderBy("rds_table")
+
+  /** FK dependency edges derived from the RDS schema itself: an attribute
+    * named `<parent>_rk` is a foreign key to `<parent>` — the same
+    * metadata SQLAlchemy walks to produce `Base.metadata.sorted_tables`
+    * (mysql_csv_publisher.py:94-103). */
+  private[graft] def fkDeps: Map[String, Set[String]] =
+    Rds.tableAttrs.map { case (t, attrs) =>
+      t -> attrs.filter(_.endsWith("_rk")).map(_.stripSuffix("_rk")).toSet
+        .intersect(Rds.tableAttrs.keySet)
+    }
+
+  /** Longest-path depth of a table in the FK DAG (parents rank lower). */
+  private[graft] def fkRank(t: String): Int = {
+    val deps = fkDeps
+    def go(x: String): Int =
+      if (deps(x).isEmpty) 0 else deps(x).map(go).max + 1
+    go(t)
+  }
+
+  /** The staged/publish table SEQUENCE, oracle-pinned: `seq_pos` is the
+    * position `stage` (and the downstream publisher) applies the table
+    * at, `fk_rank` the topological depth derived from the `_rk` FK
+    * metadata. The invariant a sequential publisher needs — every
+    * parent's seq_pos precedes its children's — is spec-asserted; the
+    * oracle pins both columns so a reorder of `publishOrder` that
+    * violated FK application order breaks the gate. */
+  def fkOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Rds.publishOrder.zipWithIndex
+      .map { case (t, i) => (t, (i + 1).toLong, fkRank(t).toLong) }
+      .toDF("rds_table", "seq_pos", "fk_rank")
+      .orderBy("seq_pos")
+  }
 }

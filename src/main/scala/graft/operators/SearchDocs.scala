@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
+import graft.model.{GraphNode, GraphRelationship}
 import graft.sources.Tables
 
 /** The three search-document queries — the correctness centerpiece
@@ -178,14 +179,71 @@ object SearchDocs {
     * tableDocsFromGraph becomes partition pruning on the read side. */
   def tableDocsStaged(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
-    // pid-suffixed: concurrent graft JVMs (Verify while Bench runs) must
-    // not overwrite each other's staged files mid-read
+    val (n, e) = stageAndReadBack(spark, nodes, edges, "search")
+    tableDocsFromGraph(n, e)
+  }
+
+  /** Publish-tag-scoped table extraction — the reference's
+    * `_add_publish_tag_filter` substitutes
+    * `WHERE table.published_tag = '<tag>'` into the primary MATCH of the
+    * table query (neo4j_search_data_extractor.py:163-180), so a run
+    * extracts only the entities the named publish stamped. Here the
+    * stamps arrive the same way they do in the reference: a first
+    * publish MERGEs every node (tag `batch_1`), a second publish
+    * re-MERGEs the tier-0 tables' Table nodes — `Publish.mergeUpsert`
+    * re-stamps exactly the touched rows to `batch_2`, untouched rows
+    * retain their stamp — and the extraction then filters the PRIMARY
+    * entity nodes on the tag, leaving every other label untouched
+    * (the reference's WHERE binds only the `table` variable). */
+  def tableDocsTagged(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
+    val nodesDf = nodes.toDF()
+    // The WHERE binds only the `table` variable, so only the Table nodes
+    // go through the publish-stamp machinery — every other label keeps
+    // its ORIGINAL plan, preserving the literal-label branch pruning
+    // tableDocsFromGraph relies on (merging the whole node set instead
+    // was measured 5x slower: all eight OPTIONAL branches re-derived the
+    // full-outer merge).
+    val tableNodes = nodesDf.filter(col("label") === "Table")
+    // second publish's batch: the Table nodes of every third customer —
+    // the customer id is the digit suffix of the table's name attribute
+    // ('Customer#%09d'), so the batch is a narrow filter on the node set
+    // itself, no extra scans or joins
+    val incoming = tableNodes.filter(
+      expr("cast(substring(attributes['name'], 10) as bigint) % 3 = 0"))
+    // MERGE stamps exactly the touched rows batch_2; untouched Table
+    // nodes keep their first-publish stamp (blank here — retention is
+    // immaterial to a batch_2 filter) and drop out of the scoped set
+    val merged = Publish.mergeUpsert(tableNodes, incoming, "key",
+      Seq("label", "attributes"), "batch_2", epochMs = 2L)
+    // not persisted: exactly ONE branch of tableDocsFromGraph reads
+    // Table-labeled nodes (the hierarchy MATCH), so the merge subplan is
+    // derived once — a cache would only add a fill job. The label is
+    // re-emitted as a LITERAL (it is 'Table' by construction on both
+    // merge sides) so every other branch's label filter constant-folds
+    // to false and statically prunes the merge subplan out of its union
+    // child — without it all eight branches would execute the merge.
+    val scopedTables = merged.filter(col("published_tag") === "batch_2")
+      .select(col("key"), lit("Table").as("label"), col("attributes"))
+    val scoped = scopedTables.union(nodesDf.filter(col("label") =!= "Table"))
+    tableDocsFromGraph(scoped, edges.toDF())
+  }
+
+  /** Stage a built graph to parquet exactly as the loader/publisher would
+    * (label/relType-partitioned shards) and read it back — the shared
+    * write→read half of every staged-lifecycle query. pid-suffixed dirs:
+    * concurrent graft JVMs (Verify while Bench runs) must not overwrite
+    * each other's staged files mid-read. The two staged outputs are
+    * independent jobs over the SAME graph build — submitted concurrently
+    * so the writes overlap instead of serializing; Spark's scheduler
+    * interleaves independent jobs safely. */
+  private def stageAndReadBack(
+      spark: SparkSession,
+      nodes: Dataset[GraphNode],
+      edges: Dataset[GraphRelationship],
+      tag: String): (DataFrame, DataFrame) = {
     val out = sys.props("java.io.tmpdir") +
-      s"/graft-staged-search-graph-${ProcessHandle.current().pid()}"
-    // the two staged outputs are independent jobs over the SAME cached
-    // graph build (searchGraph fills its caches eagerly) — submit them
-    // concurrently so the writes overlap instead of serializing; Spark's
-    // scheduler interleaves independent jobs safely
+      s"/graft-staged-$tag-graph-${ProcessHandle.current().pid()}"
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -193,8 +251,7 @@ object SearchDocs {
       Future(graft.sources.Stage.stageNodes(nodes, out)),
       Future(graft.sources.Stage.stageEdges(edges, out)))
     writes.foreach(Await.result(_, Duration.Inf))
-    tableDocsFromGraph(
-      graft.sources.Stage.readNodes(spark, out),
+    (graft.sources.Stage.readNodes(spark, out),
       graft.sources.Stage.readEdges(spark, out))
   }
 
@@ -255,6 +312,19 @@ object SearchDocs {
   def userDocs(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = GraphBuild.userGraph(spark, dir)
     userDocsFromGraph(nodes, edges)
+  }
+
+  /** The staged lifecycle for USER documents, mirroring tableDocsStaged:
+    * build → stage as the loader would → read back → query. The reference
+    * reads all three document types from the published store
+    * (neo4j_search_data_extractor.py:23-115), so each type gets the
+    * round-trip gate. Same oracle as q_user_search_doc: lossless. */
+  def userDocsStaged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (nodes, edges) = GraphBuild.userGraph(spark, dir)
+    val (n, e) = stageAndReadBack(spark,
+      nodes.as[GraphNode], edges.as[GraphRelationship], "user")
+    userDocsFromGraph(n, e)
   }
 
   /** DEFAULT_NEO4J_DASHBOARD_CYPHER_QUERY analog (reference :85-115) over
@@ -371,4 +441,13 @@ object SearchDocs {
     dashboardDocsFromGraph(
       DashboardBuild.nodes(spark, dir).toDF(),
       DashboardBuild.edges(spark, dir).toDF())
+
+  /** The staged lifecycle for DASHBOARD documents (see userDocsStaged).
+    * Same oracle as q_dashboard_search_doc: lossless round trip. */
+  def dashboardDocsStaged(spark: SparkSession, dir: String): DataFrame = {
+    val (n, e) = stageAndReadBack(spark,
+      DashboardBuild.nodes(spark, dir),
+      DashboardBuild.edges(spark, dir), "dashboard")
+    dashboardDocsFromGraph(n, e)
+  }
 }

@@ -118,17 +118,18 @@ object RestFetch {
   }
 
   /** `url.format(**record)`: every `{field}` placeholder replaced from the
-    * record; an unresolved placeholder is an error, like Python's KeyError. */
-  def formatUrl(template: String, record: Map[String, String]): String = {
-    val out = record.foldLeft(template) { case (u, (k, v)) =>
-      if (u.contains(s"{$k}"))
-        require(v != null, s"null value for URL placeholder {$k} in $template")
-      u.replace(s"{$k}", if (v == null) "" else v)
-    }
-    val leftover = "\\{[A-Za-z0-9_]+\\}".r.findFirstIn(out)
-    require(leftover.isEmpty, s"unresolved URL placeholder ${leftover.get} in $template")
-    out
-  }
+    * record; an unresolved placeholder is an error, like Python's
+    * KeyError. Single-pass over the TEMPLATE like Python's str.format —
+    * brace-patterned text inside a substituted VALUE is emitted verbatim,
+    * never re-substituted or mistaken for an unresolved placeholder. */
+  def formatUrl(template: String, record: Map[String, String]): String =
+    "\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(template, m => {
+      val k = m.group(1)
+      require(record.contains(k), s"unresolved URL placeholder {$k} in $template")
+      val v = record(k)
+      require(v != null, s"null value for URL placeholder {$k} in $template")
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
 
   /** GET with retry: raise-for-status on non-2xx, exponential backoff
     * between attempts, last failure propagates. */

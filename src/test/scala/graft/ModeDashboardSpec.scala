@@ -215,4 +215,18 @@ class ModeDashboardSpec extends AnyFunSuite {
       assert(models.exists(_.createdTimestamp.exists(_ > 0L)))
     }
   }
+
+  test("isoEpoch accepts 0-6 fractional digits like Python's %f") {
+    import spark.implicits._
+    val base = 1612560039L // 2021-02-05T21:20:39Z
+    val rows = Seq(
+      "2021-02-05T21:20:39Z", "2021-02-05T21:20:39.0Z",
+      "2021-02-05T21:20:39.01Z", "2021-02-05T21:20:39.019Z",
+      "2021-02-05T21:20:39.0190Z", "2021-02-05T21:20:39.01900Z",
+      "2021-02-05T21:20:39.019000Z")
+      .toDF("ts").select(ModeDashboard.isoEpoch(
+        org.apache.spark.sql.functions.col("ts")).as("e"))
+      .collect().map(_.getLong(0))
+    assert(rows.forall(_ == base), rows.mkString(","))
+  }
 }

@@ -144,6 +144,35 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/database").count() == 1)
   }
 
+  test("snapshotDiff classifies NULL vs '' vs value with IS DISTINCT FROM semantics") {
+    import spark.implicits._
+    val before = Seq(
+      ("k1", null.asInstanceOf[String]), // NULL -> ''      : changed
+      ("k2", ""),                        // ''   -> NULL    : changed
+      ("k3", null.asInstanceOf[String]), // NULL -> value   : changed
+      ("k4", null.asInstanceOf[String]), // NULL -> NULL    : unchanged
+      ("k5", "v")                        // value -> value  : unchanged
+    ).toDF("key", "attr")
+    val after = Seq(
+      ("k1", ""), ("k2", null.asInstanceOf[String]), ("k3", "v"),
+      ("k4", null.asInstanceOf[String]), ("k5", "v")).toDF("key", "attr")
+    val got = Publish.snapshotDiff(before, after, "key", Seq("attr"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "changed", "k2" -> "changed", "k3" -> "changed",
+      "k4" -> "unchanged", "k5" -> "unchanged"))
+  }
+
+  test("publishOrder is a topological order of the _rk-derived FK DAG") {
+    val pos = graft.model.Rds.publishOrder.zipWithIndex.toMap
+    // every RDS table is in the sequence exactly once
+    assert(pos.keySet == graft.model.Rds.tableAttrs.keySet)
+    assert(graft.model.Rds.publishOrder.size == pos.size)
+    // and every FK parent is applied before its children
+    for ((child, parents) <- RdsBuild.fkDeps; parent <- parents)
+      assert(pos(parent) < pos(child),
+        s"$parent must stage before $child (FK ${parent}_rk)")
+  }
+
   // ---- Publisher fidelity ----
 
   test("lastWriteWins keeps the latest record per key") {

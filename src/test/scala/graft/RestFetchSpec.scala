@@ -58,6 +58,13 @@ class RestFetchSpec extends AnyFunSuite {
     }
     // a null value for an UNUSED key is fine
     assert(formatUrl("http://h/{a}", Map("a" -> "1", "b" -> null)) == "http://h/1")
+    // single-pass like Python's str.format: brace-patterned text INSIDE a
+    // substituted value passes through verbatim — it is neither
+    // re-substituted by another key nor flagged as unresolved
+    assert(formatUrl("http://h/{path}/x",
+      Map("path" -> "{id}", "id" -> "42")) == "http://h/{id}/x")
+    assert(formatUrl("http://h/{a}{b}",
+      Map("a" -> "{b}", "b" -> "2")) == "http://h/{b}2")
   }
 
   test("retry backoff is exponential with a cap: 1s, 2s, 4s, 8s, 10s") {
