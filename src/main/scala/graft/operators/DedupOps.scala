@@ -382,21 +382,28 @@ object DedupOps {
     * staged (at 100 TB it IS the staged artifact, refreshed as the corpus
     * grows); each incoming batch shuffles |batch|×16 slim band rows plus
     * the (tiny) candidate set. Nothing pairwise, nothing driver-side. */
-  /** Shingle index for one side of the gate: repartition off the source,
+  /** Shingle index for one side of the gate: spread the source rows,
     * shingle once, persist, and fill the cache in ONE job before the
     * multi-consumer fan-out (band join + verify join both read it). The
-    * repartition is a pushdown barrier too — without it the shingle
-    * projection runs on the source's 1-2 scan partitions. The caller
-    * owns the returned frame's unpersist. */
+    * `spread` persist is the pushdown BARRIER, not a cache: without it
+    * Catalyst pushes the shingle projection below the repartition and
+    * the whole compute runs on the source's 1-2 scan partitions (the
+    * round-1 minhash pathology — reinstated after it re-cost ~2 s/query
+    * when dropped). It is released as soon as the shingle cache is
+    * filled, so only the slim (doc_id, sh) frame outlives this call;
+    * the caller owns that frame's unpersist. */
   private[graft] def gateShingles(docs: DataFrame): DataFrame = {
-    val sh = docs
+    val spread = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = spread
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(3))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
+    spread.unpersist() // barrier job done — drop the text copy
     sh
   }
 
@@ -413,6 +420,17 @@ object DedupOps {
     * verdict frame is already materialized (persisted + counted, it is
     * |incoming| rows), so callers may unpersist it once sunk. */
   private[graft] def dedupGateOnIndex(cSh: DataFrame, incoming: DataFrame): DataFrame = {
+    val iSh = gateShingles(incoming)
+    try dedupGateScored(cSh, iSh, incoming)
+    finally iSh.unpersist()
+  }
+
+  /** The gate kernel over two PRE-BUILT (persisted) shingle indexes; the
+    * caller owns both indexes' lifecycles — the accreting stream keeps
+    * the batch's shingles to fold admitted docs into the corpus index.
+    * Returns the verdict frame already materialized. */
+  private[graft] def dedupGateScored(
+      cSh: DataFrame, iSh: DataFrame, incoming: DataFrame): DataFrame = {
     val spark0 = incoming.sparkSession
     import spark0.implicits._
     def bandsOf(sh: DataFrame): DataFrame =
@@ -422,7 +440,6 @@ object DedupOps {
           Iterator.tabulate(bh.length)(b => (id, b, bh(b)))
         })
         .toDF("doc_id", "band", "band_hash")
-    val iSh = gateShingles(incoming)
     val candidates = bandsOf(iSh)
       .select(col("band"), col("band_hash"), col("doc_id").as("in_id"))
       .join(bandsOf(cSh)
@@ -454,10 +471,8 @@ object DedupOps {
         coalesce(col("best_match"), lit(0L)).as("best_match"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the verdict while both shingle caches are hot, then
-    // release the batch-scoped incoming cache
+    // materialize the verdict while both shingle caches are hot
     verdict.count()
-    iSh.unpersist()
     verdict
   }
 

@@ -18,17 +18,45 @@ import graft.operators.DedupOps
   * deterministic), so downstream dedups are trivial. */
 object DedupGateStream {
 
+  /** `accrete = true` folds each batch's ADMITTED documents into the
+    * corpus index before the next batch — the production admission-gate
+    * semantics: once a novel document enters the corpus, later
+    * duplicates of it are rejected, even across micro-batches. The
+    * accreted index is persisted and materialized per batch while the
+    * previous generation is still cached, then the old generation is
+    * released — cache usage stays one-index-sized (plus the batch). At
+    * cluster scale the same fold is a staged parquet append and the
+    * index rebuild is out-of-band; the per-batch shape (batch bands ⋈
+    * index bands, never batch × corpus) is identical. */
   def run(
       corpus: DataFrame,
       incoming: DataFrame,
       outDir: String,
-      checkpoint: String): StreamingQuery = {
-    val corpusIndex = DedupOps.gateShingles(corpus)
+      checkpoint: String,
+      accrete: Boolean = false): StreamingQuery = {
+    val index = new java.util.concurrent.atomic.AtomicReference(
+      DedupOps.gateShingles(corpus))
     val query = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val verdict = DedupOps.dedupGateOnIndex(corpusIndex, batch)
-        try verdict.write.mode(SaveMode.Append).parquet(outDir)
-        finally verdict.unpersist()
+        val cSh = index.get()
+        val iSh = DedupOps.gateShingles(batch)
+        val verdict = DedupOps.dedupGateScored(cSh, iSh, batch)
+        try {
+          verdict.write.mode(SaveMode.Append).parquet(outDir)
+          if (accrete) {
+            val admitted = verdict
+              .filter(org.apache.spark.sql.functions.col("decision") === "admit")
+              .select("doc_id")
+            val next = cSh.union(iSh.join(admitted, Seq("doc_id")))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize while cSh and iSh are still cached
+            cSh.unpersist()
+            index.set(next)
+          }
+        } finally {
+          verdict.unpersist()
+          iSh.unpersist()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -39,7 +67,7 @@ object DedupGateStream {
     val watcher = new Thread(() => {
       try query.awaitTermination()
       catch { case _: Throwable => () }
-      finally corpusIndex.unpersist()
+      finally index.get().unpersist()
     })
     watcher.setDaemon(true)
     watcher.start()

@@ -71,10 +71,14 @@ object StreamPublish {
         }.toMap)
     }
 
-  /** Write manifest-<batchId> (truncating any abandoned attempt's file)
-    * and atomically repoint CURRENT at it — the single logical commit. */
-  private def commitManifest(baseDir: String, m: Manifest): Unit = {
-    val mf = Paths.get(baseDir, s"manifest-${m.batchId}")
+  /** Write the manifest file (truncating any abandoned attempt's file)
+    * and atomically repoint CURRENT at it — the single logical commit.
+    * `fileName` overrides the default `manifest-<batchId>` when a commit
+    * must not rewrite the file a live CURRENT points at (compaction
+    * keeps the batch id but needs a fresh file for the atomic swap). */
+  private def commitManifest(baseDir: String, m: Manifest,
+      fileName: String = null): Unit = {
+    val mf = Paths.get(baseDir, Option(fileName).getOrElse(s"manifest-${m.batchId}"))
     val body = (s"batch_id\t${m.batchId}" +:
       m.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
       .mkString("\n")
@@ -203,6 +207,42 @@ object StreamPublish {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Compact the committed snapshot: rewrite every live bucket into ONE
+    * fresh generation, swap the manifest, and delete every generation
+    * dir and manifest file the new manifest no longer references — the
+    * cleanup step for the "old generations remain until cleaned"
+    * contract. Run it out-of-band (between batches, like a nightly
+    * vacuum): a reader that resolved CURRENT before the swap may still
+    * be scanning a dead generation, exactly the caveat the reference's
+    * alias-flip cleanup carries. The batch id is preserved, so the
+    * redelivery guard's judgment is unchanged. */
+  def compact(spark: SparkSession, baseDir: String): Unit = {
+    val m = readManifest(baseDir).getOrElse(return)
+    if (m.buckets.isEmpty) return
+    val taken = m.buckets.values.map(_.split('/').head).toSet
+    val gen = Iterator.from(0).map(i => s"gen=${m.batchId}.c$i")
+      .find(g => !taken.contains(g)).get
+    m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, rel) =>
+        spark.read.parquet(s"$baseDir/$rel").withColumn("bucket", lit(b))
+      }
+      .reduce(_.unionByName(_))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(SaveMode.Overwrite).parquet(s"$baseDir/$gen")
+    commitManifest(baseDir,
+      Manifest(m.batchId, m.buckets.map { case (b, _) => b -> s"$gen/bucket=$b" }),
+      fileName = s"manifest-${m.batchId}${gen.stripPrefix(s"gen=${m.batchId}")}")
+    // drop the dead generations and superseded manifest files
+    val current = graft.sources.Stage.currentTarget(baseDir).get
+    Files.list(Paths.get(baseDir)).iterator().asScala.toList.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("gen=") && name != gen) deleteRecursively(p)
+      else if (name.startsWith("manifest-") && p.toString != current)
+        try Files.delete(p) catch { case _: Exception => () }
+    }
+  }
+
   /** Read the committed snapshot: the manifest's bucket dirs, as one
     * scan. Bucket dirs are independent parquet roots, so a reader needing
     * only some keys can prune to their buckets — the point of the
@@ -212,6 +252,24 @@ object StreamPublish {
       .getOrElse(throw new IllegalStateException(s"no CURRENT manifest in $baseDir"))
     require(m.buckets.nonEmpty, s"empty snapshot manifest in $baseDir")
     spark.read.parquet(m.buckets.values.map(rel => s"$baseDir/$rel").toSeq: _*)
+  }
+
+  /** Point-lookup read: resolve the requested keys' buckets with the
+    * SAME hash the writer used, scan only those bucket dirs, and filter
+    * to the keys — the 100 TB read path for "current state of these
+    * entities": it touches |buckets(keys)|/nBuckets of the snapshot
+    * instead of all of it. */
+  def readCurrentKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
+      keyCol: String, nBuckets: Int = DefaultBuckets): DataFrame = {
+    val m = readManifest(baseDir)
+      .getOrElse(throw new IllegalStateException(s"no CURRENT manifest in $baseDir"))
+    import spark.implicits._
+    val wanted = keys.toDF(keyCol)
+      .select(bucketOf(keyCol, nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val paths = m.buckets.collect { case (b, rel) if wanted(b) => s"$baseDir/$rel" }.toSeq
+    if (paths.isEmpty) readCurrent(spark, baseDir).filter(lit(false))
+    else spark.read.parquet(paths: _*).filter(col(keyCol).isin(keys: _*))
   }
 
   /** Oracle-gated query: stage the events table as two DISJOINT-keyed

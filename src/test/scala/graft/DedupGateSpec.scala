@@ -79,4 +79,43 @@ class DedupGateSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("accreting gate rejects a later batch's duplicate of an admitted doc") {
+    val corpus = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // batch 1: a novel doc (reversed corpus text shares no shingles);
+    // batch 2: an identical copy of it + another novel doc. Sequential
+    // writes order the micro-batches (FileStreamSource sorts by mtime).
+    val novel1 = corpus.filter(col("doc_id") === 5)
+      .select(lit(9000001L).as("doc_id"), reverse(col("text")).as("text"))
+    val copy = novel1.select(lit(9000002L).as("doc_id"), col("text"))
+    val novel2 = corpus.filter(col("doc_id") === 15)
+      .select(lit(9000003L).as("doc_id"), reverse(col("text")).as("text"))
+    def stage(in: String): Unit = {
+      novel1.coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(100)
+      copy.union(novel2).coalesce(1).write.mode("append").parquet(in)
+    }
+    def runGate(accrete: Boolean): Map[Long, (String, Long, Double)] = {
+      val in = tmp("acc-in"); val out = tmp("acc-out")
+      stage(in)
+      val q = DedupGateStream.run(corpus,
+        spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        out, tmp("acc-ckpt"), accrete = accrete)
+      q.awaitTermination()
+      spark.read.parquet(out).collect().map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("decision"),
+          r.getAs[Long]("best_match"), r.getAs[Double]("best_jaccard")))).toMap
+    }
+    val accreted = runGate(accrete = true)
+    // the novel doc admitted in batch 1, entered the index, and its
+    // batch-2 copy is rejected AGAINST IT; the other novel doc admits
+    assert(accreted(9000001L)._1 == "admit")
+    assert(accreted(9000002L) == (("reject", 9000001L, 1.0)))
+    assert(accreted(9000003L)._1 == "admit")
+    // contrast: the static-index gate admits the copy (batch 2 never
+    // sees batch 1's admissions)
+    val static = runGate(accrete = false)
+    assert(static(9000002L)._1 == "admit")
+  }
 }

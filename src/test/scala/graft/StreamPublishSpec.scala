@@ -127,6 +127,49 @@ class StreamPublishSpec extends AnyFunSuite {
     val u2 = snap.filter(col("key") === "u2")
       .select("event_type", "value", "published_tag").collect().head
     assert((u2.getString(0), u2.getString(1), u2.getString(2)) == ("seed", "v2", "t_0"))
+    // the bucket-pruned point lookup returns exactly the full read's rows
+    val pruned = StreamPublish.readCurrentKeys(spark, base, Seq("u1", "u2"), "key")
+      .select("key", "event_type", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val full = snap.filter(col("key").isin("u1", "u2"))
+      .select("key", "event_type", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(pruned == full && pruned.size == 2)
+    // a key that hashes to an absent bucket is simply absent
+    assert(StreamPublish.readCurrentKeys(spark, base, Seq("nope"), "key").count() == 0)
+  }
+
+  test("compaction folds live buckets into one generation, drops the dead ones, keeps the snapshot") {
+    import spark.implicits._
+    val base = tmp("sp5-out")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val b0 = (1 to 100).map(i => (s"u$i", "seed", s"v$i", ts, i.toLong))
+      .toDF("key", "event_type", "value", "ts", "event_id")
+    val b1 = Seq(("u1", "update", "v1b", ts, 1000L), ("u201", "seed", "v201", ts, 1001L))
+      .toDF("key", "event_type", "value", "ts", "event_id")
+    def publish(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamPublish.publishBatch(df, id, base, "key",
+        Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
+    publish(b0, 0L); publish(b1, 1L)
+    def snap() = StreamPublish.readCurrent(spark, base)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val before = snap()
+    StreamPublish.compact(spark, base)
+    assert(snap() == before)
+    // exactly one generation dir remains and the manifest references only it
+    import scala.jdk.CollectionConverters._
+    val gens = Files.list(java.nio.file.Paths.get(base)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen=")).toList
+    assert(gens == List("gen=1.c0"), gens.toString)
+    // redelivery guard survives (same batch id), and publishing continues
+    StreamPublish.publishBatch(b1, 1L, base, "key",
+      Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
+    assert(snap() == before)
+    publish(Seq(("u2", "update", "v2b", ts, 2000L))
+      .toDF("key", "event_type", "value", "ts", "event_id"), 2L)
+    assert(snap() != before)
+    assert(StreamPublish.readCurrent(spark, base)
+      .filter(col("key") === "u2").select("value").collect().head.getString(0) == "v2b")
   }
 
   test("a redelivered batch whose CURRENT swap already landed is a no-op") {
