@@ -117,6 +117,8 @@ object SparkEntry {
     "q_simhash_pairs" -> (DedupOps.simhashPairs _),
     "q_dedup_signals" -> (DedupOps.dedupSignals _),
     "q_dedup_gate"    -> (DedupOps.dedupGate _),
+    "q_paragraph_dedup" -> (DedupOps.paragraphDedup _),
+    "q_exact_gate_bloom" -> (DedupOps.exactGateBloom _),
     // similarity search
     "q_embed_norm"        -> (SimilarityOps.norms _),
     "q_embed_pair_cosine" -> (SimilarityOps.pairCosine _),
@@ -141,6 +143,7 @@ object SparkEntry {
     "q_decontaminate"    -> (DedupOps.decontaminate _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_split_assign"     -> (TextOps.splitAssign _),
+    "q_stratified_sample" -> (TextOps.stratifiedSample _),
     "q_corpus_rollup"    -> (TextOps.corpusRollup _),
     // distributed clustering (IVF index build step)
     "q_kmeans_iter"      -> ((s, d) => SimilarityOps.kmeansIterate(s, d)),
@@ -1041,6 +1044,35 @@ object SparkEntry {
            CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS shared_frac
          FROM x JOIN c USING (g) GROUP BY x.doc_id ORDER BY doc_id""",
+    // Bloom gate: the verdict is EXACT membership (the bloom only prunes
+    // the fast path and its false positives die in the verify semi-join),
+    // so the oracle is a plain IN-subquery.
+    "q_exact_gate_bloom" ->
+      """WITH inc AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, reverse(text) FROM documents WHERE doc_id % 10 = 5)
+         SELECT doc_id,
+           CAST(CASE WHEN text IN (SELECT text FROM documents) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         FROM inc ORDER BY doc_id""",
+    // Paragraph dedup: fixed 12-token chunks, first occurrence by
+    // (doc_id, pos) survives corpus-wide, per-doc survival report.
+    "q_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         p AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             array_to_string(toks[(u.i*12+1):(u.i*12+12)], ' ') AS para
+           FROM n, UNNEST(range(0, CAST(ceil(len(toks)/12.0) AS BIGINT))) AS u(i)),
+         r AS (SELECT doc_id, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM p)
+         SELECT doc_id, COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
@@ -1596,6 +1628,15 @@ object SparkEntry {
          SELECT lang, split, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM s GROUP BY lang, split ORDER BY lang, split""",
+    // Fixed-size per-source sample: md5-salted rank, first 20 per group —
+    // the same draw on any engine.
+    "q_stratified_sample" ->
+      """SELECT source, rank, doc_id FROM (
+           SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+           FROM documents)
+         WHERE rank <= 20 ORDER BY source, rank""",
     // One Lloyd iteration: assignment = argmin squared L2 (lowest-id
     // tie-break); the centroid update accumulates 1e-6 fixed-point
     // integers (exact + associative), so both engines produce the same

@@ -490,6 +490,92 @@ object DedupOps {
     dedupGateFrames(base, incoming).orderBy("doc_id")
   }
 
+  /** Paragraph-level exact dedup — the CCNet/C4 line-dedup shape: split
+    * each document into paragraphs, keep only the FIRST corpus-wide
+    * occurrence of each paragraph (order by (doc_id, position) — the
+    * deterministic survivor a re-run reproduces), and report per
+    * document how much of it survived. Boilerplate (headers, cookie
+    * banners, license blocks) dies here before any near-dup pass runs.
+    *
+    * The fixture's documents carry no newlines, so the splitter is a
+    * fixed 12-token chunking; in production it is the '\n\n' split and
+    * everything downstream is identical.
+    *
+    * Scale shape: explode to (paragraph, doc, pos) rows, ONE shuffle on
+    * the paragraph key for the first-occurrence window, one on doc_id
+    * for the rollup. The paragraph text itself is the window key here
+    * for oracle exactness; at 100 TB the key is its 128-bit hash and
+    * the window a min-aggregate + join, same plan shape. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = 12
+    // slim tokenized frame behind a cache barrier: the explode below
+    // derives its range AND the slice from `toks`, and without the
+    // barrier the tokenize HOF is re-evaluated per consumer expression
+    // (the round-1 shared-ngrams pathology)
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tok.count()
+    val paras = tok
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, cast(ceil(size(toks) / $p.0) as int) - 1)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(toks, pos * $p + 1, $p), ' ')").as("para"))
+    val w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    val out = paras.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_paras").cast("double")).as("kept_frac"))
+      .orderBy("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the |docs|-row report, then drop the fat cache
+    tok.unpersist()
+    out
+  }
+
+  /** Exact-duplicate membership gate with a broadcast BLOOM pre-filter —
+    * the cheap front door before any join: build a Bloom filter over the
+    * corpus's 128-bit text fingerprints (one pass, `df.stat.bloomFilter`),
+    * broadcast it, drop every incoming doc the filter rules out (no
+    * shuffle at all for the novel majority), and verify the surviving
+    * candidates with a semi-join so false positives cannot leak into the
+    * verdict — the result is EXACT, the bloom only prices the fast path.
+    *
+    * The probe is a Scala UDF by necessity (no built-in bloom-probe
+    * expression); it is a branch-free bit test per row and gates rows
+    * OUT of the only shuffle, which is the trade the pattern exists for.
+    *
+    * Scale: ~1.2 GB of bits per 10^9 keys at 1% fpp — broadcastable for
+    * catalog-scale corpora; beyond that, shard the filter by fingerprint
+    * prefix and probe the shard, same plan shape. Incoming fixture:
+    * verbatim copies of every 10th doc (dups) + reversed text of every
+    * (10k+5)th (novel). */
+  def exactGateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+    val corpusFp = docs.select(md5(col("text")).as("fp"))
+    val bloom = corpusFp.stat.bloomFilter("fp", corpusFp.count(), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val inc = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
+    val verified = inc.filter(mightContain(col("fp")))
+      .join(corpusFp.distinct(), Seq("fp"), "left_semi")
+    inc.join(verified.select(col("doc_id"), lit(1L).as("hit")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash core: (doc_id, simhash, bucket) over an input with doc_id +
     * text. The token hash is the first 15 hex chars of md5 (60 bits,
     * always positive) so the DuckDB oracle reproduces it exactly; hashes

@@ -443,7 +443,11 @@ object SearchDocs {
       DashboardBuild.edges(spark, dir).toDF())
 
   /** The staged lifecycle for DASHBOARD documents (see userDocsStaged).
-    * Same oracle as q_dashboard_search_doc: lossless round trip. */
+    * The graph build uses the inline fact path — at bench SF the narrow
+    * concurrent branches beat staging the facts first (measured +10%;
+    * the staged-facts 100 TB shape is priced separately by
+    * q_dashboard_graph_nodes_staged). Same oracle as
+    * q_dashboard_search_doc: lossless round trip. */
   def dashboardDocsStaged(spark: SparkSession, dir: String): DataFrame = {
     val (n, e) = stageAndReadBack(spark,
       DashboardBuild.nodes(spark, dir),

@@ -339,6 +339,31 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  /** Deterministic stratified SAMPLE — "N documents per source", the
+    * fixed-size sibling of [[domainMix]]'s rate-based draw: rank each
+    * group by the md5 of a salted doc_id (a device- and layout-
+    * independent uniform), keep the first 20. Any rerun, any cluster,
+    * any partitioning draws the SAME sample — the property a training
+    * mixture needs to be reproducible.
+    *
+    * Scale: one shuffle on the group key; the window is per-group
+    * linear. A pathologically hot group turns into a per-group top-k
+    * (partial per-partition top-k then merge — the TakeOrdered shape)
+    * rather than a full sort; group counts here are corpus-source-sized,
+    * far from that. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = md5(concat(lit("sample:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", rk)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy("source", "rank")
+  }
+
   /** Winnowing fingerprints: token-level polynomial rolling hash over
     * trigram windows, then the min hash of every 4-window — the
     * MOSS/winnowing scheme used for scaled document fingerprinting. All

@@ -144,6 +144,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/database").count() == 1)
   }
 
+  test("bloom pre-filter admits every corpus key and prunes nearly all novel keys") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val fp = docs.select(md5(col("text")).as("fp"))
+    val bloom = fp.stat.bloomFilter("fp", fp.count(), 0.01)
+    // no false negatives: every corpus fingerprint must hit
+    val corpus = fp.collect().map(_.getString(0))
+    assert(corpus.forall(bloom.mightContainString))
+    // novel fingerprints miss at ~the configured fpp — the pre-filter
+    // actually removes the novel majority before any join
+    val novel = docs.select(md5(reverse(col("text"))).as("fp"))
+      .collect().map(_.getString(0)).filterNot(corpus.toSet)
+    val hits = novel.count(bloom.mightContainString)
+    assert(novel.nonEmpty && hits.toDouble / novel.length < 0.05,
+      s"$hits/${novel.length} novel keys passed the bloom")
+  }
+
   test("snapshotDiff classifies NULL vs '' vs value with IS DISTINCT FROM semantics") {
     import spark.implicits._
     val before = Seq(
