@@ -129,6 +129,7 @@ object SparkEntry {
     "q_embed_quantize"    -> (SimilarityOps.quantize _),
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
+    "q_ann_ivf_topk_quantized" -> (SimilarityOps.annIvfTopKQuantized _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
     "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -1402,6 +1403,39 @@ object SparkEntry {
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM cell),
          s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s) WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // Quantized IVF: full-precision cell assignment (index-time artifact)
+    // + int8 dequantized ranking inside the cell join — both deterministic,
+    // so the combined search is exactly reproducible.
+    "q_ann_ivf_topk_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cen AS (SELECT vec_id AS c_id, v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
+         cellscore AS (SELECT e.vec_id, e.v, cen.c_id,
+             list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
+           FROM e CROSS JOIN cen),
+         cell AS (SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+             FROM cellscore) WHERE rn = 1),
+         qd AS (SELECT vec_id, v, list_min(v) AS vmin,
+             CASE WHEN list_max(v) > list_min(v)
+                  THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+           FROM e),
+         d AS (SELECT vec_id,
+             list_transform(v,
+               x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) * scale + vmin) AS dv
+           FROM qd),
+         n AS (SELECT cell.vec_id, dv, cell,
+             sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
+           FROM cell JOIN d ON cell.vec_id = d.vec_id),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm) AS cos
            FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
          SELECT query_id, rank, neighbor_id, cos FROM (
            SELECT query_id, neighbor_id, cos,

