@@ -443,10 +443,12 @@ object SearchDocs {
       DashboardBuild.edges(spark, dir).toDF())
 
   /** The staged lifecycle for DASHBOARD documents (see userDocsStaged).
-    * The graph build uses the inline fact path — at bench SF the narrow
-    * concurrent branches beat staging the facts first (measured +10%;
-    * the staged-facts 100 TB shape is priced separately by
-    * q_dashboard_graph_nodes_staged). Same oracle as
+    * The graph build keeps the inline fact path: per-branch column
+    * pruning over the concurrent narrow re-scans beats both staging the
+    * facts first (+10%) and persisting the fact projection (+30% —
+    * materializes every column for branches that each read a few); the
+    * staged-facts 100 TB shape is priced separately by
+    * q_dashboard_graph_nodes_staged. Same oracle as
     * q_dashboard_search_doc: lossless round trip. */
   def dashboardDocsStaged(spark: SparkSession, dir: String): DataFrame = {
     val (n, e) = stageAndReadBack(spark,

@@ -188,6 +188,36 @@ class StreamPublishSpec extends AnyFunSuite {
     assert(StreamPublish.readCurrent(spark, base).collect().toSeq == snap1)
   }
 
+  test("randomized batch sequences fold to the sequential in-memory merge") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val base = tmp(s"spprop$seed")
+      var expected = Map.empty[String, (String, String)]
+      for (b <- 0 until 4) {
+        // batch 2 is empty — must be a clean no-op (no manifest commit)
+        val n = if (b == 2) 0 else rnd.nextInt(40) + 1
+        val rows = (0 until n).map { i =>
+          ("k" + rnd.nextInt(25), "t" + rnd.nextInt(5), "v" + rnd.nextInt(1000),
+            ts, (b * 1000 + i).toLong)
+        }
+        rows.groupBy(_._1).foreach { case (k, rs) =>
+          val last = rs.maxBy(_._5) // event_id strictly increasing = LWW order
+          expected += k -> ((last._2, last._3))
+        }
+        StreamPublish.publishBatch(
+          rows.toDF("key", "event_type", "value", "ts", "event_id"),
+          b.toLong, base, "key", Seq("event_type", "value"),
+          Seq(col("ts"), col("event_id")), "t_")
+      }
+      val got = StreamPublish.readCurrent(spark, base)
+        .select("key", "event_type", "value").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
   test("redelivery is idempotent: replaying the stream converges to the same snapshot") {
     val in = tmp("sp2-in")
     val base = tmp("sp2-out")
