@@ -61,6 +61,10 @@ object SparkEntry {
     "q_staged_user_search_doc"      -> (SearchDocs.userDocsStaged _),
     "q_staged_dashboard_search_doc" -> (SearchDocs.dashboardDocsStaged _),
     "q_table_search_doc_tagged"     -> (SearchDocs.tableDocsTagged _),
+    "q_es_published_table_docs"     -> (SearchDocs.tableDocsEsPublished _),
+    "q_jdbc_roundtrip"              -> (graft.sources.Jdbc.jdbcRoundTrip _),
+    "q_csv_loader_roundtrip"        -> (graft.sources.Stage.csvLoaderRoundTrip _),
+    "q_neptune_csv_roundtrip"       -> (graft.sources.Stage.neptuneCsvRoundTrip _),
     // §2.7 publisher + staleness
     "q_publish_upsert"      -> (Publish.upsertQuery _),
     "q_publish_lww"         -> (Publish.lwwUpsertQuery _),
@@ -505,6 +509,50 @@ object SparkEntry {
            CASE WHEN p_partkey % 5 = 0 THEN 'certified' ELSE '' END AS badges
          FROM part LEFT JOIN u ON p_partkey = l_partkey
          ORDER BY group_name, name""",
+    // JDBC write -> partitioned read over embedded Derby is lossless, so
+    // the oracle is the plain source query.
+    "q_jdbc_roundtrip" ->
+      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+         FROM customer WHERE c_custkey % 7 = 0 ORDER BY id""",
+    // Loader round trips are lossless -> plain source oracles.
+    "q_csv_loader_roundtrip" ->
+      """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 50 = 0 ORDER BY order_id""",
+    "q_neptune_csv_roundtrip" ->
+      """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS urgent
+         FROM orders WHERE o_orderkey % 50 = 0 ORDER BY order_id""",
+    // The ES NDJSON publish round trip is lossless (string/long fields
+    // only), so the oracle is the table-document query.
+    "q_es_published_table_docs" ->
+      """WITH colagg AS (
+           SELECT o_custkey,
+             array_to_string(list_sort(list('o' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'))), ',') AS column_names,
+             array_to_string(list_sort(list(o_orderpriority)), ',') AS column_descriptions,
+             CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_updated_timestamp
+           FROM orders GROUP BY o_custkey),
+         usage_agg AS (
+           SELECT o_custkey, COUNT(*) AS total_usage, COUNT(DISTINCT l_suppkey) AS unique_usage
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_custkey)
+         SELECT 'tpch' AS "database", r_name AS cluster, n_name AS "schema", c_name AS name,
+           n_name || '.' || c_name AS display_name,
+           'tpch://' || r_name || '.' || n_name || '/' || c_name AS key,
+           c_mktsegment AS description, lower(c_mktsegment) AS tags,
+           'schema ' || lower(n_name) AS schema_description,
+           'tier ' || CAST(c_custkey % 3 AS VARCHAR) AS programmatic_descriptions,
+           CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'delinquent' END AS badges,
+           COALESCE(column_names, '') AS column_names,
+           COALESCE(column_descriptions, '') AS column_descriptions,
+           COALESCE(last_updated_timestamp, 0) AS last_updated_timestamp,
+           COALESCE(total_usage, 0) AS total_usage,
+           COALESCE(unique_usage, 0) AS unique_usage
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           LEFT JOIN colagg ON c_custkey = colagg.o_custkey
+           LEFT JOIN usage_agg ON c_custkey = usage_agg.o_custkey
+         ORDER BY name""",
     // Tag-scoped extraction: the second publish stamped the tier-0
     // (c_custkey % 3 = 0) tables' nodes batch_2, so the filtered query is
     // the table-doc oracle restricted to those customers.

@@ -314,6 +314,27 @@ object SearchDocs {
     userDocsFromGraph(nodes, edges)
   }
 
+  /** The ES PUBLISH lifecycle for table documents, end to end and
+    * oracle-gated: build the documents, publish them blue/green as
+    * sorted-key NDJSON with the index-mapping artifact and _id routing
+    * contract (fs_elasticsearch_json_loader + elasticsearch_publisher's
+    * create-index → bulk-load → alias-flip), then read CURRENT back with
+    * the declared schema — the _MAPPING artifact is underscore-prefixed,
+    * so readers skip it like _SUCCESS. Every field in the table document
+    * is a string or long, so the JSON round trip is exact and the oracle
+    * is q_table_search_doc's. */
+  def tableDocsEsPublished(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableDocs(spark, dir)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft-es-table-docs-${ProcessHandle.current().pid()}"
+    graft.sources.Stage.publishBlueGreen(docs, base, "r", docType = "table",
+      idCol = "key")
+    val target = graft.sources.Stage.currentTarget(base).get
+    spark.read.schema(docs.schema).json(target)
+      .select(docs.columns.map(col): _*)
+      .orderBy("name")
+  }
+
   /** The staged lifecycle for USER documents, mirroring tableDocsStaged:
     * build → stage as the loader would → read back → query. The reference
     * reads all three document types from the published store

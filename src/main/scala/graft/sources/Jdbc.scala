@@ -9,9 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The dialect pipelines (graft.operators.Metastore) consume plain
   * DataFrames, so they are source-agnostic; this is the production entry
-  * point when the metastore lives behind JDBC. Not integration-tested in
-  * this sandbox (no JDBC endpoint) — the read is a thin declaration over
-  * `spark.read.format("jdbc")`.
+  * point when the metastore lives behind JDBC. Driven end-to-end against
+  * embedded Derby: JdbcDerbySpec covers reads/writes/the metastore fold,
+  * and q_jdbc_roundtrip oracle-gates the write → partitioned-read loop.
   */
 object Jdbc {
 
@@ -38,6 +38,28 @@ object Jdbc {
       .option("batchsize", batchSize)
       .mode("append")
       .save()
+
+  /** Oracle-gated JDBC lifecycle: write a customer projection into an
+    * embedded in-memory Derby table (the MySQLCSVPublisher write path),
+    * read it back with the PARTITIONED read (four executor stripes on
+    * the id — the scale path a single-cursor loop is not), and return
+    * it — the round trip must be lossless, so the oracle is the plain
+    * source query. A fresh database per invocation keeps repeated
+    * bench/verify passes append-safe. */
+  private val jdbcRun = new java.util.concurrent.atomic.AtomicLong()
+  def jdbcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val db = s"graftv${ProcessHandle.current().pid()}x${jdbcRun.incrementAndGet()}"
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val src = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").cast("long").as("id"),
+        col("c_name").as("name"), col("c_mktsegment").as("segment"))
+    writeTable(src, url, "verify_customers")
+    readPartitioned(spark, url, "verify_customers", "id", 0L, 10000000L, 4)
+      .select(col("id"), col("name"), col("segment"))
+      .orderBy("id")
+  }
 
   /** Partitioned read for large source tables: executors fetch stripes of
     * `partitionColumn` in parallel — the scale path when the "metastore"

@@ -104,6 +104,61 @@ object Stage {
     df.toDF(typedHeader(df.schema): _*)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** The consumer side of the typed-header contract: parse `name:Type`
+    * headers back into typed columns — what the bulk loader does with
+    * the same header line. The pair proves the typed-at-the-CSV-edge
+    * decision is lossless. */
+  def readNeptuneCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    raw.select(raw.columns.toIndexedSeq.map { c =>
+      val (name, t) = c.splitAt(c.lastIndexOf(':'))
+      val typed = t.drop(1) match {
+        case "Long"   => raw.col(c).cast("long")
+        case "Double" => raw.col(c).cast("double")
+        case "Bool"   => raw.col(c).cast("boolean")
+        case _        => raw.col(c)
+      }
+      typed.as(name)
+    }: _*)
+  }
+
+  /** Oracle-gated CSV loader round trip: write the generic header CSV,
+    * read it back under the declared schema — lossless, so the oracle is
+    * the plain source query. */
+  def csvLoaderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").cast("long").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft-csv-loader-${ProcessHandle.current().pid()}"
+    writeCsv(src, out)
+    spark.read.option("header", "true").schema(src.schema).csv(out)
+      .orderBy("order_id")
+  }
+
+  /** Oracle-gated Neptune typed-header round trip: the writer stamps
+    * `name:Type` headers, the reader derives the column types from them
+    * alone (no external schema) — Long/Double/Bool/String all survive.
+    * The boolean is cast to long only at the output edge (oracle-hash
+    * stability); the typed round trip itself carries it as Bool. */
+  def neptuneCsvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").cast("long").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent"))
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft-neptune-csv-${ProcessHandle.current().pid()}"
+    writeNeptuneCsv(src, out)
+    readNeptuneCsv(spark, out)
+      .select(col("order_id"), col("status"), col("total"),
+        col("urgent").cast("long").as("urgent"))
+      .orderBy("order_id")
+  }
+
   /** The ES index-mapping artifact the publisher creates the new index
     * with (reference publisher/elasticsearch_publisher.py:94 +
     * elasticsearch_constants.py's TABLE_ELASTICSEARCH_INDEX_MAPPING):

@@ -91,9 +91,22 @@ class DedupGateSpec extends AnyFunSuite {
     val novel2 = corpus.filter(col("doc_id") === 15)
       .select(lit(9000003L).as("doc_id"), reverse(col("text")).as("text"))
     def stage(in: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      def setMtimes(epochMs: Long): Unit =
+        Files.list(java.nio.file.Paths.get(in)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(epochMs)))
+      // FileStreamSource orders batches by mtime — pin them explicitly so
+      // the novel doc is ALWAYS batch 0 and its copy batch 1
       novel1.coalesce(1).write.mode("append").parquet(in)
-      Thread.sleep(100)
+      setMtimes(1000000000000L)
       copy.union(novel2).coalesce(1).write.mode("append").parquet(in)
+      Files.list(java.nio.file.Paths.get(in)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          Files.getLastModifiedTime(p).toMillis != 1000000000000L)
+        .foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(2000000000000L)))
     }
     def runGate(accrete: Boolean): Map[Long, (String, Long, Double)] = {
       val in = tmp("acc-in"); val out = tmp("acc-out")
