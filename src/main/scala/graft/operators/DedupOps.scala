@@ -564,16 +564,26 @@ object DedupOps {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .union(docs.filter(col("doc_id") % 10 === 5)
         .select((col("doc_id") + 2000000L).as("doc_id"), reverse(col("text")).as("text")))
+    // one corpus scan: the fingerprint frame is cached once and feeds
+    // the count, the bloom aggregation, and the verify semi-join —
+    // uncached this is 3x the corpus I/O and hashing
     val corpusFp = docs.select(md5(col("text")).as("fp"))
-    val bloom = corpusFp.stat.bloomFilter("fp", corpusFp.count(), 0.01)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCorpus = corpusFp.count()
+    val bloom = corpusFp.stat.bloomFilter("fp", nCorpus, 0.01)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bc.value.mightContainString(s))
     val inc = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
     val verified = inc.filter(mightContain(col("fp")))
       .join(corpusFp.distinct(), Seq("fp"), "left_semi")
-    inc.join(verified.select(col("doc_id"), lit(1L).as("hit")), Seq("doc_id"), "left")
+    val out = inc
+      .join(verified.select(col("doc_id"), lit(1L).as("hit")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("is_dup"))
       .orderBy("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the small verdict, then drop the fat cache
+    corpusFp.unpersist()
+    out
   }
 
   /** SimHash core: (doc_id, simhash, bucket) over an input with doc_id +

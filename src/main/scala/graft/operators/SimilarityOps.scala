@@ -110,20 +110,26 @@ object SimilarityOps {
     * full-precision top-k. Re-ranking survivors with full-precision
     * vectors is the standard refinement; at this fixture's scale the
     * quantized ranking alone already holds recall near 1. */
+  /** Per-vector affine int8 quantize→dequantize: (vec_id, dv) where dv
+    * is the value the int8 code reconstructs to — the SHARED arithmetic
+    * of both quantized search paths, so their scale claims rest on
+    * provably identical rounding. */
+  private def dequantized(df: DataFrame): DataFrame = df
+    .withColumn("vmin", array_min(col("v")))
+    .withColumn("vmax", array_max(col("v")))
+    .withColumn("scale",
+      when(col("vmax") > col("vmin"),
+        (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
+    // store int8 codes; dequantize at score time
+    .withColumn("qv", expr(
+      "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
+    .withColumn("dv", expr("transform(qv, c -> c * scale + vmin)"))
+    .select(col("vec_id"), col("dv"))
+
   def annBruteForceQuantized(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(spark, dir, "embeddings")
-      .withColumn("v", asDouble(col("embedding")))
-      .withColumn("vmin", array_min(col("v")))
-      .withColumn("vmax", array_max(col("v")))
-      .withColumn("scale",
-        when(col("vmax") > col("vmin"),
-          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
-      // store int8 codes; dequantize at score time
-      .withColumn("qv", expr(
-        "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
-      .withColumn("dv", expr("transform(qv, c -> c * scale + vmin)"))
-      .select(col("vec_id"), col("dv"))
+    val e = dequantized(Tables(spark, dir, "embeddings")
+      .withColumn("v", asDouble(col("embedding"))))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("dv").as("qv"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("dv").as("nv"))
@@ -433,17 +439,13 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dq = e
-      .withColumn("vmin", array_min(col("v")))
-      .withColumn("vmax", array_max(col("v")))
-      .withColumn("scale",
-        when(col("vmax") > col("vmin"),
-          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
-      .withColumn("dv", expr(
-        "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint) * scale + vmin)"))
-      .select(col("vec_id"), col("dv"))
+    val dq = dequantized(e)
     val cells = ivfCells(spark, dir, e).join(dq, "vec_id")
-    val q = ivfCells(spark, dir, e.filter(col("vec_id") < 20)).join(dq, "vec_id")
+    // the query side's nprobe-1 assignments are exactly the corpus
+    // cells' rows for vec_id < 20 — no second centroid collect or
+    // assignment pass (annIvfTopKProbes needs a separate call only
+    // because its probes differ per side)
+    val q = cells.filter(col("vec_id") < 20)
       .select(col("cell"), col("vec_id").as("query_id"), col("dv").as("qv"))
     val scored = cells
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("dv").as("nv"))

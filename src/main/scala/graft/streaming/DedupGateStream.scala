@@ -21,37 +21,46 @@ object DedupGateStream {
   /** `accrete = true` folds each batch's ADMITTED documents into the
     * corpus index before the next batch — the production admission-gate
     * semantics: once a novel document enters the corpus, later
-    * duplicates of it are rejected, even across micro-batches. The
-    * accreted index is persisted and materialized per batch while the
-    * previous generation is still cached, then the old generation is
-    * released — cache usage stays one-index-sized (plus the batch). At
-    * cluster scale the same fold is a staged parquet append and the
-    * index rebuild is out-of-band; the per-batch shape (batch bands ⋈
-    * index bands, never batch × corpus) is identical. */
+    * duplicates of it are rejected, even across micro-batches AND across
+    * restarts: admitted shingles append to a parquet side store
+    * (`<outDir>_index`) before the checkpoint commits, and run() folds
+    * that store back in on start, so a resumed stream keeps rejecting
+    * duplicates of everything it ever admitted. The index is always
+    * cached-base-corpus ∪ one parquet scan of the side store — constant
+    * lineage depth and one corpus-sized cache however long the stream
+    * runs (never a union-of-unions chain). Redelivered batches re-append
+    * identical rows; the read side dedups on doc_id, so at-least-once
+    * delivery cannot double-count a corpus doc in later verdicts. */
   def run(
       corpus: DataFrame,
       incoming: DataFrame,
       outDir: String,
       checkpoint: String,
       accrete: Boolean = false): StreamingQuery = {
-    val index = new java.util.concurrent.atomic.AtomicReference(
-      DedupOps.gateShingles(corpus))
+    import org.apache.spark.sql.functions.col
+    val spark = corpus.sparkSession
+    val indexDir = s"${outDir}_index"
+    val base = DedupOps.gateShingles(corpus)
+    // base stays cached for the stream's lifetime; the accreted side is
+    // |admitted docs|-sized, so it rides as a plain parquet scan under
+    // the union instead of a second corpus-sized cache
+    def currentIndex(): DataFrame =
+      if (!accrete ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir))) base
+      else base.union(spark.read.parquet(indexDir).dropDuplicates("doc_id"))
+    val index = new java.util.concurrent.atomic.AtomicReference(currentIndex())
     val query = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cSh = index.get()
         val iSh = DedupOps.gateShingles(batch)
-        val verdict = DedupOps.dedupGateScored(cSh, iSh, batch)
+        val verdict = DedupOps.dedupGateScored(index.get(), iSh, batch)
         try {
           verdict.write.mode(SaveMode.Append).parquet(outDir)
           if (accrete) {
-            val admitted = verdict
-              .filter(org.apache.spark.sql.functions.col("decision") === "admit")
+            val admitted = verdict.filter(col("decision") === "admit")
               .select("doc_id")
-            val next = cSh.union(iSh.join(admitted, Seq("doc_id")))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            next.count() // materialize while cSh and iSh are still cached
-            cSh.unpersist()
-            index.set(next)
+            iSh.join(admitted, Seq("doc_id"))
+              .write.mode(SaveMode.Append).parquet(indexDir)
+            index.set(currentIndex())
           }
         } finally {
           verdict.unpersist()
@@ -67,7 +76,7 @@ object DedupGateStream {
     val watcher = new Thread(() => {
       try query.awaitTermination()
       catch { case _: Throwable => () }
-      finally index.get().unpersist()
+      finally base.unpersist()
     })
     watcher.setDaemon(true)
     watcher.start()

@@ -54,19 +54,26 @@ object StreamPublish {
   private def bucketOf(keyCol: String, nBuckets: Int): Column =
     pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
 
-  /** The committed snapshot state: which batch produced it and, per
-    * bucket, the baseDir-relative directory holding that bucket's
-    * current rows. The manifest is the atomic-commit unit — bytes on
-    * disk are one header line + one line per non-empty bucket. */
-  private[streaming] case class Manifest(batchId: Long, buckets: Map[Int, String])
+  /** The committed snapshot state: which batch produced it, the bucket
+    * COUNT the layout was hashed with (part of the snapshot's identity —
+    * a reader or a later batch hashing with a different count would look
+    * in the wrong dirs, so it rides the manifest and wins over caller
+    * parameters), and per bucket the baseDir-relative directory holding
+    * that bucket's current rows. The manifest is the atomic-commit
+    * unit — bytes on disk are two header lines + one line per non-empty
+    * bucket. */
+  private[streaming] case class Manifest(batchId: Long, nBuckets: Int,
+      buckets: Map[Int, String])
 
   private[streaming] def readManifest(baseDir: String): Option[Manifest] =
     graft.sources.Stage.currentTarget(baseDir).map { mf =>
       val lines = Files.readAllLines(Paths.get(mf)).asScala.toList
       val head = lines.head.split('\t')
       require(head(0) == "batch_id", s"bad manifest header in $mf")
-      Manifest(head(1).toLong,
-        lines.tail.map { l =>
+      val nb = lines(1).split('\t')
+      require(nb(0) == "n_buckets", s"bad manifest n_buckets line in $mf")
+      Manifest(head(1).toLong, nb(1).toInt,
+        lines.drop(2).map { l =>
           val a = l.split('\t'); a(0).toInt -> a(1)
         }.toMap)
     }
@@ -79,7 +86,7 @@ object StreamPublish {
   private def commitManifest(baseDir: String, m: Manifest,
       fileName: String = null): Unit = {
     val mf = Paths.get(baseDir, Option(fileName).getOrElse(s"manifest-${m.batchId}"))
-    val body = (s"batch_id\t${m.batchId}" +:
+    val body = (Seq(s"batch_id\t${m.batchId}", s"n_buckets\t${m.nBuckets}") ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
       .mkString("\n")
     Files.createDirectories(Paths.get(baseDir))
@@ -142,10 +149,17 @@ object StreamPublish {
     // rewrite of its buckets, so skip.
     if (committed.exists(_.batchId == batchId)) return
     val committedBuckets = committed.map(_.buckets).getOrElse(Map.empty)
+    // an existing snapshot's bucket count IS the layout — adopt it; the
+    // caller's parameter only seeds the first commit
+    val nb = committed.map(_.nBuckets).getOrElse(nBuckets)
+    // snapshot keys are strings (the snapshot schema declares them so) —
+    // cast BEFORE hashing, so the batch-side bucket assignment and the
+    // post-merge one hash identical bytes even for non-string sources
     val incoming = Publish.lastWriteWins(
       batch.select((keyCol +: attrCols).map(col) ++ orderCols: _*), keyCol, orderCols)
       .select((keyCol +: attrCols).map(col): _*)
-      .withColumn("_bucket", bucketOf(keyCol, nBuckets))
+      .withColumn(keyCol, col(keyCol).cast("string"))
+      .withColumn("_bucket", bucketOf(keyCol, nb))
       .persist()
     // the driver sees only the touched-bucket SET (≤ nBuckets ints),
     // never data rows
@@ -176,12 +190,12 @@ object StreamPublish {
     val gen = freshGenDir(batchId, committedBuckets)
     // one task (= one file) per bucket: repartition on the bucket key
     // before partitionBy, the small-files discipline (see Stage notes)
-    retained.withColumn("bucket", bucketOf(keyCol, nBuckets))
+    retained.withColumn("bucket", bucketOf(keyCol, nb))
       .repartition(col("bucket"))
       .write.partitionBy("bucket")
       .mode(SaveMode.Overwrite).parquet(s"$baseDir/$gen")
     incoming.unpersist()
-    val next = Manifest(batchId,
+    val next = Manifest(batchId, nb,
       committedBuckets ++ touched.map(b => b -> s"$gen/bucket=$b"))
     commitManifest(baseDir, next)
   }
@@ -216,22 +230,25 @@ object StreamPublish {
     * be scanning a dead generation, exactly the caveat the reference's
     * alias-flip cleanup carries. The batch id is preserved, so the
     * redelivery guard's judgment is unchanged. */
-  def compact(spark: SparkSession, baseDir: String): Unit = {
+  def compact(spark: SparkSession, baseDir: String, keyCol: String): Unit = {
     val m = readManifest(baseDir).getOrElse(return)
     if (m.buckets.isEmpty) return
     val taken = m.buckets.values.map(_.split('/').head).toSet
     val gen = Iterator.from(0).map(i => s"gen=${m.batchId}.c$i")
       .find(g => !taken.contains(g)).get
-    m.buckets.toSeq.sortBy(_._1)
-      .map { case (b, rel) =>
-        spark.read.parquet(s"$baseDir/$rel").withColumn("bucket", lit(b))
-      }
-      .reduce(_.unionByName(_))
+    // ONE scan over every live bucket dir; the bucket column is
+    // recomputed with the writer's own deterministic hash — a per-bucket
+    // read + union chain would degenerate at the thousands-of-buckets
+    // layout a 100 TB snapshot uses
+    spark.read
+      .parquet(m.buckets.values.map(rel => s"$baseDir/$rel").toSeq: _*)
+      .withColumn("bucket", bucketOf(keyCol, m.nBuckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket")
       .mode(SaveMode.Overwrite).parquet(s"$baseDir/$gen")
     commitManifest(baseDir,
-      Manifest(m.batchId, m.buckets.map { case (b, _) => b -> s"$gen/bucket=$b" }),
+      Manifest(m.batchId, m.nBuckets,
+        m.buckets.map { case (b, _) => b -> s"$gen/bucket=$b" }),
       fileName = s"manifest-${m.batchId}${gen.stripPrefix(s"gen=${m.batchId}")}")
     // drop the dead generations and superseded manifest files
     val current = graft.sources.Stage.currentTarget(baseDir).get
@@ -260,12 +277,14 @@ object StreamPublish {
     * entities": it touches |buckets(keys)|/nBuckets of the snapshot
     * instead of all of it. */
   def readCurrentKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
-      keyCol: String, nBuckets: Int = DefaultBuckets): DataFrame = {
+      keyCol: String): DataFrame = {
     val m = readManifest(baseDir)
       .getOrElse(throw new IllegalStateException(s"no CURRENT manifest in $baseDir"))
     import spark.implicits._
+    // the snapshot's OWN bucket count from the manifest — a caller-supplied
+    // count could silently probe the wrong dirs
     val wanted = keys.toDF(keyCol)
-      .select(bucketOf(keyCol, nBuckets).as("b"))
+      .select(bucketOf(keyCol, m.nBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val paths = m.buckets.collect { case (b, rel) if wanted(b) => s"$baseDir/$rel" }.toSeq
     if (paths.isEmpty) readCurrent(spark, baseDir).filter(lit(false))

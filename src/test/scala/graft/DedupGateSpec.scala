@@ -108,8 +108,8 @@ class DedupGateSpec extends AnyFunSuite {
         .foreach(p => Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(2000000000000L)))
     }
-    def runGate(accrete: Boolean): Map[Long, (String, Long, Double)] = {
-      val in = tmp("acc-in"); val out = tmp("acc-out")
+    def runGate(accrete: Boolean, out: String): Map[Long, (String, Long, Double)] = {
+      val in = tmp("acc-in")
       stage(in)
       val q = DedupGateStream.run(corpus,
         spark.readStream.schema(corpus.schema)
@@ -120,15 +120,31 @@ class DedupGateSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id") -> ((r.getAs[String]("decision"),
           r.getAs[Long]("best_match"), r.getAs[Double]("best_jaccard")))).toMap
     }
-    val accreted = runGate(accrete = true)
+    val out1 = tmp("acc-out")
+    val accreted = runGate(accrete = true, out1)
     // the novel doc admitted in batch 1, entered the index, and its
     // batch-2 copy is rejected AGAINST IT; the other novel doc admits
     assert(accreted(9000001L)._1 == "admit")
     assert(accreted(9000002L) == (("reject", 9000001L, 1.0)))
     assert(accreted(9000003L)._1 == "admit")
+    // RESTART: a fresh run() against the same decision store must fold
+    // the persisted accretion index back in — another copy of the
+    // admitted doc, arriving in a brand-new stream, still rejects
+    val in2 = tmp("acc-in2")
+    novel1.select(lit(9000004L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(in2)
+    val q2 = DedupGateStream.run(corpus,
+      spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in2),
+      out1, tmp("acc-ckpt2"), accrete = true)
+    q2.awaitTermination()
+    val afterRestart = spark.read.parquet(out1).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[String]("decision"),
+        r.getAs[Long]("best_match"), r.getAs[Double]("best_jaccard")))).toMap
+    assert(afterRestart(9000004L) == (("reject", 9000001L, 1.0)))
     // contrast: the static-index gate admits the copy (batch 2 never
     // sees batch 1's admissions)
-    val static = runGate(accrete = false)
+    val static = runGate(accrete = false, tmp("acc-out-s"))
     assert(static(9000002L)._1 == "admit")
   }
 }

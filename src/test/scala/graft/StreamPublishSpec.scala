@@ -102,7 +102,7 @@ class StreamPublishSpec extends AnyFunSuite {
       Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
     val gen0 = md5s("gen=0")
     val m0 = java.nio.file.Files.readString(java.nio.file.Paths.get(base, "manifest-0"))
-    val buckets0 = m0.linesIterator.drop(1).map(_.split('\t')(0).toInt).toSet
+    val buckets0 = m0.linesIterator.drop(2).map(_.split('\t')(0).toInt).toSet
     assert(buckets0.size > 1, s"batch 0 should span several buckets:\n$m0")
     // batch 1 touches a single key → a single bucket
     val b1 = Seq(("u1", "update", "v1b", ts, 1000L))
@@ -110,7 +110,7 @@ class StreamPublishSpec extends AnyFunSuite {
     StreamPublish.publishBatch(b1, 1L, base, "key",
       Seq("event_type", "value"), Seq(col("ts"), col("event_id")), "t_")
     val m1 = java.nio.file.Files.readString(java.nio.file.Paths.get(base, "manifest-1"))
-    val entries1 = m1.linesIterator.drop(1)
+    val entries1 = m1.linesIterator.drop(2)
       .map { l => val a = l.split('\t'); a(0).toInt -> a(1) }.toMap
     val rewritten = entries1.filter(_._2.startsWith("gen=1"))
     assert(rewritten.size == 1, s"batch 1 should rewrite exactly one bucket:\n$m1")
@@ -154,7 +154,7 @@ class StreamPublishSpec extends AnyFunSuite {
     def snap() = StreamPublish.readCurrent(spark, base)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     val before = snap()
-    StreamPublish.compact(spark, base)
+    StreamPublish.compact(spark, base, "key")
     assert(snap() == before)
     // exactly one generation dir remains and the manifest references only it
     import scala.jdk.CollectionConverters._
