@@ -149,6 +149,7 @@ object SparkEntry {
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_split_assign"     -> (TextOps.splitAssign _),
     "q_stratified_sample" -> (TextOps.stratifiedSample _),
+    "q_weighted_sample"   -> (TextOps.weightedPoissonSample _),
     "q_corpus_rollup"    -> (TextOps.corpusRollup _),
     // distributed clustering (IVF index build step)
     "q_kmeans_iter"      -> ((s, d) => SimilarityOps.kmeansIterate(s, d)),
@@ -1710,6 +1711,17 @@ object SparkEntry {
          SELECT lang, split, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM s GROUP BY lang, split ORDER BY lang, split""",
+    // PPS Poisson sample: keep iff u*W <= k*w*M, all BIGINT — exact in
+    // both engines.
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             CAST('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 + 1 AS u
+           FROM documents),
+         s AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM t)
+         SELECT doc_id, w AS weight, u FROM t, s
+         WHERE u * w_total <= 50 * w * 1000001
+         ORDER BY doc_id""",
     // Fixed-size per-source sample: md5-salted rank, first 20 per group —
     // the same draw on any engine.
     "q_stratified_sample" ->

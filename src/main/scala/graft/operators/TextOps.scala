@@ -364,6 +364,33 @@ object TextOps {
       .orderBy("source", "rank")
   }
 
+  /** Deterministic PPS (probability-proportional-to-size) Poisson
+    * sample — the weighted sibling of [[stratifiedSample]]: each
+    * document keeps with probability k·w/W (w = its char count, W the
+    * corpus total, k the expected sample size), so long documents are
+    * proportionally represented — the draw behind Horvitz-Thompson
+    * corpus estimates and size-weighted training mixtures. The keep
+    * test is PURE INTEGER arithmetic on an md5-derived uniform
+    * (u·W ≤ k·w·M), so the decision is exact, layout-independent, and
+    * engine-reproducible — no floating-point rank keys to disagree in
+    * the last ulp.
+    *
+    * Scale: the corpus total is a 1-row aggregate broadcast back (the
+    * scalar-total join), the draw a narrow map — one pass, no shuffle
+    * beyond the scalar. */
+  def weightedPoissonSample(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000001L
+    val k = 50L
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val total = docs.agg(sum(col("n_chars").cast("long")).as("w_total"))
+    docs.crossJoin(broadcast(total))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat('pps:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000 + 1"))
+      .filter(col("u") * col("w_total") <= lit(k) * col("n_chars").cast("long") * lit(M))
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"), col("u"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints: token-level polynomial rolling hash over
     * trigram windows, then the min hash of every 4-window — the
     * MOSS/winnowing scheme used for scaled document fingerprinting. All
