@@ -65,6 +65,7 @@ object SparkEntry {
     "q_jdbc_roundtrip"              -> (graft.sources.Jdbc.jdbcRoundTrip _),
     "q_csv_loader_roundtrip"        -> (graft.sources.Stage.csvLoaderRoundTrip _),
     "q_neptune_csv_roundtrip"       -> (graft.sources.Stage.neptuneCsvRoundTrip _),
+    "q_neptune_bulk_publish"        -> (graft.sources.NeptuneBulkLoad.bulkPublishRoundTrip _),
     // §2.7 publisher + staleness
     "q_publish_upsert"      -> (Publish.upsertQuery _),
     "q_publish_lww"         -> (Publish.lwwUpsertQuery _),
@@ -525,6 +526,16 @@ object SparkEntry {
            CAST(o_totalprice AS DOUBLE) AS total,
            CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS urgent
          FROM orders WHERE o_orderkey % 50 = 0 ORDER BY order_id""",
+    // The bulk-publish lifecycle stages typed CSVs, uploads them through
+    // the object-store seam, and completes a deterministic in-process
+    // load — lossless end to end, so the oracle is the source query with
+    // the terminal status as a literal.
+    "q_neptune_bulk_publish" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS supplier_id, s_name AS name,
+           CAST(s_acctbal AS DOUBLE) AS acctbal,
+           CAST(CASE WHEN s_nationkey < 12 THEN 1 ELSE 0 END AS BIGINT) AS western,
+           'LOAD_COMPLETED' AS load_status
+         FROM supplier WHERE s_suppkey % 20 = 0 ORDER BY supplier_id""",
     // The ES NDJSON publish round trip is lossless (string/long fields
     // only), so the oracle is the table-document query.
     "q_es_published_table_docs" ->

@@ -1,0 +1,251 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.sources.RestFetch.{HttpClient, HttpPostClient, RetryPolicy, sendPostWithRetry, sendWithRetry}
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable.ListBuffer
+import scala.jdk.CollectionConverters._
+
+/** Neptune bulk-load publisher — the service-call half of the Neptune
+  * publishing path. The typed-header CSV format it ships is produced by
+  * [[Stage.writeNeptuneCsv]]; this module drives the upload + load + poll
+  * protocol of the bulk loader service.
+  *
+  * Reference semantics reproduced
+  * (publisher/neptune_csv_publisher.py:93-175):
+  *  1. publishing is skipped entirely when both staging directories hold
+  *     no files (`_is_upload_required`, :156-158) — zero store writes,
+  *     zero HTTP calls;
+  *  2. every node CSV then every relation CSV is uploaded to
+  *     `{base_path}/{run_stamp}/{file_name}` in the object store
+  *     (`upload_files`, :160-173 — nodes first, then edges, the
+  *     `_get_file_paths` order);
+  *  3. ONE bulk-load request names the uploaded folder — the loader API
+  *     contract is AWS's documented `POST /loader` with
+  *     `{"source": "s3://bucket/folder", "format": "csv", "iamRoleArn",
+  *     "region", "failOnError"}`; a response without `payload.loadId`
+  *     is fatal (:104-111);
+  *  4. the load is polled via `GET /loader/{loadId}?errors=true` while
+  *     `payload.overallStatus.status` stays in {LOAD_NOT_STARTED,
+  *     LOAD_IN_QUEUE, LOAD_IN_PROGRESS}, sleeping `status_polling_period`
+  *     BEFORE each poll (:113-118), accumulating `errors.errorLogs`
+  *     entries from EVERY poll (:117-118, 130-143); a status payload
+  *     without `overallStatus.status` is fatal (:136-142);
+  *  5. accumulated error-log entries are surfaced to the caller; like
+  *     the reference (which logs each and raises on none of them) the
+  *     errors are data in the report, not exceptions.
+  *
+  * The object store and both HTTP clients are injected seams — the same
+  * discipline as [[RestFetch.HttpClient]]: specs drive the full protocol
+  * against a local directory + `com.sun.net.httpserver` stub, production
+  * plugs in real S3/loader clients. The run stamp is a caller-supplied
+  * parameter rather than a wall-clock read (the reference stamps
+  * `%Y_%m_%d_%H_%M_%S`, :96-100), so a publish is replayable and two
+  * retries of one logical publish land in one folder.
+  *
+  * Scale stance: the staged CSVs are produced distributively by Spark
+  * (`Stage.writeNeptuneCsv` — one shard per partition); this driver-side
+  * loop only streams those shards to the store and makes two-plus HTTP
+  * calls, mirroring the reference's driver-side publisher. The heavy
+  * lifting (the actual ingest) happens inside the loader service, which
+  * consumes the whole folder in one load job.
+  */
+object NeptuneBulkLoad {
+
+  /** The S3-shaped seam: one put per staged shard. */
+  trait ObjectStore { def upload(key: String, data: Array[Byte]): Unit }
+
+  /** Local-directory store for specs and air-gapped runs: `key` becomes a
+    * relative path under `root`. */
+  final class DirObjectStore(root: Path) extends ObjectStore {
+    def upload(key: String, data: Array[Byte]): Unit = {
+      val target = root.resolve(key)
+      Files.createDirectories(target.getParent)
+      Files.write(target, data)
+      ()
+    }
+  }
+
+  /** One `errorLogs` entry from a status poll
+    * (neptune_csv_publisher.py:130-143 reads errorCode / errorMessage /
+    * fileName). */
+  final case class LoaderError(errorCode: String, errorMessage: String, fileName: String)
+
+  /** What a publish did: uploaded object keys (upload order), the load id
+    * the service assigned (None when nothing needed uploading), the
+    * terminal status, and every error-log entry seen across polls. */
+  final case class LoadReport(
+      uploaded: Seq[String],
+      loadId: Option[String],
+      status: String,
+      errors: Seq[LoaderError])
+
+  final case class Config(
+      loaderUrl: String, // e.g. http://host:8182/loader
+      bucket: String,
+      basePath: String,
+      iamRoleArn: String = "",
+      region: String = "",
+      failOnError: Boolean = false,
+      pollPeriodMs: Long = 5000L,
+      sleeper: Long => Unit = Thread.sleep,
+      retry: RetryPolicy = RetryPolicy())
+
+  /** The reference's while-gate (:113-115): keep polling while the load
+    * has not reached a terminal state. */
+  private val nonTerminal = Set("LOAD_NOT_STARTED", "LOAD_IN_QUEUE", "LOAD_IN_PROGRESS")
+
+  private val mapper = new ObjectMapper()
+
+  /** Staged shards under `dir`, as (relative-key, file) pairs. The
+    * reference lists regular files at the top level
+    * (`_get_file_paths`, :145-154); Spark's CSV writer stages a
+    * DIRECTORY of part shards per logical file, so the walk recurses,
+    * skipping bookkeeping files (`_SUCCESS`, `.crc`). The relative path
+    * is the upload key suffix — equal to the basename for reference-
+    * shaped flat staging, and shard-disambiguating for Spark staging. */
+  private def listFiles(dir: Path): Seq[(String, Path)] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .map(p => (dir.relativize(p).toString, p))
+        .toSeq.sortBy(_._1)
+      finally walk.close()
+    }
+
+  private def at(root: JsonNode, path: String*): Option[JsonNode] = {
+    val node = path.foldLeft(root)((n, p) => if (n == null) null else n.get(p))
+    Option(node).filterNot(n => n.isNull || n.isMissingNode)
+  }
+
+  /** Publish the staged node + relation CSV folders through the bulk
+    * loader. Returns the report; throws only on a protocol violation
+    * (missing loadId / overallStatus), like the reference. */
+  def publish(
+      nodeDir: Path,
+      relationDir: Path,
+      runStamp: String,
+      store: ObjectStore,
+      post: HttpPostClient,
+      get: HttpClient,
+      conf: Config): LoadReport = {
+    // 1. nodes first, then relations — _get_file_paths order (:145-154)
+    val files = listFiles(nodeDir) ++ listFiles(relationDir)
+    if (files.isEmpty) return LoadReport(Nil, None, "NO_UPLOAD_REQUIRED", Nil)
+
+    // 2. stream every staged shard to {basePath}/{runStamp}/{fileName}
+    val folder = s"${conf.basePath}/$runStamp"
+    val keys = files.map { case (rel, f) =>
+      val key = s"$folder/$rel"
+      store.upload(key, Files.readAllBytes(f))
+      key
+    }
+
+    // 3. one load request for the whole folder
+    val req = mapper.createObjectNode()
+    req.put("source", s"s3://${conf.bucket}/$folder")
+    req.put("format", "csv")
+    req.put("iamRoleArn", conf.iamRoleArn)
+    req.put("region", conf.region)
+    req.put("failOnError", conf.failOnError)
+    val res = sendPostWithRetry(
+      post, conf.loaderUrl, mapper.writeValueAsString(req),
+      Map("Content-Type" -> "application/json"), conf.retry)
+    val loadId = at(mapper.readTree(res.body), "payload", "loadId")
+      .map(_.asText())
+      .getOrElse(throw new IllegalStateException(
+        s"Failed to load csv. Response: ${res.body}"))
+
+    // 4. poll (sleep BEFORE each poll, like the reference) until terminal
+    var status = "LOAD_NOT_STARTED"
+    val errors = ListBuffer.empty[LoaderError]
+    while (nonTerminal(status)) {
+      conf.sleeper(conf.pollPeriodMs)
+      val sres = sendWithRetry(get, s"${conf.loaderUrl}/$loadId?errors=true", conf.retry)
+      val payload = at(mapper.readTree(sres.body), "payload")
+        .getOrElse(mapper.createObjectNode())
+      status = at(payload, "overallStatus", "status")
+        .map(_.asText())
+        .getOrElse(throw new IllegalStateException(
+          s"Failed to check status of $loadId response: ${sres.body}"))
+      at(payload, "errors", "errorLogs").foreach { logs =>
+        logs.elements().asScala.foreach { e =>
+          errors += LoaderError(
+            at(e, "errorCode").map(_.asText()).orNull,
+            at(e, "errorMessage").map(_.asText()).orNull,
+            at(e, "fileName").map(_.asText()).orNull)
+        }
+      }
+    }
+    LoadReport(keys, Some(loadId), status, errors.toList)
+  }
+
+  /** Oracle-gated lifecycle query: run the WHOLE publish protocol
+    * in-process — Spark stages typed-header node/relation CSV shards,
+    * the publisher uploads them through a directory ObjectStore and
+    * drives a deterministic in-process loader (loadId grant → one
+    * in-progress poll → completed), and the result is the "S3" folder's
+    * node set read back through the bulk-loader's typed-header parser
+    * with the terminal status stamped on every row. Lossless staging +
+    * a completed load means the oracle is the plain source query with a
+    * literal status column — the same pattern as q_jdbc_roundtrip's
+    * embedded Derby. */
+  def bulkPublishRoundTrip(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = Tables(spark, dir, "supplier")
+      .filter(col("s_suppkey") % 20 === 0)
+      .select(col("s_suppkey").cast("long").as("supplier_id"),
+        col("s_name").as("name"),
+        col("s_acctbal").cast("double").as("acctbal"),
+        (col("s_nationkey") < lit(12)).as("western"))
+    val edges = Tables(spark, dir, "supplier")
+      .filter(col("s_suppkey") % 20 === 0)
+      .select(col("s_suppkey").cast("long").as("from"),
+        col("s_nationkey").cast("long").as("to"),
+        lit("IN_NATION").as("label"))
+
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-nbl-${ProcessHandle.current().pid()}")
+    // a prior in-JVM run leaves shards under differently-named part
+    // files; start each run from an empty staging/bucket tree
+    if (Files.isDirectory(base)) {
+      val walk = Files.walk(base)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    val nodeDir = base.resolve("nodes")
+    val relDir = base.resolve("relations")
+    val bucket = base.resolve("bucket")
+    Stage.writeNeptuneCsv(src, nodeDir.resolve("suppliers.csv").toString)
+    Stage.writeNeptuneCsv(edges, relDir.resolve("in_nation.csv").toString)
+
+    // deterministic in-process loader: grant an id, report one
+    // in-progress poll, then complete cleanly
+    val post: HttpPostClient = (_, _, _) =>
+      RestFetch.HttpResponse(200, """{"payload":{"loadId":"verify-load"}}""")
+    val polls = new java.util.concurrent.atomic.AtomicInteger()
+    val get: HttpClient = _ => {
+      val st = if (polls.incrementAndGet() == 1) "LOAD_IN_PROGRESS" else "LOAD_COMPLETED"
+      RestFetch.HttpResponse(200, s"""{"payload":{"overallStatus":{"status":"$st"}}}""")
+    }
+    val report = publish(
+      nodeDir, relDir, "verify_run", new DirObjectStore(bucket), post, get,
+      Config(loaderUrl = "inproc://loader", bucket = "graft", basePath = "graph",
+        sleeper = _ => (), retry = RetryPolicy(sleeper = _ => ())))
+    require(report.status == "LOAD_COMPLETED" && report.errors.isEmpty,
+      s"bulk load did not complete cleanly: $report")
+
+    Stage.readNeptuneCsv(spark, bucket.resolve("graph/verify_run/suppliers.csv").toString)
+      .select(col("supplier_id"), col("name"), col("acctbal"),
+        col("western").cast("long").as("western"),
+        lit(report.status).as("load_status"))
+      .orderBy("supplier_id")
+  }
+}
