@@ -132,6 +132,7 @@ object SparkEntry {
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     "q_embed_neardup_groups" -> (SimilarityOps.embedNearDupGroups _),
     "q_embed_quantize"    -> (SimilarityOps.quantize _),
+    "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
     "q_ann_ivf_topk_quantized" -> (SimilarityOps.annIvfTopKQuantized _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_length_quantiles" -> (TextOps.lengthQuantiles _),
     "q_decontaminate"    -> (DedupOps.decontaminate _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
+    "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_split_assign"     -> (TextOps.splitAssign _),
     "q_stratified_sample" -> (TextOps.stratifiedSample _),
     "q_weighted_sample"   -> (TextOps.weightedPoissonSample _),
@@ -1558,6 +1560,44 @@ object SparkEntry {
            SELECT ed.dst, reach.label FROM reach JOIN ed ON ed.src = reach.vec_id)
          SELECT vec_id, CAST(min(label) AS BIGINT) AS canonical_id
          FROM reach GROUP BY vec_id ORDER BY vec_id""",
+    // SemDeDup: brute-force truth for the within-cell pair set (twins
+    // share their parent's cell), the same recursive-CTE components, the
+    // argmax cell assignment mirroring the kernel's dot/cnrm scan, and
+    // the lexicographic (cell_cos, vec_id) keeper election.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id, v FROM e
+               UNION ALL
+               SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+               FROM e WHERE vec_id % 10 = 0),
+         n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+         cen AS (SELECT vec_id AS cell, v AS cv, sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm
+                 FROM e WHERE vec_id < 64),
+         asg AS (SELECT vec_id, cell, cell_dot / (nrm * cnrm) AS cell_cos FROM (
+             SELECT n.vec_id, cen.cell, n.nrm, cen.cnrm,
+               list_sum(list_transform(range(1, 65), i -> n.v[i] * cen.cv[i])) AS cell_dot,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65), i -> n.v[i] * cen.cv[i])) / cen.cnrm DESC,
+                   cen.cell ASC) AS rk
+             FROM n, cen) WHERE rk = 1),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.99),
+         ed AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+         reach(vec_id, label) AS (
+           SELECT src, src FROM ed
+           UNION
+           SELECT ed.dst, reach.label FROM reach JOIN ed ON ed.src = reach.vec_id),
+         grp AS (SELECT vec_id, min(label) AS group_id FROM reach GROUP BY vec_id),
+         vb AS (SELECT asg.vec_id,
+             CAST(COALESCE(grp.group_id, asg.vec_id) AS BIGINT) AS group_id,
+             CAST(asg.cell AS BIGINT) AS cell, asg.cell_cos
+           FROM asg LEFT JOIN grp ON asg.vec_id = grp.vec_id)
+         SELECT vec_id, group_id, cell, cell_cos,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY group_id
+             ORDER BY cell_cos, vec_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM vb ORDER BY vec_id""",
     // IVF cell assignment is cosine-based, so a scaled twin shares its
     // parent's cell — recall 1.0 against the same brute-force truth.
     "q_ann_ivf_pairs" ->
@@ -1710,6 +1750,32 @@ object SparkEntry {
          SELECT doc_id, n_tokens,
            round(list_sum(lps) / n_tokens, 6) AS mean_surprisal
          FROM g ORDER BY doc_id""",
+    // Bigram add-one LM + per-lang terciles: integer counts, position-
+    // ordered logp folds (round 6), integer rank → bucket.
+    "q_lm_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         x AS (SELECT doc_id, lang, u.p AS pos, u.a AS a, u.b AS b FROM (
+             SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+               i -> {'p': i, 'a': toks[i], 'b': toks[i + 1]})) AS u
+             FROM t)),
+         c2 AS (SELECT a, b, COUNT(*) AS c_ab FROM x GROUP BY a, b),
+         c1 AS (SELECT a, COUNT(*) AS c_a FROM (SELECT unnest(toks) AS a FROM t) GROUP BY a),
+         v AS (SELECT COUNT(*) AS v FROM c1),
+         lp AS (SELECT doc_id, lang, pos,
+             -ln((CAST(c_ab AS DOUBLE) + 1) / (CAST(c_a AS DOUBLE) + v)) AS logp
+           FROM x JOIN c2 USING (a, b) JOIN c1 USING (a), v),
+         g AS (SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+             round(list_sum(list(logp ORDER BY pos)) / COUNT(*), 6) AS mean_nll
+           FROM lp GROUP BY doc_id, lang),
+         r AS (SELECT doc_id, lang, n_bigrams, mean_nll,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mean_nll, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+           FROM g)
+         SELECT doc_id, lang, n_bigrams, mean_nll,
+           ['head','middle','tail'][CAST((3 * (rnk - 1)) // n_lang AS INT) + 1] AS ppl_bucket
+         FROM r ORDER BY doc_id""",
     // Split assignment: md5(doc_id)-derived uniform, 80/10/10.
     "q_split_assign" ->
       """WITH s AS (SELECT lang, n_chars,

@@ -264,6 +264,52 @@ object SimilarityOps {
       .select(col("doc_id").as("vec_id"), col("canonical_id"))
       .orderBy("vec_id")
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embedding corpus (here the IVF
+    * coarse cells — at scale the k-means cells [[kmeansIterate]]
+    * refines), find near-duplicate pairs ONLY within a cell (the whole
+    * point: candidate generation is a cell equi-join, never corpus ×
+    * corpus), connect them into groups, and keep exactly ONE member per
+    * group — the member LEAST similar to its cell centroid, SemDeDup's
+    * keep-low-centroid-similarity rule (the most "marginal" exemplar
+    * preserves diversity; ties break to the lowest vec_id). Every
+    * vector gets a verdict row: its group, cell, centroid cosine, and
+    * keep/drop flag — the columns a curation pipeline filters on.
+    *
+    * Determinism: dot products fold left-to-right in both engines
+    * (bit-identical doubles), the keep rule is a lexicographic min over
+    * (cell_cos, vec_id), and planted ×2 twins share their parent's cell
+    * (cosine assignment is scale-invariant), so brute-force DuckDB
+    * truth reproduces the exact pair set, groups, and keeps.
+    *
+    * Scale: centroid frame is k rows (broadcast); assignment a narrow
+    * map; the wide ops are the cell-key candidate join, the slim-pair
+    * CC, and one group-key shuffle for the keeper election. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithTwins(spark, dir)
+    val cells = ivfCells(spark, dir, corpus)
+    val pairs = verifiedCosinePairs(corpus, cells, Seq("cell"))
+    val groups = DedupOps.connectedComponents(pairs.select("id_a", "id_b"))
+      .select(col("doc_id").as("vec_id"), col("canonical_id").as("group_id"))
+    val cents = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 64)
+      .select(col("vec_id").cast("int").as("cell"),
+        asDouble(col("embedding")).as("cv"))
+    val verdictBase = corpus.join(cells, "vec_id")
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        cosine(col("v"), col("cv")).as("cell_cos"))
+      .join(groups, Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
+    val keepers = verdictBase.groupBy("group_id")
+      .agg(min(struct(col("cell_cos"), col("vec_id"))).as("k"))
+      .select(col("group_id"), col("k.vec_id").as("keep_id"))
+    verdictBase.join(keepers, "group_id")
+      .select(col("vec_id"), col("group_id"), col("cell"), col("cell_cos"),
+        (col("vec_id") === col("keep_id")).cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** IVF-style ANN — the coarse-quantizer scale path: vectors are
     * assigned to their max-cosine centroid cell (centroids = the first 64
     * corpus vectors, deterministic; k-means iterations would refine them

@@ -391,6 +391,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style language-model quality filter: score every document by
+    * its mean bigram negative-log-likelihood under an add-one-smoothed
+    * bigram LM trained on the corpus itself, then split each language
+    * into head / middle / tail terciles by that score — the
+    * perplexity-bucket assignment the CCNet pipeline (Wenzek et al.,
+    * LREC 2020) uses to stratify CommonCrawl quality, with the corpus
+    * LM standing in for their held-out KenLM.
+    *
+    * Determinism: counts are integers, each bigram's logp is the same
+    * ln() in both engines, the per-doc sum folds in position order
+    * (the [[unigramLogprob]] discipline), round(6) absorbs last-ulp
+    * differences, and the tercile comes from an integer rank — never a
+    * float percentile threshold.
+    *
+    * Scale: the LM is two count aggregations (map-side combinable) and
+    * the vocab size a 1-row scalar; the per-language rank is the
+    * DISTRIBUTED two-pass prefix sum of [[tokenShards]] generalized to
+    * per-group — range-partition by (lang, score, id), row_number within
+    * each (partition, lang) slice, then add broadcast per-lang partition
+    * offsets. A whole language never funnels through one task, which the
+    * naive `ntile over (partition by lang)` window would do. */
+  def lmPerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val nBi = greatest(size(col("toks")) - 1, lit(0))
+    val bi = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(zip_with(
+          slice(col("toks"), lit(1), nBi), slice(col("toks"), lit(2), nBi),
+          (x, y) => struct(x.as("a"), y.as("b")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        col("bg.a").as("a"), col("bg.b").as("b"))
+    val bgCounts = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uniCounts = docs.select(explode(col("toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val scored = bi
+      .join(bgCounts, Seq("a", "b"))
+      .join(uniCounts, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        (-log((col("c_ab").cast("double") + lit(1.0)) /
+          (col("c_a").cast("double") + col("v").cast("double")))).as("logp"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        transform(sort_array(collect_list(struct(col("pos"), col("logp")))),
+          s => s.getField("logp")).as("lps"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(aggregate(col("lps"), lit(0.0), (acc, x) => acc + x) /
+          col("n_bigrams").cast("double"), 6).as("mean_nll"))
+    // distributed per-lang rank: range-partition keeps each lang's score
+    // order contiguous across partitions; offsets are |parts|×|langs|
+    val parts = spark.sparkContext.defaultParallelism
+    val ranged = scored
+      .repartitionByRange(parts, col("lang"), col("mean_nll"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid", "lang").orderBy("mean_nll", "doc_id")
+    val withLocal = ranged.withColumn("local_rank", row_number().over(wIn).cast("long"))
+    val offsets = withLocal.groupBy("pid", "lang").agg(count(lit(1)).as("part_n"))
+      .withColumn("offset",
+        coalesce(sum(col("part_n")).over(
+          Window.partitionBy("lang").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "lang", "offset")
+    val langN = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    withLocal
+      .join(broadcast(offsets), Seq("pid", "lang"))
+      .join(broadcast(langN), Seq("lang"))
+      .withColumn("rank", col("local_rank") + col("offset"))
+      .withColumn("ppl_bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")),
+        (expr("(3 * (rank - 1)) div n_lang") + lit(1)).cast("int")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("mean_nll"), col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing fingerprints: token-level polynomial rolling hash over
     * trigram windows, then the min hash of every 4-window — the
     * MOSS/winnowing scheme used for scaled document fingerprinting. All
