@@ -33,6 +33,7 @@ object SparkEntry {
     "q_left_join_agg"  -> (Relational.leftJoinAgg _),
     "q_anti_join"      -> (Relational.antiJoin _),
     "q_semi_join"      -> (Relational.semiJoin _),
+    "q_bucketed_join"  -> ((s, d) => Relational.bucketedJoin(s, d)),
     // §2.4 set ops / dedup / sort-limit
     "q_union_dedup"    -> (Relational.unionDedup _),
     "q_dedup_rows"     -> (Relational.dedupRows _),
@@ -268,6 +269,15 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          ORDER BY c_custkey""",
+    // The bucketed write is lossless, so the co-located join's oracle is
+    // the plain join-aggregate.
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')

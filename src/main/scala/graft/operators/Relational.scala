@@ -125,6 +125,56 @@ object Relational {
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** Bucketed CO-LOCATED join — the shuffle-avoidance contract of a
+    * repeatedly-joined 100 TB fact pair: both sides are written
+    * `bucketBy(n, key)` into catalog tables, so the join consumes the
+    * bucketing (`SelectedBucketsCount` on both scans) and the physical
+    * plan carries NO shuffle exchange under the join — at scale this
+    * turns every recurring fact⋈fact join on the bucket key into a
+    * zero-shuffle merge, the same decision as the reference pipelines'
+    * pre-partitioned staging dirs (one folder per entity/key family,
+    * e.g. fs_neo4j_csv_loader.py's per-label shards). The one-time
+    * bucketed write IS a shuffle — amortized across every later join.
+    * PlanShapeSpec pins the no-exchange plan; the bucketed write lands
+    * in the session warehouse (a stand-in for the curated lakehouse
+    * zone). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 8
+    // the in-memory catalog dies with the JVM but the warehouse dirs
+    // persist — drop any stale entry AND its orphaned location so the
+    // bucketed write starts clean in every session
+    Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    bucketedJoinRead(spark)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** The co-located join over the bucketed catalog tables — split out so
+    * the spec can assert the exchange-free plan directly. */
+  def bucketedJoinRead(spark: SparkSession): DataFrame =
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+
   /** Semi join — EXISTS filter (reference Cassandra/Delta allowlist filters,
     * databuilder/extractor/cassandra_extractor.py:62-90). */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =

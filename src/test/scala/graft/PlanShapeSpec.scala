@@ -74,6 +74,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bucketed co-located join carries no shuffle exchange under the join") {
+    // run the bucketed write once, then assert the JOIN consumes the
+    // bucketing: both scans select buckets and neither side shuffles
+    Relational.bucketedJoin(spark, dir).collect()
+    // disable auto-broadcast so the plan can't sidestep the claim: the
+    // co-location itself must make the join exchange-free (at real fact
+    // scale neither side broadcasts)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = physical(Relational.bucketedJoinRead(spark))
+      assert(plan.contains("SelectedBucketsCount"), s"scan not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("no query in the inventory plans a cartesian product") {
     // q_neardup_groups executes its fixpoint loop eagerly at construction
     // and returns a checkpoint scan — there is no plan left to inspect
