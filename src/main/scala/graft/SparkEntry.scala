@@ -67,6 +67,7 @@ object SparkEntry {
     "q_csv_loader_roundtrip"        -> (graft.sources.Stage.csvLoaderRoundTrip _),
     "q_neptune_csv_roundtrip"       -> (graft.sources.Stage.neptuneCsvRoundTrip _),
     "q_neptune_bulk_publish"        -> (graft.sources.NeptuneBulkLoad.bulkPublishRoundTrip _),
+    "q_compact_files"               -> (graft.sources.Stage.compactionRoundTrip _),
     // §2.7 publisher + staleness
     "q_publish_upsert"      -> (Publish.upsertQuery _),
     "q_publish_lww"         -> (Publish.lwwUpsertQuery _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_decontaminate"    -> (DedupOps.decontaminate _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
+    "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_split_assign"     -> (TextOps.splitAssign _),
     "q_stratified_sample" -> (TextOps.stratifiedSample _),
     "q_weighted_sample"   -> (TextOps.weightedPoissonSample _),
@@ -167,6 +169,38 @@ object SparkEntry {
     // batch LWW oracle (disjoint per-batch key cohorts → order-free)
     "q_stream_publish_fold" -> (graft.streaming.StreamPublish.streamPublishFoldQuery _),
   )
+
+  /** Unrolled DuckDB program for k BPE rounds: each round selects the
+    * max-count pair (ties lexicographic) from the double-space symbol
+    * strings, then merges it via the same literal replace the Spark side
+    * applies. All counts BIGINT; the only strings are corpus symbols. */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+             FROM documents) GROUP BY word),
+         s0 AS (SELECT freq, '  ' || array_to_string(
+             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), '  ') || '  ' AS s
+           FROM w0)"""
+    val rounds = (1 to k).map { r =>
+      val prev = s"s${r - 1}"
+      s""",
+         p$r AS (SELECT a, b, c FROM (
+             SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS c FROM (
+               SELECT freq, unnest(list_transform(range(1, len(tk)),
+                 i -> {'a': tk[i], 'b': tk[i + 1]})) AS pr FROM (
+                 SELECT freq, string_split(trim(s), '  ') AS tk FROM $prev))
+             GROUP BY pr.a, pr.b)
+           ORDER BY c DESC, a, b LIMIT 1),
+         s$r AS (SELECT freq, replace(s,
+             ' ' || (SELECT a FROM p$r) || '  ' || (SELECT b FROM p$r) || ' ',
+             ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS s FROM $prev)"""
+    }.mkString
+    val union = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM p$r")
+      .mkString(" UNION ALL ")
+    s"$head$rounds SELECT * FROM ($union) ORDER BY merge_rank"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -538,6 +572,13 @@ object SparkEntry {
            CAST(o_totalprice AS DOUBLE) AS total,
            CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS urgent
          FROM orders WHERE o_orderkey % 50 = 0 ORDER BY order_id""",
+    // Compaction is lossless and the 64-shard fragmentation collapses to
+    // one well-sized file at gate volume — both pinned as literals.
+    "q_compact_files" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS order_id, o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           CAST(64 AS BIGINT) AS in_files, CAST(1 AS BIGINT) AS out_files
+         FROM orders WHERE o_orderkey % 10 = 0 ORDER BY order_id""",
     // The bulk-publish lifecycle stages typed CSVs, uploads them through
     // the object-store seam, and completes a deterministic in-process
     // load — lossless end to end, so the oracle is the source query with
@@ -1760,6 +1801,11 @@ object SparkEntry {
          SELECT doc_id, n_tokens,
            round(list_sum(lps) / n_tokens, 6) AS mean_surprisal
          FROM g ORDER BY doc_id""",
+    // BPE merge induction: k unrolled rounds of pair-count argmax +
+    // literal-replace merge over the double-space symbol encoding —
+    // integer counts, lexicographic tie-breaks, same greedy left-to-
+    // right replace semantics in both engines.
+    "q_bpe_merges" -> bpeOracleSql(6),
     // Bigram add-one LM + per-lang terciles: integer counts, position-
     // ordered logp folds (round 6), integer rank → bucket.
     "q_lm_ppl_buckets" ->

@@ -391,6 +391,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE merge induction — the tokenizer-training step of a data
+    * pipeline (Sennrich et al., ACL 2016): k rounds of "count adjacent
+    * symbol pairs over the word-frequency table, merge the most frequent
+    * pair". Like every real BPE trainer, it runs over word TYPES with
+    * their corpus frequencies (vocab-sized, orders of magnitude smaller
+    * than the corpus), so each round is one small pair-count shuffle; the
+    * corpus itself is touched exactly once to build the frequency table.
+    *
+    * Representation: a word is its symbols joined by a DOUBLE space with
+    * double-space padding ("  h  a  t  "), so the winning pair (a,b) is
+    * merged by the literal replace of " a  b " with " ab " — left-to-
+    * right, non-overlapping, token-boundary-safe (symbols contain no
+    * spaces, and the single flanking spaces consume one of each
+    * neighboring double separator) — the exact greedy semantics of the
+    * reference BPE implementation, and bit-identical in any engine with
+    * ordinary string replace. Ties on the pair count break
+    * lexicographically; counts are integers throughout.
+    *
+    * The winning pair is collected per round — a k-row driver artifact,
+    * like the IVF centroids. Returns the merge table (rank, lhs, rhs,
+    * pair_count) a tokenizer ships as its vocabulary. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 6): DataFrame =
+    bpeMergesFromTokens(
+      Tables(spark, dir, "documents").select(explode(tokens(col("text"))).as("word")), k)
+
+  /** The BPE trainer core over a (word) occurrence frame — split out so
+    * the semantics spec can drive controlled corpora (greedy left-to-
+    * right overlap handling, early stop when no pairs remain). */
+  private[graft] def bpeMergesFromTokens(tokensDf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = tokensDf.sparkSession
+    val words = tokensDf
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("freq"), concat(lit("  "),
+        array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), "  "),
+        lit("  ")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    var cur = words
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val toks = split(trim(col("s")), "  ")
+      val nPairs = greatest(size(toks) - 1, lit(0))
+      val top = cur
+        .select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, c))
+        cur = cur.withColumn("s",
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank").cast("long"), col("lhs"), col("rhs"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
   /** CCNet-style language-model quality filter: score every document by
     * its mean bigram negative-log-likelihood under an add-one-smoothed
     * bigram LM trained on the corpus itself, then split each language

@@ -208,6 +208,59 @@ object Stage {
     }
   }
 
+  /** Size-aware small-files compaction — the table-maintenance pass every
+    * long-lived 100 TB dataset needs: streaming/publisher micro-batches
+    * and per-label staging leave directories of KB-sized files whose
+    * per-file open/footer cost eventually dominates scans (and whose
+    * count swamps the namenode). The compactor sizes its shuffle from the
+    * DATA, not a constant: list the input's bytes, target
+    * ceil(bytes / targetBytes) output files (≥ 1), and rewrite through
+    * one repartition. Returns (inFiles, outFiles, the reloaded frame) so
+    * callers can gate on the shrink; the rewrite is lossless, which the
+    * oracle-checked round-trip query pins. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long, DataFrame) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(hconf)
+    val dataFiles = fs.listStatus(in).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).toSeq
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_")).toLong
+    (dataFiles.size.toLong, outFiles, spark.read.parquet(outDir))
+  }
+
+  /** Oracle-gated compaction round trip: fragment a table the way a
+    * micro-batch publisher would (64 task-sized shards), compact it
+    * size-aware, and return the reloaded rows with the file shrink
+    * stamped on each — proving both losslessness (the oracle is the
+    * plain source query) and that the pass actually compacts
+    * (in=64 → out=1 at this volume; the spec asserts the general
+    * ratio). */
+  def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").cast("long").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft-compact-${ProcessHandle.current().pid()}"
+    src.repartition(64).write.mode(SaveMode.Overwrite).parquet(s"$base/frag")
+    val (inFiles, outFiles, compacted) =
+      compactParquet(spark, s"$base/frag", s"$base/compact")
+    require(outFiles < inFiles,
+      s"compaction did not shrink the file count: $inFiles -> $outFiles")
+    compacted
+      .withColumn("in_files", lit(inFiles))
+      .withColumn("out_files", lit(outFiles))
+      .orderBy("order_id")
+  }
+
   /** The single-logical-commit marker swap shared by every blue/green
     * consumer (search-doc publish, the streaming snapshot publisher):
     * write CURRENT.tmp, then ATOMIC_MOVE onto CURRENT — readers see the

@@ -759,4 +759,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(h2 >= h1, s"nprobe=2 ($h2) must not lose recall vs nprobe=1 ($h1)")
     assert(h2 > h1, s"on this corpus the second probe should add recall ($h1 -> $h2)")
   }
+
+  test("BPE merges greedily left-to-right, counts by word frequency, stops when no pairs remain") {
+    import spark.implicits._
+    // corpus: "aaa" ×2, "ab" ×1
+    val toks = Seq("aaa", "aaa", "ab").toDF("word")
+    val merges = TextOps.bpeMergesFromTokens(toks, k = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) appears twice PER "aaa" occurrence -> 2 words × 2 = 4;
+    // (a,b) counts 1. Merge (a,a). Greedy left-to-right: "a a a" -> "aa a"
+    // (the overlapping second (a,a) pair is NOT merged).
+    // round 2: (aa,a) count 2 beats (a,b) count 1. round 3: (a,b).
+    // rounds 4+: no pairs anywhere -> trainer stops at 3 merges.
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "aa", "a", 2L),
+      (3L, "a", "b", 1L)))
+  }
+
+  test("BPE tie on pair count breaks lexicographically") {
+    import spark.implicits._
+    // "xy" and "ab" both once: counts tie at 1 -> (a,b) wins over (x,y)
+    val merges = TextOps.bpeMergesFromTokens(Seq("xy", "ab").toDF("word"), k = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.head == ("a", "b"))
+  }
 }
