@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+
+/** Property test: the distributed BPE trainer must agree with a plain
+  * in-memory reference implementation on arbitrary random corpora —
+  * repeated words, overlap runs ("aaaa"), count ties, single-char words,
+  * early exhaustion. The string-encoded merge (double-space symbols +
+  * literal replace) is the one place a representation bug could silently
+  * diverge from the standard list-walk semantics, so the reference walks
+  * symbol LISTS and never strings.
+  */
+class BpePropSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Reference BPE over symbol vectors: greedy left-to-right merge. */
+  private def refBpe(words: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var cur: Seq[(Vector[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, occ) => (w.toVector.map(_.toString), occ.size.toLong) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      cur.foreach { case (s, f) =>
+        var i = 0
+        while (i + 1 < s.length) { counts((s(i), s(i + 1))) =
+          counts.getOrElse((s(i), s(i + 1)), 0L) + f; i += 1 }
+      }
+      if (counts.nonEmpty && out.size == r - 1) {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r.toLong, a, b, c))
+        cur = cur.map { case (s, f) => (applyMerge(s, a, b), f) }
+      }
+    }
+    out.toList
+  }
+
+  test("bpeMergesFromTokens equals the in-memory reference on random corpora") {
+    import spark.implicits._
+    val genWords: Gen[List[String]] = for {
+      n <- Gen.choose(1, 12)
+      words <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield words
+    val prop = Prop.forAll(genWords) { words =>
+      val got = TextOps.bpeMergesFromTokens(words.toDF("word"), k = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      got == refBpe(words, 4)
+    }
+    val result = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
