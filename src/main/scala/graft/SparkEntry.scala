@@ -110,6 +110,7 @@ object SparkEntry {
     // int8 twin of q_ann_topk: the affine quantize/dequantize is exact
     // double arithmetic, so it carries a full DuckDB oracle
     "q_ann_topk_quantized" -> (SimilarityOps.annBruteForceQuantized _),
+    "q_ann_topk_rerank"    -> (SimilarityOps.annTopKRerank _),
     "q_doc_winnow"      -> (TextOps.winnowFingerprint _),
     "q_pii_redact"      -> (TextOps.piiRedact _),
     "q_url_canon"       -> (TextOps.urlCanon _),
@@ -1482,6 +1483,37 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
            FROM s) WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    // Two-stage serving: the quantized CTE ranks the 20-candidate
+    // shortlist, full-precision cosine re-ranks it — both passes exact
+    // arithmetic with integer tie-breaks.
+    "q_ann_topk_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         qd AS (SELECT vec_id, v, list_min(v) AS vmin,
+             CASE WHEN list_max(v) > list_min(v)
+                  THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+           FROM e),
+         d AS (SELECT vec_id,
+             list_transform(v,
+               x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) * scale + vmin) AS dv
+           FROM qd),
+         n AS (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm FROM d),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm) AS qcos
+           FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         short AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS srank
+             FROM s) WHERE srank <= 20),
+         f AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         r AS (SELECT short.query_id, short.neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           FROM short JOIN f q ON short.query_id = q.vec_id
+                      JOIN f c ON short.neighbor_id = c.vec_id)
+         SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM r) WHERE rank <= 5
          ORDER BY query_id, rank""",
     // Oracle is the brute-force all-pairs truth; the Spark side is LSH
     // bucket-join candidates + exact cosine verify. Twins are scaled x2

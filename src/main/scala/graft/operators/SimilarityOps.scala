@@ -142,6 +142,40 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage ANN serving — the standard memory-bound search shape: the
+    * FIRST pass ranks on int8-dequantized vectors (8× smaller candidate
+    * store — what actually fits in memory at a billion vectors) and keeps
+    * only a 20-candidate shortlist per query; the SECOND pass touches the
+    * full-precision vectors for the shortlist alone and re-ranks to the
+    * final top-5. Both passes are exact double arithmetic with integer
+    * tie-breaks, so the full two-stage pipeline carries a DuckDB oracle.
+    * At scale: the full-precision side is a slim (query, candidate)
+    * equi-join — 20 rows per query, never the corpus. */
+  def annTopKRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = dequantized(full)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("dv").as("qdv"))
+    val wShort = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    val shortlist = e.select(col("vec_id").as("neighbor_id"), col("dv").as("ndv"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos", cosine(col("qdv"), col("ndv")))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= 20)
+      .select("query_id", "neighbor_id")
+    val wFinal = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(full.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(full.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-vector int8-style quantization — the memory-compression step a
     * billion-vector ANN index applies before sharding: affine-map each
     * vector onto 0..255 with its own (min, scale), report the first/max

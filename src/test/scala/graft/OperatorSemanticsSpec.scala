@@ -760,6 +760,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(h2 > h1, s"on this corpus the second probe should add recall ($h1 -> $h2)")
   }
 
+  test("two-stage quantized shortlist + full-precision rerank recovers the exact top-k") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SimilarityOps.annBruteForce(spark, dir)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val hits = exact.join(
+      SimilarityOps.annTopKRerank(spark, dir).select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(nExact > 0)
+    // a 20-candidate int8 shortlist re-ranked at full precision should
+    // recover essentially all of the true top-5
+    assert(hits >= (nExact * 95) / 100,
+      s"rerank recall too low: $hits / $nExact")
+  }
+
   test("BPE merges greedily left-to-right, counts by word frequency, stops when no pairs remain") {
     import spark.implicits._
     // corpus: "aaa" ×2, "ab" ×1

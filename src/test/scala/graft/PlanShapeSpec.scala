@@ -110,8 +110,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q_ann_topk_quantized is the int8 twin of q_ann_topk: the same
       // intentional 20-query brute-force baseline (broadcast query set,
       // exactness oracle), so it carries the same BNLJ by design
+      // q_ann_topk_rerank's FIRST pass is the same broadcast-20-query
+      // shortlist scan; its full-precision second pass is an equi-join
       val bruteForceAnn =
-        Set("q_ann_topk", "q_ann_ivf_recall", "q_ann_topk_quantized")
+        Set("q_ann_topk", "q_ann_ivf_recall", "q_ann_topk_quantized",
+          "q_ann_topk_rerank")
       if (!bruteForceAnn(name) && !scalarTotalJoin(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
