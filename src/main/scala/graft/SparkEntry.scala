@@ -139,6 +139,7 @@ object SparkEntry {
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
     "q_ann_ivf_topk_quantized" -> (SimilarityOps.annIvfTopKQuantized _),
+    "q_ann_pq_topk"       -> (SimilarityOps.annPqTopK _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
     "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -154,6 +155,16 @@ object SparkEntry {
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "q_bpe_encode"       -> (TextOps.bpeEncode _),
+    "q_quality_logit"    -> (TextOps.qualityLogit _),
+    "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
+    "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
+    "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
+    "q_chunk_split"      -> ((s, d) => TextOps.chunkSplit(s, d)),
+    "q_temperature_mix"  -> (TextOps.temperatureMix _),
+    "q_bpe_fertility"    -> (TextOps.bpeFertility _),
+    // lineage-graph analytics (exact fixed-point PageRank)
+    "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
     "q_split_assign"     -> (TextOps.splitAssign _),
     "q_stratified_sample" -> (TextOps.stratifiedSample _),
     "q_weighted_sample"   -> (TextOps.weightedPoissonSample _),
@@ -201,6 +212,74 @@ object SparkEntry {
       s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM p$r")
       .mkString(" UNION ALL ")
     s"$head$rounds SELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
+  /** DuckDB twin of [[graft.operators.TextOps.bpeEncode]]: the same char
+    * split into the double-space encoding and the same pinned merge chain,
+    * unrolled as nested replace() calls. */
+  private def bpeEncodeOracleSql: String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val merged = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         FROM documents),
+       p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks,
+             w -> len(string_split(trim($merged), '  ')))) AS BIGINT) AS n_bpe_tokens,
+           CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS n_chars
+         FROM t WHERE len(toks) > 0)
+       SELECT doc_id, n_words, n_bpe_tokens,
+         round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6) AS chars_per_token
+       FROM p ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of [[graft.operators.TextOps.bpeFertility]]: the
+    * bpeEncode piece counts rolled up at the language grain. */
+  private def bpeFertilityOracleSql: String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val merged = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT lang,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         FROM documents),
+       p AS (SELECT lang, CAST(len(toks) AS BIGINT) AS w_doc,
+           CAST(list_sum(list_transform(toks,
+             w -> len(string_split(trim($merged), '  ')))) AS BIGINT) AS b_doc
+         FROM t WHERE len(toks) > 0)
+       SELECT lang, CAST(SUM(w_doc) AS BIGINT) AS n_words,
+         CAST(SUM(b_doc) AS BIGINT) AS n_bpe_tokens,
+         round(CAST(SUM(b_doc) AS DOUBLE) / CAST(SUM(w_doc) AS DOUBLE), 6) AS fertility
+       FROM p GROUP BY lang ORDER BY lang"""
+  }
+
+  /** Unrolled DuckDB program for k fixed-point PageRank rounds — the same
+    * integer contribution (rank·85) // (100·outdeg) and integer fold as
+    * [[graft.operators.GraphBuild.pageRankLineage]]. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT 'tpch://part/' || l_partkey AS src,
+             'tpch://sup/' || l_suppkey AS dst FROM lineitem),
+         dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM n)"""
+    val rounds = (1 to iters).map { r =>
+      s""",
+         c$r AS (SELECT e.dst AS node,
+             CAST(SUM((r.pr * 85) // (100 * dg.outdeg)) AS BIGINT) AS in_mass
+           FROM e JOIN dg ON e.src = dg.src JOIN r${r - 1} r ON r.node = e.src
+           GROUP BY e.dst),
+         r$r AS (SELECT n.node, CAST(150000000 + COALESCE(c.in_mass, 0) AS BIGINT) AS pr
+           FROM n LEFT JOIN c$r c ON n.node = c.node)"""
+    }.mkString
+    s"""$head$rounds
+       SELECT node AS node_key, pr AS rank_scaled,
+         round(CAST(pr AS DOUBLE) / 1000000000.0, 9) AS pagerank
+       FROM r$iters ORDER BY rank_scaled DESC, node_key"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1484,6 +1563,35 @@ object SparkEntry {
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
            FROM s) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // Product quantization: codebook = first-128 sub-vectors, encode =
+    // per-subspace L2 argmin (ties lowest code id), search = cosine of
+    // query vs reconstruction — all exact double arithmetic, same
+    // accumulation order both engines.
+    "q_ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cb AS (SELECT t.m AS m, e.vec_id AS cid,
+             list_transform(range(1, 9), i -> v[t.m * 8 + i]) AS cw
+           FROM e, range(0, 8) t(m) WHERE e.vec_id < 128),
+         d AS (SELECT e.vec_id, cb.m, cb.cid,
+             list_sum(list_transform(range(1, 9),
+               i -> (e.v[cb.m * 8 + i] - cb.cw[i]) * (e.v[cb.m * 8 + i] - cb.cw[i]))) AS d2
+           FROM e, cb),
+         codes AS (SELECT vec_id, m, cid FROM (
+             SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM d)
+           WHERE rn = 1),
+         recon AS (SELECT c.vec_id, flatten(list(cb.cw ORDER BY c.m)) AS rv
+           FROM codes c JOIN cb ON cb.m = c.m AND cb.cid = c.cid GROUP BY c.vec_id),
+         n AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nrm FROM recon),
+         q AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS qn FROM e WHERE vec_id < 20),
+         s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> q.v[i] * n.rv[i])) / (q.qn * n.nrm) AS cos
+           FROM q, n WHERE n.vec_id <> q.vec_id)
+         SELECT query_id, rank, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s) WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // Two-stage serving: the quantized CTE ranks the 20-candidate
     // shortlist, full-precision cosine re-ranks it — both passes exact
     // arithmetic with integer tie-breaks.
@@ -1838,6 +1946,110 @@ object SparkEntry {
     // integer counts, lexicographic tie-breaks, same greedy left-to-
     // right replace semantics in both engines.
     "q_bpe_merges" -> bpeOracleSql(6),
+    "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_pagerank_lineage" -> pagerankOracleSql(3),
+    // hashed-feature linear scorer: integer fixed-point weights summed
+    // exactly, one double division per doc
+    "q_quality_logit" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, w ->
+               ((CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64)
+                 * 2654435761) % 2001 - 1000)) AS BIGINT) AS logit_scaled
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id, n_tokens, logit_scaled,
+           round(CAST(logit_scaled AS DOUBLE) / 1000.0 / CAST(n_tokens AS DOUBLE), 6)
+             AS quality_logit,
+           round(CAST(logit_scaled AS DOUBLE) / 1000.0 / CAST(n_tokens AS DOUBLE), 6) > 0.0
+             AS keep
+         FROM p ORDER BY doc_id""",
+    // UniMax admission: per-language running token sum over the
+    // md5-shuffled order, cut at the budget
+    "q_unimax_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('unimax' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS shuffle_key
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+           (cum_before + n_tokens <= 3000) AS kept
+         FROM c ORDER BY doc_id""",
+    // the sketch is pruning-only: the exact answer is a plain
+    // count-filter, which is what the oracle runs
+    "q_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents)
+         GROUP BY token HAVING COUNT(*) >= 150 ORDER BY token""",
+    // PMI collocations: integer counts, 1e6 fixed-point integer-div
+    // score — ranking by pmi_scaled IS ranking by PMI (log monotone),
+    // no float anywhere.
+    "q_pmi_bigrams" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+           FROM t WHERE len(toks) >= 2)),
+         uni AS (SELECT a AS token, COUNT(*) AS n
+           FROM (SELECT unnest(toks) AS a FROM t) GROUP BY a),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM uni),
+         ab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY w1, w2
+           HAVING COUNT(*) >= 5)
+         SELECT ab.w1, ab.w2, CAST(ab.n_ab AS BIGINT) AS n_ab,
+           CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+           (CAST(ab.n_ab AS BIGINT) * n_total * 1000000)
+             // (CAST(ua.n AS BIGINT) * CAST(ub.n AS BIGINT)) AS pmi_scaled
+         FROM ab JOIN uni ua ON ua.token = ab.w1
+           JOIN uni ub ON ub.token = ab.w2, tot
+         ORDER BY pmi_scaled DESC, w1, w2""",
+    // Context-window chunking: integer window arithmetic, md5 chunk ids.
+    "q_chunk_split" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+           FROM t WHERE len(toks) > 0),
+         c AS (SELECT doc_id, u.cid AS chunk_id, u.chunk AS chunk FROM (
+           SELECT doc_id, unnest(list_transform(range(0, n_chunks),
+             i -> {'cid': i, 'chunk': list_slice(toks, i * 48 + 1, i * 48 + 64)})) AS u
+           FROM n))
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_id""",
+    // Temperature mixing: exact integer masses, IEEE sqrt of identical
+    // doubles, normalizer folded in language order on both sides.
+    "q_temperature_mix" ->
+      """WITH lt AS (SELECT lang,
+             CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT)
+               AS lang_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+             list(lang_tokens ORDER BY lang) AS ls FROM lt),
+         z AS (SELECT total_tokens,
+             list_sum(list_transform(ls,
+               c -> sqrt(CAST(c AS DOUBLE) / CAST(total_tokens AS DOUBLE)))) AS z
+           FROM tot)
+         SELECT lang, lang_tokens,
+           round(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+             AS p_proportional,
+           round(sqrt(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) / z, 6)
+             AS p_temperature,
+           round(sqrt(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) / z
+             / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 6)
+             AS sampling_factor
+         FROM lt, z ORDER BY lang""",
+    "q_bpe_fertility" -> bpeFertilityOracleSql,
     // Bigram add-one LM + per-lang terciles: integer counts, position-
     // ordered logp folds (round 6), integer rank → bucket.
     "q_lm_ppl_buckets" ->

@@ -457,6 +457,62 @@ object GraphBuild {
         lit("HAS_DOWNSTREAM").as("rel_type"), lit("HAS_UPSTREAM").as("reverse_type"))
       .orderBy("source_key", "target_key")
 
+  /** PAGERANK over the lineage graph — the downstream-impact ranking a
+    * metadata catalog layers on its lineage edges (which tables matter?):
+    * k synchronous iterations of rank(v) = 0.15 + 0.85·Σ rank(u)/outdeg(u)
+    * over the HAS_DOWNSTREAM edge set of [[lineageEdges]].
+    *
+    * Determinism on any cluster layout: ranks live in 1e9 FIXED POINT,
+    * each edge's contribution is the integer (rank·85) div (100·outdeg),
+    * and the per-target fold is an integer sum — associative, no float
+    * ordering hazard, bit-identical in DuckDB's unrolled-CTE oracle.
+    * Dangling nodes (sinks) simply leak their damped mass — the
+    * no-redistribution PageRank variant, same on both sides.
+    *
+    * Scale shape: the edge set (with outdeg pre-joined) is computed once,
+    * persisted, and re-partitioned by src — each iteration is then ONE
+    * shuffle (the contribution sum on dst; the rank⋈edge join co-locates
+    * on the cached layout). Iterations are a fixed small k; the loop
+    * state is the |nodes|-row rank frame, never driver-side. */
+  def pageRankLineage(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val scale = 1000000000L
+    val edges = lineageEdges(spark, dir).select(
+      col("source_key").as("src"), col("target_key").as("dst"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src")
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withDeg.count() // one fill job before the k-iteration fan-out
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr(s"(rank * 85) div (100 * outdeg)").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("in_mass"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(15L * scale / 100L) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+    }
+    val out = ranks
+      .select(col("node").as("node_key"), col("rank").as("rank_scaled"),
+        round(col("rank").cast("double") / scale.toDouble, 9).as("pagerank"))
+      .orderBy(col("rank_scaled").desc, col("node_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the loop inputs
+    withDeg.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Partition-watermark fan-out through the [[graft.model.Watermark]]
     * model: per-table low/high bounds (one groupBy over the fact table)
     * become two Watermark records each, whose `col=value` part names the

@@ -538,4 +538,80 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }
+
+  /** PRODUCT-QUANTIZATION top-k — the byte-code scale path that completes
+    * the compression ladder (full 64×8B → int8 64B → PQ 7B per vector):
+    * the 64-dim space splits into m=8 subspaces of 8 dims, each with a
+    * 128-codeword codebook, so a stored vector is 8 7-bit codes — the
+    * FAISS IndexPQ layout (uniform-random embeddings are the PQ
+    * worst case, hence 7 bits/subspace rather than the classic 4).
+    * Codebook = the sub-vectors of the first 128 corpus vectors, a
+    * deterministic m×128×8 driver artifact (the production refinement
+    * is [[kmeansIterate]] per subspace — same plumbing, still a
+    * driver-sized artifact). ENCODE is a narrow
+    * mapPartitions: per subspace, nearest codeword by L2 with
+    * lowest-code-id tie-break. SEARCH scores dot(query, reconstruct(codes))
+    * — mathematically asymmetric-distance computation, since the dot
+    * decomposes per subspace into the classic ADC lookup table; scoring
+    * the reconstruction keeps the floating-point accumulation order
+    * identical to the DuckDB oracle, so the whole index→encode→search
+    * path is bit-for-bit checkable. Recall floor vs the exact baseline
+    * is spec-asserted.
+    *
+    * At scale: codes shrink every shuffle/broadcast/storage payload ~73×;
+    * the 20-query ranking is the same intentional broadcast brute-force
+    * baseline as [[annBruteForce]] (at corpus scale the candidate set
+    * would come from the IVF cell join — [[annIvfTopKQuantized]] shows
+    * that composition). */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = spark
+    import spark0.implicits._
+    val m = 8; val sub = 8; val kCodes = 128
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val seed: Array[Array[Double]] = e.filter(col("vec_id") < kCodes)
+      .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
+    // codebook[mm][cid] = the cid-th seed vector's mm-th 8-dim slice
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m, kCodes)((mm, cid) => seed(cid).slice(mm * sub, mm * sub + sub))
+    // encode to 8 codes and reconstruct in one narrow pass — the stored
+    // artifact at scale is (vec_id, codes); rv here feeds the scorer
+    val recon = e.select("vec_id", "v").as[(Long, Seq[Double])].mapPartitions { it =>
+      it.map { case (id, v) =>
+        val arr = v.toArray
+        val rv = new Array[Double](m * sub)
+        var mm = 0
+        while (mm < m) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var cid = 0
+          while (cid < kCodes) {
+            var d = 0.0
+            var i = 0
+            while (i < sub) {
+              val diff = arr(mm * sub + i) - codebook(mm)(cid)(i)
+              d += diff * diff
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = cid } // ties keep lowest cid
+            cid += 1
+          }
+          System.arraycopy(codebook(mm)(best), 0, rv, mm * sub, sub)
+          mm += 1
+        }
+        (id, rv.toSeq)
+      }
+    }.toDF("vec_id", "rv")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = recon.select(col("vec_id").as("neighbor_id"), col("rv").as("nv"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -698,4 +698,301 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("canon_url")
   }
+
+  /** The pinned merge table [[bpeEncode]] applies — the shipped artifact
+    * of a [[bpeMerges]] training run, frozen as a literal so encode is a
+    * pure expression (at corpus scale the real table is a few thousand
+    * rows, still a broadcast-sized constant). Order IS the merge
+    * priority: applied first to last, the reference BPE inference rule. */
+  private[graft] val BpeMergeTable: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "r" -> "o", "ro" -> "w", "d" -> "a", "da" -> "t")
+
+  /** BPE ENCODING — the inference half of the tokenizer whose training
+    * half is [[bpeMerges]]: every word is split to characters in the
+    * double-space symbol encoding ("  h  a  t  ") and the pinned merge
+    * list is applied in rank order via the same boundary-safe literal
+    * replace the trainer uses (" a  b " → " ab "), so train and encode
+    * share one merge semantics. The whole encode is a nested column
+    * expression (transform over the token array, the merge chain
+    * unrolled) — whole-stage codegen'd, zero shuffle, which is the shape
+    * that matters when the encode pass runs over 100 TB of raw text.
+    * Output is the per-document token accounting a packing/budgeting
+    * stage consumes (words, BPE pieces, chars-per-piece). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrame(Tables(spark, dir, "documents"))
+
+  /** Per-word BPE piece count under [[BpeMergeTable]] — the unrolled
+    * encode chain shared by [[bpeEncodeFrame]] and [[bpeFertility]]. */
+  private[graft] val bpePieces: Column => Column = {
+    // word → "  c1  c2  ...  ", then the merge chain in rank order
+    val encoded = BpeMergeTable.foldLeft[Column => Column](w =>
+      concat(lit("  "),
+        array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), "  "),
+        lit("  "))) { case (enc, (a, b)) =>
+      w => replace(enc(w), lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    w => size(split(trim(encoded(w)), "  "))
+  }
+
+  private[graft] def bpeEncodeFrame(docs: DataFrame): DataFrame = {
+    val pieces = bpePieces
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, w) => acc + pieces(w).cast("long"))
+          .as("n_bpe_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+          .as("sum_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("sum_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-bucket weight of the hashed-feature scorer, in 1e-3 fixed point:
+    * a Knuth-multiplicative spread of the bucket id into [-1000, 1000].
+    * Integer arithmetic end to end so any engine reproduces it exactly. */
+  private def bucketWeightScaled(bucket: Column): Column =
+    (bucket * 2654435761L) % 2001L - 1000L
+
+  /** fastText-style QUALITY CLASSIFIER inference — the learned complement
+    * of the heuristic [[qualityScore]]: each token hashes into one of 64
+    * feature buckets (md5-derived, engine-portable), each bucket carries
+    * a fixed weight, and the document's score is the mean bucket weight
+    * of its tokens — exactly a linear bag-of-hashed-features model, the
+    * shape of the CCNet/LLaMA quality classifiers. The weights here are
+    * a deterministic function of the bucket id (a stand-in for shipped
+    * model coefficients — the plumbing, hashing, and scoring are the
+    * real thing; a trained vector would broadcast the same way).
+    *
+    * Determinism at any scale: weights are integers in 1e-3 fixed point,
+    * the per-doc accumulation is an integer sum (associative — no float
+    * ordering hazard), and the single division happens once per doc.
+    * Zero shuffle: narrow map over the corpus scan. */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("logit_scaled",
+        aggregate(
+          col("toks"),
+          lit(0L),
+          (acc, t) => acc + bucketWeightScaled(
+            conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 64L)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("logit_scaled"),
+        round(col("logit_scaled").cast("double") / 1000.0
+          / size(col("toks")).cast("double"), 6).as("quality_logit"))
+      .withColumn("keep", col("quality_logit") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  /** UniMax-style language-balanced sampling (Chung et al., 2023): each
+    * language gets the same token BUDGET, documents are admitted in a
+    * deterministic md5-shuffled order until their language's budget is
+    * spent (the first overflowing doc is cut — doc granularity). This is
+    * the anti-skew counter to proportional sampling: head languages are
+    * capped, tail languages keep everything.
+    *
+    * Scale shape: the admission needs a per-language running token sum
+    * over the shuffled order — computed with the DISTRIBUTED two-pass
+    * prefix sum of [[tokenShards]] generalized per group (range-partition
+    * by the (lang, shuffle) order, per-(partition, lang) local cumsum,
+    * broadcast per-(partition, lang) offsets). No language ever funnels
+    * through a single task, which `sum() over (partition by lang)` would
+    * do to the head language at corpus scale. */
+  def unimaxSample(spark: SparkSession, dir: String, budget: Long = 3000L): DataFrame =
+    unimaxSampleFrame(Tables(spark, dir, "documents"), budget)
+
+  private[graft] def unimaxSampleFrame(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        expr("cast(conv(substring(md5(concat('unimax', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+          .as("shuffle_key"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("lang"), col("shuffle_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid", "lang")
+      .orderBy("shuffle_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = base.withColumn("local_cum", sum(col("n_tokens")).over(wIn))
+    val offsets = withLocal.groupBy("pid", "lang")
+      .agg(max(col("local_cum")).as("part_sum"))
+      .withColumn("offset",
+        coalesce(sum(col("part_sum")).over(
+          Window.partitionBy("lang").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "lang", "offset")
+    withLocal.join(broadcast(offsets), Seq("pid", "lang"))
+      .withColumn("cum_before", col("local_cum") + col("offset") - col("n_tokens"))
+      .withColumn("kept", col("cum_before") + col("n_tokens") <= budget)
+      .select("doc_id", "lang", "n_tokens", "cum_before", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** Exact HEAVY HITTERS via a Misra-Gries sketch + exact verification —
+    * the sketch-prune/exact-verify pattern of the LSH dedup paths applied
+    * to frequency: a mergeable k-counter [[graft.functions.MisraGriesAgg]]
+    * reduces the token stream to one candidate set map-side (k sized so
+    * every token with freq ≥ minFreq is GUARANTEED to survive: any
+    * f > N/(k+1) does, so k = N/minFreq + 1 suffices), then only
+    * candidate tokens pass the broadcast membership filter into the exact
+    * count — the long-tail majority of the corpus never reaches the
+    * shuffle. Output = exactly the tokens with true freq ≥ minFreq,
+    * deterministic on any layout (the sketch's layout-dependent extras
+    * die in verification, like LSH false candidates).
+    *
+    * At 100 TB the first pass is a narrow scan folding into k counters
+    * per partition; the candidate set is a driver artifact of ~N/minFreq
+    * entries — small precisely when the threshold is meaningful. */
+  def heavyHitters(spark: SparkSession, dir: String, minFreq: Long = 150L): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val k = (n / minFreq).toInt + 1
+    val sketch = new graft.functions.MisraGriesAgg(k)
+    val candidates = toks.as[String].select(sketch.toColumn).head()
+    toks
+      .filter(col("token").isInCollection(candidates))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy("token")
+  }
+
+  /** PMI COLLOCATIONS — the statistically-bound word pairs a tokenizer /
+    * phrase-mining pass surfaces (word2vec's phrase detection, n-gram
+    * vocab induction): adjacent token pairs scored by pointwise mutual
+    * information, P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b).
+    *
+    * The score lives in 1e6 FIXED POINT via integer div — no log, no
+    * float: ranking by pmi_scaled is ranking by PMI (log is monotone),
+    * and the integer arithmetic is bit-identical in any engine. (At a
+    * 9-billion-token corpus n_ab·N·1e6 approaches int64; the scale path
+    * is the same expression over decimal(38,0) — same div semantics.)
+    *
+    * Scale shape: ONE shuffle on the bigram key, one on the unigram key,
+    * both counts map-side-combined; the unigram side joins back twice
+    * (w1, w2) on slim (token, count) frames; the corpus total is a
+    * 1-row broadcast. A min-count floor prunes the hapax tail before
+    * the join — the frequency cut every phrase miner applies. */
+  def pmiBigrams(spark: SparkSession, dir: String, minCount: Long = 5L): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("token").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("token").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * n_total * 1000000) div (n_a * n_b)").as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+  }
+
+  /** CONTEXT-WINDOW CHUNKING — the fixed-length overlapping segmentation
+    * a pre-training/RAG pipeline applies before packing or embedding:
+    * windows of `win` tokens at stride `stride` (trailing window keeps
+    * whatever remains). Pure generator over a narrow scan — the sequence
+    * of chunk starts is computed per row ((n-win+stride-1) div stride + 1
+    * windows, integer arithmetic), the explode fans out, `slice` +
+    * `array_join` rebuild each chunk's text. Zero shuffle at any corpus
+    * size; chunk identity (doc_id, chunk_id) is layout-independent. */
+  def chunkSplit(spark: SparkSession, dir: String,
+      win: Int = 64, stride: Int = 48): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val nChunks = when(size(col("toks")) <= win, lit(1L))
+      .otherwise(expr(s"(size(toks) - $win + $stride - 1) div $stride + 1"))
+    docs
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        size(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(win)))
+          .cast("long").as("n_tokens"),
+        md5(array_join(
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(win)),
+          " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** TEMPERATURE-SCALED LANGUAGE MIXING (the multilingual sampling rule
+    * of mBERT/XLM-R, p_l ∝ p_l^α with α = 0.5): per-language token mass
+    * → sampling weight √p_l / Σ√p_l → up/down-sampling factor vs
+    * proportional. The UniMax hard cap ([[unimaxSample]]) is the other
+    * end of the same dial.
+    *
+    * Determinism: p_l is one exact division of exact integer sums; √ is
+    * IEEE-correctly-rounded, so both engines see identical doubles; the
+    * normalizer Σ√p_l is folded IN LANGUAGE ORDER over a sorted collected
+    * array (languages are few — a driver-sized reduction), so even the
+    * float addition order is pinned. One count shuffle, one 1-row
+    * broadcast; scale-free. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val langTok = Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang").agg(sum(col("n_tokens")).as("lang_tokens"))
+    val norm = langTok
+      .agg(sum(col("lang_tokens")).as("total_tokens"),
+        sort_array(collect_list(struct(col("lang"), col("lang_tokens")))).as("ls"))
+      .select(col("total_tokens"),
+        aggregate(col("ls"), lit(0.0), (acc, s) =>
+          acc + sqrt(s.getField("lang_tokens").cast("double") /
+            col("total_tokens").cast("double"))).as("z"))
+    langTok.crossJoin(broadcast(norm))
+      .select(col("lang"), col("lang_tokens"),
+        round(col("lang_tokens").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("p_proportional"),
+        round(sqrt(col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
+          / col("z"), 6).as("p_temperature"),
+        round(sqrt(col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
+          / col("z")
+          / (col("lang_tokens").cast("double") / col("total_tokens").cast("double")), 6)
+          .as("sampling_factor"))
+      .orderBy("lang")
+  }
+
+  /** TOKENIZER FERTILITY by language — pieces-per-word under the pinned
+    * [[BpeMergeTable]], the standard "how well does the tokenizer fit
+    * this language" audit (fertility ≫ 1 → the language is being
+    * over-fragmented and under-represented per token budget). Integer
+    * sums per language (associative), one division per output row; the
+    * encode chain itself is the zero-shuffle codegen'd [[bpePieces]]. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = bpePieces
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .groupBy("lang")
+      .agg(
+        sum(size(col("toks")).cast("long")).as("n_words"),
+        sum(aggregate(col("toks"), lit(0L), (acc, w) => acc + pieces(w).cast("long")))
+          .as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+  }
 }

@@ -106,15 +106,18 @@ class PlanShapeSpec extends AnyFunSuite {
       // the "nested loop" is one probe per row, the correct plan)
       val scalarTotalJoin =
         Set("q_tfidf_topk", "q_unigram_logprob", "q_weighted_sample",
-          "q_lm_ppl_buckets")
+          "q_lm_ppl_buckets", "q_pmi_bigrams", "q_temperature_mix")
       // q_ann_topk_quantized is the int8 twin of q_ann_topk: the same
       // intentional 20-query brute-force baseline (broadcast query set,
       // exactness oracle), so it carries the same BNLJ by design
       // q_ann_topk_rerank's FIRST pass is the same broadcast-20-query
-      // shortlist scan; its full-precision second pass is an equi-join
+      // shortlist scan; its full-precision second pass is an equi-join.
+      // q_ann_pq_topk ranks the PQ reconstruction with the same
+      // intentional 20-query broadcast baseline (the cell-join
+      // composition is q_ann_ivf_topk_quantized)
       val bruteForceAnn =
         Set("q_ann_topk", "q_ann_ivf_recall", "q_ann_topk_quantized",
-          "q_ann_topk_rerank")
+          "q_ann_topk_rerank", "q_ann_pq_topk")
       if (!bruteForceAnn(name) && !scalarTotalJoin(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
