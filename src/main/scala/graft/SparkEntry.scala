@@ -163,6 +163,8 @@ object SparkEntry {
     "q_chunk_split"      -> ((s, d) => TextOps.chunkSplit(s, d)),
     "q_temperature_mix"  -> (TextOps.temperatureMix _),
     "q_bpe_fertility"    -> (TextOps.bpeFertility _),
+    "q_dsir_weight"      -> (TextOps.dsirWeight _),
+    "q_zorder_stats"     -> (LayoutOps.zorderStats _),
     // lineage-graph analytics (exact fixed-point PageRank)
     "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
     "q_split_assign"     -> (TextOps.splitAssign _),
@@ -255,6 +257,27 @@ object SparkEntry {
          CAST(SUM(b_doc) AS BIGINT) AS n_bpe_tokens,
          round(CAST(SUM(b_doc) AS DOUBLE) / CAST(SUM(w_doc) AS DOUBLE), 6) AS fertility
        FROM p GROUP BY lang ORDER BY lang"""
+  }
+
+  /** DuckDB twin of [[graft.operators.LayoutOps.zorderStats]]: the same
+    * exact integer normalization and the same unrolled bit interleave. */
+  private def zorderOracleSql: String = {
+    val z = (0 until 10).map { i =>
+      s"((((xs >> $i) & 1) << ${2 * i}) + (((ys >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" + ")
+    s"""WITH m AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS max_x,
+           CAST(MAX(doc_id) AS BIGINT) AS max_y FROM documents),
+       s AS (SELECT doc_id, n_chars,
+           (n_chars * 1024) // (max_x + 1) AS xs,
+           (doc_id * 1024) // (max_y + 1) AS ys
+         FROM documents, m),
+       z AS (SELECT doc_id, n_chars, ($z) AS zval FROM s)
+       SELECT (zval >> 16) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id,
+         CAST(MAX(doc_id) AS BIGINT) AS max_id
+       FROM z GROUP BY bucket ORDER BY bucket"""
   }
 
   /** Unrolled DuckDB program for k fixed-point PageRank rounds — the same
@@ -2050,6 +2073,33 @@ object SparkEntry {
              AS sampling_factor
          FROM lt, z ORDER BY lang""",
     "q_bpe_fertility" -> bpeFertilityOracleSql,
+    // DSIR importance: two ≤1024-bucket add-one models, per-doc log-ratio
+    // folded in position order (same ln/fold parity as q_lm_ppl_buckets).
+    "q_dsir_weight" ->
+      """WITH d AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         t AS (SELECT doc_id, lang, u.p AS pos, u.tok AS token FROM (
+           SELECT doc_id, lang, unnest(list_transform(range(1, len(toks) + 1),
+             i -> {'p': i, 'tok': toks[i]})) AS u FROM d)),
+         b AS (SELECT doc_id, pos, lang,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 1024 AS bucket
+           FROM t),
+         tgt AS (SELECT bucket, COUNT(*) AS c_t FROM b WHERE lang = 'en' GROUP BY bucket),
+         src AS (SELECT bucket, COUNT(*) AS c_s FROM b GROUP BY bucket),
+         tot AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(COUNT(*) AS BIGINT) AS n_s FROM b),
+         lr AS (SELECT doc_id, pos,
+             ln(CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE))
+           - ln(CAST(COALESCE(c_s, 0) + 1 AS DOUBLE) / CAST(n_s + 1024 AS DOUBLE)) AS lr
+           FROM b LEFT JOIN tgt USING (bucket) LEFT JOIN src USING (bucket), tot),
+         g AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             round(list_sum(list(lr ORDER BY pos)), 6) AS log_importance
+           FROM lr GROUP BY doc_id)
+         SELECT doc_id, n_tokens, log_importance,
+           log_importance > 0.0 AS keep
+         FROM g ORDER BY doc_id""",
+    "q_zorder_stats" -> zorderOracleSql,
     // Bigram add-one LM + per-lang terciles: integer counts, position-
     // ordered logp folds (round 6), integer rank → bucket.
     "q_lm_ppl_buckets" ->

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-layout operators: multi-dimensional clustering for scan
+  * pruning. At 100 TB the difference between "scan everything" and
+  * "prune 15/16 buckets" is the layout the writer chose — these ops are
+  * the write-side half of that bargain.
+  */
+object LayoutOps {
+
+  /** The interleave Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1) over `bits`
+    * bit positions, as a generated SQL expression — unrolled so it stays
+    * one codegen'd integer expression (no array fold at runtime). */
+  private[graft] def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))"
+    }.mkString(" + ")
+
+  /** Z-ORDER CLUSTERING stats — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    * layout decision, verifiable: normalize two clustering dimensions to
+    * a fixed 10-bit range (exact integer scaling against the dimension
+    * max — a 1-row broadcast, no sampling, so the assignment is
+    * deterministic on any layout, unlike range-partitioner boundaries),
+    * interleave the bits into a 20-bit Z-value, and bucket by the
+    * Z-value's TOP 4 bits — 16 buckets, each covering a bounded
+    * rectangle of the 2-D key space. The emitted per-bucket min/max of
+    * BOTH dimensions is exactly the footer/manifest statistic that lets
+    * a reader prune on either predicate — the point of Z-ordering over
+    * single-column sort (which bounds only its leading column).
+    *
+    * Scale shape: one narrow map computes zval (unrolled integer
+    * expression, whole-stage codegen), one shuffle on the 16-way bucket
+    * key for the stats; the production write is
+    * `repartitionByRange(bucket, zval).sortWithinPartitions(zval)` +
+    * per-file stats — same arithmetic, file-grain buckets. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val maxes = docs.agg(
+      max(col("n_chars")).as("max_x"), max(col("doc_id")).as("max_y"))
+    val z = zInterleaveSql("xs", "ys", 10)
+    docs.crossJoin(broadcast(maxes))
+      .select(col("doc_id"), col("n_chars"),
+        expr("(n_chars * 1024) div (max_x + 1)").as("xs"),
+        expr("(doc_id * 1024) div (max_y + 1)").as("ys"))
+      .withColumn("zval", expr(z))
+      .withColumn("bucket", expr("shiftright(zval, 16)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("bucket")
+  }
+}

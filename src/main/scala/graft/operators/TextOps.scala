@@ -974,6 +974,56 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTING (Xie et al., 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its hashed n-gram distribution is —
+    * log p_target(doc) − log p_source(doc) under two add-one-smoothed
+    * unigram bucket models. Target here = the corpus's 'en' slice (a
+    * stand-in for any curated target corpus); features = tokens hashed
+    * into 1024 md5-derived buckets, the paper's hashed-ngram trick that
+    * makes the model a fixed-size artifact regardless of corpus size.
+    *
+    * Scale shape: both bucket-count models are ≤1024-row frames —
+    * BROADCAST joins onto the token stream, never a shuffle on the
+    * token key for the scoring pass (the counts themselves are one
+    * map-side-combined aggregation each). The per-doc log-ratio folds
+    * in POSITION order over a sorted collected array (the
+    * [[unigramLogprob]] determinism pattern), so the float sum is
+    * reproducible on any executor layout. */
+  def dsirWeight(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1024L
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long") % b)
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val src = toks.groupBy("bucket").agg(count(lit(1)).as("c_s"))
+    val totals = toks.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"),
+      count(lit(1)).as("n_s"))
+    toks
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .join(broadcast(src), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("pos"),
+        (log((coalesce(col("c_t"), lit(0L)) + 1L).cast("double") /
+             (col("n_t") + b).cast("double")) -
+         log((coalesce(col("c_s"), lit(0L)) + 1L).cast("double") /
+             (col("n_s") + b).cast("double"))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(sort_array(collect_list(struct(col("pos"), col("lr")))),
+          s => s.getField("lr")).as("lrs"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("lrs"), lit(0.0), (a, x) => a + x), 6)
+          .as("log_importance"))
+      .withColumn("keep", col("log_importance") > 0.0)
+      .orderBy("doc_id")
+  }
+
   /** TOKENIZER FERTILITY by language — pieces-per-word under the pinned
     * [[BpeMergeTable]], the standard "how well does the tokenizer fit
     * this language" audit (fertility ≫ 1 → the language is being

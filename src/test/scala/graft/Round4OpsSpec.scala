@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.MisraGriesAgg
-import graft.operators.{GraphBuild, SimilarityOps, TextOps}
+import graft.operators.{GraphBuild, LayoutOps, SimilarityOps, TextOps}
 
 /** Golden semantics for the round-4 operators: BPE encode vs the pinned
   * merge table, Misra-Gries sketch guarantee + mergeability, UniMax
@@ -198,6 +198,42 @@ class Round4OpsSpec extends AnyFunSuite {
       .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("b"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(fert == byLang && fert.nonEmpty)
+  }
+
+  // ---- DSIR importance weighting ----
+
+  test("dsirWeight scores en docs higher than non-en on average") {
+    val rows = TextOps.dsirWeight(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"), "doc_id")
+      .select("lang", "log_importance")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val (en, rest) = rows.partition(_._1 == "en")
+    def mean(xs: Array[(String, Double)]) = xs.map(_._2).sum / xs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    // the target model is trained ON the en slice: its own docs must
+    // score above the source-only remainder
+    assert(mean(en) > mean(rest))
+  }
+
+  // ---- Z-order clustering ----
+
+  test("zorderStats buckets bound both dimensions (the pruning contract)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val stats = LayoutOps.zorderStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(stats.map(_._2).sum == n)
+    assert(stats.forall { case (b, _, _, _, _, _) => b >= 0 && b < 16 })
+    // Z-order property: a bucket (top 4 bits = 2 bits per dimension)
+    // confines each dimension's SCALED value to one of 4 quarters — so
+    // each bucket's min/max span at most a quarter of either dimension's
+    // range (+1 for the integer-scaling boundary)
+    val maxX = docs.agg(max("n_chars")).head().getLong(0)
+    val maxY = docs.agg(max("doc_id")).head().getLong(0)
+    stats.foreach { case (_, _, minC, maxC, minI, maxI) =>
+      assert(maxC - minC <= (maxX + 1) / 4 + 1)
+      assert(maxI - minI <= (maxY + 1) / 4 + 1)
+    }
   }
 
   // ---- Product quantization ----
