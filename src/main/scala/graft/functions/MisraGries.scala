@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 import scala.collection.mutable
@@ -68,9 +69,11 @@ class MisraGriesAgg(k: Int)
   override def finish(m: mutable.Map[String, Long]): Seq[String] =
     m.keys.toSeq.sorted
 
+  // Tungsten-native map/array encoders (not Kryo): the partial sketches
+  // that cross the exchange stay in the compact unsafe format
   override def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-    Encoders.kryo[mutable.Map[String, Long]]
+    ExpressionEncoder[mutable.Map[String, Long]]()
 
   override def outputEncoder: Encoder[Seq[String]] =
-    Encoders.kryo[Seq[String]]
+    ExpressionEncoder[Seq[String]]()
 }
