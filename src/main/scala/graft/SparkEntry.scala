@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_signals" -> (DedupOps.dedupSignals _),
     "q_dedup_gate"    -> (DedupOps.dedupGate _),
     "q_paragraph_dedup" -> (DedupOps.paragraphDedup _),
+    "q_dup_spans"     -> ((s, d) => DedupOps.dupSpans(s, d)),
     "q_exact_gate_bloom" -> (DedupOps.exactGateBloom _),
     // similarity search
     "q_embed_norm"        -> (SimilarityOps.norms _),
@@ -2100,6 +2101,37 @@ object SparkEntry {
            log_importance > 0.0 AS keep
          FROM g ORDER BY doc_id""",
     "q_zorder_stats" -> zorderOracleSql,
+    // ExactSubstr dup spans: 20-token window hashes (60-bit, same conv
+    // trick as elsewhere), >=2-distinct-doc filter, islands merge.
+    "q_dup_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         wns AS (SELECT doc_id, u.s AS start, u.h AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(toks) - 20 + 1),
+             i -> {'s': i,
+               'h': CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 20), ' ')), 1, 15) AS BIGINT)})) AS u
+           FROM t WHERE len(toks) >= 20)),
+         dh AS (SELECT h FROM wns GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         d AS (SELECT doc_id, start FROM wns JOIN dh USING (h)),
+         f AS (SELECT doc_id, start,
+             CASE WHEN lag(start + 20) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+                  OR start > lag(start + 20) OVER (PARTITION BY doc_id ORDER BY start)
+               THEN 1 ELSE 0 END AS ni
+           FROM d),
+         g AS (SELECT doc_id, start,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+           FROM f)
+         SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+           CAST(MIN(start) AS BIGINT) AS start_tok,
+           CAST(MAX(start) + 20 AS BIGINT) AS end_tok,
+           CAST(MAX(start) + 20 - MIN(start) AS BIGINT) AS n_dup_tokens
+         FROM g GROUP BY doc_id, island ORDER BY doc_id, span_id""",
     // Bigram add-one LM + per-lang terciles: integer counts, position-
     // ordered logp folds (round 6), integer rank → bucket.
     "q_lm_ppl_buckets" ->

@@ -672,4 +672,49 @@ object DedupOps {
     sim.unpersist()
     out
   }
+
+  /** EXACT-SUBSTRING duplicate spans (the ExactSubstr dedup of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): find every maximal token span that appears verbatim in
+    * more than one document. Their suffix array reports all repeats of
+    * ≥ k tokens; hashing every k-token WINDOW and keeping windows whose
+    * hash occurs in ≥ 2 distinct docs reports exactly the same spans
+    * (any shared run of ≥ k tokens is a run of shared windows), with the
+    * suffix array replaced by two equi-key shuffles — the
+    * Spark-shaped equivalent.
+    *
+    * Pipeline: slide a k=20-token window per doc (narrow, O(n·k)
+    * chars hashed), hash each window to a 60-bit integer (slim shuffle
+    * payload — doc_id, start, int64; never the window text), count
+    * distinct docs per hash (map-side combined), join the ≥2-doc
+    * hashes back, then merge overlapping/adjacent windows per doc into
+    * maximal spans with the islands-and-gaps window (per-doc partitions
+    * — no global sort). Output is the span mask a cut pass consumes. */
+  def dupSpans(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docsWithTwins(spark, dir)
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+    val wins = toked.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - w),
+        i => conv(substring(md5(array_join(slice(col("toks"), i + 1, lit(w)), " ")), 1, 15),
+          16, 10).cast("long"))).as(Seq("start", "h")))
+    val dupHash = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
+    val dup = wins.join(dupHash, "h").select("doc_id", "start")
+    val byStart = Window.partitionBy("doc_id").orderBy("start")
+    dup
+      .withColumn("prev_end", lag(col("start") + w, 1).over(byStart))
+      .withColumn("ni",
+        (col("prev_end").isNull || col("start") > col("prev_end")).cast("int"))
+      .withColumn("island", sum(col("ni")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("start")).as("s"), max(col("start")).as("m"))
+      .select(col("doc_id"), col("island").cast("long").as("span_id"),
+        col("s").cast("long").as("start_tok"),
+        (col("m") + w).cast("long").as("end_tok"),
+        (col("m") + w - col("s")).cast("long").as("n_dup_tokens"))
+      .orderBy("doc_id", "span_id")
+  }
 }

@@ -200,6 +200,29 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(fert == byLang && fert.nonEmpty)
   }
 
+  // ---- Exact-substring duplicate spans ----
+
+  test("dupSpans finds the planted twins' shared prefix as one span") {
+    import graft.operators.DedupOps
+    val spans = DedupOps.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).groupBy(_._1)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every twin (doc_id % 10 == 0, text truncated by 20 chars) shares
+    // its full token stream minus a few tail tokens with its original:
+    // both sides must carry a span starting at 0 covering most of the doc
+    val twins = docs.keys.filter(_ % 10 == 0).filter(id => docs(id) >= 30)
+    assert(twins.nonEmpty)
+    twins.foreach { id =>
+      for (side <- Seq(id, id + 1000000L)) {
+        val ss = spans.getOrElse(side, Array.empty)
+        assert(ss.exists { case (_, s, e) => s == 0L && e >= docs(id) - 25L },
+          s"doc $side missing the twin prefix span")
+      }
+    }
+  }
+
   // ---- DSIR importance weighting ----
 
   test("dsirWeight scores en docs higher than non-en on average") {
