@@ -26,9 +26,15 @@ object Tables {
     * the physical scan is built). */
   val nanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.ts is parquet TIMESTAMP(NANOS). Read nanos as long and truncate
-    * to microsecond timestamps — the same truncation DuckDB's epoch_us
-    * applies, so oracle comparisons stay exact.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
+    * Normalize both to a session-zoned TIMESTAMP at microsecond precision
+    * so downstream `unix_micros`/window logic sees one type:
+    *  - NANOS: read nanos as long (legacy conf) and truncate to µs — the
+    *    same truncation DuckDB's epoch_us applies, so oracles stay exact.
+    *  - MICROS/NTZ: cast NTZ→TIMESTAMP; sessions pin timeZone=UTC, so the
+    *    wall-clock is reinterpreted as UTC — exactly DuckDB's epoch_us on
+    *    the naive column.
     *
     * NOTE: if the session was built without [[nanosAsLongConf]], this sets
     * it for the remainder of the session (it must still be true when the
@@ -36,12 +42,16 @@ object Tables {
     * Session builders in Verify/Bench/tests set it up front so this
     * mutation path never triggers there. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (!spark.conf.getOption(nanosAsLongConf).contains("true"))
       spark.conf.set(nanosAsLongConf, "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** CSV source with header-derived schema — CsvExtractor analog
