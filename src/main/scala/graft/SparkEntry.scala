@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_signals" -> (DedupOps.dedupSignals _),
     "q_dedup_gate"    -> (DedupOps.dedupGate _),
     "q_paragraph_dedup" -> (DedupOps.paragraphDedup _),
+    "q_editdist_verify" -> (DedupOps.editDistVerify _),
     "q_dup_spans"     -> ((s, d) => DedupOps.dupSpans(s, d)),
     "q_exact_gate_bloom" -> (DedupOps.exactGateBloom _),
     // similarity search
@@ -140,6 +141,9 @@ object SparkEntry {
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
     "q_ann_ivf_topk_quantized" -> (SimilarityOps.annIvfTopKQuantized _),
+    // build→persist→serve lifecycle: index staged as cell-partitioned
+    // parquet, search reads only the staged store (same oracle — lossless)
+    "q_ann_ivf_topk_staged" -> (SimilarityOps.annIvfTopKStaged _),
     "q_ann_pq_topk"       -> (SimilarityOps.annPqTopK _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
@@ -165,6 +169,8 @@ object SparkEntry {
     "q_temperature_mix"  -> (TextOps.temperatureMix _),
     "q_bpe_fertility"    -> (TextOps.bpeFertility _),
     "q_dsir_weight"      -> (TextOps.dsirWeight _),
+    "q_gopher_rules"     -> (TextOps.gopherRules _),
+    "q_c4_line_filter"   -> (TextOps.c4LineFilter _),
     "q_zorder_stats"     -> (LayoutOps.zorderStats _),
     // lineage-graph analytics (exact fixed-point PageRank)
     "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
@@ -280,6 +286,43 @@ object SparkEntry {
          CAST(MAX(doc_id) AS BIGINT) AS max_id
        FROM z GROUP BY bucket ORDER BY bucket"""
   }
+
+  /** Quantized IVF search oracle: full-precision cell assignment (the
+    * index-time artifact) + int8 dequantized ranking inside the cell
+    * join — both deterministic, so the combined search is exactly
+    * reproducible. Shared by the in-memory twin (q_ann_ivf_topk_quantized)
+    * and the staged serving twin (q_ann_ivf_topk_staged), whose parquet
+    * round trip is lossless. */
+  private def annIvfTopKQuantizedOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cen AS (SELECT vec_id AS c_id, v AS cv,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
+       cellscore AS (SELECT e.vec_id, e.v, cen.c_id,
+           list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
+         FROM e CROSS JOIN cen),
+       cell AS (SELECT vec_id, c_id AS cell FROM (
+           SELECT vec_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+           FROM cellscore) WHERE rn = 1),
+       qd AS (SELECT vec_id, v, list_min(v) AS vmin,
+           CASE WHEN list_max(v) > list_min(v)
+                THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
+         FROM e),
+       d AS (SELECT vec_id,
+           list_transform(v,
+             x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) * scale + vmin) AS dv
+         FROM qd),
+       n AS (SELECT cell.vec_id, dv, cell,
+           sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
+         FROM cell JOIN d ON cell.vec_id = d.vec_id),
+       s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm) AS cos
+         FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       SELECT query_id, rank, neighbor_id, cos FROM (
+         SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         FROM s) WHERE rank <= 5
+       ORDER BY query_id, rank"""
 
   /** Unrolled DuckDB program for k fixed-point PageRank rounds — the same
     * integer contribution (rank·85) // (100·outdeg) and integer fold as
@@ -1370,6 +1413,37 @@ object SparkEntry {
            FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
          FROM p WHERE inter / (tot - inter) >= 0.8 ORDER BY doc_a, doc_b""",
+    // Edit-distance confirmation over the same verified pair set: the
+    // oracle re-derives q_minhash_lsh's brute-force pairs, then applies
+    // the identical levenshtein arithmetic on just those rows.
+    "q_editdist_verify" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, 1, length(text) - 20)
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM corpus),
+         s AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS tot
+           FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         v AS (SELECT doc_a, doc_b, inter / (tot - inter) AS jaccard
+           FROM p WHERE inter / (tot - inter) >= 0.8),
+         x AS (SELECT v.doc_a, v.doc_b, v.jaccard,
+             CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS dist,
+             CAST(greatest(length(ca.text), length(cb.text)) AS DOUBLE) AS mx
+           FROM v JOIN corpus ca ON ca.doc_id = v.doc_a
+                  JOIN corpus cb ON cb.doc_id = v.doc_b)
+         SELECT doc_a, doc_b, jaccard, dist,
+           round(1.0 - CAST(dist AS DOUBLE) / mx, 6) AS edit_sim,
+           (1.0 - CAST(dist AS DOUBLE) / mx) >= 0.8 AS confirmed
+         FROM x ORDER BY doc_a, doc_b""",
     // Connected components over the same verified pair set: canonical =
     // min doc_id reachable, via a recursive transitive-closure CTE.
     "q_neardup_groups" ->
@@ -1689,36 +1763,11 @@ object SparkEntry {
     // Quantized IVF: full-precision cell assignment (index-time artifact)
     // + int8 dequantized ranking inside the cell join — both deterministic,
     // so the combined search is exactly reproducible.
-    "q_ann_ivf_topk_quantized" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         cen AS (SELECT vec_id AS c_id, v AS cv,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
-         cellscore AS (SELECT e.vec_id, e.v, cen.c_id,
-             list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
-           FROM e CROSS JOIN cen),
-         cell AS (SELECT vec_id, c_id AS cell FROM (
-             SELECT vec_id, c_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
-             FROM cellscore) WHERE rn = 1),
-         qd AS (SELECT vec_id, v, list_min(v) AS vmin,
-             CASE WHEN list_max(v) > list_min(v)
-                  THEN (list_max(v) - list_min(v)) / 255.0 ELSE 1.0 END AS scale
-           FROM e),
-         d AS (SELECT vec_id,
-             list_transform(v,
-               x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) * scale + vmin) AS dv
-           FROM qd),
-         n AS (SELECT cell.vec_id, dv, cell,
-             sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
-           FROM cell JOIN d ON cell.vec_id = d.vec_id),
-         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm) AS cos
-           FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
-         SELECT query_id, rank, neighbor_id, cos FROM (
-           SELECT query_id, neighbor_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-           FROM s) WHERE rank <= 5
-         ORDER BY query_id, rank""",
+    "q_ann_ivf_topk_quantized" -> annIvfTopKQuantizedOracleSql,
+    // The staged serving store (parquet int8 codes + affine params,
+    // partitioned by cell) round-trips losslessly, so the staged twin
+    // shares the in-memory twin's oracle.
+    "q_ann_ivf_topk_staged" -> annIvfTopKQuantizedOracleSql,
     // Per-query recall of the IVF search vs the brute-force truth: both
     // top-k sets are deterministic, so the fraction is exact.
     "q_ann_ivf_recall" ->
@@ -2100,6 +2149,92 @@ object SparkEntry {
          SELECT doc_id, n_tokens, log_importance,
            log_importance > 0.0 AS keep
          FROM g ORDER BY doc_id""",
+    // Gopher doc-level rules: planted `#` runs, integer-exact verdicts
+    // (n*10 <= m forms), reported ratios as IEEE doubles of the same ints.
+    "q_gopher_rules" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 8 > 0
+               THEN ' ' || rtrim(repeat('# ', CAST(doc_id % 8 AS INT)))
+               ELSE '' END AS text2
+           FROM documents),
+         t AS (SELECT doc_id,
+             list_filter(string_split_regex(text2, '\s+'), x -> x <> '') AS words
+           FROM p),
+         s AS (SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t)
+         SELECT doc_id, n_words,
+           round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           round(CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
+           round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS frac_alpha,
+           n_required,
+           (n_words >= 10 AND n_words <= 1000) AS pass_word_count,
+           (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS pass_word_len,
+           (n_symbol * 10 <= n_words) AS pass_symbol,
+           (n_alpha * 5 >= n_words * 4) AS pass_alpha,
+           (n_required >= 2) AS pass_required,
+           ((n_words >= 10 AND n_words <= 1000)
+             AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+             AND (n_symbol * 10 <= n_words)
+             AND (n_alpha * 5 >= n_words * 4)
+             AND (n_required >= 2)) AS keep
+         FROM s ORDER BY doc_id""",
+    // C4 line rules over the deterministically rebuilt page: 8-token
+    // slices with a (doc_id+i)%4-planted missing period + boilerplate
+    // lines, first-failing doc reason, md5 of the surviving page.
+    "q_c4_line_filter" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, list_transform(
+               range(0, greatest(1, CAST(ceil(len(toks) / 8.0) AS BIGINT))),
+               i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') ||
+                    CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END) AS base
+           FROM t),
+         l AS (
+           SELECT doc_id,
+             base ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ['please enable javascript to view this page.']
+               ELSE CAST([] AS VARCHAR[]) END ||
+             CASE WHEN doc_id % 7 = 3
+               THEN ['lorem ipsum dolor sit amet.']
+               ELSE CAST([] AS VARCHAR[]) END ||
+             CASE WHEN doc_id % 11 = 7
+               THEN ['function() { return; }']
+               ELSE CAST([] AS VARCHAR[]) END AS lines
+           FROM b),
+         k AS (
+           SELECT doc_id, lines,
+             list_filter(lines, x -> ends_with(x, '.')
+               AND len(string_split(x, ' ')) >= 5
+               AND NOT contains(x, 'javascript')) AS kept
+           FROM l),
+         r AS (
+           SELECT doc_id, lines, kept,
+             CASE
+               WHEN len(list_filter(lines, x -> contains(x, 'lorem ipsum'))) > 0
+                 THEN 'lorem_ipsum'
+               WHEN len(list_filter(lines, x -> contains(x, '{'))) > 0 THEN 'brace'
+               WHEN len(kept) < 3 THEN 'too_few_sentences'
+               ELSE 'keep' END AS reason
+           FROM k)
+         SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           reason, reason = 'keep' AS keep,
+           -- array_to_string of an empty list is NULL in DuckDB but '' in
+           -- Spark's array_join: coalesce to match md5('')
+           md5(COALESCE(array_to_string(kept, ' | '), '')) AS kept_fp
+         FROM r ORDER BY doc_id""",
     "q_zorder_stats" -> zorderOracleSql,
     // ExactSubstr dup spans: 20-token window hashes (60-bit, same conv
     // trick as elsewhere), >=2-distinct-doc filter, islands merge.

@@ -293,6 +293,36 @@ object DedupOps {
       .orderBy("canonical_id")
   }
 
+  /** Byte-level EDIT-DISTANCE confirmation over the verified MinHash pair
+    * set — the strictest dedup verdict. Shingle Jaccard is
+    * order-insensitive (a reshuffled document keeps its shingle bag);
+    * edit similarity is not — so a fuzzy-dedup pass that must not drop
+    * reordered-but-distinct documents re-verifies its candidates at the
+    * byte level (1 − levenshtein/max_len ≥ 0.8, each pair's verdict
+    * reported either way).
+    *
+    * Scale shape: the O(len²) levenshtein runs ONLY on the pairs the
+    * band index + Jaccard gate already admitted — never on a corpus
+    * cross product — plus one narrow join per side to fetch the two
+    * texts; the same candidates-then-verify stack as every dedup path
+    * here, with one more (strictly cheaper) verify tier on top. The
+    * oracle inherits q_minhash_lsh's brute-force pair set and applies
+    * the identical levenshtein arithmetic. */
+  def editDistVerify(spark: SparkSession, dir: String): DataFrame = {
+    val texts = docsWithTwins(spark, dir)
+    minhashLshPairs(spark, dir)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("edit_sim_raw",
+        lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("dist"),
+        round(col("edit_sim_raw"), 6).as("edit_sim"),
+        (col("edit_sim_raw") >= 0.8).as("confirmed"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Min-label propagation with pointer jumping over an undirected pair
     * set: (doc_id, canonical_id) where canonical is the component
     * minimum. Each round takes the min over neighbors' labels, then

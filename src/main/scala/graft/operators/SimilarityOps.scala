@@ -539,6 +539,57 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** STAGED-INDEX IVF serving — [[annIvfTopKQuantized]] with the index
+    * persisted between build and search, closing the build→persist→serve
+    * lifecycle every production ANN deployment has (the ANN analog of
+    * q_staged_table_search_doc). INDEX TIME: cell assignment runs on the
+    * full-precision vectors, then the serving store is written as
+    * (vec_id, int8 codes, vmin, scale) parquet PARTITIONED BY cell — at
+    * corpus scale a query's probe prunes the scan to its cell's files
+    * (partition pruning in the parquet source; no per-query index pass).
+    * SERVE TIME: everything — queries included — reads ONLY the staged
+    * store; codes and affine params round-trip parquet exactly (int64 +
+    * doubles), and the dequantize is the same exact affine arithmetic,
+    * so the staged search is bit-identical to the in-memory twin and
+    * SHARES its DuckDB oracle. pid-suffixed dir: concurrent graft JVMs
+    * (Verify while Bench runs) must not overwrite each other mid-read. */
+  private[graft] def stagedIvfDir: String =
+    sys.props("java.io.tmpdir") +
+      s"/graft-staged-ivf-${ProcessHandle.current().pid()}"
+
+  def annIvfTopKStaged(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = stagedIvfDir
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val codes = e
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale",
+        when(col("vmax") > col("vmin"),
+          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
+      .withColumn("codes", expr(
+        "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
+      .select(col("vec_id"), col("codes"), col("vmin"), col("scale"))
+    ivfCells(spark, dir, e).join(codes, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+    val staged = spark.read.parquet(s"$out/cells")
+      .withColumn("dv", expr("transform(codes, c -> c * scale + vmin)"))
+      .select(col("cell"), col("vec_id"), col("dv"))
+    val q = staged.filter(col("vec_id") < 20)
+      .select(col("cell"), col("vec_id").as("query_id"), col("dv").as("qv"))
+    val scored = staged
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("dv").as("nv"))
+      .join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** PRODUCT-QUANTIZATION top-k — the byte-code scale path that completes
     * the compression ladder (full 64×8B → int8 64B → PQ 7B per vector):
     * the 64-dim space splits into m=8 subspaces of 8 dims, each with a

@@ -1045,4 +1045,112 @@ object TextOps {
           .as("fertility"))
       .orderBy("lang")
   }
+
+  /** GOPHER document-level quality rules (Rae et al. 2021, Appendix A —
+    * the published filter set): word-count window, mean-word-length
+    * window, symbol-to-word ratio, alphabetic-word fraction, and required
+    * stopwords. Symbol runs (`#`) are planted deterministically from
+    * doc_id (the [[piiRedact]] convention) so both rule outcomes appear
+    * in the fixture and the oracle rebuilds the identical text. Every
+    * VERDICT is integer arithmetic (`n_symbol*10 <= n_words`, never a
+    * float threshold), so the keep/drop decision is bit-identical on any
+    * engine or executor layout; the reported ratios are IEEE doubles of
+    * the same integers. Pure column expressions over one scan — zero
+    * shuffle at any corpus size. Word-count window scaled to the
+    * synthetic corpus (10..1000 for the paper's 50..100k). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFrame(Tables(spark, dir, "documents"))
+
+  private[graft] def gopherRulesFrame(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 8 > 0,
+            concat(lit(" "), rtrim(repeat(lit("# "), (col("doc_id") % 8).cast("int")))))
+            .otherwise(lit(""))).as("text2"))
+      .withColumn("words", tokens(col("text2")))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("words"), lit(0L), (a, w) => a + length(w).cast("long")))
+      .withColumn("n_symbol",
+        size(filter(col("words"), w => w === "#" || w === "...")).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_required",
+        size(filter(lit(EnMarkers.toArray), m => array_contains(col("words"), m)))
+          .cast("long"))
+    val passWordCount = col("n_words") >= 10L && col("n_words") <= 1000L
+    val passWordLen   = col("sum_len") >= col("n_words") * 3L &&
+                        col("sum_len") <= col("n_words") * 10L
+    val passSymbol    = col("n_symbol") * 10L <= col("n_words")
+    val passAlpha     = col("n_alpha") * 5L >= col("n_words") * 4L
+    val passRequired  = col("n_required") >= 2L
+    t.select(col("doc_id"), col("n_words"),
+        round(col("sum_len").cast("double") / col("n_words").cast("double"), 6)
+          .as("mean_word_len"),
+        round(col("n_symbol").cast("double") / col("n_words").cast("double"), 6)
+          .as("symbol_ratio"),
+        round(col("n_alpha").cast("double") / col("n_words").cast("double"), 6)
+          .as("frac_alpha"),
+        col("n_required"),
+        passWordCount.as("pass_word_count"),
+        passWordLen.as("pass_word_len"),
+        passSymbol.as("pass_symbol"),
+        passAlpha.as("pass_alpha"),
+        passRequired.as("pass_required"),
+        (passWordCount && passWordLen && passSymbol && passAlpha && passRequired)
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** C4 LINE-LEVEL cleaning (Raffel et al. 2020 §2.2 — the published
+    * rules): keep only lines that end in terminal punctuation, carry at
+    * least five words, and don't mention javascript; drop the whole page
+    * on "lorem ipsum" or a curly brace, or when fewer than three lines
+    * survive (first-failing reason recorded, the [[cleanDecisions]]
+    * convention). The corpus has no line structure, so the page is
+    * rebuilt deterministically: 8-token slices with a
+    * (doc_id+line)%4-planted missing terminal period, plus boilerplate
+    * lines planted by doc_id — the oracle reconstructs the identical
+    * page. Pure generator expressions (sequence+transform+filter) over
+    * one scan: zero shuffle, no explode — the verdict never leaves the
+    * document's row. */
+  def c4LineFilter(spark: SparkSession, dir: String): DataFrame =
+    c4LineFilterFrame(Tables(spark, dir, "documents"))
+
+  private[graft] def c4LineFilterFrame(docs: DataFrame): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    val t = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("base",
+        transform(
+          sequence(lit(0L), greatest(lit(0L),
+            (ceil(size(col("toks")) / lit(8.0)) - 1).cast("long"))),
+          i => concat(
+            array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " "),
+            when((col("doc_id") + i) % 4 === 0, "").otherwise("."))))
+      .withColumn("lines",
+        concat(col("base"),
+          when(col("doc_id") % 5 === 0,
+            array(lit("please enable javascript to view this page."))).otherwise(emptyArr),
+          when(col("doc_id") % 7 === 3,
+            array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr),
+          when(col("doc_id") % 11 === 7,
+            array(lit("function() { return; }"))).otherwise(emptyArr)))
+      .withColumn("kept",
+        filter(col("lines"), l =>
+          l.endsWith(".") && size(split(l, " ")) >= 5 && !l.contains("javascript")))
+    val reason =
+      when(exists(col("lines"), l => l.contains("lorem ipsum")), "lorem_ipsum")
+        .when(exists(col("lines"), l => l.contains("{")), "brace")
+        .when(size(col("kept")) < 3, "too_few_sentences")
+        .otherwise("keep")
+    t.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        reason.as("reason"),
+        (reason === "keep").as("keep"),
+        md5(array_join(col("kept"), " | ")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
 }

@@ -91,6 +91,20 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("staged IVF serving store partition-prunes a cell point lookup") {
+    import org.apache.spark.sql.functions.col
+    // build + stage the index once; then a single query's serve-time probe
+    // (cell = const) must prune the parquet scan to that cell's partition —
+    // the property that makes the staged store a point-lookup index at
+    // corpus scale rather than a full scan
+    SimilarityOps.annIvfTopKStaged(spark, dir).collect()
+    val lookup = spark.read.parquet(s"${SimilarityOps.stagedIvfDir}/cells")
+      .filter(col("cell") === 3)
+    val plan = physical(lookup)
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell lookup did not partition-prune:\n$plan")
+  }
+
   test("no query in the inventory plans a cartesian product") {
     // q_neardup_groups executes its fixpoint loop eagerly at construction
     // and returns a checkpoint scan — there is no plan left to inspect

@@ -277,4 +277,44 @@ class Round4OpsSpec extends AnyFunSuite {
     // (q_ann_topk_rerank) is how a PQ shortlist becomes exact
     assert(avg >= 0.4, s"avg recall@5 of PQ ranking was $avg")
   }
+
+  // ---- C4 line filter ----
+
+  test("c4LineFilter keeps punctuated >=5-word non-js lines; doc rules fire first") {
+    val words32 = Seq.fill(32)("alpha").mkString(" ")
+    val out = TextOps.c4LineFilterFrame(docsDf(Seq(
+      (0L, words32, "en"),  // js boilerplate planted -> excluded from kept, doc still keeps
+      (1L, Seq.fill(8)("beta").mkString(" "), "en"), // single line -> too few sentences
+      (3L, words32, "en"),  // lorem ipsum planted -> whole page dropped
+      (7L, words32, "en"))))  // curly-brace line planted -> whole page dropped
+      .select("doc_id", "n_lines", "n_kept", "reason", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toSeq
+    assert(out == Seq(
+      (0L, 5L, 3L, "keep", true),            // line i=0 lacks the period; js line dropped
+      (1L, 1L, 1L, "too_few_sentences", false),
+      (3L, 5L, 4L, "lorem_ipsum", false),    // lorem line itself passes the line rules
+      (7L, 5L, 3L, "brace", false)))         // brace line fails line rules too (no period)
+  }
+
+  // ---- Gopher rules ----
+
+  test("gopherRules verdicts are the integer-exact forms of the paper's thresholds") {
+    val good = "the cat sat and dog ran off with one two big red" // 12 words, required: the+and
+    val out = TextOps.gopherRulesFrame(docsDf(Seq(
+      (8L, good, "en"),   // doc_id % 8 == 0 -> no planted symbols, all rules pass
+      (7L, good, "en"),   // 7 planted '#' on 12 words -> symbol + alpha rules fail
+      (16L, "the a", "en")))) // 2 words -> word-count rule fails (required still passes)
+      .select("doc_id", "n_words", "pass_word_count", "pass_symbol", "pass_alpha",
+        "pass_required", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSeq
+    assert(out == Seq(
+      (7L, 19L, true, false, false, true, false),
+      (8L, 12L, true, true, true, true, true),
+      (16L, 2L, false, true, true, true, false)))
+  }
 }
