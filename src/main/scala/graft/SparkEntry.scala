@@ -171,6 +171,7 @@ object SparkEntry {
     "q_dsir_weight"      -> (TextOps.dsirWeight _),
     "q_gopher_rules"     -> (TextOps.gopherRules _),
     "q_c4_line_filter"   -> (TextOps.c4LineFilter _),
+    "q_corpus_drift"     -> (TextOps.corpusDrift _),
     "q_zorder_stats"     -> (LayoutOps.zorderStats _),
     // lineage-graph analytics (exact fixed-point PageRank)
     "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
@@ -2149,6 +2150,30 @@ object SparkEntry {
          SELECT doc_id, n_tokens, log_importance,
            log_importance > 0.0 AS keep
          FROM g ORDER BY doc_id""",
+    // Corpus drift: per-token JSD contributions of the even vs odd doc
+    // slice, add-one smoothed over the joint vocab; no cross-row float
+    // fold — each row is computed from integer counts (ln/round(6)
+    // parity per the q_lm_ppl_buckets / q_dsir_weight precedent).
+    "q_corpus_drift" ->
+      """WITH t AS (
+           SELECT doc_id % 2 = 0 AS in_a,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM t GROUP BY token),
+         tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b,
+             CAST(COUNT(*) AS BIGINT) AS v FROM c),
+         s AS (SELECT token, n_a, n_b,
+             CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE) AS p,
+             CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE) AS q
+           FROM c, tot)
+         SELECT token, n_a, n_b,
+           round((p * ln(p / ((p + q) / 2.0)) +
+                  q * ln(q / ((p + q) / 2.0))) * 0.5, 6) AS jsd_contrib
+         FROM s ORDER BY token""",
     // Gopher doc-level rules: planted `#` runs, integer-exact verdicts
     // (n*10 <= m forms), reported ratios as IEEE doubles of the same ints.
     "q_gopher_rules" ->

@@ -1046,6 +1046,47 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** CORPUS DRIFT monitor — the data-quality watchdog between two corpus
+    * snapshots: per-token Jensen–Shannon divergence contributions of the
+    * even-doc_id slice (snapshot A, the deterministic stand-in for
+    * "yesterday") vs the odd slice (snapshot B, "today"), with add-one
+    * smoothing over the joint vocabulary. A retrain trigger reads the
+    * top contributors; identical snapshots contribute exactly 0.
+    *
+    * Determinism: every contribution is computed PER TOKEN ROW from
+    * integer counts — there is no cross-row float fold anywhere, so the
+    * result is layout-independent and the ln/round(6) parity with the
+    * oracle is the same already-proven contract as [[lmPerplexityBuckets]]
+    * / [[dsirWeight]]. Scale shape: one map-side-combined count shuffle
+    * on the token key, a 1-row broadcast of the totals; nothing else is
+    * wide at any corpus size. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame =
+    corpusDriftFrame(Tables(spark, dir, "documents"))
+
+  private[graft] def corpusDriftFrame(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p",
+        (col("n_a") + 1L).cast("double") / (col("tot_a") + col("v")).cast("double"))
+      .withColumn("q",
+        (col("n_b") + 1L).cast("double") / (col("tot_b") + col("v")).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .select(col("token"), col("n_a"), col("n_b"),
+        round((col("p") * log(col("p") / col("m")) +
+               col("q") * log(col("q") / col("m"))) * lit(0.5), 6)
+          .as("jsd_contrib"))
+      .orderBy("token")
+  }
+
   /** GOPHER document-level quality rules (Rae et al. 2021, Appendix A —
     * the published filter set): word-count window, mean-word-length
     * window, symbol-to-word ratio, alphabetic-word fraction, and required

@@ -121,7 +121,7 @@ class PlanShapeSpec extends AnyFunSuite {
       val scalarTotalJoin =
         Set("q_tfidf_topk", "q_unigram_logprob", "q_weighted_sample",
           "q_lm_ppl_buckets", "q_pmi_bigrams", "q_temperature_mix",
-          "q_dsir_weight", "q_zorder_stats")
+          "q_dsir_weight", "q_zorder_stats", "q_corpus_drift")
       // q_ann_topk_quantized is the int8 twin of q_ann_topk: the same
       // intentional 20-query brute-force baseline (broadcast query set,
       // exactness oracle), so it carries the same BNLJ by design

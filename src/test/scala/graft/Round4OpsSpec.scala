@@ -298,6 +298,27 @@ class Round4OpsSpec extends AnyFunSuite {
       (7L, 5L, 3L, "brace", false)))         // brace line fails line rules too (no period)
   }
 
+  // ---- Corpus drift ----
+
+  test("corpusDrift is zero for balanced tokens and positive for one-sided ones") {
+    // A (even doc_ids) and B (odd) have equal token totals, so a token
+    // with equal counts has p == q -> contributes exactly 0; "skew" /
+    // "drift" each appear on one side only -> strictly positive
+    val out = TextOps.corpusDriftFrame(docsDf(Seq(
+      (0L, "alpha beta gamma", "en"),
+      (2L, "skew", "en"),
+      (1L, "alpha beta gamma", "en"),
+      (3L, "drift", "en"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val byTok = out.map(t => t._1 -> t).toMap
+    assert(byTok("alpha") == (("alpha", 1L, 1L, 0.0)))
+    assert(byTok("beta")._4 == 0.0 && byTok("gamma")._4 == 0.0)
+    assert(byTok("drift")._2 == 0L && byTok("drift")._3 == 1L && byTok("drift")._4 > 0.0)
+    assert(byTok("skew")._2 == 1L && byTok("skew")._3 == 0L && byTok("skew")._4 > 0.0)
+  }
+
   // ---- Gopher rules ----
 
   test("gopherRules verdicts are the integer-exact forms of the paper's thresholds") {
