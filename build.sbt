@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt runMain graft.Bench` stdout and parses the TAIL
+// as JSON — sbt's "[success] Total time…" trailer after the bench's JSON
+// line made BENCH_r03/r04 unparseable. Suppress the trailer and pipe the
+// forked process's stdout straight through (no [info] logger prefix) so the
+// JSON is the final stdout line.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
