@@ -2055,11 +2055,17 @@ object SparkEntry {
          FROM c ORDER BY doc_id""",
     // the sketch is pruning-only: the exact answer is a plain
     // count-filter, which is what the oracle runs
+    // relative threshold: freq·1e6 ≥ N·phiPpm (phiPpm = 5000), the
+    // integer-exact corpus-proportional cut the Misra-Gries sketch is
+    // sized for — same arithmetic on both engines
     "q_heavy_hitters" ->
-      """SELECT token, COUNT(*) AS freq FROM (
+      """WITH toks AS (
            SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
-           FROM documents)
-         GROUP BY token HAVING COUNT(*) >= 150 ORDER BY token""",
+           FROM documents),
+         nt AS (SELECT COUNT(*) AS n FROM toks)
+         SELECT token, COUNT(*) AS freq FROM toks, nt
+         GROUP BY token, nt.n HAVING COUNT(*) * 1000000 >= nt.n * 5000
+         ORDER BY token""",
     // PMI collocations: integer counts, 1e6 fixed-point integer-div
     // score — ranking by pmi_scaled IS ranking by PMI (log monotone),
     // no float anywhere.

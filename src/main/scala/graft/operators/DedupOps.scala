@@ -207,7 +207,15 @@ object DedupOps {
     * hashes; the fat shingle arrays stay in the persisted stage and are
     * joined back only for the (tiny) candidate set. At cluster scale the
     * persisted stage becomes a staged parquet write. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsWithCorpus(spark, dir)._2
+
+  /** [[minhashLshPairs]] plus the persisted slim (doc_id, text) corpus it
+    * builds internally — so downstream verify tiers ([[editDistVerify]])
+    * can fetch candidate texts from the already-cached stage instead of
+    * re-deriving the twin corpus per join side. */
+  private[graft] def minhashLshPairsWithCorpus(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val spark0 = spark
     import spark0.implicits._
     // Repartition off the single-file scan and persist the SLIM
@@ -245,7 +253,7 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    pairs
+    val verified = pairs
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(
@@ -254,6 +262,7 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
+    (spread, verified)
   }
 
   /** Near-duplicate GROUPS: connected components over the verified
@@ -309,8 +318,10 @@ object DedupOps {
     * oracle inherits q_minhash_lsh's brute-force pair set and applies
     * the identical levenshtein arithmetic. */
   def editDistVerify(spark: SparkSession, dir: String): DataFrame = {
-    val texts = docsWithTwins(spark, dir)
-    minhashLshPairs(spark, dir)
+    // both text-fetch join sides read the pair pipeline's persisted
+    // (doc_id, text) stage — the twin corpus is built and cached once
+    val (texts, pairs) = minhashLshPairsWithCorpus(spark, dir)
+    pairs
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))

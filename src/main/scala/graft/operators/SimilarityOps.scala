@@ -551,15 +551,34 @@ object SimilarityOps {
     * store; codes and affine params round-trip parquet exactly (int64 +
     * doubles), and the dequantize is the same exact affine arithmetic,
     * so the staged search is bit-identical to the in-memory twin and
-    * SHARES its DuckDB oracle. pid-suffixed dir: concurrent graft JVMs
-    * (Verify while Bench runs) must not overwrite each other mid-read. */
-  private[graft] def stagedIvfDir: String =
-    sys.props("java.io.tmpdir") +
-      s"/graft-staged-ivf-${ProcessHandle.current().pid()}"
+    * SHARES its DuckDB oracle. The store path is keyed by BOTH the JVM pid
+    * (concurrent graft JVMs — Verify while Bench runs — must not overwrite
+    * each other mid-read) and a hash of the dataset dir (two staged
+    * searches over different SF dirs interleaved on threads in one JVM get
+    * disjoint stores), and the pid-scoped root is deleted on JVM exit so
+    * staged stores do not accumulate in tmp across runs. */
+  private lazy val stagedIvfRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-staged-ivf-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { try Files.delete(f) catch { case _: Exception => () } })
+        finally walk.close()
+      }
+    }))
+    p
+  }
+
+  private[graft] def stagedIvfDir(dir: String): String =
+    s"$stagedIvfRoot/${java.lang.Integer.toHexString(dir.hashCode)}"
 
   def annIvfTopKStaged(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val out = stagedIvfDir
+    val out = stagedIvfDir(dir)
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val codes = e

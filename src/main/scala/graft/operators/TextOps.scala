@@ -416,9 +416,36 @@ object TextOps {
     bpeMergesFromTokens(
       Tables(spark, dir, "documents").select(explode(tokens(col("text"))).as("word")), k)
 
+  /** Adjacent symbol pairs of a padded-word column, as array<struct<a,b>>
+    * — shared by the trainer's initial count and its per-round delta. */
+  private def wordPairs(s: Column): Column = {
+    val toks = split(trim(s), "  ")
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
+      (x, y) => struct(x.as("a"), y.as("b")))
+  }
+
   /** The BPE trainer core over a (word) occurrence frame — split out so
     * the semantics spec can drive controlled corpora (greedy left-to-
-    * right overlap handling, early stop when no pairs remain). */
+    * right overlap handling, early stop when no pairs remain).
+    *
+    * INCREMENTAL pair-count maintenance: the full pair table is
+    * aggregated ONCE, then each round applies only the winning merge's
+    * deltas — the signed multiset difference of adjacent pairs over the
+    * words that actually CONTAIN the winning pair (old pairs at −freq,
+    * post-merge pairs at +freq, summed into the maintained table, zeros
+    * dropped). A real 32k-merge vocab build is then 32k cheap delta
+    * aggregations over ever-shrinking affected-word sets instead of 32k
+    * full recounts of the corpus-wide pair table; the per-round top-1 is
+    * a TakeOrdered over the maintained (cached) counts. Loop state is
+    * localCheckpointed (not merely persisted) every round: a persist
+    * leaves the LOGICAL plan chaining — across k rounds that grows
+    * O(k²) tree nodes and the per-action plan-description cost with it
+    * (measured: driver OOM at k=64 building explain strings) — while the
+    * checkpoint rewrites each round's state as a flat scan, so plan
+    * depth, analysis time, and driver memory stay constant in k. The
+    * prop spec pins this trainer's output to a naive full-recount
+    * reference at k=6 and k=64. */
   private[graft] def bpeMergesFromTokens(tokensDf: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = tokensDf.sparkSession
@@ -430,23 +457,41 @@ object TextOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     words.count()
     var cur = words
+    var pairs = cur
+      .select(col("freq"), explode(wordPairs(col("s"))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("freq")).as("c"))
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to k) {
-      val toks = split(trim(col("s")), "  ")
-      val nPairs = greatest(size(toks) - 1, lit(0))
-      val top = cur
-        .select(col("freq"), explode(zip_with(
-          slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
-          (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("a"), col("b"))
+    var done = false
+    for (r <- 1 to k if !done) {
+      val top = pairs.orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) done = true
+      else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, c))
-        cur = cur.withColumn("s",
-          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+        val pat = s" $a  $b "
+        val merged = s" $a$b "
+        // delta = (pairs after the merge) − (pairs before it), over the
+        // affected words only; both branches read the cached `cur`
+        val affected = cur.filter(col("s").contains(pat))
+        val delta = affected
+          .select((-col("freq")).as("d"), explode(wordPairs(col("s"))).as("pr"))
+          .unionAll(affected.select(col("freq").as("d"),
+            explode(wordPairs(replace(col("s"), lit(pat), lit(merged)))).as("pr")))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum(col("d")).as("c"))
+        // eager checkpoints: materialized now, flat plans afterwards;
+        // prior rounds' checkpoint blocks are released by the context
+        // cleaner once the vars move on
+        pairs = pairs.unionByName(delta)
+          .groupBy("a", "b").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .localCheckpoint(true)
+        cur = cur
+          .withColumn("s", replace(col("s"), lit(pat), lit(merged)))
+          .localCheckpoint(true)
       }
     }
     words.unpersist()
@@ -841,32 +886,44 @@ object TextOps {
 
   /** Exact HEAVY HITTERS via a Misra-Gries sketch + exact verification —
     * the sketch-prune/exact-verify pattern of the LSH dedup paths applied
-    * to frequency: a mergeable k-counter [[graft.functions.MisraGriesAgg]]
-    * reduces the token stream to one candidate set map-side (k sized so
-    * every token with freq ≥ minFreq is GUARANTEED to survive: any
-    * f > N/(k+1) does, so k = N/minFreq + 1 suffices), then only
-    * candidate tokens pass the broadcast membership filter into the exact
-    * count — the long-tail majority of the corpus never reaches the
-    * shuffle. Output = exactly the tokens with true freq ≥ minFreq,
-    * deterministic on any layout (the sketch's layout-dependent extras
-    * die in verification, like LSH false candidates).
+    * to frequency. The threshold is RELATIVE (`phiPpm` parts-per-million
+    * of the stream): that is both what a corpus-proportional cut means at
+    * any scale and what lets the sketch be sized WITHOUT knowing N —
+    * k = 1e6/phi + 1 counters guarantee every token with f ≥ phi·N
+    * survives (any f > N/(k+1) does, and phi·N > N/(k+1) by
+    * construction), so ONE aggregation pass builds the mergeable
+    * [[graft.functions.MisraGriesAgg]] candidate sketch AND the exact
+    * stream length N together. The exact verify pass then touches only
+    * tokens passing a broadcast semi-join against the k-row candidate
+    * frame — no driver round-trip, no plan-embedded literal set, and the
+    * long-tail majority of the corpus never reaches the shuffle. Output =
+    * exactly the tokens with freq·1e6 ≥ N·phi (integer-exact; at a
+    * ≥10-trillion-token corpus route the product through decimal),
+    * deterministic on any layout — the sketch's layout-dependent extras
+    * die in verification, like LSH false candidates.
     *
-    * At 100 TB the first pass is a narrow scan folding into k counters
-    * per partition; the candidate set is a driver artifact of ~N/minFreq
-    * entries — small precisely when the threshold is meaningful. */
-  def heavyHitters(spark: SparkSession, dir: String, minFreq: Long = 150L): DataFrame = {
-    import spark.implicits._
+    * Two token-stream passes total: a narrow scan folding into k counters
+    * per partition (plus the count), and the semi-join-pruned exact
+    * count. */
+  def heavyHitters(spark: SparkSession, dir: String, phiPpm: Long = 5000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val toks = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
-    val n = toks.count()
-    val k = (n / minFreq).toInt + 1
-    val sketch = new graft.functions.MisraGriesAgg(k)
-    val candidates = toks.as[String].select(sketch.toColumn).head()
+    val k = (1000000L / phiPpm).toInt + 1
+    val mg = udaf(new graft.functions.MisraGriesAgg(k))
+    // one pass, two artifacts: the candidate sketch and the exact N —
+    // persisted (1 row) so the two consumers below share the computation
+    val summary = toks
+      .agg(mg(col("token")).as("cands"), count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = summary.select(explode(col("cands")).as("token"))
     toks
-      .filter(col("token").isInCollection(candidates))
+      .join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= minFreq)
+      .crossJoin(broadcast(summary.select(col("n"))))
+      .filter(col("freq") * lit(1000000L) >= col("n") * lit(phiPpm))
+      .select(col("token"), col("freq"))
       .orderBy("token")
   }
 

@@ -294,8 +294,16 @@ object Stage {
     target
   }
 
-  def current(spark: SparkSession, baseDir: String): DataFrame = {
+  /** Read the committed generation. Pass the document `schema` (the writer
+    * knows it — writeSearchDocs also records it in `_MAPPING.json`): with a
+    * schema the read is a single lazy scan; without one, Spark's JSON
+    * schema inference costs a FULL extra pass over the published store
+    * before the DataFrame even exists — acceptable only for ad-hoc
+    * exploration, never in a registered pipeline. */
+  def current(spark: SparkSession, baseDir: String,
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     val target = Files.readString(Paths.get(baseDir, "CURRENT")).trim
-    spark.read.json(target)
+    if (schema != null) spark.read.schema(schema).json(target)
+    else spark.read.json(target)
   }
 }

@@ -49,7 +49,17 @@ object Tables {
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ→TIMESTAMP cast reinterprets the naive wall-clock in the
+        // SESSION zone — oracle parity (DuckDB epoch_us) is only exact under
+        // UTC. Unlike nanosAsLong above there is no safe way to set this
+        // mid-session (plans already built resolve against the old zone), so
+        // a non-UTC session must fail loudly rather than read shifted
+        // instants.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; reading it requires spark.sql.session.timeZone=UTC (got '$tz')")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
   }

@@ -98,11 +98,80 @@ class PlanShapeSpec extends AnyFunSuite {
     // the property that makes the staged store a point-lookup index at
     // corpus scale rather than a full scan
     SimilarityOps.annIvfTopKStaged(spark, dir).collect()
-    val lookup = spark.read.parquet(s"${SimilarityOps.stagedIvfDir}/cells")
+    val lookup = spark.read.parquet(s"${SimilarityOps.stagedIvfDir(dir)}/cells")
       .filter(col("cell") === 3)
-    val plan = physical(lookup)
-    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
-      s"cell lookup did not partition-prune:\n$plan")
+    // inspect the scan node's partitionFilters collection rather than
+    // string-matching the rendered plan (rendering changes across Spark
+    // versions; the filter expressions themselves are the contract)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = lookup.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"no parquet scan in:\n${physical(lookup)}")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "cell"))),
+      s"cell lookup did not partition-prune:\n${physical(lookup)}")
+  }
+
+  test("pagerank loop shuffles once per iteration — joins reuse the cached layout") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // static plan (no AQE) so the exchange budget is deterministic
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val iters = 3
+    try {
+      val out = GraphBuild.pageRankLineage(spark, dir, iters)
+      // the result is persisted+materialized; the whole loop plan lives
+      // under its InMemoryRelation
+      def firstCacheScan(p: SparkPlan): InMemoryTableScanExec =
+        p.collectFirst { case s: InMemoryTableScanExec => s }.get
+      val loopPlan = firstCacheScan(out.queryExecution.executedPlan)
+        .relation.cachedPlan
+      // walk the LIVE loop plan only — nested caches (edge set, node set)
+      // build their own layout once and are not per-iteration cost
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+        case q: QueryStageExec => p +: flatten(q.plan)
+        case i: InMemoryTableScanExec => Seq(i)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val nodes = flatten(loopPlan)
+      val hashShuffles = nodes.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      // exactly ONE hash shuffle per iteration: the contribution sum on
+      // dst. Both the rank⋈edge join (edge side: cached src layout; rank
+      // side: alias-preserved partitioning) and the rank-update join on
+      // node (contribs arrive hash(dst)=hash(node); nodes cached on node)
+      // must be exchange-free.
+      assert(hashShuffles.size == iters,
+        s"expected $iters hash exchanges (one contribution sum per " +
+          s"iteration), got ${hashShuffles.size}:\n$loopPlan")
+      // and every iteration's contribution join reads the edge set from
+      // the persisted layout (cache scan, or a reused broadcast/exchange
+      // of it — even better), never by recomputing the source scan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+        s"loop recomputes a source scan per iteration:\n$loopPlan")
+      val contribJoins = nodes.collect {
+        case j: BaseJoinExec if j.output.exists(_.name == "outdeg") => j
+      }
+      assert(contribJoins.size == iters,
+        s"expected $iters contribution joins, got ${contribJoins.size}:\n$loopPlan")
+      val edgeReads = nodes.collect {
+        case s: InMemoryTableScanExec if s.output.exists(_.name == "outdeg") => s
+        case r: ReusedExchangeExec if r.output.exists(_.name == "outdeg") => r
+      }
+      assert(edgeReads.size == iters,
+        s"expected $iters cache-or-reuse edge reads, got ${edgeReads.size}:\n$loopPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
   test("no query in the inventory plans a cartesian product") {
@@ -121,7 +190,8 @@ class PlanShapeSpec extends AnyFunSuite {
       val scalarTotalJoin =
         Set("q_tfidf_topk", "q_unigram_logprob", "q_weighted_sample",
           "q_lm_ppl_buckets", "q_pmi_bigrams", "q_temperature_mix",
-          "q_dsir_weight", "q_zorder_stats", "q_corpus_drift")
+          "q_dsir_weight", "q_zorder_stats", "q_corpus_drift",
+          "q_heavy_hitters")
       // q_ann_topk_quantized is the int8 twin of q_ann_topk: the same
       // intentional 20-query brute-force baseline (broadcast query set,
       // exactness oracle), so it carries the same BNLJ by design

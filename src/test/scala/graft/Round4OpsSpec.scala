@@ -65,14 +65,26 @@ class Round4OpsSpec extends AnyFunSuite {
   }
 
   test("heavyHitters output is the exact threshold set on any layout") {
-    val exact = TextOps.heavyHitters(spark, dir, minFreq = 20L)
+    val phiPpm = 700L
+    val exact = TextOps.heavyHitters(spark, dir, phiPpm = phiPpm)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val truth = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val truth = toks
       .groupBy("token").agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 20L).orderBy("token")
+      .filter(col("freq") * 1000000L >= n * phiPpm).orderBy("token")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(exact == truth && exact.nonEmpty)
+  }
+
+  test("heavyHitters plan: broadcast semi-join, no driver-embedded InSet") {
+    val plan = TextOps.heavyHitters(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate filter is not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("INSET") && !plan.contains("isInCollection"),
+      s"candidate set embedded in the plan as literals:\n$plan")
   }
 
   // ---- UniMax sampling ----

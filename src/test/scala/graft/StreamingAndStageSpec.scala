@@ -295,4 +295,42 @@ class StreamingAndStageSpec extends AnyFunSuite {
     // the mapping sidecar must not corrupt the json read
     assert(got.columns.contains("key"))
   }
+
+  test("current(schema) skips the inference pass — no job at construction") {
+    val base = tmp("docs-pub-lazy")
+    // a plain frame with no internal persists/futures, so the only jobs
+    // in play are the publish write and (if any) the read's inference
+    val docs = spark.range(100)
+      .select(col("id").as("key"), concat(lit("n"), col("id")).as("name"))
+    Stage.publishBlueGreen(docs, base, "v1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // the bus is async — drain it around each step so counts are exact
+    def drained(): Int = {
+      org.apache.spark.GraftTestBridge.flushListenerBus(spark.sparkContext)
+      jobs.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base0 = drained()
+      val lazyDf = Stage.current(spark, base, docs.schema)
+      val after = drained()
+      assert(after == base0,
+        s"current(schema) ran ${after - base0} job(s) at construction — " +
+          "the declared-schema read must not infer")
+      // and the data is what the inference path would see
+      assert(lazyDf.count() == 100)
+      // schema-less construction DOES pay the inference pass (the
+      // documented last-resort behavior this API exists to avoid)
+      val base1 = drained()
+      Stage.current(spark, base)
+      val after1 = drained()
+      assert(after1 > base1,
+        "schema-less current() unexpectedly skipped inference — update the docs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
