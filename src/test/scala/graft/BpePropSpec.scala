@@ -60,11 +60,26 @@ class BpePropSpec extends AnyFunSuite {
       } yield cs.mkString)
     } yield words
     val prop = Prop.forAll(genWords) { words =>
-      val got = TextOps.bpeMergesFromTokens(words.toDF("word"), k = 4)
+      val got = TextOps.bpeMergesFromTokens(words.toDF("word"), k = 6)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-      got == refBpe(words, 4)
+      got == refBpe(words, 6)
     }
     val result = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(result.passed, result.status.toString)
+  }
+
+  test("incremental pair maintenance sustains a 64-merge vocabulary build") {
+    import spark.implicits._
+    // a corpus rich enough that 64 true merges exist: the incremental
+    // trainer's maintained pair table must track 64 rounds of deltas
+    // without drifting from the full-recount semantics
+    val rnd = new scala.util.Random(42)
+    val words = List.fill(300)(
+      (0 until (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+    val got = TextOps.bpeMergesFromTokens(words.toDF("word"), k = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(words, 64)
+    assert(got.size == 64, s"corpus must sustain 64 merges, got ${got.size}")
+    assert(got == want)
   }
 }
