@@ -151,6 +151,18 @@ object SparkEntry {
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
+    // fetch-configured extractor gates (fixture clients from the star
+    // schema drive the REAL pagination/parse/transform chains)
+    "q_mode_dashboards"    -> (ExtractorOracles.modeDashboardMetadata _),
+    "q_redash_dashboards"  -> (ExtractorOracles.redashDashboards _),
+    "q_tableau_dashboards" -> (ExtractorOracles.tableauDashboards _),
+    "q_atlas_table_docs"   -> (ExtractorOracles.atlasTableDocs _),
+    // catalog sources (Spark-catalog walk, DESCRIBE-detail seam,
+    // GenericExtractor, EsLastUpdated)
+    "q_catalog_tables"       -> (ExtractorOracles.catalogTables _),
+    "q_catalog_last_updated" -> (ExtractorOracles.catalogLastUpdated _),
+    "q_es_last_updated"      -> (ExtractorOracles.esLastUpdated _),
+    "q_generic_records"      -> (ExtractorOracles.genericRecords _),
     // watermark model fan-out (part_name parse)
     "q_watermark_parse" -> (GraphBuild.watermarkNodes _),
     // corpus audit + decontamination
@@ -1915,6 +1927,110 @@ object SparkEntry {
            CASE WHEN s_suppkey % 2 = 0 THEN 'supplier' ELSE '' END AS role_name
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          ORDER BY email""",
+    // Fetch-configured extractor gates: the fixture payloads are built
+    // from the same key expressions these oracles recompute (the planted
+    // bad timestamp at key % 97 = 0 exercises 0-on-parse-failure).
+    "q_mode_dashboards" ->
+      """WITH c AS (
+           SELECT c_custkey AS ck, c_name, c_mktsegment, n_regionkey AS rk
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey % 5 = 0)
+         SELECT r_name AS dashboard_group, c_name AS dashboard_name,
+           c_mktsegment AS description, 'gold' AS cluster, 'mode' AS product,
+           'space ' || r_name AS dashboard_group_description,
+           CASE WHEN ck % 97 = 0 THEN CAST(0 AS BIGINT)
+             ELSE epoch(make_timestamp(2023, 1 + ck % 12, 1 + ck % 28,
+               ck % 24, ck % 60, (ck * 7) % 60))::BIGINT END AS created_timestamp,
+           'https://app.mode.com/graft/reports/rep' || ck AS dashboard_url,
+           'https://app.mode.com/graft/spaces/sp' || rk AS group_url
+         FROM c JOIN region ON rk = r_regionkey
+         ORDER BY dashboard_url""",
+    "q_redash_dashboards" ->
+      """SELECT 'Redash' AS dashboard_group, 'redash' AS dashboard_group_id,
+           'https://redash.example' AS dashboard_group_url,
+           CAST(n_nationkey AS VARCHAR) AS dashboard_id,
+           n_name AS dashboard_name,
+           'https://redash.example/dashboards/' || n_nationkey AS dashboard_url,
+           CASE WHEN n_nationkey % 97 = 0 THEN CAST(0 AS BIGINT)
+             ELSE epoch(make_timestamp(2023, 1 + n_nationkey % 12, 1 + n_nationkey % 28,
+               n_nationkey % 24, n_nationkey % 60, (n_nationkey * 7) % 60))::BIGINT
+             END AS created_timestamp,
+           CASE WHEN (n_nationkey + 7) % 97 = 0 THEN CAST(0 AS BIGINT)
+             ELSE epoch(make_timestamp(2023, 1 + (n_nationkey + 7) % 12,
+               1 + (n_nationkey + 7) % 28, (n_nationkey + 7) % 24,
+               (n_nationkey + 7) % 60, ((n_nationkey + 7) * 7) % 60))::BIGINT
+             END AS last_modified_timestamp,
+           'u' || n_nationkey || '@corp' AS owner_email,
+           'prod' AS cluster, 'redash' AS product
+         FROM nation
+         WHERE NOT (n_nationkey % 5 = 0 OR n_nationkey % 7 = 0)
+         ORDER BY dashboard_id""",
+    "q_tableau_dashboards" ->
+      """SELECT n_name AS dashboard_group,
+           'W' || s_name || 's' AS dashboard_name,
+           'wb ' || s_name AS description,
+           'gold' AS cluster, 'tableau' AS product,
+           CASE WHEN s_suppkey % 97 = 0 THEN CAST(0 AS BIGINT)
+             ELSE epoch(make_timestamp(2023, 1 + s_suppkey % 12, 1 + s_suppkey % 28,
+               s_suppkey % 24, s_suppkey % 60, (s_suppkey * 7) % 60))::BIGINT
+             END AS created_timestamp,
+           'https://tableau.example/#/site/graft/workbooks/v' || s_suppkey
+             || '/views' AS dashboard_url,
+           'https://tableau.example/#/site/graft/projects/p' || n_nationkey AS group_url
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey % 11 <> 0
+           AND n_name NOT IN (SELECT n_name FROM nation WHERE n_regionkey = 0)
+         ORDER BY dashboard_url""",
+    "q_atlas_table_docs" ->
+      """WITH colagg AS (
+           SELECT s_nationkey AS nk,
+             string_agg('col_' || s_suppkey, '|' ORDER BY 'col_' || s_suppkey)
+               FILTER (WHERE s_suppkey % 3 <> 0 AND s_suppkey % 13 <> 0) AS cn,
+             string_agg('dc ' || s_suppkey, '|' ORDER BY 'dc ' || s_suppkey)
+               FILTER (WHERE s_suppkey % 3 <> 0 AND s_suppkey % 13 <> 0
+                 AND s_suppkey % 4 <> 0) AS cd
+           FROM supplier GROUP BY s_nationkey)
+         SELECT 'Table' AS database,
+           'cl' || n_regionkey AS cluster,
+           r_name AS "schema",
+           n_name AS name,
+           'db_' || lower(n_name) || '@cl' || n_regionkey AS key,
+           'nation ' || n_name AS description,
+           CAST(n_nationkey * 1000 AS BIGINT) AS last_updated_timestamp,
+           CAST(n_nationkey AS BIGINT) AS total_usage,
+           CAST(CASE WHEN n_nationkey % 6 = 0 THEN 1
+             ELSE n_nationkey * 2 END AS BIGINT) AS unique_usage,
+           coalesce(c.cn, '') AS column_names,
+           coalesce(c.cd, '') AS column_descriptions,
+           'tag' || n_nationkey || 'a' AS tags,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'pii' ELSE '' END AS badges,
+           'db_' || lower(n_name) AS display_name,
+           'src ' || n_name AS schema_description,
+           'note ' || n_nationkey || '|src ' || n_name AS programmatic_descriptions
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         LEFT JOIN colagg c ON n_nationkey = c.nk
+         ORDER BY key""",
+    // Catalog sources: the view/table fixtures are derived from `region`
+    // and `orders`, so the catalog walk's output is relationally checkable.
+    "q_catalog_tables" ->
+      """SELECT 'session' AS table_schema,
+           'gcat_' || regexp_replace(lower(r_name), '[^a-z0-9]', '_', 'g') AS table_name,
+           true AS is_view, c.col_name, c.col_type, c.sort_order
+         FROM region, (VALUES
+           ('nation_id', 'bigint', CAST(0 AS BIGINT)),
+           ('nation_name', 'string', CAST(1 AS BIGINT))) AS c(col_name, col_type, sort_order)
+         ORDER BY table_name, sort_order""",
+    "q_catalog_last_updated" ->
+      """SELECT 'spark://local.default/gcatlu_' ||
+           CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS table_key,
+           epoch(date_trunc('day', max(o_orderdate)))::BIGINT AS last_updated
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_es_last_updated" ->
+      """SELECT epoch(date_trunc('day', max(o_orderdate)))::BIGINT AS "timestamp"
+         FROM orders""",
+    "q_generic_records" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS region_id, r_name AS region_name
+         FROM region ORDER BY region_id""",
     // Watermark model: low/high partition bounds per table, part_name
     // "col=value" parsed back into partition key/value (watermark.py:43-49).
     "q_watermark_parse" ->
