@@ -163,6 +163,11 @@ object SparkEntry {
     "q_catalog_last_updated" -> (ExtractorOracles.catalogLastUpdated _),
     "q_es_last_updated"      -> (ExtractorOracles.esLastUpdated _),
     "q_generic_records"      -> (ExtractorOracles.genericRecords _),
+    // REST fetch plumbing (driver pagination/retry/skip loop; executor-
+    // distributed per-partition fetch) + full pipeline launch lifecycle
+    "q_rest_fetch_pages"       -> (ExtractorOracles.restFetchPages _),
+    "q_rest_fetch_distributed" -> (ExtractorOracles.restFetchDistributed _),
+    "q_pipeline_e2e"           -> (ExtractorOracles.pipelineE2E _),
     // watermark model fan-out (part_name parse)
     "q_watermark_parse" -> (GraphBuild.watermarkNodes _),
     // corpus audit + decontamination
@@ -2031,6 +2036,32 @@ object SparkEntry {
     "q_generic_records" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS region_id, r_name AS region_name
          FROM region ORDER BY region_id""",
+    // REST fetch loop: pages of 3 per region; region 4 is the planted
+    // permanent 404 the skip handler drops; page = position within the
+    // region's nations ordered by key.
+    "q_rest_fetch_pages" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS r_regionkey,
+           CAST(((ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey)
+             - 1) // 3) + 1 AS INT) AS page,
+           CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+         FROM nation WHERE n_regionkey <> 4
+         ORDER BY n_nationkey""",
+    // Distributed fetch: nk % 7 = 0 is the permanent 404 (null payload);
+    // the nk % 5 = 3 transient 503 must have been retried to 200.
+    "q_rest_fetch_distributed" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey % 7 = 0 THEN 404 ELSE 200 END AS status,
+           CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_name END AS fetched_name
+         FROM nation ORDER BY n_nationkey""",
+    // Pipeline launch: None-drop filter, template key, per-role fan-out,
+    // field removal — read back from the published CURRENT generation.
+    "q_pipeline_e2e" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           'tpch://' || n_name || '/' || c_name AS key, role, c_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         CROSS JOIN (SELECT 'owner' AS role UNION ALL SELECT 'reader') roles
+         WHERE c_acctbal >= 0
+         ORDER BY c_custkey, role""",
     // Watermark model: low/high partition bounds per table, part_name
     // "col=value" parsed back into partition key/value (watermark.py:43-49).
     "q_watermark_parse" ->

@@ -582,24 +582,34 @@ object DedupOps {
     out
   }
 
-  /** Exact-duplicate membership gate with a broadcast BLOOM pre-filter —
-    * the cheap front door before any join: build a Bloom filter over the
-    * corpus's 128-bit text fingerprints (one pass, `df.stat.bloomFilter`),
-    * broadcast it, drop every incoming doc the filter rules out (no
-    * shuffle at all for the novel majority), and verify the surviving
-    * candidates with a semi-join so false positives cannot leak into the
-    * verdict — the result is EXACT, the bloom only prices the fast path.
+  /** Exact-duplicate membership gate with a BLOOM pre-filter — the cheap
+    * front door before any join: aggregate a Bloom filter over the
+    * corpus's text fingerprints with Spark's NATIVE
+    * `BloomFilterAggregate` (one distributed pass, mergeable sketch),
+    * hand it to the probe side as a scalar subquery, and drop every
+    * incoming doc `BloomFilterMightContain` rules out (no shuffle at all
+    * for the novel majority) before a semi-join verifies the survivors —
+    * so false positives cannot leak into the verdict; the result is
+    * EXACT, the bloom only prices the fast path.
     *
-    * The probe is a Scala UDF by necessity (no built-in bloom-probe
-    * expression); it is a branch-free bit test per row and gates rows
-    * OUT of the only shuffle, which is the trade the pattern exists for.
+    * This is exactly the expression pair Catalyst's own
+    * `InjectRuntimeFilter` plants (subquery-fed bloom build + codegen'd
+    * `might_contain` probe over `xxhash64`): no UDF, no driver-side
+    * filter construction, no plan-embedded filter bytes — the subquery
+    * result is computed once by the engine and shipped like any other
+    * subquery scalar.
     *
-    * Scale: ~1.2 GB of bits per 10^9 keys at 1% fpp — broadcastable for
-    * catalog-scale corpora; beyond that, shard the filter by fingerprint
-    * prefix and probe the shard, same plan shape. Incoming fixture:
-    * verbatim copies of every 10th doc (dups) + reversed text of every
-    * (10k+5)th (novel). */
+    * Scale: ~1.2 GB of bits per 10^9 keys at 1% fpp (raise
+    * `spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold`-
+    * family caps accordingly); beyond that, shard the filter by
+    * fingerprint prefix and probe the shard, same plan shape. Incoming
+    * fixture: verbatim copies of every 10th doc (dups) + reversed text
+    * of every (10k+5)th (novel). */
   def exactGateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{analyzedPlan, column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.BloomFilter
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val incoming = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -610,12 +620,18 @@ object DedupOps {
     // uncached this is 3x the corpus I/O and hashing
     val corpusFp = docs.select(md5(col("text")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nCorpus = corpusFp.count()
-    val bloom = corpusFp.stat.bloomFilter("fp", nCorpus, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val nCorpus = math.max(corpusFp.count(), 1L)
+    val bloomDF = corpusFp.select(column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col("fp")))),
+        Literal(nCorpus),
+        Literal(BloomFilter.optimalNumOfBits(nCorpus, 0.01))
+      ).toAggregateExpression()).as("bloom"))
+    val mightContain = column(BloomFilterMightContain(
+      ScalarSubquery(analyzedPlan(bloomDF)),
+      new XxHash64(Seq(expression(col("fp"))))))
     val inc = incoming.select(col("doc_id"), md5(col("text")).as("fp"))
-    val verified = inc.filter(mightContain(col("fp")))
+    val verified = inc.filter(mightContain)
       .join(corpusFp.distinct(), Seq("fp"), "left_semi")
     val out = inc
       .join(verified.select(col("doc_id"), lit(1L).as("hit")), Seq("doc_id"), "left")

@@ -349,4 +349,174 @@ object ExtractorOracles {
       .sortBy(_.region_id)
     Generic.fromRecords(spark, recs).orderBy("region_id")
   }
+
+  // ------------------------------------------- driver fetch loop (REST)
+
+  /** Driver fetch-loop gate — the [[RestFetch]] machinery itself under
+    * the hash-compare oracle (rest_api_query.py:134-205's execute loop +
+    * mode_paginated_rest_api_query.py:20-71's page detection). Regions
+    * are the outer universe; each region's nations are served in pages
+    * of three, so every region really paginates (full page → fetch the
+    * next, short page → stop). Three failure paths run for real and are
+    * CORRECTNESS-COUPLED, not merely logged: region 2's first page 503s
+    * once and must succeed via the exponential-backoff retry (a broken
+    * retry fails the whole query, not just a row); region 4 always 404s
+    * and the SkipOnStatus handler must drop that outer record exactly
+    * like the reference's `continue` (the oracle excludes region 4); and
+    * URL templating resolves `{rk}` per record. The fetched payloads
+    * land through responsesDF → restApiJoin — the same join path the
+    * production extractor configs use — and the oracle recomputes
+    * (region, page, nation) with a window over `nation`. */
+  def restFetchPages(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val byRegion = nations.groupBy(_._3)
+    val attempts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val re = "stub://api/regions/(\\d+)/nations\\?page=(\\d+)".r
+    val client: HttpClient = url => {
+      attempts(url) += 1
+      url match {
+        case re(rk, _) if rk.toLong == 4L => HttpResponse(404, "no such region")
+        case re(rk, p) if rk.toLong == 2L && p.toInt == 1 && attempts(url) == 1 =>
+          HttpResponse(503, "transient")
+        case re(rk, p) =>
+          val page = byRegion.getOrElse(rk.toLong, Array.empty[(Long, String, Long)])
+            .slice((p.toInt - 1) * 3, p.toInt * 3)
+          HttpResponse(200, page.map { case (nk, nm, _) =>
+            s"""{"nk":$nk,"name":${jstr(nm)}}"""
+          }.mkString("""{"items":[""", ",", "]}"))
+        case other => HttpResponse(404, s"no fixture for $other")
+      }
+    }
+    val outerRecs = Tables(spark, dir, "region")
+      .select(col("r_regionkey").cast("long")).collect().map(_.getLong(0)).sorted
+      .map(k => Map("rk" -> k.toString)).toSeq
+    val fetched = RestFetch.fetchPaginated(outerRecs, "stub://api/regions/{rk}/nations",
+      paginationPath = "items", maxRecordSize = 3, client = client, retry = noSleep,
+      failureHandler = RestFetch.SkipOnStatus(Set(404)))
+    val responses = RestFetch.responsesDF(spark, Seq("rk"), fetched)
+    // join key is (rk, page): each page row fans out into its items;
+    // skipNoResult drops a trailing empty page (a region whose nation
+    // count is an exact multiple of the page size fetches one page past)
+    RestJoin.restApiJoin(
+      outer = responses.select(col("rk"), col("page")),
+      responses = responses,
+      keyCols = Seq("rk", "page"),
+      payloadCol = "payload",
+      payloadSchema = "STRUCT<items: ARRAY<STRUCT<nk: BIGINT, name: STRING>>>",
+      fields = Seq(RestJoin.JsonField("n_nationkey", "items.nk"),
+        RestJoin.JsonField("n_name", "items.name")),
+      skipNoResult = true)
+      .select(col("rk").cast("long").as("r_regionkey"), col("page"),
+        col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Executor-distributed fetch gate — [[RestFetch.fetchDistributed]]
+    * under the oracle: the URL universe is built FROM the nation table
+    * (key and name embedded in the URL), the per-partition client is
+    * constructed executor-side by a serializable factory (a local parser
+    * closure, nothing captured from the driver), and the two failure
+    * routes land as DATA: every nk % 7 == 0 URL is a permanent 404 whose
+    * row carries (status=404, payload=null), and every nk % 5 == 3 URL
+    * 503s on its first attempt so the per-URL retry must recover it on
+    * the same client instance — a broken executor-side retry path would
+    * surface as status 503 rows and fail the hash compare. */
+  def restFetchDistributed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = Tables(spark, dir, "nation")
+      .select(concat(lit("stub://fetch/nation/"), col("n_nationkey"),
+        lit("/"), col("n_name")).as("url")).as[String]
+    val factory: () => HttpClient = () => {
+      val firstAttemptDone = scala.collection.mutable.Set.empty[String]
+      val re = "stub://fetch/nation/([0-9]+)/(.*)".r
+      url => url match {
+        case re(nk, name) =>
+          val k = nk.toLong
+          if (k % 7 == 0) HttpResponse(404, "absent")
+          else if (k % 5 == 3 && firstAttemptDone.add(url)) HttpResponse(503, "transient")
+          else HttpResponse(200, s"""{"nk":$k,"name":"$name"}""")
+        case _ => HttpResponse(404, "no fixture")
+      }
+    }
+    RestFetch.fetchDistributed(urls, factory,
+      retry = RetryPolicy(baseWaitMs = 1L, maxWaitMs = 1L), perPartitionQps = 1e6)
+      .select(
+        regexp_extract(col("url"), "nation/([0-9]+)/", 1).cast("long").as("n_nationkey"),
+        col("status"),
+        get_json_object(col("payload"), "$.name").as("fetched_name"))
+      .orderBy("n_nationkey")
+  }
+
+  // -------------------------------------- pipeline orchestration (e2e)
+
+  /** pid-scoped root for published pipeline stores, deleted on JVM exit
+    * (same hygiene as SimilarityOps' staged IVF store). */
+  private lazy val pipelinePubRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-pipeline-pub-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { try Files.delete(f) catch { case _: Exception => () } })
+        finally walk.close()
+      }
+    }))
+    p
+  }
+
+  /** DefaultTask/DefaultJob orchestration gate — a full
+    * [[graft.pipeline.Pipeline]] LAUNCH (task/task.py:49-77 +
+    * job/job.py:53-88), not just its composed frame: source → chained
+    * transforms (a None-drop filter, a template-substitution key build,
+    * an iterator fan-out, a field removal — one of each reference
+    * transformer shape) → parquet stage sink → atomic CURRENT-marker
+    * publish ([[Stage.atomicRepoint]]) → Callback + statsd hooks. The
+    * returned frame is read back FROM THE PUBLISHED STORE via the
+    * CURRENT marker, so staging, publishing, and the commit protocol all
+    * sit inside the hash compare; the callback/metrics contract is
+    * asserted in-line (exactly one success counter, onSuccess fired). */
+  def pipelineE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Pipeline
+    import graft.sources.Stage
+    val base = pipelinePubRoot.resolve(
+      "pub-" + Integer.toHexString(dir.hashCode)).toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    val gen = s"gen-${System.nanoTime()}"
+    var published = false
+    var succeeded = false
+    val counters = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val pipe = Pipeline(
+      name = "pub-customers",
+      source = s => Tables(s, dir, "customer")
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").cast("long"), col("c_name"), col("n_name"), col("c_acctbal")),
+      transforms = Seq(
+        // None-drop: a transformer returning None filters the record out
+        df => df.filter(col("c_acctbal") >= 0),
+        // TemplateVariableSubstitution: key built from record fields
+        df => df.withColumn("key",
+          concat(lit("tpch://"), col("n_name"), lit("/"), col("c_name"))),
+        // iterator fan-out: one record -> one row per role
+        df => df.withColumn("role", explode(array(lit("owner"), lit("reader")))),
+        // RemoveFieldTransformer
+        df => df.drop("c_name", "n_name")),
+      sink = df => df.write.mode("overwrite").parquet(s"$base/$gen"),
+      publish = () => { Stage.atomicRepoint(base, gen); published = true },
+      onSuccess = () => { succeeded = true },
+      metrics = (k, v) => counters(k) += v)
+    pipe.launch(spark)
+    require(published && succeeded && counters("job.pub-customers.success") == 1L
+      && counters("job.pub-customers.fail") == 0L,
+      "pipeline publish/callback/metrics contract violated")
+    val target = Stage.currentTarget(base).getOrElse(
+      sys.error("no CURRENT marker after publish"))
+    spark.read.parquet(s"$base/$target")
+      .select(col("c_custkey"), col("key"), col("role"), col("c_acctbal"))
+      .orderBy("c_custkey", "role")
+  }
 }

@@ -174,13 +174,50 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("bloom gate probes with the native might_contain expression, not a UDF") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = DedupOps.exactGateBloom(spark, dir)
+    // the verdict frame is persisted+materialized; the probe lives in the
+    // plan under its InMemoryRelation (below AQE wrapper nodes)
+    def findCache(p: SparkPlan): Option[InMemoryTableScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findCache(a.executedPlan)
+      case q: QueryStageExec => findCache(q.plan)
+      case s: InMemoryTableScanExec => Some(s)
+      case _ => p.children.view.flatMap(findCache).headOption
+    }
+    val cached = findCache(out.queryExecution.executedPlan)
+      .getOrElse(fail("bloom gate result is not cached")).relation.cachedPlan
+    // the cached plan is AQE-wrapped too — walk through stage boundaries
+    def flattenAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flattenAll(a.executedPlan)
+      case q: QueryStageExec => p +: flattenAll(q.plan)
+      case _ => p +: p.children.flatMap(flattenAll)
+    }
+    val exprs = flattenAll(cached)
+      .flatMap(_.expressions).flatMap(_.collect { case e => e })
+    assert(exprs.exists(_.isInstanceOf[BloomFilterMightContain]),
+      s"native bloom probe missing from plan:\n$cached")
+    assert(!exprs.exists(_.isInstanceOf[ScalaUDF]),
+      s"ScalaUDF in the bloom gate plan:\n$cached")
+  }
+
   test("no query in the inventory plans a cartesian product") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     // q_neardup_groups executes its fixpoint loop eagerly at construction
     // and returns a checkpoint scan — there is no plan left to inspect
     for ((name, fn) <- SparkEntry.queries if name != "q_neardup_groups") {
-      val plan = physical(fn(spark, dir))
+      val df = fn(spark, dir)
+      val plan = physical(df)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
+      // the whole inventory runs on codegen'd built-ins and native
+      // expressions — a ScalaUDF in a live plan is a regression
+      assert(!df.queryExecution.executedPlan
+          .flatMap(_.expressions).flatMap(_.collect { case u: ScalaUDF => u }).nonEmpty,
+        s"$name carries a ScalaUDF in its live plan")
       // BroadcastNestedLoopJoin is allowed ONLY for (a) the intentional
       // brute-force ANN baseline (20 query vectors, exactness oracle)
       // and the recall report that embeds it as the ground truth, and
