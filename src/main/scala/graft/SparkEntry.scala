@@ -148,6 +148,9 @@ object SparkEntry {
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
     "q_frame_sample" -> ((s, d) => MultimodalOps.frameSample(s, d)),
+    "q_media_decode_meta" -> (MultimodalOps.decodedMetaDF _),
+    "q_media_resize"      -> ((s, d) => MultimodalOps.resizedMetaDF(s, d)),
+    "q_media_chunks"      -> ((s, d) => MultimodalOps.mediaChunks(s, d)),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -1909,6 +1912,38 @@ object SparkEntry {
          FROM documents, (SELECT unnest(range(4)) AS i)
          WHERE octet_length(encode(text)) >= 8
          ORDER BY doc_id, frame_idx""",
+    // Multimodal decode/resize stubs: integer arithmetic recomputed
+    // relationally (width = n % 640, height = n % 480; resize scale in
+    // 1/1024 fixed point, aspect preserved, zero-dimension clamp).
+    "q_media_decode_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+         FROM documents ORDER BY doc_id""",
+    "q_media_resize" ->
+      """SELECT doc_id, n AS n_bytes,
+           CASE WHEN w <= 0 OR h <= 0 THEN 256
+             ELSE CAST(greatest(1, w * least(256*1024//w, 256*1024//h) // 1024) AS INT)
+             END AS width,
+           CASE WHEN w <= 0 OR h <= 0 THEN 256
+             ELSE CAST(greatest(1, h * least(256*1024//w, 256*1024//h) // 1024) AS INT)
+             END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+         FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CAST(octet_length(encode(text)) % 640 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 480 AS INT) AS h
+           FROM documents)
+         ORDER BY doc_id""",
+    // Audio-style hop chunking: overlapping fixed-width windows every
+    // hop bytes, offsets as data.
+    "q_media_chunks" ->
+      """SELECT doc_id, i AS chunk_idx, i * 12 AS offset,
+           substr(hex(encode(text)), CAST(i * 12 AS INT) * 2 + 1, 32) AS chunk_hex
+         FROM documents, LATERAL (SELECT unnest(range(
+           (octet_length(encode(text)) - 16) // 12 + 1)) AS i) t
+         WHERE octet_length(encode(text)) >= 16
+         ORDER BY doc_id, chunk_idx""",
     "q_feast_features" ->
       """SELECT 'feast' AS database_name, 'main' AS cluster, project,
            feature_table, col_name, col_type, sort_order

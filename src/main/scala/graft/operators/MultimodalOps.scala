@@ -88,6 +88,51 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** [[decodedMeta]] as an oracle-checkable frame: the typed
+    * mapPartitions decode path (per-partition codec init, case-class
+    * Encoder) hash-compared against the stub's integer arithmetic
+    * recomputed relationally — the decode PLUMBING is what's under test,
+    * the codec is the declared stub. */
+  def decodedMetaDF(spark: SparkSession, dir: String): DataFrame =
+    decodedMeta(spark, dir).toDF()
+      .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+        col("width"), col("height"), col("format"))
+      .orderBy("doc_id")
+
+  /** [[resizedMeta]] as an oracle-checkable frame — the two-stage
+    * decode→resize mapPartitions chain (both stages partition-local,
+    * nothing shuffles) with the aspect-preserving fixed-point arithmetic
+    * reproduced exactly by the oracle, degenerate (zero-dimension)
+    * assets exercising the clamp branch. */
+  def resizedMetaDF(spark: SparkSession, dir: String, targetW: Int = 256, targetH: Int = 256): DataFrame =
+    resizedMeta(spark, dir, targetW, targetH).toDF()
+      .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+        col("width"), col("height"), col("format"))
+      .orderBy("doc_id")
+
+  /** Audio-style CHUNKING: fixed-width windows every `hop` bytes (width >
+    * hop = overlapping windows, the spectrogram-frame shape) — one output
+    * row per chunk with its byte offset as typed metadata. Like
+    * [[frameSample]] the fan-out is a posexplode over a computed offset
+    * sequence and nothing shuffles: at scale this is the narrow stage
+    * right after ingest, emitting slim (doc, offset, chunk) rows before
+    * any wide op. */
+  def mediaChunks(spark: SparkSession, dir: String, width: Int = 16, hop: Int = 12): DataFrame = {
+    require(width >= 1 && hop >= 1, s"mediaChunks needs positive width/hop (got $width/$hop)")
+    Tables(spark, dir, "documents")
+      .withColumn("media", col("text").cast("binary"))
+      .withColumn("n", length(col("media")).cast("long"))
+      .filter(col("n") >= width)
+      .select(col("doc_id"), col("media"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((n - $width) DIV $hop AS INT)), i -> CAST(i AS BIGINT) * $hop)")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("offset"),
+        expr(s"substring(hex(media), CAST(col * 2 + 1 AS INT), ${width * 2})")
+          .as("chunk_hex"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Oracle-checkable feature extraction over the binary column: byte
     * length, content hash, leading-bytes sample ("frame sample" analog) —
     * pure column expressions so DuckDB can reproduce them. */

@@ -424,6 +424,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       x.width >= 1 && x.height >= 1))
   }
 
+  test("media chunks stride by hop with fixed width and full leading coverage") {
+    val out = graft.operators.MultimodalOps
+      .mediaChunks(spark, "/root/testdata/sf0.001", width = 16, hop = 12).collect()
+    assert(out.nonEmpty)
+    // offsets stride by hop from 0; every chunk is exactly width bytes
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.values.foreach { chunks =>
+      val offs = chunks.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(offs == offs.indices.map(_ * 12L), s"offsets not hop-strided: $offs")
+      assert(chunks.forall(_.getString(3).length == 32)) // 16 bytes = 32 hex chars
+    }
+    // overlapping windows: consecutive chunks share width - hop bytes
+    val one = byDoc.values.find(_.length >= 2).get.sortBy(_.getLong(1))
+    assert(one(0).getString(3).takeRight(8) == one(1).getString(3).take(8),
+      "chunk overlap bytes must match between consecutive windows")
+  }
+
   test("bamboohr XML parse defaults missing fields to empty string") {
     import spark.implicits._
     val parsed = Seq(
