@@ -182,6 +182,7 @@ object SparkEntry {
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_bpe_encode"       -> (TextOps.bpeEncode _),
     "q_quality_logit"    -> (TextOps.qualityLogit _),
+    "q_quality_train"    -> ((s, d) => TextOps.trainQualityModel(s, d)),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -368,6 +369,92 @@ object SparkEntry {
        SELECT node AS node_key, pr AS rank_scaled,
          round(CAST(pr AS DOUBLE) / 1000000000.0, 9) AS pagerank
        FROM r$iters ORDER BY rank_scaled DESC, node_key"""
+  }
+
+  /** Unrolled replay of the fixed-point quality-model training
+    * (TextOps.trainQualityModel): per round, one aggregation computes
+    * the 4 gradient sums + the accuracy of the current weights; the next
+    * round's weights come from scalar subqueries over the previous CTE.
+    * All arithmetic is int64 with toward-zero division (`//` here, `div`
+    * in Spark, `/` on Long on the driver), so the whole optimization is
+    * bit-exact across engines. */
+  private def qualityTrainOracleSql(iters: Int): String = {
+    val FP = 1000000L
+    val gain = 6L
+    val head =
+      s"""WITH raw AS MATERIALIZED (
+           SELECT CAST(CASE WHEN n BETWEEN 10 AND 1000 AND na * 5 >= n * 4
+               AND nreq >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y,
+             least(n, 256) * $FP // 256 AS r_len,
+             nd * $FP // n AS r_ttr,
+             ns * $FP // n AS r_stop,
+             na * $FP // n AS r_alpha
+           FROM (
+             SELECT CAST(len(words) AS BIGINT) AS n,
+               CAST(len(list_distinct(words)) AS BIGINT) AS nd,
+               CAST(len(list_filter(words, w ->
+                 list_contains(['the','a','of','and','is'], w))) AS BIGINT) AS ns,
+               CAST(len(list_filter(words, w ->
+                 regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na,
+               CAST(len(list_filter(['the','a','of','and','is'], m ->
+                 list_contains(words, m))) AS BIGINT) AS nreq
+             FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+                   FROM documents))
+           WHERE n >= 1),
+         nn AS MATERIALIZED (SELECT greatest(COUNT(*), 1) AS n_docs FROM raw),
+         mm AS MATERIALIZED (SELECT
+           CAST(sum(r_len) // (SELECT n_docs FROM nn) AS BIGINT) AS m_len,
+           CAST(sum(r_ttr) // (SELECT n_docs FROM nn) AS BIGINT) AS m_ttr,
+           CAST(sum(r_stop) // (SELECT n_docs FROM nn) AS BIGINT) AS m_stop,
+           CAST(sum(r_alpha) // (SELECT n_docs FROM nn) AS BIGINT) AS m_alpha
+           FROM raw),
+         f AS MATERIALIZED (SELECT y, CAST($FP AS BIGINT) AS x_bias,
+             r_len - (SELECT m_len FROM mm) AS x_len,
+             r_ttr - (SELECT m_ttr FROM mm) AS x_ttr,
+             r_stop - (SELECT m_stop FROM mm) AS x_stop,
+             r_alpha - (SELECT m_alpha FROM mm) AS x_alpha
+           FROM raw),
+         s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w_bias, CAST(0 AS BIGINT) AS w_len,
+           CAST(0 AS BIGINT) AS w_ttr, CAST(0 AS BIGINT) AS w_stop,
+           CAST(0 AS BIGINT) AS w_alpha)"""
+    val rounds = (0 to iters).map { i =>
+      val agg =
+        s""",
+         a$i AS MATERIALIZED (
+           SELECT CAST(sum(err * x_bias // $FP) AS BIGINT) AS g0,
+             CAST(sum(err * x_len // $FP) AS BIGINT) AS g1,
+             CAST(sum(err * x_ttr // $FP) AS BIGINT) AS g2,
+             CAST(sum(err * x_stop // $FP) AS BIGINT) AS g3,
+             CAST(sum(err * x_alpha // $FP) AS BIGINT) AS g4,
+             CAST(sum(CASE WHEN (sig * 2 >= $FP) = (y = 1) THEN 1 ELSE 0 END)
+               AS BIGINT) AS correct
+           FROM (
+             SELECT y, x_bias, x_len, x_ttr, x_stop, x_alpha, sig,
+               y * $FP - sig AS err
+             FROM (
+               SELECT *, greatest(0, least($FP, ${FP / 2} +
+                 (((SELECT w_bias FROM s$i) * x_bias +
+                   (SELECT w_len FROM s$i) * x_len +
+                   (SELECT w_ttr FROM s$i) * x_ttr +
+                   (SELECT w_stop FROM s$i) * x_stop +
+                   (SELECT w_alpha FROM s$i) * x_alpha) // $FP) // 4)) AS sig
+               FROM f)))"""
+      val next = if (i < iters)
+        s""",
+         s${i + 1} AS MATERIALIZED (
+           SELECT (SELECT w_bias FROM s$i) + (SELECT g0 FROM a$i) * $gain // (SELECT n_docs FROM nn) AS w_bias,
+             (SELECT w_len FROM s$i) + (SELECT g1 FROM a$i) * $gain // (SELECT n_docs FROM nn) AS w_len,
+             (SELECT w_ttr FROM s$i) + (SELECT g2 FROM a$i) * $gain // (SELECT n_docs FROM nn) AS w_ttr,
+             (SELECT w_stop FROM s$i) + (SELECT g3 FROM a$i) * $gain // (SELECT n_docs FROM nn) AS w_stop,
+             (SELECT w_alpha FROM s$i) + (SELECT g4 FROM a$i) * $gain // (SELECT n_docs FROM nn) AS w_alpha)"""
+      else ""
+      agg + next
+    }.mkString
+    val selects = (0 to iters).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter, w_bias, w_len, w_ttr, w_stop, w_alpha,
+           (SELECT correct FROM a$i) AS n_correct FROM s$i""")
+      .mkString("\nUNION ALL\n")
+    s"$head$rounds\n$selects\nORDER BY iter"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2204,6 +2291,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_pagerank_lineage" -> pagerankOracleSql(3),
+    "q_quality_train" -> qualityTrainOracleSql(12),
     // hashed-feature linear scorer: integer fixed-point weights summed
     // exactly, one double division per doc
     "q_quality_logit" ->

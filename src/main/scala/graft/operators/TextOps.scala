@@ -838,6 +838,100 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TRAINABLE quality model — where [[qualityLogit]] SCORES with fixed
+    * weights, this TRAINS them: k rounds of full-batch gradient descent
+    * distilling the integer Gopher-style keep rule (word-count window +
+    * alphabetic fraction + required stopwords — the
+    * [[gopherRules]] family) into a 5-weight linear model over cheap
+    * per-doc features (bias, saturated length, type-token ratio,
+    * stopword fraction, alphabetic fraction), each centered on its
+    * corpus mean. This is the production pattern of training a fast
+    * linear proxy of an expensive rule set, run entirely on the engine.
+    *
+    * Determinism at any scale: every quantity lives in 1e6 fixed point
+    * with a HARD sigmoid (clamp(FP/2 + z/4)) instead of exp — the
+    * per-doc error×feature products divide down BEFORE the aggregation,
+    * so each gradient is an integer sum (associative, layout-independent,
+    * no float fold), and Spark's `div`, Scala's `/` on Long, and
+    * DuckDB's `//` all truncate toward zero, so the oracle replays the
+    * whole optimization bit-exactly.
+    *
+    * Scale shape: the PageRank loop discipline applied to training — the
+    * slim feature frame (5 int64 columns) is built and persisted ONCE,
+    * each round is one map-side-combined aggregation to a single row
+    * (gradient + accuracy together, no second pass), and the driver
+    * holds only the 4 weights between rounds. k rounds = k tiny-result
+    * jobs over the cached features at any corpus size. */
+  def trainQualityModel(spark: SparkSession, dir: String, iters: Int = 12): DataFrame =
+    trainQualityModelFrame(Tables(spark, dir, "documents"), iters)
+
+  private[graft] def trainQualityModelFrame(docs: DataFrame, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val FP = 1000000L
+    val gain = 6L // step gain: w += gain * gradient / N (tuned: smooth
+                  // monotone accuracy climb; 16 oscillates, 1 stalls)
+    val raw = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1L)
+      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("ns",
+        size(filter(col("toks"), t => array_contains(lit(EnMarkers.toArray), t))).cast("long"))
+      .withColumn("na",
+        size(filter(col("toks"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("nreq",
+        size(filter(lit(EnMarkers.toArray), m => array_contains(col("toks"), m))).cast("long"))
+      .select(
+        when(col("n") >= 10L && col("n") <= 1000L &&
+          col("na") * 5L >= col("n") * 4L && col("nreq") >= 2L, 1L).otherwise(0L).as("y"),
+        expr(s"least(n, 256L) * ${FP}L div 256L").as("r_len"),
+        expr(s"nd * ${FP}L div n").as("r_ttr"),
+        expr(s"ns * ${FP}L div n").as("r_stop"),
+        expr(s"na * ${FP}L div n").as("r_alpha"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = math.max(raw.count(), 1L)
+    // center the non-bias features on their corpus means (one agg, 4
+    // longs to the driver) — uncentered all-positive features make every
+    // z positive and the model can never leave the all-keep prediction
+    val mRow = raw.agg(sum("r_len"), sum("r_ttr"), sum("r_stop"), sum("r_alpha")).head()
+    val m = (0 to 3).map(j => mRow.getLong(j) / nDocs)
+    val feats = raw.select(col("y"), lit(FP).as("x_bias"),
+      (col("r_len") - m(0)).as("x_len"), (col("r_ttr") - m(1)).as("x_ttr"),
+      (col("r_stop") - m(2)).as("x_stop"), (col("r_alpha") - m(3)).as("x_alpha"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count()
+    raw.unpersist()
+    var w = Vector(0L, 0L, 0L, 0L, 0L) // bias, len, ttr, stop, alpha
+    val trace = Vector.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+    for (i <- 0 to iters) {
+      // one aggregation per round: 5 gradient sums + the accuracy of the
+      // CURRENT weights, together
+      val row = feats
+        .withColumn("z", expr(
+          s"(${w(0)}L * x_bias + ${w(1)}L * x_len + ${w(2)}L * x_ttr + " +
+            s"${w(3)}L * x_stop + ${w(4)}L * x_alpha) div ${FP}L"))
+        .withColumn("sig",
+          expr(s"greatest(0L, least(${FP}L, ${FP / 2}L + z div 4L))"))
+        .withColumn("err", col("y") * FP - col("sig"))
+        .agg(
+          sum(expr(s"err * x_bias div ${FP}L")).as("g0"),
+          sum(expr(s"err * x_len div ${FP}L")).as("g1"),
+          sum(expr(s"err * x_ttr div ${FP}L")).as("g2"),
+          sum(expr(s"err * x_stop div ${FP}L")).as("g3"),
+          sum(expr(s"err * x_alpha div ${FP}L")).as("g4"),
+          sum(when(expr(s"(sig * 2L >= ${FP}L) = (y = 1L)"), 1L).otherwise(0L)).as("correct"))
+        .head()
+      trace += ((i.toLong, w(0), w(1), w(2), w(3), w(4), row.getLong(5)))
+      if (i < iters)
+        w = Vector.tabulate(5)(j => w(j) + row.getLong(j) * gain / nDocs)
+    }
+    feats.unpersist()
+    trace.result()
+      .toDF("iter", "w_bias", "w_len", "w_ttr", "w_stop", "w_alpha", "n_correct")
+      .orderBy("iter")
+  }
+
   /** UniMax-style language-balanced sampling (Chung et al., 2023): each
     * language gets the same token BUDGET, documents are admitted in a
     * deterministic md5-shuffled order until their language's budget is
