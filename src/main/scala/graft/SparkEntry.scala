@@ -144,6 +144,7 @@ object SparkEntry {
     // build→persist→serve lifecycle: index staged as cell-partitioned
     // parquet, search reads only the staged store (same oracle — lossless)
     "q_ann_ivf_topk_staged" -> (SimilarityOps.annIvfTopKStaged _),
+    "q_ann_ivf_upsert"      -> (SimilarityOps.annIvfUpsert _),
     "q_ann_pq_topk"       -> (SimilarityOps.annPqTopK _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
@@ -316,9 +317,14 @@ object SparkEntry {
     * and the staged serving twin (q_ann_ivf_topk_staged), whose parquet
     * round trip is lossless. */
   private def annIvfTopKQuantizedOracleSql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    annIvfTopKQuantizedOracleSqlWith("vec_id < 64")
+
+  /** Same search, centroid universe parameterized — the upsert gate pins
+    * centroids to the BUILD corpus (base ids only). */
+  private def annIvfTopKQuantizedOracleSqlWith(centroidWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        cen AS (SELECT vec_id AS c_id, v AS cv,
-           sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE $centroidWhere),
        cellscore AS (SELECT e.vec_id, e.v, cen.c_id,
            list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
          FROM e CROSS JOIN cen),
@@ -1876,6 +1882,11 @@ object SparkEntry {
     // partitioned by cell) round-trips losslessly, so the staged twin
     // shares the in-memory twin's oracle.
     "q_ann_ivf_topk_staged" -> annIvfTopKQuantizedOracleSql,
+    // Upsert gate: post-upsert store == full corpus, centroids pinned to
+    // the BUILD corpus (base ids only) — replacements carry identical
+    // vectors so the relational recomputation is exact.
+    "q_ann_ivf_upsert" ->
+      annIvfTopKQuantizedOracleSqlWith("vec_id < 64 AND vec_id % 10 <> 0"),
     // Per-query recall of the IVF search vs the brute-force truth: both
     // top-k sets are deterministic, so the fraction is exact.
     "q_ann_ivf_recall" ->

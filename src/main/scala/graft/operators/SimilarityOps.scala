@@ -369,13 +369,24 @@ object SimilarityOps {
     * emits one row per top-cell — the query-side nprobe knob that trades
     * candidate volume for recall. */
   private def ivfCells(spark: SparkSession, dir: String, corpus: DataFrame,
-      probes: Int = 1): DataFrame = {
-    val spark0 = spark
+      probes: Int = 1): DataFrame =
+    assignCells(
+      collectCentroids(Tables(spark, dir, "embeddings")
+        .withColumn("v", asDouble(col("embedding")))
+        .filter(col("vec_id") < 64)),
+      corpus, probes)
+
+  /** The k×d centroid artifact — driver-sized by construction. */
+  private def collectCentroids(src: DataFrame): Array[Array[Double]] = {
+    val spark0 = src.sparkSession
     import spark0.implicits._
-    val centroids: Array[Array[Double]] = Tables(spark, dir, "embeddings")
-      .withColumn("v", asDouble(col("embedding")))
-      .filter(col("vec_id") < 64)
-      .orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
+    src.orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
+  }
+
+  private def assignCells(centroids: Array[Array[Double]], corpus: DataFrame,
+      probes: Int): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
     corpus.select("vec_id", "v").as[(Long, Seq[Double])].mapPartitions { it =>
       val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
       it.flatMap { case (id, v) =>
@@ -576,23 +587,23 @@ object SimilarityOps {
   private[graft] def stagedIvfDir(dir: String): String =
     s"$stagedIvfRoot/${java.lang.Integer.toHexString(dir.hashCode)}"
 
-  def annIvfTopKStaged(spark: SparkSession, dir: String): DataFrame = {
+  /** int8 affine quantization of a (vec_id, v) frame — the serving-store
+    * payload: (vec_id, codes, vmin, scale). */
+  private def int8Codes(e: DataFrame): DataFrame = e
+    .withColumn("vmin", array_min(col("v")))
+    .withColumn("vmax", array_max(col("v")))
+    .withColumn("scale",
+      when(col("vmax") > col("vmin"),
+        (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
+    .withColumn("codes", expr(
+      "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
+    .select(col("vec_id"), col("codes"), col("vmin"), col("scale"))
+
+  /** The serve-time search over a cell-partitioned staged store: read,
+    * dequantize, bucket equi-join the 20-query set, top-5 per query. */
+  private def searchStagedCells(spark: SparkSession, cellsPath: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val out = stagedIvfDir(dir)
-    val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val codes = e
-      .withColumn("vmin", array_min(col("v")))
-      .withColumn("vmax", array_max(col("v")))
-      .withColumn("scale",
-        when(col("vmax") > col("vmin"),
-          (col("vmax") - col("vmin")) / lit(255.0)).otherwise(lit(1.0)))
-      .withColumn("codes", expr(
-        "transform(v, x -> cast(floor((x - vmin) / scale + 0.5d) as bigint))"))
-      .select(col("vec_id"), col("codes"), col("vmin"), col("scale"))
-    ivfCells(spark, dir, e).join(codes, "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
-    val staged = spark.read.parquet(s"$out/cells")
+    val staged = spark.read.parquet(cellsPath)
       .withColumn("dv", expr("transform(codes, c -> c * scale + vmin)"))
       .select(col("cell"), col("vec_id"), col("dv"))
     val q = staged.filter(col("vec_id") < 20)
@@ -607,6 +618,92 @@ object SimilarityOps {
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
+  }
+
+  def annIvfTopKStaged(spark: SparkSession, dir: String): DataFrame = {
+    val out = stagedIvfDir(dir)
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    ivfCells(spark, dir, e).join(int8Codes(e), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/cells")
+    searchStagedCells(spark, s"$out/cells")
+  }
+
+  // ------------------------------------------ incremental IVF upsert
+
+  private[graft] def ivfUpsertStore(dir: String): String =
+    s"${stagedIvfDir(dir)}-upsert/cells"
+
+  private def ivfUpsertCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val all = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // incoming = genuinely new ids (% 10 == 0) + a re-upsert of existing
+    // ids (% 97 == 3) exercising the replace path
+    (all.filter(col("vec_id") % 10 =!= 0),
+      all.filter(col("vec_id") % 10 === 0 || col("vec_id") % 97 === 3))
+  }
+
+  private def ivfUpsertCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val (base, _) = ivfUpsertCorpus(spark, dir)
+    collectCentroids(base.filter(col("vec_id") < 64))
+  }
+
+  /** BUILD phase of the upsert lifecycle: stage the base corpus (all ids
+    * with vec_id % 10 != 0) into a cell-partitioned store whose centroid
+    * artifact is fixed at build time. Returns the store path. */
+  private[graft] def ivfUpsertBuild(spark: SparkSession, dir: String): String = {
+    val (base, _) = ivfUpsertCorpus(spark, dir)
+    val store = ivfUpsertStore(dir)
+    assignCells(ivfUpsertCentroids(spark, dir), base, 1)
+      .join(int8Codes(base), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    store
+  }
+
+  /** UPSERT phase: assign the incoming batch with the STORED centroid
+    * artifact (never re-clustered — the index contract), then rewrite
+    * ONLY the touched cell partitions: surviving rows of those cells
+    * (existing minus re-upserted ids, via anti-join — no driver id set)
+    * unioned with the incoming rows, committed with dynamic partition
+    * overwrite so untouched cell directories keep their exact files.
+    * The rewrite frame is localCheckpointed before the write because it
+    * reads the store it overwrites; its size is bounded by the refresh
+    * batch's touched cells, not the corpus. */
+  private[graft] def ivfUpsertApply(spark: SparkSession, dir: String): Unit = {
+    val (_, incoming) = ivfUpsertCorpus(spark, dir)
+    val store = ivfUpsertStore(dir)
+    val incCells = assignCells(ivfUpsertCentroids(spark, dir), incoming, 1)
+      .join(int8Codes(incoming), "vec_id")
+    val staged = spark.read.parquet(store)
+    val rewritten = staged
+      .join(incCells.select("cell").distinct(), Seq("cell"), "left_semi")
+      .join(incCells.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(incCells.select(staged.columns.map(col): _*))
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten.write.mode("overwrite").partitionBy("cell").parquet(store)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** INCREMENTAL index maintenance — IVF UPSERT: the refresh path every
+    * production ANN deployment needs between full rebuilds. Build the
+    * store from the base corpus, upsert an incoming batch (new ids +
+    * replacements) touching only the affected cell partitions, then
+    * serve from the refreshed store. The post-upsert corpus equals the
+    * full embedding table (replacements carry identical vectors), so
+    * the search shares the staged-IVF oracle shape with the centroid
+    * set pinned to the BUILD corpus — a drifted centroid artifact or a
+    * cell leak would break the hash compare. Untouched-partition
+    * byte-identity is spec-asserted (the StreamPublish discipline
+    * applied to index maintenance). */
+  def annIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    ivfUpsertBuild(spark, dir)
+    ivfUpsertApply(spark, dir)
+    searchStagedCells(spark, ivfUpsertStore(dir))
   }
 
   /** PRODUCT-QUANTIZATION top-k — the byte-code scale path that completes

@@ -29,6 +29,36 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(a == b, "fixed-point training must not depend on data layout")
   }
 
+  test("ivf upsert rewrites only touched cells and replaces without duplicating") {
+    import graft.operators.SimilarityOps
+    val store = SimilarityOps.ivfUpsertBuild(spark, dir)
+    def snapshot(): Map[String, Map[String, (Long, Long)]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(store)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq.groupBy { p =>
+          root.relativize(p).toString.split('/').find(_.startsWith("cell=")).getOrElse("?")
+        }.map { case (cell, ps) =>
+          cell -> ps.map(p => p.toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+        }
+    }
+    val before = snapshot()
+    SimilarityOps.ivfUpsertApply(spark, dir)
+    val after = snapshot()
+    val unchanged = before.keySet.intersect(after.keySet)
+      .filter(c => before(c) == after(c))
+    val changed = after.keySet -- unchanged
+    assert(unchanged.nonEmpty, "every cell partition was rewritten — upsert is not partition-scoped")
+    assert(changed.nonEmpty, "no cell partition changed — the incoming batch landed nowhere")
+    // replace semantics: every vector present exactly once after the
+    // upsert (the % 97 == 3 re-upserted ids must not duplicate)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == 500L && stored.select("vec_id").distinct().count() == 500L)
+  }
+
   test("quality trainer learns: final accuracy beats the all-keep base rate") {
     val trace = TextOps.trainQualityModel(spark, dir)
       .select("iter", "n_correct").collect()
