@@ -184,6 +184,7 @@ object SparkEntry {
     "q_bpe_encode"       -> (TextOps.bpeEncode _),
     "q_quality_logit"    -> (TextOps.qualityLogit _),
     "q_quality_train"    -> ((s, d) => TextOps.trainQualityModel(s, d)),
+    "q_quality_eval"     -> ((s, d) => TextOps.qualityTrainEval(s, d)),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -377,36 +378,47 @@ object SparkEntry {
        FROM r$iters ORDER BY rank_scaled DESC, node_key"""
   }
 
+  /** The raw per-doc label + fixed-point feature extraction, DuckDB form
+    * (mirrors TextOps.rawQualityFeatures), doc universe parameterized so
+    * the train/eval split reuses it. */
+  private def qualityRawFeatureSql(docWhere: String): String = {
+    val FP = 1000000L
+    s"""SELECT CAST(CASE WHEN n BETWEEN 10 AND 1000 AND na * 5 >= n * 4
+             AND nreq >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y,
+           least(n, 256) * $FP // 256 AS r_len,
+           nd * $FP // n AS r_ttr,
+           ns * $FP // n AS r_stop,
+           na * $FP // n AS r_alpha
+         FROM (
+           SELECT CAST(len(words) AS BIGINT) AS n,
+             CAST(len(list_distinct(words)) AS BIGINT) AS nd,
+             CAST(len(list_filter(words, w ->
+               list_contains(['the','a','of','and','is'], w))) AS BIGINT) AS ns,
+             CAST(len(list_filter(words, w ->
+               regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na,
+             CAST(len(list_filter(['the','a','of','and','is'], m ->
+               list_contains(words, m))) AS BIGINT) AS nreq
+           FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+                 FROM documents WHERE $docWhere))
+         WHERE n >= 1"""
+  }
+
   /** Unrolled replay of the fixed-point quality-model training
     * (TextOps.trainQualityModel): per round, one aggregation computes
-    * the 4 gradient sums + the accuracy of the current weights; the next
-    * round's weights come from scalar subqueries over the previous CTE.
-    * All arithmetic is int64 with toward-zero division (`//` here, `div`
-    * in Spark, `/` on Long on the driver), so the whole optimization is
-    * bit-exact across engines. */
-  private def qualityTrainOracleSql(iters: Int): String = {
+    * the 5 gradient sums + the accuracy of the current weights; the next
+    * round's weights come from scalar subqueries over the previous CTE
+    * (all CTEs MATERIALIZED — plain CTEs inline and re-evaluate
+    * exponentially through the subquery chain). All arithmetic is int64
+    * with toward-zero division (`//` here, `div` in Spark, `/` on Long
+    * on the driver), so the whole optimization is bit-exact across
+    * engines. Returns the shared WITH-body; callers append the trace
+    * selects (train gate) or the held-out confusion tail (eval gate). */
+  private def qualityTrainOracleCtes(iters: Int, docWhere: String): String = {
     val FP = 1000000L
     val gain = 6L
     val head =
       s"""WITH raw AS MATERIALIZED (
-           SELECT CAST(CASE WHEN n BETWEEN 10 AND 1000 AND na * 5 >= n * 4
-               AND nreq >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y,
-             least(n, 256) * $FP // 256 AS r_len,
-             nd * $FP // n AS r_ttr,
-             ns * $FP // n AS r_stop,
-             na * $FP // n AS r_alpha
-           FROM (
-             SELECT CAST(len(words) AS BIGINT) AS n,
-               CAST(len(list_distinct(words)) AS BIGINT) AS nd,
-               CAST(len(list_filter(words, w ->
-                 list_contains(['the','a','of','and','is'], w))) AS BIGINT) AS ns,
-               CAST(len(list_filter(words, w ->
-                 regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na,
-               CAST(len(list_filter(['the','a','of','and','is'], m ->
-                 list_contains(words, m))) AS BIGINT) AS nreq
-             FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
-                   FROM documents))
-           WHERE n >= 1),
+           ${qualityRawFeatureSql(docWhere)}),
          nn AS MATERIALIZED (SELECT greatest(COUNT(*), 1) AS n_docs FROM raw),
          mm AS MATERIALIZED (SELECT
            CAST(sum(r_len) // (SELECT n_docs FROM nn) AS BIGINT) AS m_len,
@@ -456,11 +468,46 @@ object SparkEntry {
       else ""
       agg + next
     }.mkString
+    s"$head$rounds"
+  }
+
+  private def qualityTrainOracleSql(iters: Int): String = {
     val selects = (0 to iters).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS iter, w_bias, w_len, w_ttr, w_stop, w_alpha,
            (SELECT correct FROM a$i) AS n_correct FROM s$i""")
       .mkString("\nUNION ALL\n")
-    s"$head$rounds\n$selects\nORDER BY iter"
+    s"${qualityTrainOracleCtes(iters, "TRUE")}\n$selects\nORDER BY iter"
+  }
+
+  /** Train on even doc_ids, evaluate the held-out odd half with the
+    * TRAIN-set means and final weights — one confusion row. */
+  private def qualityEvalOracleSql(iters: Int): String = {
+    val FP = 1000000L
+    s"""${qualityTrainOracleCtes(iters, "doc_id % 2 = 0")},
+       testraw AS MATERIALIZED (
+         ${qualityRawFeatureSql("doc_id % 2 = 1")}),
+       testf AS MATERIALIZED (SELECT y, CAST($FP AS BIGINT) AS x_bias,
+           r_len - (SELECT m_len FROM mm) AS x_len,
+           r_ttr - (SELECT m_ttr FROM mm) AS x_ttr,
+           r_stop - (SELECT m_stop FROM mm) AS x_stop,
+           r_alpha - (SELECT m_alpha FROM mm) AS x_alpha
+         FROM testraw),
+       evalp AS MATERIALIZED (SELECT y,
+           CASE WHEN greatest(0, least($FP, ${FP / 2} +
+             (((SELECT w_bias FROM s$iters) * x_bias +
+               (SELECT w_len FROM s$iters) * x_len +
+               (SELECT w_ttr FROM s$iters) * x_ttr +
+               (SELECT w_stop FROM s$iters) * x_stop +
+               (SELECT w_alpha FROM s$iters) * x_alpha) // $FP) // 4)) * 2 >= $FP
+           THEN 1 ELSE 0 END AS p
+         FROM testf),
+       conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         FROM evalp)
+     SELECT n_test, tp, fp, tn, fn, (tp + tn) * $FP // n_test AS accuracy_ppm FROM conf"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2303,6 +2350,7 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_pagerank_lineage" -> pagerankOracleSql(3),
     "q_quality_train" -> qualityTrainOracleSql(12),
+    "q_quality_eval" -> qualityEvalOracleSql(12),
     // hashed-feature linear scorer: integer fixed-point weights summed
     // exactly, one double division per doc
     "q_quality_logit" ->

@@ -865,30 +865,44 @@ object TextOps {
   def trainQualityModel(spark: SparkSession, dir: String, iters: Int = 12): DataFrame =
     trainQualityModelFrame(Tables(spark, dir, "documents"), iters)
 
-  private[graft] def trainQualityModelFrame(docs: DataFrame, iters: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val FP = 1000000L
-    val gain = 6L // step gain: w += gain * gradient / N (tuned: smooth
-                  // monotone accuracy climb; 16 oscillates, 1 stalls)
-    val raw = docs
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .filter(col("n") >= 1L)
-      .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("ns",
-        size(filter(col("toks"), t => array_contains(lit(EnMarkers.toArray), t))).cast("long"))
-      .withColumn("na",
-        size(filter(col("toks"), w => w.rlike("[A-Za-z]"))).cast("long"))
-      .withColumn("nreq",
-        size(filter(lit(EnMarkers.toArray), m => array_contains(col("toks"), m))).cast("long"))
-      .select(
-        when(col("n") >= 10L && col("n") <= 1000L &&
-          col("na") * 5L >= col("n") * 4L && col("nreq") >= 2L, 1L).otherwise(0L).as("y"),
-        expr(s"least(n, 256L) * ${FP}L div 256L").as("r_len"),
-        expr(s"nd * ${FP}L div n").as("r_ttr"),
-        expr(s"ns * ${FP}L div n").as("r_stop"),
-        expr(s"na * ${FP}L div n").as("r_alpha"))
+  private val qtFP = 1000000L
+  private val qtGain = 6L // step gain: w += gain * gradient / N (tuned:
+                          // smooth monotone accuracy climb; 16
+                          // oscillates, 1 stalls)
+
+  /** Raw (uncentered) per-doc label + fixed-point features. */
+  private def rawQualityFeatures(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", tokens(col("text")))
+    .withColumn("n", size(col("toks")).cast("long"))
+    .filter(col("n") >= 1L)
+    .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+    .withColumn("ns",
+      size(filter(col("toks"), t => array_contains(lit(EnMarkers.toArray), t))).cast("long"))
+    .withColumn("na",
+      size(filter(col("toks"), w => w.rlike("[A-Za-z]"))).cast("long"))
+    .withColumn("nreq",
+      size(filter(lit(EnMarkers.toArray), m => array_contains(col("toks"), m))).cast("long"))
+    .select(
+      when(col("n") >= 10L && col("n") <= 1000L &&
+        col("na") * 5L >= col("n") * 4L && col("nreq") >= 2L, 1L).otherwise(0L).as("y"),
+      expr(s"least(n, 256L) * ${qtFP}L div 256L").as("r_len"),
+      expr(s"nd * ${qtFP}L div n").as("r_ttr"),
+      expr(s"ns * ${qtFP}L div n").as("r_stop"),
+      expr(s"na * ${qtFP}L div n").as("r_alpha"))
+
+  /** Center raw features on the given means (bias column added). */
+  private def centerFeatures(raw: DataFrame, m: Seq[Long]): DataFrame =
+    raw.select(col("y"), lit(qtFP).as("x_bias"),
+      (col("r_len") - m(0)).as("x_len"), (col("r_ttr") - m(1)).as("x_ttr"),
+      (col("r_stop") - m(2)).as("x_stop"), (col("r_alpha") - m(3)).as("x_alpha"))
+
+  /** The training loop: returns (per-round trace rows, final weights,
+    * train-set feature means). Each round is ONE aggregation computing
+    * the 5 gradient sums and the current weights' accuracy together. */
+  private def qualityTrainLoop(docs: DataFrame, iters: Int)
+      : (Seq[(Long, Long, Long, Long, Long, Long, Long)], Vector[Long], Seq[Long]) = {
+    val FP = qtFP
+    val raw = rawQualityFeatures(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = math.max(raw.count(), 1L)
     // center the non-bias features on their corpus means (one agg, 4
@@ -896,17 +910,13 @@ object TextOps {
     // z positive and the model can never leave the all-keep prediction
     val mRow = raw.agg(sum("r_len"), sum("r_ttr"), sum("r_stop"), sum("r_alpha")).head()
     val m = (0 to 3).map(j => mRow.getLong(j) / nDocs)
-    val feats = raw.select(col("y"), lit(FP).as("x_bias"),
-      (col("r_len") - m(0)).as("x_len"), (col("r_ttr") - m(1)).as("x_ttr"),
-      (col("r_stop") - m(2)).as("x_stop"), (col("r_alpha") - m(3)).as("x_alpha"))
+    val feats = centerFeatures(raw, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     feats.count()
     raw.unpersist()
     var w = Vector(0L, 0L, 0L, 0L, 0L) // bias, len, ttr, stop, alpha
     val trace = Vector.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
     for (i <- 0 to iters) {
-      // one aggregation per round: 5 gradient sums + the accuracy of the
-      // CURRENT weights, together
       val row = feats
         .withColumn("z", expr(
           s"(${w(0)}L * x_bias + ${w(1)}L * x_len + ${w(2)}L * x_ttr + " +
@@ -924,12 +934,48 @@ object TextOps {
         .head()
       trace += ((i.toLong, w(0), w(1), w(2), w(3), w(4), row.getLong(5)))
       if (i < iters)
-        w = Vector.tabulate(5)(j => w(j) + row.getLong(j) * gain / nDocs)
+        w = Vector.tabulate(5)(j => w(j) + row.getLong(j) * qtGain / nDocs)
     }
     feats.unpersist()
-    trace.result()
+    (trace.result(), w, m)
+  }
+
+  private[graft] def trainQualityModelFrame(docs: DataFrame, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (trace, _, _) = qualityTrainLoop(docs, iters)
+    trace
       .toDF("iter", "w_bias", "w_len", "w_ttr", "w_stop", "w_alpha", "n_correct")
       .orderBy("iter")
+  }
+
+  /** Leakage-safe TRAIN/EVAL split of the quality model: fit on the even
+    * doc_id half, evaluate on the held-out odd half — the discipline a
+    * production filter ships with (never score the data you fit on, and
+    * center the test features with the TRAIN means, never the test
+    * means). Returns one confusion row (tp/fp/tn/fn + ppm accuracy),
+    * every quantity the same fixed-point integer arithmetic as the
+    * trainer, so the oracle replays fit AND eval bit-exactly. */
+  def qualityTrainEval(spark: SparkSession, dir: String, iters: Int = 12): DataFrame = {
+    val FP = qtFP
+    val docs = Tables(spark, dir, "documents")
+    val (_, w, m) = qualityTrainLoop(docs.filter(col("doc_id") % 2 === 0), iters)
+    val test = centerFeatures(rawQualityFeatures(docs.filter(col("doc_id") % 2 === 1)), m)
+    test
+      .withColumn("z", expr(
+        s"(${w(0)}L * x_bias + ${w(1)}L * x_len + ${w(2)}L * x_ttr + " +
+          s"${w(3)}L * x_stop + ${w(4)}L * x_alpha) div ${FP}L"))
+      .withColumn("pred", expr(
+        s"CASE WHEN greatest(0L, least(${FP}L, ${FP / 2}L + z div 4L)) * 2L >= ${FP}L " +
+          "THEN 1L ELSE 0L END"))
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("pred") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_test"), col("tp"), col("fp"), col("tn"), col("fn"),
+        expr(s"(tp + tn) * ${FP}L div n_test").as("accuracy_ppm"))
   }
 
   /** UniMax-style language-balanced sampling (Chung et al., 2023): each

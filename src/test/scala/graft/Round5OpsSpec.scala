@@ -59,6 +59,17 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(stored.count() == 500L && stored.select("vec_id").distinct().count() == 500L)
   }
 
+  test("held-out eval beats the all-keep base rate (no leakage)") {
+    val r = TextOps.qualityTrainEval(spark, dir).head()
+    val (n, tp, fp, tn, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n == tp + fp + tn + fn)
+    val correct = tp + tn
+    val allKeep = tp + fn // predicting 1 for everything gets the positives
+    assert(correct > allKeep,
+      s"held-out accuracy $correct/$n does not beat all-keep $allKeep/$n")
+  }
+
   test("quality trainer learns: final accuracy beats the all-keep base rate") {
     val trace = TextOps.trainQualityModel(spark, dir)
       .select("iter", "n_correct").collect()
