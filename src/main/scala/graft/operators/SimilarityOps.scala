@@ -662,24 +662,32 @@ object SimilarityOps {
 
   /** UPSERT phase: assign the incoming batch with the STORED centroid
     * artifact (never re-clustered — the index contract), then rewrite
-    * ONLY the touched cell partitions: surviving rows of those cells
-    * (existing minus re-upserted ids, via anti-join — no driver id set)
-    * unioned with the incoming rows, committed with dynamic partition
-    * overwrite so untouched cell directories keep their exact files.
-    * The rewrite frame is localCheckpointed before the write because it
-    * reads the store it overwrites; its size is bounded by the refresh
-    * batch's touched cells, not the corpus. */
+    * ONLY the touched cell partitions: the touched cell ids (bounded by
+    * the centroid count — a driver artifact by design) become a LITERAL
+    * partition filter so the store scan statically prunes to those
+    * directories (plan-asserted; a semi-join here would scan every
+    * cell), surviving rows drop the re-upserted ids via anti-join (no
+    * driver id set — the batch is data-sized), and the union with the
+    * incoming rows commits under dynamic partition overwrite so
+    * untouched cell directories keep their exact files. The rewrite
+    * frame is localCheckpointed before the write because it reads the
+    * store it overwrites; its size is bounded by the refresh batch's
+    * touched cells, not the corpus. */
   private[graft] def ivfUpsertApply(spark: SparkSession, dir: String): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
     val (_, incoming) = ivfUpsertCorpus(spark, dir)
     val store = ivfUpsertStore(dir)
     val incCells = assignCells(ivfUpsertCentroids(spark, dir), incoming, 1)
       .join(int8Codes(incoming), "vec_id")
-    val staged = spark.read.parquet(store)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = incCells.select("cell").distinct().as[Int].collect().sorted
+    val staged = touchedCellRows(spark, store, touched.toSeq)
     val rewritten = staged
-      .join(incCells.select("cell").distinct(), Seq("cell"), "left_semi")
       .join(incCells.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(incCells.select(staged.columns.map(col): _*))
       .localCheckpoint(true)
+    incCells.unpersist()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try rewritten.write.mode("overwrite").partitionBy("cell").parquet(store)
@@ -688,6 +696,14 @@ object SimilarityOps {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** The touched-cell read: a LITERAL cell filter so the partitioned
+    * store scan statically prunes to the touched directories — the
+    * partitionFilters-level contract the spec asserts. */
+  private[graft] def touchedCellRows(spark: SparkSession, store: String,
+      touched: Seq[Int]): DataFrame =
+    spark.read.parquet(store)
+      .filter(col("cell").isin(touched.map(c => c: Any): _*))
 
   /** INCREMENTAL index maintenance — IVF UPSERT: the refresh path every
     * production ANN deployment needs between full rebuilds. Build the

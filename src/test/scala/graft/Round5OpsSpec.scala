@@ -57,6 +57,17 @@ class Round5OpsSpec extends AnyFunSuite {
     // upsert (the % 97 == 3 re-upserted ids must not duplicate)
     val stored = spark.read.parquet(store)
     assert(stored.count() == 500L && stored.select("vec_id").distinct().count() == 500L)
+    // the touched-cell read must statically partition-prune: the scan's
+    // partitionFilters reference `cell`, and only the named directories
+    // survive file listing
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val probe = SimilarityOps.touchedCellRows(spark, store, Seq(1, 2))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "cell"))),
+      s"touched-cell read does not partition-prune:\n${probe.queryExecution.executedPlan}")
   }
 
   test("held-out eval beats the all-keep base rate (no leakage)") {
