@@ -185,6 +185,8 @@ object SparkEntry {
     "q_quality_logit"    -> (TextOps.qualityLogit _),
     "q_quality_train"    -> ((s, d) => TextOps.trainQualityModel(s, d)),
     "q_quality_eval"     -> ((s, d) => TextOps.qualityTrainEval(s, d)),
+    "q_quality_filter_stream" ->
+      (graft.streaming.QualityFilterStream.qualityFilterStreamQuery _),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -383,14 +385,15 @@ object SparkEntry {
     * the train/eval split reuses it. */
   private def qualityRawFeatureSql(docWhere: String): String = {
     val FP = 1000000L
-    s"""SELECT CAST(CASE WHEN n BETWEEN 10 AND 1000 AND na * 5 >= n * 4
+    s"""SELECT doc_id,
+           CAST(CASE WHEN n BETWEEN 10 AND 1000 AND na * 5 >= n * 4
              AND nreq >= 2 THEN 1 ELSE 0 END AS BIGINT) AS y,
            least(n, 256) * $FP // 256 AS r_len,
            nd * $FP // n AS r_ttr,
            ns * $FP // n AS r_stop,
            na * $FP // n AS r_alpha
          FROM (
-           SELECT CAST(len(words) AS BIGINT) AS n,
+           SELECT doc_id, CAST(len(words) AS BIGINT) AS n,
              CAST(len(list_distinct(words)) AS BIGINT) AS nd,
              CAST(len(list_filter(words, w ->
                list_contains(['the','a','of','and','is'], w))) AS BIGINT) AS ns,
@@ -398,9 +401,35 @@ object SparkEntry {
                regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS na,
              CAST(len(list_filter(['the','a','of','and','is'], m ->
                list_contains(words, m))) AS BIGINT) AS nreq
-           FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+           FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
                  FROM documents WHERE $docWhere))
          WHERE n >= 1"""
+  }
+
+  /** Held-out test-feature CTEs (testraw + testf) centered with the
+    * TRAIN means — shared by the eval and streaming-filter oracles. */
+  private def qualityTestfSql: String = {
+    val FP = 1000000L
+    s"""testraw AS MATERIALIZED (
+         ${qualityRawFeatureSql("doc_id % 2 = 1")}),
+       testf AS MATERIALIZED (SELECT doc_id, y, CAST($FP AS BIGINT) AS x_bias,
+           r_len - (SELECT m_len FROM mm) AS x_len,
+           r_ttr - (SELECT m_ttr FROM mm) AS x_ttr,
+           r_stop - (SELECT m_stop FROM mm) AS x_stop,
+           r_alpha - (SELECT m_alpha FROM mm) AS x_alpha
+         FROM testraw)"""
+  }
+
+  /** The hard-sigmoid prediction expression under the s`iters` weights. */
+  private def qualityPredSql(iters: Int): String = {
+    val FP = 1000000L
+    s"""CASE WHEN greatest(0, least($FP, ${FP / 2} +
+         (((SELECT w_bias FROM s$iters) * x_bias +
+           (SELECT w_len FROM s$iters) * x_len +
+           (SELECT w_ttr FROM s$iters) * x_ttr +
+           (SELECT w_stop FROM s$iters) * x_stop +
+           (SELECT w_alpha FROM s$iters) * x_alpha) // $FP) // 4)) * 2 >= $FP
+       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
   }
 
   /** Unrolled replay of the fixed-point quality-model training
@@ -484,23 +513,8 @@ object SparkEntry {
   private def qualityEvalOracleSql(iters: Int): String = {
     val FP = 1000000L
     s"""${qualityTrainOracleCtes(iters, "doc_id % 2 = 0")},
-       testraw AS MATERIALIZED (
-         ${qualityRawFeatureSql("doc_id % 2 = 1")}),
-       testf AS MATERIALIZED (SELECT y, CAST($FP AS BIGINT) AS x_bias,
-           r_len - (SELECT m_len FROM mm) AS x_len,
-           r_ttr - (SELECT m_ttr FROM mm) AS x_ttr,
-           r_stop - (SELECT m_stop FROM mm) AS x_stop,
-           r_alpha - (SELECT m_alpha FROM mm) AS x_alpha
-         FROM testraw),
-       evalp AS MATERIALIZED (SELECT y,
-           CASE WHEN greatest(0, least($FP, ${FP / 2} +
-             (((SELECT w_bias FROM s$iters) * x_bias +
-               (SELECT w_len FROM s$iters) * x_len +
-               (SELECT w_ttr FROM s$iters) * x_ttr +
-               (SELECT w_stop FROM s$iters) * x_stop +
-               (SELECT w_alpha FROM s$iters) * x_alpha) // $FP) // 4)) * 2 >= $FP
-           THEN 1 ELSE 0 END AS p
-         FROM testf),
+       $qualityTestfSql,
+       evalp AS MATERIALIZED (SELECT y, ${qualityPredSql(iters)} AS p FROM testf),
        conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
            CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
            CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -509,6 +523,13 @@ object SparkEntry {
          FROM evalp)
      SELECT n_test, tp, fp, tn, fn, (tp + tn) * $FP // n_test AS accuracy_ppm FROM conf"""
   }
+
+  /** Per-doc predictions of the streaming filter over the held-out half
+    * — the stream is stateless, so the relational replay is exact. */
+  private def qualityFilterStreamOracleSql(iters: Int): String =
+    s"""${qualityTrainOracleCtes(iters, "doc_id % 2 = 0")},
+       $qualityTestfSql
+     SELECT doc_id, y, ${qualityPredSql(iters)} AS pred FROM testf ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter_project" ->
@@ -2351,6 +2372,7 @@ object SparkEntry {
     "q_pagerank_lineage" -> pagerankOracleSql(3),
     "q_quality_train" -> qualityTrainOracleSql(12),
     "q_quality_eval" -> qualityEvalOracleSql(12),
+    "q_quality_filter_stream" -> qualityFilterStreamOracleSql(12),
     // hashed-feature linear scorer: integer fixed-point weights summed
     // exactly, one double division per doc
     "q_quality_logit" ->

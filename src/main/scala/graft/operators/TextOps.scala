@@ -870,7 +870,8 @@ object TextOps {
                           // smooth monotone accuracy climb; 16
                           // oscillates, 1 stalls)
 
-  /** Raw (uncentered) per-doc label + fixed-point features. */
+  /** Raw (uncentered) per-doc label + fixed-point features, doc_id
+    * carried for the scoring paths. */
   private def rawQualityFeatures(docs: DataFrame): DataFrame = docs
     .withColumn("toks", tokens(col("text")))
     .withColumn("n", size(col("toks")).cast("long"))
@@ -883,6 +884,7 @@ object TextOps {
     .withColumn("nreq",
       size(filter(lit(EnMarkers.toArray), m => array_contains(col("toks"), m))).cast("long"))
     .select(
+      col("doc_id"),
       when(col("n") >= 10L && col("n") <= 1000L &&
         col("na") * 5L >= col("n") * 4L && col("nreq") >= 2L, 1L).otherwise(0L).as("y"),
       expr(s"least(n, 256L) * ${qtFP}L div 256L").as("r_len"),
@@ -892,14 +894,30 @@ object TextOps {
 
   /** Center raw features on the given means (bias column added). */
   private def centerFeatures(raw: DataFrame, m: Seq[Long]): DataFrame =
-    raw.select(col("y"), lit(qtFP).as("x_bias"),
+    raw.select(col("doc_id"), col("y"), lit(qtFP).as("x_bias"),
       (col("r_len") - m(0)).as("x_len"), (col("r_ttr") - m(1)).as("x_ttr"),
       (col("r_stop") - m(2)).as("x_stop"), (col("r_alpha") - m(3)).as("x_alpha"))
+
+  /** INFERENCE with a fitted model: per-doc (doc_id, y, pred) under the
+    * given weights and train-set means — the same fixed-point
+    * arithmetic as training, a pure narrow map (no shuffle, no state),
+    * shared by the batch eval and the streaming deployment. */
+  private[graft] def scoreQualityRows(docs: DataFrame, w: Seq[Long], m: Seq[Long]): DataFrame = {
+    val FP = qtFP
+    centerFeatures(rawQualityFeatures(docs), m)
+      .withColumn("z", expr(
+        s"(${w(0)}L * x_bias + ${w(1)}L * x_len + ${w(2)}L * x_ttr + " +
+          s"${w(3)}L * x_stop + ${w(4)}L * x_alpha) div ${FP}L"))
+      .withColumn("pred", expr(
+        s"CASE WHEN greatest(0L, least(${FP}L, ${FP / 2}L + z div 4L)) * 2L >= ${FP}L " +
+          "THEN 1L ELSE 0L END"))
+      .select("doc_id", "y", "pred")
+  }
 
   /** The training loop: returns (per-round trace rows, final weights,
     * train-set feature means). Each round is ONE aggregation computing
     * the 5 gradient sums and the current weights' accuracy together. */
-  private def qualityTrainLoop(docs: DataFrame, iters: Int)
+  private[graft] def qualityTrainLoop(docs: DataFrame, iters: Int)
       : (Seq[(Long, Long, Long, Long, Long, Long, Long)], Vector[Long], Seq[Long]) = {
     val FP = qtFP
     val raw = rawQualityFeatures(docs)
@@ -960,14 +978,7 @@ object TextOps {
     val FP = qtFP
     val docs = Tables(spark, dir, "documents")
     val (_, w, m) = qualityTrainLoop(docs.filter(col("doc_id") % 2 === 0), iters)
-    val test = centerFeatures(rawQualityFeatures(docs.filter(col("doc_id") % 2 === 1)), m)
-    test
-      .withColumn("z", expr(
-        s"(${w(0)}L * x_bias + ${w(1)}L * x_len + ${w(2)}L * x_ttr + " +
-          s"${w(3)}L * x_stop + ${w(4)}L * x_alpha) div ${FP}L"))
-      .withColumn("pred", expr(
-        s"CASE WHEN greatest(0L, least(${FP}L, ${FP / 2}L + z div 4L)) * 2L >= ${FP}L " +
-          "THEN 1L ELSE 0L END"))
+    scoreQualityRows(docs.filter(col("doc_id") % 2 === 1), w, m)
       .agg(
         count(lit(1)).as("n_test"),
         sum(when(col("pred") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("tp"),

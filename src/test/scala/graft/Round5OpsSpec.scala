@@ -70,6 +70,17 @@ class Round5OpsSpec extends AnyFunSuite {
       s"touched-cell read does not partition-prune:\n${probe.queryExecution.executedPlan}")
   }
 
+  test("streaming quality filter matches batch scoring row for row") {
+    val docs = Tables(spark, dir, "documents")
+    val (_, w, m) = TextOps.qualityTrainLoop(docs.filter(col("doc_id") % 2 === 0), 12)
+    val batch = TextOps.scoreQualityRows(docs.filter(col("doc_id") % 2 === 1), w, m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val streamed = graft.streaming.QualityFilterStream
+      .qualityFilterStreamQuery(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream verdicts diverge from batch scoring")
+  }
+
   test("held-out eval beats the all-keep base rate (no leakage)") {
     val r = TextOps.qualityTrainEval(spark, dir).head()
     val (n, tp, fp, tn, fn) =
