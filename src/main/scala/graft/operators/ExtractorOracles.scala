@@ -294,6 +294,11 @@ object ExtractorOracles {
     * extractor, oracle-checked end to end. */
   def catalogLastUpdated(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the managed tables land in the SHARED spark-warehouse directory, so
+    // their physical names are pid-scoped (concurrent graft JVMs — Verify
+    // while Bench runs — must not delete/overwrite each other's store);
+    // the logical table_key the oracle checks strips the pid back out
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val splits = Seq("even" -> 0, "odd" -> 1)
     // unix_date × 86400 over an explicit to_date, never
     // java.sql.Date.toLocalDate — the latter converts through the JVM
@@ -305,7 +310,7 @@ object ExtractorOracles {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .toMap
     splits.foreach { case (nm, par) =>
-      val t = s"gcatlu_$nm"
+      val t = s"gcatlu_${pid}_$nm"
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t)
@@ -316,13 +321,14 @@ object ExtractorOracles {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(t)
     }
     val detail: String => Map[String, String] = name =>
-      splits.collectFirst { case (nm, par) if name.endsWith(s"gcatlu_$nm") =>
+      splits.collectFirst { case (nm, par) if name.endsWith(s"gcatlu_${pid}_$nm") =>
         Map("lastModified" -> epochs(par.toLong).toString)
       }.getOrElse(Map.empty)
     Generic.catalogLastUpdated(spark, "spark", "local", detail = detail)
-      .filter(_.tableKey.contains("gcatlu_"))
+      .filter(_.tableKey.contains(s"gcatlu_${pid}_"))
       .toDF()
-      .select(col("tableKey").as("table_key"),
+      .select(
+        regexp_replace(col("tableKey"), s"gcatlu_${pid}_", "gcatlu_").as("table_key"),
         col("lastUpdatedEpoch").as("last_updated"))
       .orderBy("table_key")
   }
@@ -453,21 +459,8 @@ object ExtractorOracles {
 
   /** pid-scoped root for published pipeline stores, deleted on JVM exit
     * (same hygiene as SimilarityOps' staged IVF store). */
-  private lazy val pipelinePubRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-pipeline-pub-${ProcessHandle.current().pid()}")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => { try Files.delete(f) catch { case _: Exception => () } })
-        finally walk.close()
-      }
-    }))
-    p
-  }
+  private lazy val pipelinePubRoot: java.nio.file.Path =
+    graft.sources.TmpStores.pidScopedRoot("graft-pipeline-pub")
 
   /** DefaultTask/DefaultJob orchestration gate — a full
     * [[graft.pipeline.Pipeline]] LAUNCH (task/task.py:49-77 +
@@ -506,7 +499,18 @@ object ExtractorOracles {
         // RemoveFieldTransformer
         df => df.drop("c_name", "n_name")),
       sink = df => df.write.mode("overwrite").parquet(s"$base/$gen"),
-      publish = () => { Stage.atomicRepoint(base, gen); published = true },
+      publish = () => {
+        Stage.atomicRepoint(base, gen)
+        // prune superseded generations after the repoint — repeated
+        // invocations must not accumulate a full store copy each
+        val walk = java.nio.file.Files.list(java.nio.file.Paths.get(base))
+        try walk.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("gen-") && name != gen)
+            graft.sources.TmpStores.deleteRecursively(p)
+        } finally walk.close()
+        published = true
+      },
       onSuccess = () => { succeeded = true },
       metrics = (k, v) => counters(k) += v)
     pipe.launch(spark)

@@ -568,21 +568,8 @@ object SimilarityOps {
     * searches over different SF dirs interleaved on threads in one JVM get
     * disjoint stores), and the pid-scoped root is deleted on JVM exit so
     * staged stores do not accumulate in tmp across runs. */
-  private lazy val stagedIvfRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-staged-ivf-${ProcessHandle.current().pid()}")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => { try Files.delete(f) catch { case _: Exception => () } })
-        finally walk.close()
-      }
-    }))
-    p
-  }
+  private lazy val stagedIvfRoot: java.nio.file.Path =
+    graft.sources.TmpStores.pidScopedRoot("graft-staged-ivf")
 
   private[graft] def stagedIvfDir(dir: String): String =
     s"$stagedIvfRoot/${java.lang.Integer.toHexString(dir.hashCode)}"
@@ -648,16 +635,20 @@ object SimilarityOps {
     collectCentroids(base.filter(col("vec_id") < 64))
   }
 
+  private def ivfUpsertBuildWith(base: DataFrame,
+      centroids: Array[Array[Double]], store: String): String = {
+    assignCells(centroids, base, 1)
+      .join(int8Codes(base), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(store)
+    store
+  }
+
   /** BUILD phase of the upsert lifecycle: stage the base corpus (all ids
     * with vec_id % 10 != 0) into a cell-partitioned store whose centroid
     * artifact is fixed at build time. Returns the store path. */
   private[graft] def ivfUpsertBuild(spark: SparkSession, dir: String): String = {
     val (base, _) = ivfUpsertCorpus(spark, dir)
-    val store = ivfUpsertStore(dir)
-    assignCells(ivfUpsertCentroids(spark, dir), base, 1)
-      .join(int8Codes(base), "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(store)
-    store
+    ivfUpsertBuildWith(base, ivfUpsertCentroids(spark, dir), ivfUpsertStore(dir))
   }
 
   /** UPSERT phase: assign the incoming batch with the STORED centroid
@@ -674,11 +665,15 @@ object SimilarityOps {
     * store it overwrites; its size is bounded by the refresh batch's
     * touched cells, not the corpus. */
   private[graft] def ivfUpsertApply(spark: SparkSession, dir: String): Unit = {
+    val (_, incoming) = ivfUpsertCorpus(spark, dir)
+    ivfUpsertApplyWith(spark, incoming, ivfUpsertCentroids(spark, dir), ivfUpsertStore(dir))
+  }
+
+  private def ivfUpsertApplyWith(spark: SparkSession, incoming: DataFrame,
+      centroids: Array[Array[Double]], store: String): Unit = {
     val spark0 = spark
     import spark0.implicits._
-    val (_, incoming) = ivfUpsertCorpus(spark, dir)
-    val store = ivfUpsertStore(dir)
-    val incCells = assignCells(ivfUpsertCentroids(spark, dir), incoming, 1)
+    val incCells = assignCells(centroids, incoming, 1)
       .join(int8Codes(incoming), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = incCells.select("cell").distinct().as[Int].collect().sorted
@@ -717,9 +712,16 @@ object SimilarityOps {
     * byte-identity is spec-asserted (the StreamPublish discipline
     * applied to index maintenance). */
   def annIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
-    ivfUpsertBuild(spark, dir)
-    ivfUpsertApply(spark, dir)
-    searchStagedCells(spark, ivfUpsertStore(dir))
+    // the corpus split and the centroid artifact are computed ONCE and
+    // threaded through both phases (build scans + the ~k×d driver
+    // collect are identical by construction — no reason to pay them per
+    // phase)
+    val (base, incoming) = ivfUpsertCorpus(spark, dir)
+    val centroids = collectCentroids(base.filter(col("vec_id") < 64))
+    val store = ivfUpsertStore(dir)
+    ivfUpsertBuildWith(base, centroids, store)
+    ivfUpsertApplyWith(spark, incoming, centroids, store)
+    searchStagedCells(spark, store)
   }
 
   /** PRODUCT-QUANTIZATION top-k — the byte-code scale path that completes

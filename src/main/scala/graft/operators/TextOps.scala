@@ -1057,6 +1057,8 @@ object TextOps {
     * per partition (plus the count), and the semi-join-pruned exact
     * count. */
   def heavyHitters(spark: SparkSession, dir: String, phiPpm: Long = 5000L): DataFrame = {
+    require(phiPpm >= 1L && phiPpm <= 1000000L,
+      s"phiPpm must be in [1, 1000000] (got $phiPpm): it is the frequency threshold in ppm")
     import org.apache.spark.storage.StorageLevel
     val toks = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
@@ -1068,7 +1070,7 @@ object TextOps {
       .agg(mg(col("token")).as("cands"), count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = summary.select(explode(col("cands")).as("token"))
-    toks
+    val out = toks
       .join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
@@ -1076,6 +1078,10 @@ object TextOps {
       .filter(col("freq") * lit(1000000L) >= col("n") * lit(phiPpm))
       .select(col("token"), col("freq"))
       .orderBy("token")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the small hitter set, then drop the sketch row
+    summary.unpersist()
+    out
   }
 
   /** PMI COLLOCATIONS — the statistically-bound word pairs a tokenizer /

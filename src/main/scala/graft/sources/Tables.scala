@@ -57,8 +57,16 @@ object Tables {
         // a non-UTC session must fail loudly rather than read shifted
         // instants.
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"events.ts is TIMESTAMP_NTZ; reading it requires spark.sql.session.timeZone=UTC (got '$tz')")
+        // accept any zero-offset zone id (UTC / Etc/UTC / GMT / +00:00) —
+        // they all give the wall-clock semantics the oracle needs; only a
+        // genuinely shifted zone must fail loudly
+        val zeroOffset =
+          try java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+            java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+              .getTotalSeconds == 0
+          catch { case _: Exception => false }
+        require(zeroOffset,
+          s"events.ts is TIMESTAMP_NTZ; reading it requires a UTC-equivalent spark.sql.session.timeZone (got '$tz')")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }

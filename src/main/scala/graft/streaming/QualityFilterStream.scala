@@ -39,14 +39,6 @@ object QualityFilterStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  private def deleteRecursively(path: java.nio.file.Path): Unit =
-    if (Files.exists(path)) {
-      val walk = Files.walk(path)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { try Files.delete(p) catch { case _: Exception => () } })
-      finally walk.close()
-    }
-
   /** Oracle-gated query: fit on the even doc_id half in batch, then
     * stream the held-out odd half through the filter as two
     * file-per-trigger micro-batches and read the appended verdicts
@@ -56,7 +48,7 @@ object QualityFilterStream {
   def qualityFilterStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     val root = Paths.get(sys.props("java.io.tmpdir"),
       s"graft-qfs-${ProcessHandle.current().pid()}")
-    deleteRecursively(root)
+    graft.sources.TmpStores.deleteRecursively(root)
     Files.createDirectories(root)
     val in = root.resolve("in").toString
     val out = root.resolve("out").toString

@@ -122,10 +122,7 @@ object StreamPublish {
 
   /** Best-effort recursive delete for the harness temp staging dirs. */
   private def deleteRecursively(path: java.nio.file.Path): Unit =
-    if (Files.exists(path)) {
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => try Files.delete(p) catch { case _: Exception => () })
-    }
+    graft.sources.TmpStores.deleteRecursively(path)
 
   /** One micro-batch publish step (exposed for specs): LWW → bucket the
     * incoming keys → MERGE against ONLY the touched buckets' prior rows →
