@@ -2385,10 +2385,8 @@ object SparkEntry {
                  * 2654435761) % 2001 - 1000)) AS BIGINT) AS logit_scaled
            FROM t WHERE len(toks) > 0)
          SELECT doc_id, n_tokens, logit_scaled,
-           round(CAST(logit_scaled AS DOUBLE) / 1000.0 / CAST(n_tokens AS DOUBLE), 6)
-             AS quality_logit,
-           round(CAST(logit_scaled AS DOUBLE) / 1000.0 / CAST(n_tokens AS DOUBLE), 6) > 0.0
-             AS keep
+           logit_scaled * 1000 // n_tokens AS quality_logit_ppm,
+           logit_scaled > 0 AS keep
          FROM p ORDER BY doc_id""",
     // UniMax admission: per-language running token sum over the
     // md5-shuffled order, cut at the budget

@@ -832,9 +832,12 @@ object TextOps {
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         col("logit_scaled"),
-        round(col("logit_scaled").cast("double") / 1000.0
-          / size(col("toks")).cast("double"), 6).as("quality_logit"))
-      .withColumn("keep", col("quality_logit") > 0.0)
+        // per-token mean logit in ppm of the raw (1e-3-scaled) weights —
+        // integer arithmetic end to end: the former round(double, 6)
+        // form hit an exact decimal tie (-937/16000) that Spark and
+        // DuckDB rounded to different sides
+        expr("logit_scaled * 1000L div size(toks)").as("quality_logit_ppm"))
+      .withColumn("keep", col("logit_scaled") > 0L)
       .orderBy("doc_id")
   }
 
