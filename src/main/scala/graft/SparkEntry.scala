@@ -267,7 +267,7 @@ object SparkEntry {
            CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT) AS n_chars
          FROM t WHERE len(toks) > 0)
        SELECT doc_id, n_words, n_bpe_tokens,
-         round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6) AS chars_per_token
+         n_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
        FROM p ORDER BY doc_id"""
   }
 
@@ -288,7 +288,8 @@ object SparkEntry {
          FROM t WHERE len(toks) > 0)
        SELECT lang, CAST(SUM(w_doc) AS BIGINT) AS n_words,
          CAST(SUM(b_doc) AS BIGINT) AS n_bpe_tokens,
-         round(CAST(SUM(b_doc) AS DOUBLE) / CAST(SUM(w_doc) AS DOUBLE), 6) AS fertility
+         (CAST(SUM(b_doc) AS BIGINT) * 1000000) // CAST(SUM(w_doc) AS BIGINT)
+           AS fertility_ppm
        FROM p GROUP BY lang ORDER BY lang"""
   }
 
@@ -1619,12 +1620,12 @@ object SparkEntry {
            FROM p WHERE inter / (tot - inter) >= 0.8),
          x AS (SELECT v.doc_a, v.doc_b, v.jaccard,
              CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS dist,
-             CAST(greatest(length(ca.text), length(cb.text)) AS DOUBLE) AS mx
+             CAST(greatest(length(ca.text), length(cb.text)) AS BIGINT) AS mx
            FROM v JOIN corpus ca ON ca.doc_id = v.doc_a
                   JOIN corpus cb ON cb.doc_id = v.doc_b)
          SELECT doc_a, doc_b, jaccard, dist,
-           round(1.0 - CAST(dist AS DOUBLE) / mx, 6) AS edit_sim,
-           (1.0 - CAST(dist AS DOUBLE) / mx) >= 0.8 AS confirmed
+           (mx - dist) * 1000000 // mx AS edit_sim_ppm,
+           dist * 5 <= mx AS confirmed
          FROM x ORDER BY doc_a, doc_b""",
     // Connected components over the same verified pair set: canonical =
     // min doc_id reachable, via a recursive transitive-closure CTE.
@@ -2470,8 +2471,7 @@ object SparkEntry {
                c -> sqrt(CAST(c AS DOUBLE) / CAST(total_tokens AS DOUBLE)))) AS z
            FROM tot)
          SELECT lang, lang_tokens,
-           round(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
-             AS p_proportional,
+           lang_tokens * 1000000 // total_tokens AS p_proportional_ppm,
            round(sqrt(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) / z, 6)
              AS p_temperature,
            round(sqrt(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) / z
@@ -2550,9 +2550,9 @@ object SparkEntry {
                m -> list_contains(words, m))) AS BIGINT) AS n_required
            FROM t)
          SELECT doc_id, n_words,
-           round(CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
-           round(CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
-           round(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS frac_alpha,
+           sum_len * 1000000 // n_words AS mean_word_len_ppm,
+           n_symbol * 1000000 // n_words AS symbol_ratio_ppm,
+           n_alpha * 1000000 // n_words AS frac_alpha_ppm,
            n_required,
            (n_words >= 10 AND n_words <= 1000) AS pass_word_count,
            (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS pass_word_len,

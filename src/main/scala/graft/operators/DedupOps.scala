@@ -325,12 +325,14 @@ object DedupOps {
       .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .withColumn("edit_sim_raw",
-        lit(1.0) - col("dist").cast("double") /
-          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+      .withColumn("mx",
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("dist"),
-        round(col("edit_sim_raw"), 6).as("edit_sim"),
-        (col("edit_sim_raw") >= 0.8).as("confirmed"))
+        // integer ppm similarity and an integer-exact 0.8 threshold
+        // (dist*5 <= mx ⟺ 1 - dist/mx >= 0.8) — no float compare at the
+        // boundary, no round(double, 6) decimal-tie hazard
+        expr("(mx - dist) * 1000000L div mx").as("edit_sim_ppm"),
+        expr("dist * 5L <= mx").as("confirmed"))
       .orderBy("doc_a", "doc_b")
   }
 

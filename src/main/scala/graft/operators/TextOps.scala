@@ -793,8 +793,9 @@ object TextOps {
         aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w).cast("long"))
           .as("sum_chars"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
-        round(col("sum_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
-          .as("chars_per_token"))
+        // integer ppm, not round(double, 6): rational ratios can land on
+        // exact decimal ties that Spark and DuckDB round apart
+        expr("sum_chars * 1000000L div n_bpe_tokens").as("chars_per_token_ppm"))
       .orderBy("doc_id")
   }
 
@@ -1180,8 +1181,10 @@ object TextOps {
             col("total_tokens").cast("double"))).as("z"))
     langTok.crossJoin(broadcast(norm))
       .select(col("lang"), col("lang_tokens"),
-        round(col("lang_tokens").cast("double") / col("total_tokens").cast("double"), 6)
-          .as("p_proportional"),
+        // pure rational -> integer ppm (decimal-tie-proof); the sqrt
+        // forms below stay round(double, 6) — irrational values cannot
+        // land on a decimal tie
+        expr("lang_tokens * 1000000L div total_tokens").as("p_proportional_ppm"),
         round(sqrt(col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
           / col("z"), 6).as("p_temperature"),
         round(sqrt(col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
@@ -1258,8 +1261,7 @@ object TextOps {
         sum(aggregate(col("toks"), lit(0L), (acc, w) => acc + pieces(w).cast("long")))
           .as("n_bpe_tokens"))
       .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
-        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
-          .as("fertility"))
+        expr("n_bpe_tokens * 1000000L div n_words").as("fertility_ppm"))
       .orderBy("lang")
   }
 
@@ -1312,8 +1314,8 @@ object TextOps {
     * in the fixture and the oracle rebuilds the identical text. Every
     * VERDICT is integer arithmetic (`n_symbol*10 <= n_words`, never a
     * float threshold), so the keep/drop decision is bit-identical on any
-    * engine or executor layout; the reported ratios are IEEE doubles of
-    * the same integers. Pure column expressions over one scan — zero
+    * engine or executor layout; the reported ratios are integer ppm of
+    * the same counts. Pure column expressions over one scan — zero
     * shuffle at any corpus size. Word-count window scaled to the
     * synthetic corpus (10..1000 for the paper's 50..100k). */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
@@ -1344,12 +1346,12 @@ object TextOps {
     val passAlpha     = col("n_alpha") * 5L >= col("n_words") * 4L
     val passRequired  = col("n_required") >= 2L
     t.select(col("doc_id"), col("n_words"),
-        round(col("sum_len").cast("double") / col("n_words").cast("double"), 6)
-          .as("mean_word_len"),
-        round(col("n_symbol").cast("double") / col("n_words").cast("double"), 6)
-          .as("symbol_ratio"),
-        round(col("n_alpha").cast("double") / col("n_words").cast("double"), 6)
-          .as("frac_alpha"),
+        // reported ratios in integer ppm — the verdicts were always
+        // integer-exact; now the ratios are too (no round(double, 6)
+        // decimal-tie hazard)
+        expr("sum_len * 1000000L div n_words").as("mean_word_len_ppm"),
+        expr("n_symbol * 1000000L div n_words").as("symbol_ratio_ppm"),
+        expr("n_alpha * 1000000L div n_words").as("frac_alpha_ppm"),
         col("n_required"),
         passWordCount.as("pass_word_count"),
         passWordLen.as("pass_word_len"),

@@ -91,7 +91,7 @@ class FilterOpsPropSpec extends AnyFunSuite {
   // ---- Gopher rules reference ----
 
   private def refGopher(id: Long, text: String):
-      (Long, Double, Double, Double, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      (Long, Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
     val planted = text +
       (if (id % 8 > 0) " " + ("# " * (id % 8).toInt).stripTrailing() else "")
     val words = toks(planted)
@@ -108,22 +108,21 @@ class FilterOpsPropSpec extends AnyFunSuite {
     val pal = nAlpha * 5L >= nWords * 4L
     val prq = nRequired >= 2L
     (nWords,
-      round6(sumLen.toDouble / nWords.toDouble),
-      round6(nSymbol.toDouble / nWords.toDouble),
-      round6(nAlpha.toDouble / nWords.toDouble),
+      sumLen * 1000000L / nWords,
+      nSymbol * 1000000L / nWords,
+      nAlpha * 1000000L / nWords,
       nRequired, pwc, pwl, psy, pal, prq, pwc && pwl && psy && pal && prq)
   }
 
   test("gopherRulesFrame equals the in-memory reference on random corpora") {
-    // >=1 word per doc: the empty-doc 0/0 ratios are NaN and the corpus
-    // never ships empty documents (the frame would emit NaN columns,
-    // which Map equality cannot compare)
+    // >=1 word per doc: an empty doc's integer ratios divide by zero
+    // (null columns) and the corpus never ships empty documents
     val genNonEmpty = genDocs.map(_.map { case (id, t) =>
       (id, if (toks(t).isEmpty) "alpha" else t) })
     val prop = Prop.forAll(genNonEmpty) { docs =>
       val got = TextOps.gopherRulesFrame(docsDf(docs)).collect()
         .map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5),
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
             r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
             r.getBoolean(10), r.getBoolean(11))))
         .toMap

@@ -186,7 +186,7 @@ class Round4OpsSpec extends AnyFunSuite {
 
   test("temperatureMix weights are a proper distribution that flattens") {
     val rows = TextOps.temperatureMix(spark, dir).collect()
-      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getString(0), r.getLong(2) / 1e6, r.getDouble(3), r.getDouble(4)))
     assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
     // α=0.5 flattens: every language's temperature weight sits between
