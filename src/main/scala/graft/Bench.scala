@@ -87,9 +87,10 @@ object Bench {
     val filterJson = only.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"filter":$filterJson,"sf":"$sfDir"}"""
-    println(json)
-    // stdout tails get truncated by log capture — always also land the
-    // full artifact in a file. A FILTERED run must not clobber the last
+    // stdout tails get truncated by log capture (~2 KB window) — the full
+    // per-query artifact (~16 KB) lives ONLY in the file; stdout gets a
+    // compact summary as the FINAL line so a tail-parser always sees a
+    // complete JSON object. A FILTERED run must not clobber the last
     // full-run artifact others compare per-query values against.
     val defaultOut =
       if (only.isEmpty) "/root/repo/BENCH_LAST.json"
@@ -97,6 +98,8 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"detail":${jstr(outFile)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
