@@ -2079,28 +2079,27 @@ object SparkEntry {
          FROM documents, (SELECT unnest(range(4)) AS i)
          WHERE octet_length(encode(text)) >= 8
          ORDER BY doc_id, frame_idx""",
-    // Multimodal decode/resize stubs: integer arithmetic recomputed
-    // relationally (width = n % 640, height = n % 480; resize scale in
-    // 1/1024 fixed point, aspect preserved, zero-dimension clamp).
+    // Multimodal decode/resize run a REAL javax.imageio codec over
+    // deterministic checkerboard assets; the oracle (which cannot decode
+    // images) replays the generator arithmetic — dims/format/gray derive
+    // from doc_id — and expects the codec round trip to recover it
+    // (px_ok gates pixel fidelity Spark-side: exact for PNG, ±8 JPEG).
     "q_media_decode_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      """SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + doc_id % 32 AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           TRUE AS px_ok
          FROM documents ORDER BY doc_id""",
     "q_media_resize" ->
-      """SELECT doc_id, n AS n_bytes,
-           CASE WHEN w <= 0 OR h <= 0 THEN 256
-             ELSE CAST(greatest(1, w * least(256*1024//w, 256*1024//h) // 1024) AS INT)
-             END AS width,
-           CASE WHEN w <= 0 OR h <= 0 THEN 256
-             ELSE CAST(greatest(1, h * least(256*1024//w, 256*1024//h) // 1024) AS INT)
-             END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-         FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
-             CAST(octet_length(encode(text)) % 640 AS INT) AS w,
-             CAST(octet_length(encode(text)) % 480 AS INT) AS h
-           FROM documents)
+      """SELECT doc_id,
+           CAST(greatest(1, w0 * s // 1024) AS INT) AS width,
+           CAST(greatest(1, h0 * s // 1024) AS INT) AS height,
+           'png' AS format
+         FROM (
+           SELECT doc_id, w0, h0, least(32*1024 // w0, 32*1024 // h0) AS s
+           FROM (SELECT doc_id, 16 + doc_id % 48 AS w0, 16 + doc_id % 32 AS h0
+             FROM documents))
          ORDER BY doc_id""",
     // Audio-style hop chunking: overlapping fixed-width windows every
     // hop bytes, offsets as data.

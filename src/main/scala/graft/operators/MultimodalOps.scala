@@ -5,64 +5,149 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata. The container has no image/audio codecs, so decode is a
-  * clearly-marked deterministic stub — the Spark-side contract (schema,
-  * batch shape, partition-local decode, feature schema) is real and tested.
+  * metadata, decoded with a REAL image codec (`javax.imageio` — PNG and
+  * JPEG, both in the standard JDK). The assets are synthesized
+  * deterministically (a checkerboard whose dimensions, gray level, and
+  * format derive from doc_id by integer arithmetic), so the DuckDB oracle
+  * — which cannot decode images — gates the round trip: Spark encodes
+  * real bytes, decodes them back with the codec, and the recovered
+  * metadata must equal the generator arithmetic replayed relationally.
   *
-  * Scale notes: decode runs in mapPartitions so any native library is
+  * Scale notes: encode/decode run in mapPartitions so codec state is
   * initialized once per partition, not per row; binaries never shuffle —
-  * features are extracted before any wide operation.
+  * metadata/features are extracted before any wide operation. On a real
+  * corpus the synth stage is replaced by the parquet/object-store binary
+  * read; everything downstream is unchanged.
   */
 object MultimodalOps {
 
-  /** A decoded media asset's typed metadata. */
-  case class MediaMeta(docId: Long, nBytes: Long, width: Int, height: Int, format: String)
+  /** An ingested media asset: opaque encoded bytes + its key. */
+  case class MediaAsset(docId: Long, media: Array[Byte])
 
-  /** STUB decode: a real pipeline would decode image bytes here (JAI /
-    * ffmpeg / jpeg lib); this deterministic fake derives metadata from the
-    * byte content so tests are stable. */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length.toLong
-    MediaMeta(id, n, (n % 640).toInt, (n % 480).toInt, if (id % 2 == 0) "png" else "jpeg")
-  }
+  /** A decoded media asset's typed metadata. `pxGray` is the decoded
+    * gray value of pixel (3,3) — interior of the first checkerboard
+    * cell — used for the pixel-fidelity gate. */
+  case class MediaMeta(docId: Long, width: Int, height: Int, format: String, pxGray: Int)
 
-  /** Binary ingestion + partition-local decode via mapPartitions (the
-    * Scala analog of mapInPandas batches). */
-  def decodedMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
-    val spark0 = spark
-    import spark0.implicits._
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition init of a (stubbed) codec would go here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+  /** Real PNG/JPEG codec over deterministic checkerboard assets.
+    *
+    * The checkerboard cell is 8×8 — exactly one JPEG DCT block — and the
+    * gray is achromatic, so every interior block is a solid gray that
+    * JPEG carries in its DC coefficient alone: the decoded interior pixel
+    * is within a couple of counts of the source even through the lossy
+    * path (PNG round-trips exactly). */
+  object MediaCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // no display in any executor; never spill tiny codec buffers to disk
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+
+    def widthOf(id: Long): Int = 16 + (id % 48).toInt  // 16..63
+    def heightOf(id: Long): Int = 16 + (id % 32).toInt // 16..47
+    def grayOf(id: Long): Int = 28 + ((id * 37) % 200).toInt // 28..227
+    def formatOf(id: Long): String = if (id % 2 == 0) "png" else "jpeg"
+
+    /** Synthesize + ENCODE one asset with the real codec. */
+    def encode(id: Long): Array[Byte] = {
+      val w = widthOf(id); val h = heightOf(id); val gA = grayOf(id)
+      val gB = 255 - gA
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = if (((x / 8) + (y / 8)) % 2 == 0) gA else gB
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
       }
-  }
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(img, formatOf(id), out), s"no ${formatOf(id)} writer")
+      out.toByteArray
+    }
 
-  /** STUB resize: a real pipeline would call the imaging library here;
-    * the deterministic fake clamps to the target box preserving aspect
-    * ratio (integer arithmetic, so tests are stable) and keeps the byte
-    * length as the "re-encoded" size. */
-  def resizeStub(m: MediaMeta, targetW: Int, targetH: Int): MediaMeta = {
-    require(targetW > 0 && targetH > 0, "resize target must be positive")
-    if (m.width <= 0 || m.height <= 0) m.copy(width = targetW, height = targetH)
-    else {
-      // scale = min(tw/w, th/h) in 1/1024 fixed point — aspect preserved
-      val s = math.min(targetW * 1024L / m.width, targetH * 1024L / m.height)
-      m.copy(width = math.max(1, (m.width * s / 1024).toInt),
-        height = math.max(1, (m.height * s / 1024).toInt))
+    /** DECODE bytes with the real codec: recover format (from the codec's
+      * reader registry, i.e. the magic bytes — not from any carried
+      * metadata), dimensions, and the probe pixel. */
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no codec recognizes asset $id")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          MediaMeta(id, img.getWidth, img.getHeight,
+            reader.getFormatName.toLowerCase, img.getRGB(3, 3) & 0xff)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** Aspect-preserving target dimensions in 1/1024 fixed point —
+      * integer arithmetic the oracle replays exactly. */
+    def fitBox(w: Int, h: Int, targetW: Int, targetH: Int): (Int, Int) = {
+      val s = math.min(targetW * 1024L / w, targetH * 1024L / h)
+      (math.max(1, (w * s / 1024).toInt), math.max(1, (h * s / 1024).toInt))
+    }
+
+    /** Real resize: decode → Graphics2D scale to the fitBox dims →
+      * re-encode PNG → decode AGAIN and report what the codec recovered
+      * (so the emitted dims went through the full lossy pipeline, not
+      * just the arithmetic). */
+    def resize(id: Long, bytes: Array[Byte], targetW: Int, targetH: Int): MediaMeta = {
+      require(targetW > 0 && targetH > 0, "resize target must be positive")
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val src =
+        try ImageIO.read(iis)
+        finally iis.close()
+      require(src != null, s"no codec recognizes asset $id")
+      val (nw, nh) = fitBox(src.getWidth, src.getHeight, targetW, targetH)
+      val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, nw, nh, null)
+      finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      require(ImageIO.write(dst, "png", out), "no png writer")
+      decode(id, out.toByteArray)
     }
   }
 
-  /** Decode → resize as one partition-local batch stage (codec init once
-    * per partition, binaries never shuffle). */
+  /** Binary ingestion: one real encoded PNG/JPEG per document, built in
+    * mapPartitions (the Scala analog of mapInPandas batches; on a real
+    * corpus this stage is the binary-column read). */
+  def mediaAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaAsset(id, MediaCodec.encode(id))))
+  }
+
+  /** Partition-local REAL decode of the binary column via mapPartitions:
+    * format, dimensions, and the probe pixel all come from the codec
+    * reading the bytes. */
+  def decodedMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    val spark0 = spark
+    import spark0.implicits._
+    mediaAssets(spark, dir).mapPartitions { it =>
+      // codec registry lookup is per-partition state from here on
+      it.map(a => MediaCodec.decode(a.docId, a.media))
+    }
+  }
+
+  /** Decode → real resize → re-encode → re-decode as one partition-local
+    * batch stage (codec init once per partition, binaries never
+    * shuffle). */
   def resizedMeta(spark: SparkSession, dir: String, targetW: Int, targetH: Int): Dataset[MediaMeta] = {
     val spark0 = spark
     import spark0.implicits._
-    decodedMeta(spark, dir).mapPartitions { it =>
-      // per-partition init of the (stubbed) resize codec would go here
-      it.map(m => resizeStub(m, targetW, targetH))
+    mediaAssets(spark, dir).mapPartitions { it =>
+      it.map(a => MediaCodec.resize(a.docId, a.media, targetW, targetH))
     }
   }
 
@@ -88,25 +173,32 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** [[decodedMeta]] as an oracle-checkable frame: the typed
-    * mapPartitions decode path (per-partition codec init, case-class
-    * Encoder) hash-compared against the stub's integer arithmetic
-    * recomputed relationally — the decode PLUMBING is what's under test,
-    * the codec is the declared stub. */
+  /** [[decodedMeta]] as an oracle-checkable frame: the codec-recovered
+    * format and dimensions hash-compare against the generator arithmetic
+    * replayed relationally, and `px_ok` gates pixel fidelity — the
+    * decoded probe pixel must equal the generator gray exactly for PNG
+    * (lossless) and within ±8 for JPEG (a solid achromatic DCT block
+    * survives the lossy path to within a couple of counts). The oracle
+    * expects `px_ok = true` on every row. */
   def decodedMetaDF(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir).toDF()
-      .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
-        col("width"), col("height"), col("format"))
+      .withColumn("expected_gray",
+        (lit(28) + (col("docId") * 37) % 200).cast("int"))
+      .select(col("docId").as("doc_id"), col("width"), col("height"),
+        col("format"),
+        when(col("format") === "png", col("pxGray") === col("expected_gray"))
+          .otherwise(abs(col("pxGray") - col("expected_gray")) <= 8)
+          .as("px_ok"))
       .orderBy("doc_id")
 
-  /** [[resizedMeta]] as an oracle-checkable frame — the two-stage
-    * decode→resize mapPartitions chain (both stages partition-local,
-    * nothing shuffles) with the aspect-preserving fixed-point arithmetic
-    * reproduced exactly by the oracle, degenerate (zero-dimension)
-    * assets exercising the clamp branch. */
-  def resizedMetaDF(spark: SparkSession, dir: String, targetW: Int = 256, targetH: Int = 256): DataFrame =
+  /** [[resizedMeta]] as an oracle-checkable frame — the decode → resize
+    * → re-encode → re-decode chain (all partition-local, nothing
+    * shuffles); the re-decoded dimensions must equal the
+    * aspect-preserving fixed-point arithmetic replayed by the oracle on
+    * the generator dimensions, and the re-encoded format is always PNG. */
+  def resizedMetaDF(spark: SparkSession, dir: String, targetW: Int = 32, targetH: Int = 32): DataFrame =
     resizedMeta(spark, dir, targetW, targetH).toDF()
-      .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+      .select(col("docId").as("doc_id"),
         col("width"), col("height"), col("format"))
       .orderBy("doc_id")
 

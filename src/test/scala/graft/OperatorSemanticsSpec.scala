@@ -413,15 +413,33 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       "hot bucket should be dropped whole, small bucket kept")
   }
 
-  test("stubbed resize preserves aspect ratio within the target box") {
+  test("media codec encodes and decodes real PNG/JPEG bytes round trip") {
+    import graft.operators.MultimodalOps.MediaCodec
+    for (id <- Seq(0L, 1L, 7L, 48L, 123L)) {
+      val bytes = MediaCodec.encode(id)
+      // real container magic, not carried metadata: PNG \x89PNG / JPEG \xFFD8
+      if (id % 2 == 0)
+        assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P', s"asset $id not PNG")
+      else
+        assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+          s"asset $id not JPEG")
+      val m = MediaCodec.decode(id, bytes)
+      assert(m.width == MediaCodec.widthOf(id) && m.height == MediaCodec.heightOf(id))
+      assert(m.format == MediaCodec.formatOf(id))
+      val expected = MediaCodec.grayOf(id)
+      if (id % 2 == 0) assert(m.pxGray == expected, s"png pixel drifted: $m")
+      else assert(math.abs(m.pxGray - expected) <= 8, s"jpeg pixel drifted: $m")
+    }
+  }
+
+  test("real resize preserves aspect ratio within the target box") {
     import graft.operators.MultimodalOps._
-    val m = MediaMeta(1L, 1000L, 640, 480, "png")
-    val r = resizeStub(m, 320, 320)
-    assert(r.width == 320 && r.height == 240) // 2:1.5 aspect kept
-    assert(resizeStub(m.copy(width = 0), 64, 64).width == 64) // degenerate input
-    val out = resizedMeta(spark, "/root/testdata/sf0.001", 64, 64).collect()
-    assert(out.nonEmpty && out.forall(x => x.width <= 64 && x.height <= 64 &&
-      x.width >= 1 && x.height >= 1))
+    // fixed-point box fit: 640x480 into 320x320 -> 320x240 (4:3 kept)
+    assert(MediaCodec.fitBox(640, 480, 320, 320) == ((320, 240)))
+    assert(MediaCodec.fitBox(1, 4000, 64, 64) == ((1, 62))) // width clamps to 1
+    val out = resizedMeta(spark, "/root/testdata/sf0.001", 32, 32).collect()
+    assert(out.nonEmpty && out.forall(x => x.width <= 32 && x.height <= 32 &&
+      x.width >= 1 && x.height >= 1 && x.format == "png"))
   }
 
   test("media chunks stride by hop with fixed width and full leading coverage") {
