@@ -96,10 +96,15 @@ object Bench {
       if (only.isEmpty) "/root/repo/BENCH_LAST.json"
       else "/root/repo/BENCH_LAST.partial.json"
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case _: Throwable => () }
+    // if the artifact write fails, the summary must not dangle a pointer at
+    // a file that isn't there — report detail:null plus the write error
+    val writeError: Option[String] =
+      try { java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n"); None }
+      catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+    val detailJson = if (writeError.isEmpty) jstr(outFile) else "null"
+    val writeErrJson = writeError.map(e => s""","write_error":${jstr(e)}""").getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"detail":${jstr(outFile)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"detail":$detailJson$writeErrJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_delete_relation"     -> (Publish.deleteRelationQuery _),
     "q_edge_endpoint_check" -> (Publish.endpointCheckQuery _),
     "q_stale_sweep"         -> (Publish.staleSweepQuery _),
+    "q_publish_lifecycle"   -> (Publish.publishLifecycleQuery _),
     "q_rds_stale_sweep"     -> (Publish.rdsStaleSweepQuery _),
     "q_neptune_stale_sweep" -> (Publish.neptuneStaleSweepQuery _),
     // §2.7 RDS relational-record universe
@@ -1135,6 +1136,45 @@ object SparkEntry {
          FROM nodes n JOIN r ON n.label = r.label
          WHERE status <> 'F' OR ratio >= 0.40
          GROUP BY n.label ORDER BY label""",
+    // Composed lifecycle: publish(tag_1) → churn publish(tag_2, tag
+    // retention on untouched rows) → guardrailed sweep → re-publish
+    // (tag_3). Full-outer-join merge semantics replayed as CTE chain.
+    "q_publish_lifecycle" ->
+      """WITH a AS MATERIALIZED (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS seg
+           FROM customer WHERE c_custkey % 3 <> 0),
+         b AS MATERIALIZED (
+           SELECT c_custkey AS key, upper(c_name) AS name, c_mktsegment AS seg
+           FROM customer WHERE c_mktsegment <> 'FURNITURE' AND (c_custkey * 7) % 10 < 6),
+         cur2 AS MATERIALIZED (
+           SELECT coalesce(b.key, a.key) AS key,
+             coalesce(b.name, a.name) AS name,
+             coalesce(b.seg, a.seg) AS seg,
+             CASE WHEN b.key IS NOT NULL THEN 'tag_2' ELSE 'tag_1' END AS tag,
+             CASE WHEN b.key IS NOT NULL THEN 2000 ELSE 1000 END AS epoch
+           FROM a FULL OUTER JOIN b ON a.key = b.key),
+         ratios AS MATERIALIZED (
+           SELECT seg, SUM(CASE WHEN tag <> 'tag_2' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r
+           FROM cur2 GROUP BY seg),
+         cur3 AS MATERIALIZED (
+           SELECT cur2.* FROM cur2 JOIN ratios USING (seg)
+           WHERE tag = 'tag_2' OR r >= 0.5),
+         c AS MATERIALIZED (
+           SELECT c_custkey AS key, c_name AS name, c_mktsegment AS seg
+           FROM customer WHERE c_custkey % 5 = 0),
+         cur4 AS MATERIALIZED (
+           SELECT coalesce(c.key, cur3.key) AS key,
+             coalesce(c.name, cur3.name) AS name,
+             coalesce(c.seg, cur3.seg) AS seg,
+             CASE WHEN c.key IS NOT NULL THEN 'tag_3' ELSE cur3.tag END AS tag,
+             CASE WHEN c.key IS NOT NULL THEN 3000 ELSE cur3.epoch END AS epoch
+           FROM cur3 FULL OUTER JOIN c ON cur3.key = c.key)
+         SELECT seg AS label, tag AS published_tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN name = upper(name) THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+           CAST(MIN(epoch) AS BIGINT) AS min_epoch,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch
+         FROM cur4 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_rds_stale_sweep" ->
       """WITH recs AS (
            SELECT 'orders_rec' AS rds_table, o_orderdate AS d FROM orders
@@ -2311,6 +2351,17 @@ object SparkEntry {
            FROM documents GROUP BY lang)
          SELECT lang, n_docs, min_chars, max_chars,
            q[1] AS p25, q[2] AS p50, q[3] AS p75
+         FROM q ORDER BY lang""",
+    // Sketch twin: exact quantiles replayed relationally; within_eps is
+    // Spark's own rank-bracket check of the GK sketch against the exact
+    // sorted group — the oracle expects it TRUE on every row.
+    "q_length_quantiles_approx" ->
+      """WITH q AS (
+           SELECT lang, COUNT(*) AS n_docs,
+             quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS q
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs, q[1] AS p25, q[2] AS p50, q[3] AS p75,
+           TRUE AS within_eps
          FROM q ORDER BY lang""",
     // Decontamination: the eval set is a 200-char excerpt of every 50th
     // document, so both engines rebuild it deterministically; overlap is

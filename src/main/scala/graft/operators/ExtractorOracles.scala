@@ -299,6 +299,23 @@ object ExtractorOracles {
     // while Bench runs — must not delete/overwrite each other's store);
     // the logical table_key the oracle checks strips the pid back out
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    // sweep warehouse dirs left by DEAD pids: the catalog is per-JVM
+    // (in-memory), so a killed run leaves orphan gcatlu_* data dirs with
+    // no table entry — without this they accumulate unboundedly
+    locally {
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orphan = "gcatlu_([0-9a-f]+)_(?:even|odd)".r
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        st.getPath.getName match {
+          case orphan(hex) if hex != pid &&
+              !ProcessHandle.of(java.lang.Long.parseLong(hex, 16))
+                .map[Boolean](_.isAlive).orElse(false) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
     val splits = Seq("even" -> 0, "odd" -> 1)
     // unix_date × 86400 over an explicit to_date, never
     // java.sql.Date.toLocalDate — the latter converts through the JVM

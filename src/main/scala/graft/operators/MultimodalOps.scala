@@ -66,7 +66,26 @@ object MultimodalOps {
         y += 1
       }
       val out = new ByteArrayOutputStream()
-      require(ImageIO.write(img, formatOf(id), out), s"no ${formatOf(id)} writer")
+      formatOf(id) match {
+        case "jpeg" =>
+          // pin the encode quality explicitly: the px_ok ±8 JPEG gate must
+          // not depend on a JDK default that an ImageIO upgrade could move
+          val writers = ImageIO.getImageWritersByFormatName("jpeg")
+          require(writers.hasNext, "no jpeg writer")
+          val writer = writers.next()
+          try {
+            val param = writer.getDefaultWriteParam
+            param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(0.9f)
+            val ios = ImageIO.createImageOutputStream(out)
+            try {
+              writer.setOutput(ios)
+              writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+            } finally ios.close()
+          } finally writer.dispose()
+        case f =>
+          require(ImageIO.write(img, f, out), s"no $f writer")
+      }
       out.toByteArray
     }
 
@@ -101,10 +120,10 @@ object MultimodalOps {
       * just the arithmetic). */
     def resize(id: Long, bytes: Array[Byte], targetW: Int, targetH: Int): MediaMeta = {
       require(targetW > 0 && targetH > 0, "resize target must be positive")
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      val src =
-        try ImageIO.read(iis)
-        finally iis.close()
+      // the InputStream overload manages (and closes) its own image stream;
+      // ImageIO.read(ImageInputStream) closes the caller's stream per its
+      // contract, so a manual finally-close would double-close and throw
+      val src = ImageIO.read(new ByteArrayInputStream(bytes))
       require(src != null, s"no codec recognizes asset $id")
       val (nw, nh) = fitBox(src.getWidth, src.getHeight, targetW, targetH)
       val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)

@@ -409,4 +409,69 @@ object Publish {
       .groupBy("label").agg(count(lit(1)).as("n_kept"))
       .orderBy("label")
   }
+
+  /** COMPOSED staleness lifecycle — the phases the reference runs as one
+    * flow (task/neo4j_staleness_removal_task.py:125-185): publish →
+    * second tagged publish (untouched rows RETAIN their old stamp) →
+    * staleness sweep keyed on the current tag with the per-label
+    * guardrail → re-publish re-creating swept rows. One oracle-gated
+    * query replaying all four phases:
+    *
+    *  1. tag_1 publishes every c_custkey % 3 != 0 customer into empty
+    *     state;
+    *  2. tag_2 re-publishes a 60% churn slice ((key·7)%10 < 6) that
+    *     skips FURNITURE entirely and uppercases the name — touched rows
+    *     re-stamp, untouched keep tag_1;
+    *  3. the sweep (threshold 0.5) deletes tag_1 leftovers in the
+    *     churned labels (stale ratio ≈ 0.3) but the guardrail REFUSES
+    *     the fully-stale FURNITURE label (ratio 1.0 ≥ 0.5) — both
+    *     guardrail branches execute;
+    *  4. tag_3 re-publishes every key % 5 == 0 customer, re-creating
+    *     swept rows and re-stamping survivors.
+    *
+    * Output: per (label, published_tag) row counts + the uppercase-name
+    * count (publish-2's attribute change surviving the merges) + epoch
+    * range. */
+  def publishLifecycleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    def snap(f: Column => Column, nameCol: Column): DataFrame = c
+      .filter(f(col("c_custkey")))
+      .select(col("c_custkey").as("key"), nameCol.as("name"),
+        col("c_mktsegment").as("segment"))
+    // a publish where untouched rows retain their previous stamp: the
+    // merge stamps touched rows; the left join back fills the rest from
+    // the prior state (the reference's MERGE only rewrites rows it hits)
+    def publish(current: DataFrame, incoming: DataFrame, tag: String, epoch: Long): DataFrame = {
+      val merged = mergeUpsert(current.select("key", "name", "segment"),
+        incoming, "key", Seq("name", "segment"), tag, epoch)
+      merged
+        .join(current.select(col("key"),
+          col("published_tag").as("prev_tag"),
+          col("publisher_last_updated_epoch_ms").as("prev_e")), Seq("key"), "left")
+        .withColumn("published_tag",
+          when(col("published_tag") === "", coalesce(col("prev_tag"), lit("")))
+            .otherwise(col("published_tag")))
+        .withColumn("publisher_last_updated_epoch_ms",
+          when(col("publisher_last_updated_epoch_ms") === 0L, coalesce(col("prev_e"), lit(0L)))
+            .otherwise(col("publisher_last_updated_epoch_ms")))
+        .drop("prev_tag", "prev_e")
+    }
+    val empty = snap(_ => lit(false), col("c_name"))
+      .withColumn("published_tag", lit(""))
+      .withColumn("publisher_last_updated_epoch_ms", lit(0L))
+    val cur1 = publish(empty, snap(k => k % 3 =!= 0, col("c_name")), "tag_1", 1000L)
+    val churn = c.filter(col("c_mktsegment") =!= "FURNITURE" &&
+        (col("c_custkey") * 7) % 10 < 6)
+      .select(col("c_custkey").as("key"), upper(col("c_name")).as("name"),
+        col("c_mktsegment").as("segment"))
+    val cur2 = publish(cur1, churn, "tag_2", 2000L)
+    val cur3 = staleSweep(cur2, col("published_tag") =!= "tag_2", "segment", 0.5)
+    val cur4 = publish(cur3, snap(k => k % 5 === 0, col("c_name")), "tag_3", 3000L)
+    cur4.groupBy(col("segment").as("label"), col("published_tag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("name") === upper(col("name")), 1L).otherwise(0L)).as("n_upper"),
+        min(col("publisher_last_updated_epoch_ms")).as("min_epoch"),
+        max(col("publisher_last_updated_epoch_ms")).as("max_epoch"))
+      .orderBy("label", "published_tag")
+  }
 }

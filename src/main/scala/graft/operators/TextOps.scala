@@ -184,21 +184,47 @@ object TextOps {
   }
 
   /** Scale-path twin of [[lengthQuantiles]]: `approx_percentile` runs on
-    * a mergeable KLL-style sketch — bounded memory per group regardless
+    * a mergeable GK-style sketch — bounded memory per group regardless
     * of group size, map-side combinable — where exact `percentile`
     * buffers every value of the group. At fine grains (per-domain,
-    * per-shard) on a 100 TB corpus the sketch is the only viable shape;
-    * the spec bounds its error against the exact answer. */
+    * per-shard) on a 100 TB corpus the sketch is the only viable shape.
+    *
+    * Oracle contract: the emitted quantiles are the EXACT interpolated
+    * ones (replayable relationally); `within_eps` gates the sketch —
+    * each approx value must be an element whose rank is within the GK
+    * guarantee (±n/accuracy, plus interpolation slack) of the target
+    * rank. The oracle recomputes the exact quantiles and expects
+    * `within_eps = true` on every row, so a sketch regression flips a
+    * green row red instead of hiding behind a no-oracle exemption. The
+    * rank bracket reads a sorted collect_list — fine at report grain,
+    * where the exact twin buffers the group anyway. */
   def lengthQuantilesApprox(spark: SparkSession, dir: String,
-      accuracy: Int = 10000): DataFrame =
+      accuracy: Int = 10000): DataFrame = {
+    // rank slack: GK error n/accuracy, +2 elements covering interpolation
+    // and the sketch's element-vs-midpoint convention
+    val slack = s"(CAST(n_docs AS DOUBLE) / $accuracy.0D + 2.0D)"
+    def inBracket(i: Int, p: Double): String = {
+      val r = s"($p * (n_docs - 1))"
+      s"""element_at(ap, $i) >= element_at(sorted,
+            greatest(1, CAST(floor($r - $slack) AS INT) + 1))
+          AND element_at(ap, $i) <= element_at(sorted,
+            least(CAST(n_docs AS INT), CAST(ceil($r + $slack) AS INT) + 1))"""
+    }
     Tables(spark, dir, "documents")
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        expr(s"approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), $accuracy)").as("q"))
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("ex"),
+        expr(s"approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), $accuracy)").as("ap"),
+        sort_array(collect_list(col("n_chars"))).as("sorted"))
+      .withColumn("within_eps",
+        expr(Seq(1 -> 0.25, 2 -> 0.5, 3 -> 0.75)
+          .map { case (i, p) => s"(${inBracket(i, p)})" }.mkString(" AND ")))
       .select(col("lang"), col("n_docs"),
-        col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+        col("ex")(0).as("p25"), col("ex")(1).as("p50"), col("ex")(2).as("p75"),
+        col("within_eps"))
       .orderBy("lang")
+  }
 
   /** Sequence PACKING — the context-window assembly step of a training
     * pipeline: documents (in deterministic doc_id order) are packed into
@@ -930,8 +956,10 @@ object TextOps {
     // center the non-bias features on their corpus means (one agg, 4
     // longs to the driver) — uncentered all-positive features make every
     // z positive and the model can never leave the all-keep prediction
+    // sum() over an empty corpus is NULL — coalesce to 0 so an empty
+    // train split yields a zero-gradient trace instead of an NPE
     val mRow = raw.agg(sum("r_len"), sum("r_ttr"), sum("r_stop"), sum("r_alpha")).head()
-    val m = (0 to 3).map(j => mRow.getLong(j) / nDocs)
+    val m = (0 to 3).map(j => if (mRow.isNullAt(j)) 0L else mRow.getLong(j) / nDocs)
     val feats = centerFeatures(raw, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     feats.count()
@@ -954,9 +982,11 @@ object TextOps {
           sum(expr(s"err * x_alpha div ${FP}L")).as("g4"),
           sum(when(expr(s"(sig * 2L >= ${FP}L) = (y = 1L)"), 1L).otherwise(0L)).as("correct"))
         .head()
-      trace += ((i.toLong, w(0), w(1), w(2), w(3), w(4), row.getLong(5)))
+      // null-safe: the gradient sums are NULL on an empty corpus
+      def lng(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+      trace += ((i.toLong, w(0), w(1), w(2), w(3), w(4), lng(5)))
       if (i < iters)
-        w = Vector.tabulate(5)(j => w(j) + row.getLong(j) * qtGain / nDocs)
+        w = Vector.tabulate(5)(j => w(j) + lng(j) * qtGain / nDocs)
     }
     feats.unpersist()
     (trace.result(), w, m)
@@ -1048,10 +1078,13 @@ object TextOps {
     * survives (any f > N/(k+1) does, and phi·N > N/(k+1) by
     * construction), so ONE aggregation pass builds the mergeable
     * [[graft.functions.MisraGriesAgg]] candidate sketch AND the exact
-    * stream length N together. The exact verify pass then touches only
-    * tokens passing a broadcast semi-join against the k-row candidate
-    * frame — no driver round-trip, no plan-embedded literal set, and the
-    * long-tail majority of the corpus never reaches the shuffle. Output =
+    * stream length N together. That summary is ONE row of ≤ k tokens —
+    * bounded by 1/phi regardless of corpus size — so it comes back to
+    * the driver as a bounded artifact and re-enters the verify pass as a
+    * broadcast local relation: the exact pass touches only tokens
+    * passing the semi-join, the long-tail majority of the corpus never
+    * reaches the shuffle, and the returned frame carries no cached
+    * state. Output =
     * exactly the tokens with freq·1e6 ≥ N·phi (integer-exact; at a
     * ≥10-trillion-token corpus route the product through decimal),
     * deterministic on any layout — the sketch's layout-dependent extras
@@ -1063,29 +1096,30 @@ object TextOps {
   def heavyHitters(spark: SparkSession, dir: String, phiPpm: Long = 5000L): DataFrame = {
     require(phiPpm >= 1L && phiPpm <= 1000000L,
       s"phiPpm must be in [1, 1000000] (got $phiPpm): it is the frequency threshold in ppm")
-    import org.apache.spark.storage.StorageLevel
+    val spark0 = spark
+    import spark0.implicits._
     val toks = Tables(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
     val k = (1000000L / phiPpm).toInt + 1
     val mg = udaf(new graft.functions.MisraGriesAgg(k))
-    // one pass, two artifacts: the candidate sketch and the exact N —
-    // persisted (1 row) so the two consumers below share the computation
-    val summary = toks
+    // one pass, two artifacts: the candidate sketch and the exact N. The
+    // summary is ONE row of at most k tokens — a bounded driver artifact
+    // independent of corpus size (k ≤ 1/phi) — so it is collected rather
+    // than persisted: the returned frame carries no cached state and
+    // re-executing it costs exactly the second (semi-join-pruned) pass.
+    val sRow = toks
       .agg(mg(col("token")).as("cands"), count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = summary.select(explode(col("cands")).as("token"))
-    val out = toks
+      .head()
+    val cands: Seq[String] = sRow.getSeq[String](0)
+    val n: Long = sRow.getLong(1)
+    val candidates = cands.toDF("token")
+    toks
       .join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-      .crossJoin(broadcast(summary.select(col("n"))))
-      .filter(col("freq") * lit(1000000L) >= col("n") * lit(phiPpm))
+      .filter(col("freq") * lit(1000000L) >= lit(n * phiPpm))
       .select(col("token"), col("freq"))
       .orderBy("token")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the small hitter set, then drop the sketch row
-    summary.unpersist()
-    out
   }
 
   /** PMI COLLOCATIONS — the statistically-bound word pairs a tokenizer /

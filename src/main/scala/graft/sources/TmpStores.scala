@@ -20,12 +20,30 @@ private[graft] object TmpStores {
       finally walk.close()
     }
 
-  /** `<tmpdir>/<prefix>-<pid>`, created now, deleted on JVM exit. */
-  def pidScopedRoot(prefix: String): Path = {
-    val p = Paths.get(sys.props("java.io.tmpdir"),
-      s"$prefix-${ProcessHandle.current().pid()}")
+  // one root (and one exit hook) per prefix per JVM — repeat callers of
+  // the same prefix share the memoized path instead of stacking hooks
+  private val roots = scala.collection.concurrent.TrieMap.empty[String, Path]
+
+  /** `<tmpdir>/<prefix>-<pid>`, created now, deleted on JVM exit. Also
+    * sweeps same-prefix siblings left by DEAD pids: the exit hook never
+    * runs on SIGKILL, so without the sweep killed runs accumulate tmp
+    * dirs unboundedly. */
+  def pidScopedRoot(prefix: String): Path = roots.getOrElseUpdate(prefix, {
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val self = ProcessHandle.current().pid()
+    val sib = (prefix + "-(\\d+)").r
+    val listing = Files.list(tmp)
+    try listing.forEach { d =>
+      d.getFileName.toString match {
+        case sib(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          deleteRecursively(d)
+        case _ => ()
+      }
+    } finally listing.close()
+    val p = tmp.resolve(s"$prefix-$self")
     Files.createDirectories(p)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
     p
-  }
+  })
 }

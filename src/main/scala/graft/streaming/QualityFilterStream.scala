@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -46,10 +44,11 @@ object QualityFilterStream {
     * order and SQL-expressible: the oracle replays the fit and predicts
     * each odd doc relationally. */
   def qualityFilterStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-qfs-${ProcessHandle.current().pid()}")
-    graft.sources.TmpStores.deleteRecursively(root)
-    Files.createDirectories(root)
+    // shared pid-scoped root (exit-hook cleanup + dead-sibling sweep);
+    // clear the stream dirs so a repeat invocation starts fresh
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-qfs")
+    Seq("in", "out", "ckpt").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
     val in = root.resolve("in").toString
     val out = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString

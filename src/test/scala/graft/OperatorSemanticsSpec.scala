@@ -682,17 +682,17 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val exact = TextOps.lengthQuantiles(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // new contract: the frame emits the EXACT interpolated quantiles
+    // (oracle-replayable) plus within_eps — the sketch's rank-bracket
+    // self-check that the DuckDB oracle expects TRUE on every row
     val approx = TextOps.lengthQuantilesApprox(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)), r.getBoolean(5))).toMap
     assert(approx.keySet == exact.keySet)
-    // approx_percentile returns an actual value ≤ one rank away at this
-    // accuracy; allow 10% relative slack per quantile
-    approx.foreach { case (lang, (a25, a50, a75)) =>
-      val (e25, e50, e75) = exact(lang)
-      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
-        assert(math.abs(a - e) <= math.max(2.0, e * 0.1),
-          s"$lang approx $a vs exact $e")
-      }
+    approx.foreach { case (lang, ((p25, p50, p75), withinEps)) =>
+      assert((p25, p50, p75) == exact(lang),
+        s"$lang emitted quantiles diverge from the exact twin")
+      assert(withinEps, s"$lang sketch value fell outside its rank bracket")
     }
   }
 

@@ -25,6 +25,26 @@ class PlanShapeSpec extends AnyFunSuite {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // walk EVERY physical node, descending through AQE wrappers, query
+  // stages, and cached-relation boundaries — `executedPlan.flatMap` alone
+  // stops at AdaptiveSparkPlanExec's leaf and inspects nothing beneath it,
+  // which made expression tripwires vacuous for shuffle-bearing queries
+  private def flattenAll(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flattenAll(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flattenAll(q.plan)
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      p +: flattenAll(c.relation.cachedPlan)
+    case _ => p +: p.children.flatMap(flattenAll)
+  }
+
+  private def allExpressions(df: DataFrame)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    flattenAll(df.queryExecution.executedPlan)
+      .flatMap(_.expressions).flatMap(_.collect { case e => e })
+
   test("filter and projection push down into the parquet scan") {
     val plan = physical(Relational.scanFilterProject(spark, dir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
@@ -190,18 +210,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     val cached = findCache(out.queryExecution.executedPlan)
       .getOrElse(fail("bloom gate result is not cached")).relation.cachedPlan
-    // the cached plan is AQE-wrapped too — walk through stage boundaries
-    def flattenAll(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flattenAll(a.executedPlan)
-      case q: QueryStageExec => p +: flattenAll(q.plan)
-      case _ => p +: p.children.flatMap(flattenAll)
-    }
+    // the cached plan is AQE-wrapped too — flattenAll walks stage boundaries
     val exprs = flattenAll(cached)
       .flatMap(_.expressions).flatMap(_.collect { case e => e })
     assert(exprs.exists(_.isInstanceOf[BloomFilterMightContain]),
       s"native bloom probe missing from plan:\n$cached")
     assert(!exprs.exists(_.isInstanceOf[ScalaUDF]),
       s"ScalaUDF in the bloom gate plan:\n$cached")
+  }
+
+  test("ScalaUDF tripwire is not vacuous: a planted UDF inside an AQE-wrapped query is found") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.functions.{col, udf}
+    val twice = udf((x: Long) => x * 2)
+    // groupBy forces a shuffle, so the executed plan is AQE-wrapped: the
+    // UDF sits below AdaptiveSparkPlanExec where the old traversal never
+    // looked. The detector must still see it.
+    val planted = graft.sources.Tables(spark, dir, "nation")
+      .groupBy(col("n_regionkey")).count()
+      .select(twice(col("count")).as("c2"))
+    assert(allExpressions(planted).exists(_.isInstanceOf[ScalaUDF]),
+      "detector failed to find a deliberately planted ScalaUDF under AQE")
   }
 
   test("no query in the inventory plans a cartesian product") {
@@ -214,9 +243,10 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
       // the whole inventory runs on codegen'd built-ins and native
-      // expressions — a ScalaUDF in a live plan is a regression
-      assert(!df.queryExecution.executedPlan
-          .flatMap(_.expressions).flatMap(_.collect { case u: ScalaUDF => u }).nonEmpty,
+      // expressions — a ScalaUDF in a live plan is a regression.
+      // allExpressions descends AQE wrappers: the plain executedPlan
+      // traversal inspected nothing for shuffle-bearing queries
+      assert(!allExpressions(df).exists(_.isInstanceOf[ScalaUDF]),
         s"$name carries a ScalaUDF in its live plan")
       // BroadcastNestedLoopJoin is allowed ONLY for (a) the intentional
       // brute-force ANN baseline (20 query vectors, exactness oracle)

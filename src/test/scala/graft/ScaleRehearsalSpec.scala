@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Scale rehearsals for the iterative loops and the AQE skew path.
+  *
+  * The iterative operators (PageRank's rank fixpoint, the quality
+  * trainer's gradient loop) carry a loop-state frame whose LINEAGE grows
+  * with the iteration count. At a fixed small k that is invisible; the
+  * failure mode this spec guards is superlinear blowup — an analysis /
+  * optimization cost that grows with plan depth faster than the work
+  * itself, which on a long-running cluster job turns a 50-iteration run
+  * into a driver-side stall. The rehearsal runs each loop at a small and
+  * a large k on sf0.01 and bounds the wall-time ratio well above the
+  * linear expectation but far below what any blowup produces.
+  */
+class ScaleRehearsalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.sources.Tables.nanosAsLongConf, "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def timed[A](body: => A): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  test("pagerank wall-time stays ~linear in the iteration count (k=20 rehearsal)") {
+    // warm once so neither measurement pays first-touch codegen/scan cost
+    GraphBuild.pageRankLineage(spark, dir, iters = 2).count()
+    val tSmall = timed(GraphBuild.pageRankLineage(spark, dir, iters = 5).count())
+    val tBig = timed(GraphBuild.pageRankLineage(spark, dir, iters = 20).count())
+    // linear in k predicts ~4x (plus fixed setup making the ratio
+    // smaller); lineage/optimizer blowup is multiplicative per iteration
+    // and blows far past this bound
+    assert(tBig < math.max(8.0 * tSmall, tSmall + 20.0),
+      f"pagerank k=20 took $tBig%.1fs vs k=5 $tSmall%.1fs — superlinear in k")
+  }
+
+  test("quality trainer wall-time stays ~linear in the iteration count (k=50 rehearsal)") {
+    TextOps.trainQualityModel(spark, dir, iters = 2).count()
+    val tSmall = timed(TextOps.trainQualityModel(spark, dir, iters = 10).count())
+    val tBig = timed(TextOps.trainQualityModel(spark, dir, iters = 50).count())
+    // linear predicts ~5x; each round is one agg over a persisted
+    // feature frame, so the only per-round growth is the trace row
+    assert(tBig < math.max(15.0 * tSmall, tSmall + 30.0),
+      f"trainer k=50 took $tBig%.1fs vs k=10 $tSmall%.1fs — superlinear in k")
+  }
+
+  test("AQE splits a planted skewed join partition (OptimizeSkewedJoin fires)") {
+    // a hot key holding ~99% of the left side: post-shuffle, one reducer
+    // partition carries ~20 MB while its siblings carry ~200 KB. With
+    // thresholds lowered to rehearsal scale, AQE must re-plan the sort
+    // merge join with skew-split reads. Relational.saltedJoin stays the
+    // STATIC fallback for engines/paths where AQE is unavailable or the
+    // skew is known ahead of time — this spec documents that the dynamic
+    // path actually engages, so salting is a choice, not a necessity.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select(
+          when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("key"),
+          lpad(col("id").cast("string"), 100, "x").as("payload"))
+      val right = spark.range(2000)
+        .select(col("id").as("key"), lit("dim").as("attr"))
+      val joined = left.join(right, "key")
+      // collect() executes joined's OWN queryExecution (count() would
+      // plan a separate aggregate and leave this one un-finalized).
+      // hot key 0 matches 198001 rows (198000 non-multiples + id=0);
+      // the other multiples of 100 match only below right's 2000 bound
+      assert(joined.collect().length == 198001 + 19)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+        s"OptimizeSkewedJoin did not fire on a planted hot key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

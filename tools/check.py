@@ -38,10 +38,16 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     sqls = json.load(open(f"{outdir}/oracle_sql.json"))
+    errs = {}
+    errpath = f"{outdir}/_errors.json"
+    if os.path.exists(errpath):
+        errs = json.load(open(errpath))
     n_pass = n_fail = 0
     for name, sql in sorted(sqls.items()):
         if only and name not in only:
             continue
+        if name in errs:
+            print(f"ERR  {name}: query threw: {errs[name]}"); n_fail += 1; continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
