@@ -153,6 +153,8 @@ object SparkEntry {
     "q_media_decode_meta" -> (MultimodalOps.decodedMetaDF _),
     "q_media_resize"      -> ((s, d) => MultimodalOps.resizedMetaDF(s, d)),
     "q_media_chunks"      -> ((s, d) => MultimodalOps.mediaChunks(s, d)),
+    "q_audio_decode_meta" -> (MultimodalOps.audioDecodedMetaDF _),
+    "q_audio_frame_energy" -> ((s, d) => MultimodalOps.audioFrameEnergy(s, d)),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -2150,6 +2152,29 @@ object SparkEntry {
            (octet_length(encode(text)) - 16) // 12 + 1)) AS i) t
          WHERE octet_length(encode(text)) >= 16
          ORDER BY doc_id, chunk_idx""",
+    // Audio twin of the image codec gate: Spark encodes REAL RIFF/WAVE
+    // PCM16 bytes and decodes them back with a chunk walker; the oracle
+    // re-derives every sample from the generator arithmetic
+    // ((id*31 + i*17) % 2003 - 1001) via an unnest(range(n)) lateral.
+    "q_audio_decode_meta" ->
+      """SELECT d.doc_id, 8000 AS sample_rate,
+           CAST(64 + d.doc_id % 128 AS INT) AS n_samples,
+           (64 + d.doc_id % 128) * 1000000 // 8000 AS duration_us,
+           CAST(x.peak AS INT) AS peak, CAST(x.energy AS BIGINT) AS energy
+         FROM documents d, LATERAL (
+           SELECT MAX(ABS((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS peak,
+             SUM(((d.doc_id * 31 + i * 17) % 2003 - 1001)
+               * ((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS energy
+           FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x
+         ORDER BY d.doc_id""",
+    "q_audio_frame_energy" ->
+      """SELECT d.doc_id, f.f AS frame_idx,
+           CAST((SELECT SUM(((d.doc_id * 31 + (f.f * 32 + j) * 17) % 2003 - 1001)
+                   * ((d.doc_id * 31 + (f.f * 32 + j) * 17) % 2003 - 1001))
+                 FROM (SELECT unnest(range(64)) AS j)) AS BIGINT) AS energy
+         FROM documents d, LATERAL (
+           SELECT unnest(range((64 + d.doc_id % 128 - 64) // 32 + 1)) AS f) f
+         ORDER BY d.doc_id, frame_idx""",
     "q_feast_features" ->
       """SELECT 'feast' AS database_name, 'main' AS cluster, project,
            feature_table, col_name, col_type, sort_order

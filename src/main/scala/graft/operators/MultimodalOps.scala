@@ -244,6 +244,173 @@ object MultimodalOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** A decoded audio asset's typed metadata: sample rate + length from
+    * the RIFF header, `durationUs` integer-derived, `peak` = max |s|,
+    * `energy` = Σ s² over the decoded PCM samples. */
+  case class AudioMeta(docId: Long, sampleRate: Int, nSamples: Int,
+      durationUs: Long, peak: Int, energy: Long)
+
+  /** REAL RIFF/WAVE PCM16 codec — audio's twin of [[MediaCodec]]. WAV is
+    * a container the JVM parses without any native library: a RIFF chunk
+    * walk to the `fmt ` and `data` chunks, then little-endian 16-bit
+    * samples. The assets are synthesized deterministically (length and
+    * waveform derive from doc_id by integer arithmetic), so the DuckDB
+    * oracle — which cannot read WAV — gates the round trip: Spark
+    * encodes real RIFF bytes, decodes them back with the chunk walker,
+    * and the recovered header fields + sample statistics must equal the
+    * generator arithmetic replayed relationally (an unnest(range(n))
+    * lateral re-deriving every sample). */
+  object AudioCodec {
+    import java.io.ByteArrayOutputStream
+
+    val Rate = 8000
+
+    def nSamplesOf(id: Long): Int = 64 + (id % 128).toInt // 64..191
+    /** Deterministic integer pseudo-waveform in [-1001, 1001]. */
+    def sampleOf(id: Long, i: Int): Int =
+      (((id * 31 + i.toLong * 17) % 2003) - 1001).toInt
+
+    private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+
+    /** Synthesize + ENCODE one asset as a real RIFF/WAVE file (PCM16
+      * little-endian, mono). */
+    def encode(id: Long): Array[Byte] = {
+      val n = nSamplesOf(id)
+      val dataLen = n * 2
+      val out = new ByteArrayOutputStream(44 + dataLen)
+      out.write("RIFF".getBytes("US-ASCII")); le32(out, 36 + dataLen)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); le32(out, 16)
+      le16(out, 1)            // PCM
+      le16(out, 1)            // mono
+      le32(out, Rate)
+      le32(out, Rate * 2)     // byte rate
+      le16(out, 2)            // block align
+      le16(out, 16)           // bits per sample
+      out.write("data".getBytes("US-ASCII")); le32(out, dataLen)
+      var i = 0
+      while (i < n) { le16(out, sampleOf(id, i) & 0xffff); i += 1 }
+      out.toByteArray
+    }
+
+    private def rdLe16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def rdLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** DECODE real WAV bytes: RIFF chunk walk (unknown chunks are
+      * skipped, as the container allows — e.g. a LIST/INFO block before
+      * `data`), strict PCM16-mono validation, then the sample stats. */
+    def decode(id: Long, bytes: Array[Byte]): AudioMeta = {
+      require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        s"asset $id is not a RIFF/WAVE stream")
+      var off = 12
+      var rate = -1; var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+        val id4 = tag(bytes, off); val len = rdLe32(bytes, off + 4)
+        id4 match {
+          case "fmt " =>
+            require(rdLe16(bytes, off + 8) == 1, s"asset $id is not PCM")
+            require(rdLe16(bytes, off + 10) == 1, s"asset $id is not mono")
+            require(rdLe16(bytes, off + 22) == 16, s"asset $id is not 16-bit")
+            rate = rdLe32(bytes, off + 12)
+          case "data" => dataOff = off + 8; dataLen = len
+          case _ => () // skip unknown chunks (LIST, fact, ...)
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, s"asset $id: missing fmt/data chunk")
+      val n = dataLen / 2
+      var peak = 0; var energy = 0L
+      var i = 0
+      while (i < n) {
+        val s = rdLe16(bytes, dataOff + i * 2).toShort.toInt
+        if (math.abs(s) > peak) peak = math.abs(s)
+        energy += s.toLong * s
+        i += 1
+      }
+      AudioMeta(id, rate, n, n.toLong * 1000000L / rate, peak, energy)
+    }
+
+    /** DECODE to the raw PCM samples (same chunk walk as [[decode]]). */
+    def decodeSamples(id: Long, bytes: Array[Byte]): Array[Int] = {
+      require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        s"asset $id is not a RIFF/WAVE stream")
+      var off = 12
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length && dataOff < 0) {
+        val id4 = tag(bytes, off); val len = rdLe32(bytes, off + 4)
+        if (id4 == "data") { dataOff = off + 8; dataLen = len }
+        off += 8 + len + (len & 1)
+      }
+      require(dataOff >= 0, s"asset $id: missing data chunk")
+      Array.tabulate(dataLen / 2)(i => rdLe16(bytes, dataOff + i * 2).toShort.toInt)
+    }
+  }
+
+  /** Partition-local REAL WAV encode → decode: header fields and sample
+    * stats all come from the codec reading the bytes; binaries never
+    * shuffle (the metadata row is extracted before any wide op). */
+  def audioDecodedMeta(spark: SparkSession, dir: String): Dataset[AudioMeta] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => AudioCodec.decode(id, AudioCodec.encode(id))))
+  }
+
+  /** [[audioDecodedMeta]] as an oracle-checkable frame: every emitted
+    * value is codec-recovered, and the oracle re-derives each sample
+    * from the generator arithmetic relationally. */
+  def audioDecodedMetaDF(spark: SparkSession, dir: String): DataFrame =
+    audioDecodedMeta(spark, dir).toDF()
+      .select(col("docId").as("doc_id"), col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"), col("durationUs").as("duration_us"),
+        col("peak"), col("energy"))
+      .orderBy("doc_id")
+
+  /** Windowed frame ENERGY over the decoded samples — the
+    * spectrogram-frame batch shape for audio: fixed `width`-sample
+    * frames every `hop` samples (overlapping), one row per frame. The
+    * decode is partition-local mapPartitions; the frame fan-out and the
+    * per-frame energy fold are codegen'd built-ins (posexplode +
+    * aggregate over slice) — samples never shuffle, only the slim
+    * (doc, frame, energy) rows do. */
+  def audioFrameEnergy(spark: SparkSession, dir: String,
+      width: Int = 64, hop: Int = 32): DataFrame = {
+    require(width >= 1 && hop >= 1, s"audioFrameEnergy needs positive width/hop (got $width/$hop)")
+    val spark0 = spark
+    import spark0.implicits._
+    val samples = Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // encode → decode per row, partition-local: the typed sample
+        // array the relational fan-out consumes comes from the CODEC
+        // reading the RIFF bytes, not from the generator arithmetic
+        it.map { id =>
+          (id, AudioCodec.decodeSamples(id, AudioCodec.encode(id)).map(_.toLong))
+        }
+      }
+      .toDF("doc_id", "s")
+      .filter(size(col("s")) >= width)
+    samples
+      .select(col("doc_id"), col("s"),
+        posexplode(expr(s"sequence(0, CAST((size(s) - $width) DIV $hop AS INT))")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        expr(s"aggregate(slice(s, pos * $hop + 1, $width), 0L, (acc, x) -> acc + x * x)")
+          .as("energy"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Oracle-checkable feature extraction over the binary column: byte
     * length, content hash, leading-bytes sample ("frame sample" analog) —
     * pure column expressions so DuckDB can reproduce them. */

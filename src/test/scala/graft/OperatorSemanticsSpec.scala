@@ -432,6 +432,60 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio codec encodes and decodes real RIFF/WAVE PCM16 round trip") {
+    import graft.operators.MultimodalOps.AudioCodec
+    for (id <- Seq(0L, 1L, 7L, 63L, 128L, 500L)) {
+      val bytes = AudioCodec.encode(id)
+      // real RIFF container magic + canonical 44-byte header framing
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF")
+      assert(new String(bytes, 8, 4, "US-ASCII") == "WAVE")
+      assert(bytes.length == 44 + AudioCodec.nSamplesOf(id) * 2)
+      val m = AudioCodec.decode(id, bytes)
+      assert(m.sampleRate == AudioCodec.Rate && m.nSamples == AudioCodec.nSamplesOf(id))
+      assert(m.durationUs == m.nSamples.toLong * 1000000L / AudioCodec.Rate)
+      val gen = (0 until m.nSamples).map(i => AudioCodec.sampleOf(id, i))
+      assert(m.peak == gen.map(math.abs).max)
+      assert(m.energy == gen.map(s => s.toLong * s).sum)
+      assert(AudioCodec.decodeSamples(id, bytes).toSeq == gen)
+    }
+  }
+
+  test("audio chunk walk skips unknown RIFF chunks before data") {
+    import graft.operators.MultimodalOps.AudioCodec
+    val id = 42L
+    val canonical = AudioCodec.encode(id)
+    // splice an odd-length LIST chunk between fmt and data (word-aligned
+    // per the RIFF spec: 7 payload bytes + 1 pad); a strict 44-byte-header
+    // reader would misparse, a real chunk walker must not
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ "INFOxyz".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = canonical.slice(0, 36) ++ junk ++ canonical.drop(36)
+    // patch the RIFF size field for the inserted bytes
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    assert(AudioCodec.decode(id, spliced) == AudioCodec.decode(id, canonical))
+  }
+
+  test("audio frame energy frames stride by hop and replay the generator") {
+    import graft.operators.MultimodalOps
+    import graft.operators.MultimodalOps.AudioCodec
+    val out = MultimodalOps.audioFrameEnergy(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, frames) =>
+      val n = AudioCodec.nSamplesOf(id)
+      assert(frames.length == (n - 64) / 32 + 1, s"doc $id frame count")
+      frames.foreach { r =>
+        val f = r.getLong(1).toInt
+        val expected = (0 until 64)
+          .map(j => AudioCodec.sampleOf(id, f * 32 + j).toLong)
+          .map(s => s * s).sum
+        assert(r.getLong(2) == expected, s"doc $id frame $f energy")
+      }
+    }
+  }
+
   test("real resize preserves aspect ratio within the target box") {
     import graft.operators.MultimodalOps._
     // fixed-point box fit: 640x480 into 320x320 -> 320x240 (4:3 kept)
