@@ -155,6 +155,7 @@ object SparkEntry {
     "q_media_chunks"      -> ((s, d) => MultimodalOps.mediaChunks(s, d)),
     "q_audio_decode_meta" -> (MultimodalOps.audioDecodedMetaDF _),
     "q_audio_frame_energy" -> ((s, d) => MultimodalOps.audioFrameEnergy(s, d)),
+    "q_video_frames"      -> ((s, d) => MultimodalOps.videoFrames(s, d)),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -2174,6 +2175,17 @@ object SparkEntry {
                  FROM (SELECT unnest(range(64)) AS j)) AS BIGINT) AS energy
          FROM documents d, LATERAL (
            SELECT unnest(range((64 + d.doc_id % 128 - 64) // 32 + 1)) AS f) f
+         ORDER BY d.doc_id, frame_idx""",
+    // Video twin: Spark encodes a REAL animated GIF per doc and decodes
+    // every stride-2 frame back out of the container; the oracle replays
+    // the generator arithmetic with a strided unnest(range).
+    "q_video_frames" ->
+      """SELECT d.doc_id, f.f AS frame_idx,
+           CAST(16 + d.doc_id % 16 AS INT) AS width,
+           CAST(12 + d.doc_id % 12 AS INT) AS height,
+           CAST(16 + (d.doc_id * 13 + f.f * 29) % 224 AS INT) AS gray
+         FROM documents d, LATERAL (
+           SELECT unnest(range(0, 3 + d.doc_id % 5, 2)) AS f) f
          ORDER BY d.doc_id, frame_idx""",
     "q_feast_features" ->
       """SELECT 'feast' AS database_name, 'main' AS cluster, project,

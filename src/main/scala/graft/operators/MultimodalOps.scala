@@ -411,6 +411,108 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** One decoded video frame's typed metadata. `gray` is the decoded
+    * value of pixel (3,3) — exact, because a solid-color frame survives
+    * GIF's palette quantization losslessly. */
+  case class VideoFrame(docId: Long, frameIdx: Int, width: Int, height: Int, gray: Int)
+
+  /** REAL multi-frame container codec — video's stand-in built on the
+    * JDK's animated-GIF support (`javax.imageio` ships a GIF writer with
+    * `writeToSequence` and a reader whose `getNumImages`/`read(i)` walk
+    * the frame sequence). Each asset is a deterministic animated GIF
+    * whose frame count, dimensions, and per-frame gray derive from
+    * doc_id by integer arithmetic, so the DuckDB oracle replays the
+    * generator relationally while Spark must recover it by actually
+    * decoding frames out of the container. */
+  object VideoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def nFramesOf(id: Long): Int = 3 + (id % 5).toInt   // 3..7 frames
+    def widthOf(id: Long): Int = 16 + (id % 16).toInt   // 16..31
+    def heightOf(id: Long): Int = 12 + (id % 12).toInt  // 12..23
+    def frameGrayOf(id: Long, f: Int): Int =
+      16 + ((id * 13 + f.toLong * 29) % 224).toInt      // 16..239
+
+    /** Synthesize + ENCODE one asset as a real animated GIF. */
+    def encode(id: Long): Array[Byte] = {
+      val w = widthOf(id); val h = heightOf(id)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      val writers = ImageIO.getImageWritersByFormatName("gif")
+      require(writers.hasNext, "no gif writer")
+      val writer = writers.next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        val n = nFramesOf(id)
+        while (f < n) {
+          val g = frameGrayOf(id, f)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val gr = img.createGraphics()
+          try { gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, w, h) }
+          finally gr.dispose()
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** DECODE every frame out of the container: the frame count comes
+      * from the reader's sequence walk, dimensions and probe pixel from
+      * each decoded frame. (reader.read does NOT close the caller's
+      * stream — unlike the static ImageIO.read(ImageInputStream).) */
+    def decodeFrames(id: Long, bytes: Array[Byte]): Seq[VideoFrame] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no codec recognizes asset $id")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          require(reader.getFormatName.toLowerCase == "gif",
+            s"asset $id is not a GIF container")
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            VideoFrame(id, f, img.getWidth, img.getHeight, img.getRGB(3, 3) & 0xff)
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** Frame sampling over a REAL multi-frame container: encode → decode
+    * all frames (partition-local mapPartitions, one codec init per
+    * partition, binaries never shuffle) → keep every `stride`-th frame.
+    * The emitted metadata is codec-recovered; the oracle replays the
+    * generator arithmetic with a strided unnest(range). */
+  def videoFrames(spark: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"videoFrames needs a positive stride (got $stride)")
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      // spread the per-asset codec work across cores: the GIF sequence
+      // writer is the cost here and a small doc list otherwise collapses
+      // to one partition. Only the 8-byte ids shuffle — never binaries.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          VideoCodec.decodeFrames(id, VideoCodec.encode(id))
+            .filter(_.frameIdx % stride == 0)
+        }
+      }
+      .toDF()
+      .select(col("docId").as("doc_id"), col("frameIdx").cast("long").as("frame_idx"),
+        col("width"), col("height"), col("gray"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Oracle-checkable feature extraction over the binary column: byte
     * length, content hash, leading-bytes sample ("frame sample" analog) —
     * pure column expressions so DuckDB can reproduce them. */

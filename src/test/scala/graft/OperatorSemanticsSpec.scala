@@ -486,6 +486,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("video codec round-trips real animated GIF frames exactly") {
+    import graft.operators.MultimodalOps.VideoCodec
+    for (id <- Seq(0L, 1L, 4L, 59L, 500L)) {
+      val bytes = VideoCodec.encode(id)
+      // real GIF container magic
+      assert(new String(bytes, 0, 6, "US-ASCII").startsWith("GIF8"))
+      val frames = VideoCodec.decodeFrames(id, bytes)
+      assert(frames.length == VideoCodec.nFramesOf(id), s"asset $id frame count")
+      frames.foreach { fr =>
+        assert(fr.width == VideoCodec.widthOf(id) && fr.height == VideoCodec.heightOf(id))
+        // a solid-color frame survives palette quantization losslessly
+        assert(fr.gray == VideoCodec.frameGrayOf(id, fr.frameIdx),
+          s"asset $id frame ${fr.frameIdx} gray drifted: $fr")
+      }
+    }
+  }
+
   test("real resize preserves aspect ratio within the target box") {
     import graft.operators.MultimodalOps._
     // fixed-point box fit: 640x480 into 320x320 -> 320x240 (4:3 kept)
