@@ -144,6 +144,10 @@ object MultimodalOps {
     import spark0.implicits._
     Tables(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
+      // spread per-asset codec work across cores (a small doc list
+      // otherwise collapses to one partition); only ids shuffle here —
+      // the encoded binaries are born inside their final partition
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(it => it.map(id => MediaAsset(id, MediaCodec.encode(id))))
   }
 
@@ -365,6 +369,7 @@ object MultimodalOps {
     import spark0.implicits._
     Tables(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // ids only; see mediaAssets
       .mapPartitions(it => it.map(id => AudioCodec.decode(id, AudioCodec.encode(id))))
   }
 
@@ -392,6 +397,7 @@ object MultimodalOps {
     import spark0.implicits._
     val samples = Tables(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // ids only; see mediaAssets
       .mapPartitions { it =>
         // encode → decode per row, partition-local: the typed sample
         // array the relational fan-out consumes comes from the CODEC
