@@ -104,9 +104,9 @@ object SparkEntry {
     "q_vocab_topk"      -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q_token_shards"    -> ((s, d) => TextOps.tokenShards(s, d)),
     "q_pack_sequences"  -> ((s, d) => TextOps.packSequences(s, d)),
-    // scale-path twin of the exact quantiles; the KLL sketch is not
-    // SQL-reproducible (error is bounded by spec instead) -> rows-only
-    // check by design. This is the ONLY rows-only query.
+    // scale-path twin of the exact quantiles: emits the exact values +
+    // a within_eps rank-bracket self-check of the GK sketch, so the
+    // DuckDB oracle fully gates it (no rows-only exemption)
     "q_length_quantiles_approx" -> ((s, d) => TextOps.lengthQuantilesApprox(s, d)),
     // int8 twin of q_ann_topk: the affine quantize/dequantize is exact
     // double arithmetic, so it carries a full DuckDB oracle
@@ -182,6 +182,9 @@ object SparkEntry {
     "q_tfidf_topk"       -> ((s, d) => TextOps.tfidfTopK(s, d)),
     "q_length_quantiles" -> (TextOps.lengthQuantiles _),
     "q_decontaminate"    -> (DedupOps.decontaminate _),
+    // bloom-prefiltered twin: same verdicts, corpus shingles gated by a
+    // might_contain pass before the exact verify join
+    "q_decontaminate_bloom" -> (DedupOps.decontaminateBloom _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
@@ -202,6 +205,12 @@ object SparkEntry {
     "q_c4_line_filter"   -> (TextOps.c4LineFilter _),
     "q_corpus_drift"     -> (TextOps.corpusDrift _),
     "q_zorder_stats"     -> (LayoutOps.zorderStats _),
+    // deterministic global training-order shuffle + round-robin shards
+    "q_corpus_shuffle"   -> ((s, d) => LayoutOps.corpusShuffle(s, d)),
+    // HLL++ distinct-count sketch gated against the exact twin
+    "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
+    // composed curation funnel: quality -> dedup -> decontam -> split
+    "q_curation_pipeline" -> (TextOps.curationPipeline _),
     // lineage-graph analytics (exact fixed-point PageRank)
     "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
     "q_split_assign"     -> (TextOps.splitAssign _),
@@ -2432,6 +2441,124 @@ object SparkEntry {
          FROM s LEFT JOIN hits USING (doc_id)
          WHERE len(sh) > 0
          ORDER BY doc_id""",
+    // Bloom-prefiltered decontamination twin: the bloom is only a
+    // prefilter (exact join verifies), so the oracle is the exact
+    // relational recomputation restricted to docs with >=1 hit.
+    "q_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END AS sh
+           FROM t),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM s)
+         SELECT doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_overlap,
+           COUNT(DISTINCT cg.g) >= 8 AS contaminated
+         FROM cg JOIN es USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    // HLL++ distinct-count sketch: exact counts replayed relationally;
+    // within_eps is Spark's own 5-sigma self-check of the sketch — the
+    // oracle expects TRUE on every row.
+    "q_distinct_sketch" ->
+      """WITH t AS (SELECT lang,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           TRUE AS within_eps
+         FROM t GROUP BY lang ORDER BY lang""",
+    // Deterministic global training-order shuffle: rank of md5(doc_id)
+    // with doc_id tiebreak; shard = pos mod 8 (round-robin).
+    "q_corpus_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM documents)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(pos % 8 AS BIGINT) AS shard
+         FROM t ORDER BY doc_id""",
+    // Composed curation funnel: gopher rules on raw text -> first-wins
+    // exact dedup among survivors -> eval-excerpt decontamination ->
+    // md5-derived 80/10/10 split, replayed as one relational CTE chain
+    // emitting the same 7-row doc/token funnel.
+    "q_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         fl AS (SELECT f.doc_id, f.n_words, f.keep_quality AS r1,
+             (f.keep_quality AND f.doc_id =
+               MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+                 OVER (PARTITION BY f.fp)) AS r2,
+             (cont.doc_id IS NOT NULL) AS is_cont,
+             CASE WHEN CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+           FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+         fl2 AS (SELECT doc_id, n_words, r1, r2, (r2 AND NOT is_cont) AS r3, split FROM fl),
+         agg AS (SELECT
+             CAST(COUNT(*) AS BIGINT) AS d0,
+             CAST(SUM(n_words) AS BIGINT) AS t0,
+             CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN r1 THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN r2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(SUM(CASE WHEN r3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN r3 AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(SUM(CASE WHEN r3 AND split = 'train' THEN n_words ELSE 0 END) AS BIGINT) AS t4,
+             CAST(SUM(CASE WHEN r3 AND split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+             CAST(SUM(CASE WHEN r3 AND split = 'val' THEN n_words ELSE 0 END) AS BIGINT) AS t5,
+             CAST(SUM(CASE WHEN r3 AND split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+             CAST(SUM(CASE WHEN r3 AND split = 'test' THEN n_words ELSE 0 END) AS BIGINT) AS t6
+           FROM fl2)
+         SELECT stage, n_docs, n_tokens FROM (
+           SELECT '00_ingest' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+           UNION ALL SELECT '01_quality', d1, t1 FROM agg
+           UNION ALL SELECT '02_dedup', d2, t2 FROM agg
+           UNION ALL SELECT '03_decontam', d3, t3 FROM agg
+           UNION ALL SELECT '04_split_train', d4, t4 FROM agg
+           UNION ALL SELECT '05_split_val', d5, t5 FROM agg
+           UNION ALL SELECT '06_split_test', d6, t6 FROM agg)
+         ORDER BY stage""",
     // Unigram surprisal: the per-doc sum folds in position order on both
     // engines; round(6) absorbs last-ulp ln() differences.
     "q_unigram_logprob" ->

@@ -16,7 +16,7 @@ object DedupOps {
   /** Word n-gram shingles (distinct) over the `toks` column, n=3.
     * Guarded: docs with fewer than n tokens yield an empty shingle set
     * (sequence() would otherwise count down and fabricate shingles). */
-  private def shingles(n: Int): Column =
+  private[operators] def shingles(n: Int): Column =
     when(size(col("toks")) < n, array().cast("array<string>"))
       .otherwise(array_distinct(expr(
         s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
@@ -138,6 +138,73 @@ object DedupOps {
           col("n_shingles").cast("double")).as("overlap_frac"),
         (coalesce(col("n_overlap"), lit(0L)) >= 8).as("contaminated"))
       .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered twin of [[decontaminate]] — the 100 TB shape of
+    * the benchmark-overlap check. [[decontaminate]] joins EVERY corpus
+    * shingle against the benchmark set; at corpus scale that shuffle/probe
+    * stream is billions of rows of which almost none hit. Here a Bloom
+    * filter built over the benchmark shingles (scalar subquery, the
+    * `InjectRuntimeFilter` expression pair — no UDF, no driver-side
+    * filter bytes in the plan) gates the exploded corpus shingles BEFORE
+    * the join: ~99% of shingles die inside the codegen'd scan stage and
+    * never reach the exact verify join, so the verify join's probe side
+    * shrinks from |corpus shingles| to |hits| + 1% false positives. The
+    * exact broadcast join then removes the false positives — the final
+    * answer is identical to the exact pass (same contamination rule:
+    * ≥8 distinct shared word 5-grams), the bloom only prices the path.
+    *
+    * Output: every doc sharing ≥1 benchmark shingle, with its overlap
+    * count and verdict (reference analog: the before-shipping eval-set
+    * leak audit; same planted-excerpt fixture as [[decontaminate]]). */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{analyzedPlan, column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.BloomFilter
+    val evalSh = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloomDF = evalSh.select(column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(expression(col("g")))),
+        Literal(nEval),
+        Literal(BloomFilter.optimalNumOfBits(nEval, 0.01))
+      ).toAggregateExpression()).as("bloom"))
+    val mightContain = column(BloomFilterMightContain(
+      ScalarSubquery(analyzedPlan(bloomDF)),
+      new XxHash64(Seq(expression(col("g"))))))
+    // cache barrier before the explode+filter: without it,
+    // InferFiltersFromGenerate pushes derived conjuncts below the
+    // projection and the interpreted shingle HOF chain re-evaluates per
+    // row (the sharedNgrams pathology — measured 15x here)
+    val corpus = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(5))
+      .select(col("doc_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
+    val out = corpus
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(mightContain) // bloom gate: kills ~99% before the join
+      .join(broadcast(evalSh), Seq("g")) // exact verify removes bloom FPs
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap") >= 8).as("contaminated"))
+      .orderBy("doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the small verdict, then drop the fat caches
+    corpus.unpersist()
+    evalSh.unpersist()
+    out
   }
 
   // ---- deterministic 64-bit hashing for MinHash permutations ----

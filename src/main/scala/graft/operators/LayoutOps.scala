@@ -37,6 +37,43 @@ object LayoutOps {
     * key for the stats; the production write is
     * `repartitionByRange(bucket, zval).sortWithinPartitions(zval)` +
     * per-file stats — same arithmetic, file-grain buckets. */
+  /** Deterministic GLOBAL TRAINING-ORDER SHUFFLE — the last layout step
+    * before a training run: every document gets a reproducible position
+    * in a corpus-wide pseudo-random order (rank of md5(doc_id)) and a
+    * round-robin shard (`pos % k`, balanced to ±1 row with every shard an
+    * interleaved sample of the shuffled order — no shard is "the tail").
+    * Any rerun, any cluster size, any input layout produces the SAME
+    * order — the property that makes a training run resumable and its
+    * data order auditable.
+    *
+    * Scale shape: NOT a global sort-to-one-partition. The corpus is
+    * range-partitioned on the shuffle key, ranks are computed
+    * partition-locally, and partition offsets (≤ one row per partition)
+    * compose the global position — the same two-pass prefix-sum used by
+    * the token sharder, so the only wide ops are one range shuffle and a
+    * partition-count-sized window. The production write is then
+    * `partitionBy(shard)` with `sortWithinPartitions(pos)`. */
+  def corpusShuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("rk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = base.withColumn("lr",
+      row_number().over(Window.partitionBy("pid").orderBy("rk", "doc_id")))
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("pos", (col("lr").cast("long") + col("offset")) - 1L)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") % nShards).as("shard"))
+      .orderBy("doc_id")
+  }
+
   def zorderStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val maxes = docs.agg(

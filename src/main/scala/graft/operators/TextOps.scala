@@ -226,6 +226,143 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Distinct-count SKETCH gate — vocabulary cardinality per language via
+    * HyperLogLog++ (`approx_count_distinct`), gated against the exact
+    * twin the same way [[lengthQuantilesApprox]] gates the GK sketch.
+    * Exact `count_distinct` on a 100 TB corpus means shuffling every
+    * (lang, token) pair twice (expand + two-phase distinct agg); the HLL
+    * sketch is a few KB per group, map-side combinable, mergeable across
+    * shards/days — the only viable shape for fine-grain cardinality
+    * reports at corpus scale.
+    *
+    * Oracle contract: emitted counts are the EXACT ones (replayable
+    * relationally); `within_eps` asserts the HLL estimate landed within
+    * 5σ of its configured relative standard deviation (plus a small
+    * absolute floor for tiny groups, where HLL++ uses an exact-ish
+    * sparse mode anyway). The oracle recomputes the exact counts and
+    * expects TRUE, so a sketch regression flips the row red. */
+  def distinctTokensSketch(spark: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        approx_count_distinct(col("tok"), rsd).as("nd_approx"))
+      .withColumn("within_eps",
+        abs(col("nd_approx") - col("n_distinct")).cast("double") <=
+          greatest(col("n_distinct").cast("double") * (5.0 * rsd), lit(16.0)))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"), col("within_eps"))
+      .orderBy("lang")
+
+  /** COMPOSED curation funnel — the full pre-training corpus build as ONE
+    * declarative plan (the FineWeb/C4-style pass a 100 TB pipeline runs
+    * end-to-end): quality rules → exact dedup → benchmark
+    * decontamination → train/val/test split, emitting the doc/token
+    * funnel after each stage. The composition matters as much as the
+    * stages: everything derives from ONE cached slim pass over the
+    * corpus (id, lang, token count, content hash, quality verdict,
+    * shingle set — text itself is never retained), the dedup winner is a
+    * first-wins min over the content hash, contamination is a
+    * broadcast-join flag against the planted eval excerpts (computed on
+    * quality survivors only — losers never explode their shingles), and
+    * the funnel itself is a single aggregation pass over per-doc reach
+    * flags unpivoted with `stack` — one corpus scan, one shuffle per
+    * stage-flag branch, no stage rewrites the corpus between steps.
+    *
+    * Stage rules (each individually gated elsewhere): the five Gopher
+    * rules of [[gopherRules]] on the raw text; [[DedupOps.exactDedup]]'s
+    * min-doc_id-per-md5; [[DedupOps.decontaminate]]'s ≥8 shared distinct
+    * word 5-grams vs the every-50th-doc excerpt set; [[splitAssign]]'s
+    * md5-derived 80/10/10. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val markers = EnMarkers.toArray
+    val base = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("words", tokens(col("text")))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("words"), lit(0L), (a, w) => a + length(w).cast("long")))
+      .withColumn("n_symbol",
+        size(filter(col("words"), w => w === "#" || w === "...")).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_required",
+        size(filter(lit(markers), m => array_contains(col("words"), m))).cast("long"))
+      .withColumn("keep_quality",
+        col("n_words") >= 10L && col("n_words") <= 1000L &&
+          col("sum_len") >= col("n_words") * 3L &&
+          col("sum_len") <= col("n_words") * 10L &&
+          col("n_symbol") * 10L <= col("n_words") &&
+          col("n_alpha") * 5L >= col("n_words") * 4L &&
+          col("n_required") >= 2L)
+      .withColumn("toks", col("words"))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(col("doc_id"), col("n_words"), md5(col("text")).as("fp"),
+        col("keep_quality"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    // contamination flag, computed on quality survivors only
+    val evalSh = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+    val contaminated = base.filter(col("keep_quality"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(evalSh), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_overlap"))
+      .filter(col("n_overlap") >= 8)
+      .select(col("doc_id"), lit(true).as("is_contaminated"))
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    // first-wins dedup among quality survivors: winner = min doc_id per
+    // fp, as a window over the content hash (one shuffle on fp — the
+    // exact-dedup shuffle — rather than a corpus-sized join side)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val flags = base.select(col("doc_id"), col("n_words"), col("fp"), col("keep_quality"))
+      .withColumn("win_id",
+        min(when(col("keep_quality"), col("doc_id"))).over(wFp))
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("r1", col("keep_quality"))
+      .withColumn("r2", col("r1") && col("doc_id") === col("win_id"))
+      .withColumn("r3", col("r2") && !coalesce(col("is_contaminated"), lit(false)))
+      .withColumn("split",
+        when(u < 80, "train").when(u < 90, "val").otherwise("test"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column): Column = sum(when(c, col("n_words")).otherwise(0L))
+    val one = flags.agg(
+      count(lit(1)).as("d0"), sum(col("n_words")).as("t0"),
+      cnt(col("r1")).as("d1"), tok(col("r1")).as("t1"),
+      cnt(col("r2")).as("d2"), tok(col("r2")).as("t2"),
+      cnt(col("r3")).as("d3"), tok(col("r3")).as("t3"),
+      cnt(col("r3") && col("split") === "train").as("d4"),
+      tok(col("r3") && col("split") === "train").as("t4"),
+      cnt(col("r3") && col("split") === "val").as("d5"),
+      tok(col("r3") && col("split") === "val").as("t5"),
+      cnt(col("r3") && col("split") === "test").as("d6"),
+      tok(col("r3") && col("split") === "test").as("t6"))
+    val out = one.select(expr(
+      """stack(7,
+           '00_ingest', d0, t0,
+           '01_quality', d1, t1,
+           '02_dedup', d2, t2,
+           '03_decontam', d3, t3,
+           '04_split_train', d4, t4,
+           '05_split_val', d5, t5,
+           '06_split_test', d6, t6) AS (stage, n_docs, n_tokens)"""))
+      .orderBy("stage")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the 7-row funnel, then drop the corpus cache
+    base.unpersist()
+    out
+  }
+
   /** Sequence PACKING — the context-window assembly step of a training
     * pipeline: documents (in deterministic doc_id order) are packed into
     * fixed-budget bins by NEXT-FIT — a doc joins the current bin if it

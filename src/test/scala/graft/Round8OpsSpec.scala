@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupOps, LayoutOps, TextOps}
+import graft.sources.Tables
+
+/** Golden semantics for the round-8 operators: the deterministic global
+  * training-order shuffle, the HLL++ distinct-count sketch gate, the
+  * bloom-prefiltered decontamination twin, and the composed curation
+  * funnel.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("corpusShuffle emits a permutation matching the md5 rank order, with ±1-balanced shards") {
+    val out = LayoutOps.corpusShuffle(spark, dir).collect()
+    val n = out.length
+    assert(out.map(_.getLong(1)).sorted.toSeq == (0L until n).toSeq,
+      "pos must be a permutation of 0..n-1")
+    // driver reference: rank by (md5(doc_id), doc_id)
+    val ref = out.map(_.getLong(0)).sorted
+      .map(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+      .sorted.zipWithIndex.map { case ((_, id), i) => id -> i.toLong }.toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == ref(r.getLong(0)),
+        s"doc ${r.getLong(0)}: pos ${r.getLong(1)} != reference ${ref(r.getLong(0))}")
+    }
+    val sizes = out.groupBy(_.getLong(2)).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"round-robin shards must balance to ±1, got $sizes")
+  }
+
+  test("distinctTokensSketch: exact counts match a driver recount and the HLL gate holds") {
+    val out = TextOps.distinctTokensSketch(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(3)), "within_eps must hold on every group")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exact = docs.groupBy(_._1).map { case (lang, rs) =>
+      val toks = rs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      lang -> (toks.length.toLong, toks.distinct.length.toLong)
+    }
+    out.foreach { r =>
+      val (nTok, nDis) = exact(r.getString(0))
+      assert(r.getLong(1) == nTok && r.getLong(2) == nDis,
+        s"lang ${r.getString(0)}: (${r.getLong(1)}, ${r.getLong(2)}) != ($nTok, $nDis)")
+    }
+  }
+
+  test("decontaminateBloom returns exactly the exact pass's hit set (bloom is only a prefilter)") {
+    val exact = DedupOps.decontaminate(spark, dir)
+      .filter(col("n_overlap") >= 1)
+      .select("doc_id", "n_overlap", "contaminated")
+      .collect().map(_.toSeq).toSet
+    val bloomed = DedupOps.decontaminateBloom(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(bloomed == exact, "bloom-gated verdicts must be identical to the exact join")
+  }
+
+  test("decontaminateBloom plan carries the native might_contain gate, not a UDF") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec        => p +: flatten(q.plan)
+      case c: InMemoryTableScanExec => p +: flatten(c.relation.cachedPlan)
+      case _                        => p +: p.children.flatMap(flatten)
+    }
+    val df = DedupOps.decontaminateBloom(spark, dir)
+    df.count()
+    val exprs = flatten(df.queryExecution.executedPlan)
+      .flatMap(_.expressions).flatMap(_.collect { case x => x })
+    assert(exprs.exists(_.isInstanceOf[BloomFilterMightContain]),
+      "expected a native BloomFilterMightContain in the executed plan")
+  }
+
+  test("curationPipeline funnel is monotone and the splits partition the decontaminated set") {
+    val out = TextOps.curationPipeline(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("00_ingest", "01_quality", "02_dedup", "03_decontam",
+      "04_split_train", "05_split_val", "06_split_test"))
+    val stages = Seq("00_ingest", "01_quality", "02_dedup", "03_decontam").map(out)
+    stages.sliding(2).foreach { case Seq((d1, t1), (d2, t2)) =>
+      assert(d2 <= d1 && t2 <= t1, "each stage may only drop documents/tokens")
+    }
+    assert(stages.head._1 > 0 && stages.last._1 > 0, "the funnel must not drain to zero")
+    assert(stages.head._1 > stages.last._1, "the fixture must exercise at least one drop")
+    val (d3, t3) = out("03_decontam")
+    val splits = Seq("04_split_train", "05_split_val", "06_split_test").map(out)
+    assert(splits.map(_._1).sum == d3 && splits.map(_._2).sum == t3,
+      "train/val/test must partition the surviving set exactly")
+    // ingest row equals the raw corpus
+    val docs = Tables(spark, dir, "documents")
+      .agg(count(lit(1)), sum(size(TextOps.tokens(col("text")))).cast("long"))
+      .collect()(0)
+    assert(out("00_ingest") == ((docs.getLong(0), docs.getLong(1))))
+  }
+}
