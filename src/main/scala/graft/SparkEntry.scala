@@ -185,6 +185,8 @@ object SparkEntry {
     // bloom-prefiltered twin: same verdicts, corpus shingles gated by a
     // might_contain pass before the exact verify join
     "q_decontaminate_bloom" -> (DedupOps.decontaminateBloom _),
+    // asymmetric containment (short-inside-long) on shingle-key candidates
+    "q_containment_dedup" -> (DedupOps.containmentDedup _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
@@ -2464,6 +2466,34 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_overlap,
            COUNT(DISTINCT cg.g) >= 8 AS contaminated
          FROM cg JOIN es USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    // Asymmetric containment dedup: distinct-5-gram containment of the
+    // token-aligned fragment (tokens 5..44 of every 10th doc) in each
+    // candidate source, exact integer ppm.
+    "q_containment_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         cs AS (SELECT doc_id AS src_id,
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END AS sh
+           FROM t),
+         fr AS (SELECT doc_id + 3000000 AS frag_id, toks[5:44] AS toks
+           FROM t WHERE doc_id % 10 = 0),
+         fs AS (SELECT frag_id,
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END AS sh
+           FROM fr),
+         fg AS (SELECT frag_id, CAST(len(sh) AS BIGINT) AS n_frag, unnest(sh) AS g FROM fs),
+         cg AS (SELECT src_id, unnest(sh) AS g FROM cs),
+         p AS (SELECT frag_id, n_frag, src_id,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared
+           FROM fg JOIN cg USING (g) GROUP BY frag_id, n_frag, src_id)
+         SELECT frag_id, src_id, n_shared, n_frag,
+           n_shared * 1000000 // n_frag AS containment_ppm,
+           (n_shared * 1000000 // n_frag) >= 600000 AS contained
+         FROM p WHERE n_shared >= 3 ORDER BY frag_id, src_id""",
     // HLL++ distinct-count sketch: exact counts replayed relationally;
     // within_eps is Spark's own 5-sigma self-check of the sketch — the
     // oracle expects TRUE on every row.

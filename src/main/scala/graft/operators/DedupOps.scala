@@ -140,6 +140,58 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** CONTAINMENT dedup — the asymmetric near-dup case Jaccard-based
+    * MinHash structurally misses: a short document embedded verbatim in a
+    * much longer one has Jaccard ≈ |short|/|long| (tiny, never crosses an
+    * 0.8 band threshold) but containment |A∩B|/|A| ≈ 1. Quote farms,
+    * syndicated excerpts, and chunk-level re-publication all look like
+    * this, so a dedup pass that only checks symmetric similarity ships
+    * the duplicates. Scored here as distinct-5-gram containment of the
+    * smaller side, in exact integer ppm.
+    *
+    * Candidate generation is the usual bucket equi-join on the shingle
+    * key (fragment shingles × corpus shingles), never fragment×doc —
+    * shuffle volume is linear in total shingle count, sharded cleanly by
+    * the 5-gram key at 100 TB; the per-pair score then reads only the
+    * joined rows. Fixture: every 10th document contributes a fragment of
+    * its tokens 5..44 (token-aligned, so every fragment shingle occurs
+    * in its source and the planted pair scores exactly 1000000 ppm —
+    * spec-proven recall). */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val corpusSh = base
+      .withColumn("sh", shingles(5))
+      .select(col("doc_id").as("src_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpusSh.count()
+    val fragSh = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("frag_id"),
+        expr("slice(toks, 5, 40)").as("toks"))
+      .withColumn("sh", shingles(5))
+      .select(col("frag_id"), col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fragSh.count()
+    val out = fragSh
+      .select(col("frag_id"), size(col("sh")).cast("long").as("n_frag"),
+        explode(col("sh")).as("g"))
+      .join(corpusSh.select(col("src_id"), explode(col("sh")).as("g")), Seq("g"))
+      .groupBy("frag_id", "n_frag", "src_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .withColumn("containment_ppm", expr("n_shared * 1000000L div n_frag"))
+      .select(col("frag_id"), col("src_id"), col("n_shared"), col("n_frag"),
+        col("containment_ppm"),
+        (col("containment_ppm") >= 600000L).as("contained"))
+      .orderBy("frag_id", "src_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the pair verdicts, then drop the fat caches
+    corpusSh.unpersist()
+    fragSh.unpersist()
+    out
+  }
+
   /** Bloom-prefiltered twin of [[decontaminate]] — the 100 TB shape of
     * the benchmark-overlap check. [[decontaminate]] joins EVERY corpus
     * shingle against the benchmark set; at corpus scale that shuffle/probe

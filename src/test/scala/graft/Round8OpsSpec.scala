@@ -85,6 +85,32 @@ class Round8OpsSpec extends AnyFunSuite {
       "expected a native BloomFilterMightContain in the executed plan")
   }
 
+  test("containmentDedup: every planted fragment scores exactly 1e6 ppm against its source") {
+    val out = DedupOps.containmentDedup(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // sources whose token-5..44 slice yields >=3 distinct 5-gram shingles
+    // (the pair-emission floor), recomputed on the driver
+    val expected = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .filter { r =>
+        val frag = r.getString(1).split("\\s+").filter(_.nonEmpty).slice(4, 44)
+        frag.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet.size >= 3
+      }
+      .map(_.getLong(0))
+    assert(expected.nonEmpty)
+    expected.foreach { id =>
+      val r = pairs.getOrElse((id + 3000000L, id),
+        fail(s"planted pair for doc $id missing"))
+      assert(r.getLong(4) == 1000000L && r.getBoolean(5),
+        s"doc $id: token-aligned fragment must be fully contained, got ${r.getLong(4)} ppm")
+    }
+    // asymmetry check: the planted pairs are exactly the case Jaccard misses
+    out.filter(r => r.getLong(1) + 3000000L == r.getLong(0)).foreach { r =>
+      assert(r.getLong(3) <= 40L, "fragment shingle set stays fragment-sized")
+    }
+  }
+
   test("curationPipeline funnel is monotone and the splits partition the decontaminated set") {
     val out = TextOps.curationPipeline(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
