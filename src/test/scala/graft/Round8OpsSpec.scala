@@ -111,6 +111,29 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusShuffleStore writes pos-sorted per-shard files whose union is the assignment") {
+    val manifest = LayoutOps.corpusShuffleStore(spark, dir).collect()
+    assert(manifest.length == 8 && manifest.map(_.getLong(1)).sum ==
+      Tables(spark, dir, "documents").count())
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-shardstore-${ProcessHandle.current().pid()}/corpus_shuffle")
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.map(_.getName).sorted.toSeq ==
+      (0 until 8).map(i => s"shard=$i"))
+    shardDirs.foreach { sd =>
+      val shard = sd.getName.stripPrefix("shard=").toLong
+      sd.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val rows = spark.read.parquet(f.getAbsolutePath)
+          .select("pos").collect().map(_.getLong(0))
+        assert(rows.sameElements(rows.sorted),
+          s"file ${f.getName} in shard=$shard must be pos-sorted on disk")
+        assert(rows.forall(_ % 8 == shard),
+          s"every pos in shard=$shard must satisfy pos % 8 == $shard")
+      }
+    }
+  }
+
   test("curationPipeline funnel is monotone and the splits partition the decontaminated set") {
     val out = TextOps.curationPipeline(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
