@@ -196,6 +196,10 @@ object SparkEntry {
     "q_quality_eval"     -> ((s, d) => TextOps.qualityTrainEval(s, d)),
     "q_quality_filter_stream" ->
       (graft.streaming.QualityFilterStream.qualityFilterStreamQuery _),
+    // streaming twin of the curation funnel: per-doc verdicts with
+    // cross-batch first-wins dedup state (even docs arrive, then odd)
+    "q_curation_stream" ->
+      (graft.streaming.CurationStream.curationStreamQuery _),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -2529,6 +2533,55 @@ object SparkEntry {
            CAST(MAX(pos) AS BIGINT) AS max_pos,
            md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos), ',')) AS order_digest
          FROM t GROUP BY 1 ORDER BY shard""",
+    // Streaming curation gate: deterministic in the fixed arrival order
+    // (even doc_ids then odd), so the class winner minimizes
+    // (batch index, doc_id) — encoded as parity*1e9 + doc_id.
+    "q_curation_stream" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         w AS (SELECT doc_id, fp, keep_quality,
+             (doc_id % 2) * 1000000000 + doc_id AS wk
+           FROM f),
+         fl AS (SELECT w.doc_id, w.keep_quality,
+             (w.keep_quality AND w.wk <>
+               MIN(CASE WHEN w.keep_quality THEN w.wk END)
+                 OVER (PARTITION BY w.fp)) AS is_dup,
+             (cont.doc_id IS NOT NULL) AS is_contaminated
+           FROM w LEFT JOIN cont ON w.doc_id = cont.doc_id)
+         SELECT doc_id, keep_quality, is_dup, is_contaminated,
+           (keep_quality AND NOT is_dup AND NOT is_contaminated) AS admitted
+         FROM fl ORDER BY doc_id""",
     // Composed curation funnel: gopher rules on raw text -> first-wins
     // exact dedup among survivors -> eval-excerpt decontamination ->
     // md5-derived 80/10/10 split, replayed as one relational CTE chain

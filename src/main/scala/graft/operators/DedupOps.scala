@@ -16,7 +16,7 @@ object DedupOps {
   /** Word n-gram shingles (distinct) over the `toks` column, n=3.
     * Guarded: docs with fewer than n tokens yield an empty shingle set
     * (sequence() would otherwise count down and fabricate shingles). */
-  private[operators] def shingles(n: Int): Column =
+  private[graft] def shingles(n: Int): Column =
     when(size(col("toks")) < n, array().cast("array<string>"))
       .otherwise(array_distinct(expr(
         s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))

@@ -49,7 +49,7 @@ object TextOps {
         (col("n_tokens") >= 10 && col("n_tokens") <= 1000).as("passes_length_filter"))
       .orderBy("doc_id")
 
-  private[operators] val EnMarkers = Seq("the", "a", "of", "and", "is")
+  private[graft] val EnMarkers = Seq("the", "a", "of", "and", "is")
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> EnMarkers,

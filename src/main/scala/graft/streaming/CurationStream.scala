@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+import graft.operators.{DedupOps, TextOps}
+import graft.sources.Tables
+
+/** Streaming form of the CURATION funnel — the batch pipeline of
+  * `TextOps.curationPipeline` run incrementally as documents arrive:
+  * each micro-batch flows quality rules → cross-batch first-wins exact
+  * dedup → benchmark decontamination, and emits one verdict row per
+  * document. Quality and decontamination are stateless (a narrow map
+  * and a broadcast join against the static eval shingle set); the ONLY
+  * cross-batch state is the dedup claim set — the content hashes that
+  * have already won their class — accreted to a parquet side store
+  * (`<outDir>_fps`) BEFORE the checkpoint commits, and folded back in
+  * on start, so a resumed stream keeps rejecting duplicates of every
+  * class ever claimed (the DedupGateStream restart discipline). The
+  * claim is first-wins in arrival order: a batch's winner is the
+  * minimum quality-passing doc_id whose hash is not yet claimed;
+  * claims are recorded even when the winner is then dropped as
+  * contaminated — exactly the batch funnel's stage order (dedup
+  * decides before decontamination removes), so the streamed verdicts
+  * equal the batch pipeline's on the same arrival order.
+  *
+  * At 100 TB/day: per batch, one narrow quality/hash/shingle pass, one
+  * fp-key shuffle (window + claim-set join — the exact-dedup shuffle),
+  * one broadcast probe for contamination; the claim store is
+  * (distinct classes)-sized and rides as a parquet scan, never a
+  * growing cache chain. Redelivered batches re-derive identical
+  * verdicts (everything is deterministic), so at-least-once appends
+  * dedup trivially on doc_id. */
+object CurationStream {
+
+  /** Per-batch curation against the accreting claim store. `evalSh` is
+    * the static benchmark shingle set (one `g` column), persisted by
+    * the caller for the stream's lifetime. */
+  def run(
+      incoming: DataFrame,
+      evalSh: DataFrame,
+      outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val fpStore = s"${outDir}_fps"
+    def claimed(): DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(fpStore)))
+        spark.read.parquet(fpStore).distinct()
+      else Seq.empty[String].toDF("fp")
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch
+          .withColumn("words", TextOps.tokens(col("text")))
+          .withColumn("n_words", size(col("words")).cast("long"))
+          .withColumn("sum_len",
+            aggregate(col("words"), lit(0L), (a, w) => a + length(w).cast("long")))
+          .withColumn("n_symbol",
+            size(filter(col("words"), w => w === "#" || w === "...")).cast("long"))
+          .withColumn("n_alpha",
+            size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("long"))
+          .withColumn("n_required",
+            size(filter(lit(TextOps.EnMarkers.toArray),
+              m => array_contains(col("words"), m))).cast("long"))
+          .withColumn("keep_quality",
+            col("n_words") >= 10L && col("n_words") <= 1000L &&
+              col("sum_len") >= col("n_words") * 3L &&
+              col("sum_len") <= col("n_words") * 10L &&
+              col("n_symbol") * 10L <= col("n_words") &&
+              col("n_alpha") * 5L >= col("n_words") * 4L &&
+              col("n_required") >= 2L)
+          .withColumn("toks", col("words"))
+          .withColumn("sh", DedupOps.shingles(5))
+          .select(col("doc_id"), md5(col("text")).as("fp"),
+            col("keep_quality"), col("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        try {
+          val contaminated = b.filter(col("keep_quality"))
+            .select(col("doc_id"), explode(col("sh")).as("g"))
+            .join(broadcast(evalSh), Seq("g"))
+            .groupBy("doc_id")
+            .agg(countDistinct(col("g")).as("n_overlap"))
+            .filter(col("n_overlap") >= 8)
+            .select(col("doc_id"), lit(true).as("is_cont"))
+          val winBatch = min(when(col("keep_quality") && !col("already_claimed"),
+            col("doc_id"))).over(Window.partitionBy("fp"))
+          val verdict = b
+            .join(claimed().withColumn("already_claimed", lit(true)),
+              Seq("fp"), "left")
+            .withColumn("already_claimed",
+              coalesce(col("already_claimed"), lit(false)))
+            .withColumn("is_dup",
+              col("keep_quality") &&
+                (col("already_claimed") || col("doc_id") =!= winBatch))
+            .join(broadcast(contaminated), Seq("doc_id"), "left")
+            .withColumn("is_contaminated",
+              coalesce(col("is_cont"), lit(false)))
+            .withColumn("admitted",
+              col("keep_quality") && !col("is_dup") && !col("is_contaminated"))
+            .select(col("doc_id"), col("fp"), col("keep_quality"),
+              col("is_dup"), col("is_contaminated"), col("admitted"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          verdict.count()
+          try {
+            verdict.drop("fp")
+              .write.mode(SaveMode.Append).parquet(outDir)
+            // claims accrete for every batch winner — contaminated or not
+            // (stage order: dedup decides before decontamination drops)
+            verdict.filter(col("keep_quality") && !col("is_dup"))
+              .select("fp")
+              .write.mode(SaveMode.Append).parquet(fpStore)
+          } finally verdict.unpersist()
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Oracle-gated query: all documents stream through the gate as two
+    * micro-batches (even doc_ids arrive first, then odd), with the
+    * claim store carrying the dedup state across them. The verdicts
+    * are deterministic in the arrival order, so the oracle replays
+    * them relationally: the class winner is the quality-passing doc
+    * minimizing (batch index, doc_id). */
+  def curationStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-curation")
+    Seq("in", "out", "out_fps", "ckpt").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    val evalSh = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evalSh.count()
+    try {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      run(src, evalSh, out, ckpt).awaitTermination()
+      val res = spark.read.parquet(out)
+        .dropDuplicates("doc_id").orderBy("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      res
+    } finally evalSh.unpersist()
+  }
+}

@@ -134,6 +134,55 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation stream rejects duplicates across batches AND across restarts via the claim store") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-curation-spec")
+    def p(s: String) = root.resolve(s).toString
+    // synthetic quality-passing text: >=10 words, 3..10 chars mean, >=2 markers
+    val textA = "the quick brown fox jumps over a lazy dog and that is fine today"
+    val textB = "a small bird sings of spring and the garden is full of light now"
+    val evalSh = Seq.empty[String].toDF("g").persist()
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    Seq((3L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    val schema = spark.read.parquet(p("in")).schema
+    val src1 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(p("in"))
+    graft.streaming.CurationStream.run(src1, evalSh, p("out"), p("ckpt1"))
+      .awaitTermination()
+    val v1 = spark.read.parquet(p("out")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(4))).toMap
+    assert(v1(1L) == ((true, false, true)), "first copy admits")
+    assert(v1(2L) == ((true, false, true)), "distinct doc admits")
+    assert(v1(3L) == ((true, true, false)), "cross-batch duplicate must be rejected")
+    // restart: a NEW stream over a new input dir, same claim store
+    Seq((4L, textA), (5L, textB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in2"))
+    val src2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(p("in2"))
+    graft.streaming.CurationStream.run(src2, evalSh, p("out"), p("ckpt2"))
+      .awaitTermination()
+    val v2 = spark.read.parquet(p("out")).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(4))).toMap
+    assert(v2(4L) == ((true, false)) && v2(5L) == ((true, false)),
+      "claims must survive a restart: duplicates of ever-claimed classes stay rejected")
+    evalSh.unpersist()
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
+  test("curation stream admits exactly as many docs as the batch funnel's decontam stage") {
+    val streamed = graft.streaming.CurationStream.curationStreamQuery(spark, dir)
+    val admitted = streamed.filter(col("admitted")).count()
+    val funnel = TextOps.curationPipeline(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(admitted == funnel("03_decontam"),
+      "one admit per clean class with a quality-passing member, same as the batch funnel")
+    streamed.unpersist()
+  }
+
   test("curationPipeline funnel is monotone and the splits partition the decontaminated set") {
     val out = TextOps.curationPipeline(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
