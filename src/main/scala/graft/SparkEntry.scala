@@ -218,6 +218,8 @@ object SparkEntry {
     "q_shard_store"      -> ((s, d) => LayoutOps.corpusShuffleStore(s, d)),
     // HLL++ distinct-count sketch gated against the exact twin
     "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
+    // per-shard Datasketches HLL union == direct build, bit-exact
+    "q_sketch_merge"     -> ((s, d) => TextOps.sketchMergeParity(s, d)),
     // composed curation funnel: quality -> dedup -> decontam -> split
     "q_curation_pipeline" -> (TextOps.curationPipeline _),
     // lineage-graph analytics (exact fixed-point PageRank)
@@ -2511,6 +2513,17 @@ object SparkEntry {
          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
            TRUE AS within_eps
+         FROM t GROUP BY lang ORDER BY lang""",
+    // Sketch merge parity: exact counts replayed relationally; the
+    // merge_exact and within_eps bits are Spark's own gates (register-max
+    // union == direct build; estimate within 5-sigma of truth) — the
+    // oracle expects both TRUE.
+    "q_sketch_merge" ->
+      """WITH t AS (SELECT lang,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents)
+         SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+           TRUE AS merge_exact, TRUE AS within_eps
          FROM t GROUP BY lang ORDER BY lang""",
     // Deterministic global training-order shuffle: rank of md5(doc_id)
     // with doc_id tiebreak; shard = pos mod 8 (round-robin).

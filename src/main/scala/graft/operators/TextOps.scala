@@ -256,6 +256,49 @@ object TextOps {
       .select(col("lang"), col("n_tokens"), col("n_distinct"), col("within_eps"))
       .orderBy("lang")
 
+  /** Sketch MERGE parity — proves the property [[distinctTokensSketch]]
+    * only claims: that cardinality sketches built independently per
+    * shard (per-day, per-source, per-ingest-batch — here: 16 doc-id
+    * shards with heavily overlapping token sets) and UNIONED later give
+    * the same answer as one direct pass. For Datasketches HLL the union
+    * is a register-wise max, so the merged registers equal the
+    * direct-build registers by construction and the estimates match
+    * EXACTLY — `merge_exact` gates that bit-for-bit, `within_eps` gates
+    * the estimate against the true count (lgK=12 → rsd ≈ 1.6%, bounded
+    * here at 5σ + a small-group floor). This is the incremental-stats
+    * shape at 100 TB: shards sketch locally at ingest time (KB-sized
+    * state), the nightly rollup unions sketches instead of rescanning
+    * the corpus, and this gate is the regression check that the rollup
+    * path never drifts from a rescan. */
+  def sketchMergeParity(spark: SparkSession, dir: String, lgK: Int = 12): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    toks.count()
+    val direct = toks.groupBy("lang")
+      .agg(
+        countDistinct(col("tok")).as("n_distinct"),
+        hll_sketch_estimate(hll_sketch_agg(col("tok"), lit(lgK))).as("est_direct"))
+    val merged = toks
+      .withColumn("shard", pmod(col("doc_id"), lit(16)))
+      .groupBy("lang", "shard")
+      .agg(hll_sketch_agg(col("tok"), lit(lgK)).as("sk"))
+      .groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_merged"))
+    val out = direct.join(merged, Seq("lang"))
+      .select(col("lang"), col("n_distinct"),
+        (col("est_merged") === col("est_direct")).as("merge_exact"),
+        (abs(col("est_direct") - col("n_distinct")).cast("double") <=
+          greatest(col("n_distinct").cast("double") * 0.08, lit(16.0)))
+          .as("within_eps"))
+      .orderBy("lang")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist()
+    out
+  }
+
   /** COMPOSED curation funnel — the full pre-training corpus build as ONE
     * declarative plan (the FineWeb/C4-style pass a 100 TB pipeline runs
     * end-to-end): quality rules → exact dedup → benchmark

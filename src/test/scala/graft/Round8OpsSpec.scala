@@ -56,6 +56,19 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchMergeParity: union path is bit-exact and agrees with the exact distinct counts") {
+    val merged = TextOps.sketchMergeParity(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val exact = TextOps.distinctTokensSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (lang, (nd, mergeExact, withinEps)) =>
+      assert(nd == exact(lang), s"$lang: cross-operator n_distinct mismatch")
+      assert(mergeExact, s"$lang: sharded union must equal the direct build")
+      assert(withinEps, s"$lang: estimate must sit within the 5-sigma bound")
+    }
+  }
+
   test("decontaminateBloom returns exactly the exact pass's hit set (bloom is only a prefilter)") {
     val exact = DedupOps.decontaminate(spark, dir)
       .filter(col("n_overlap") >= 1)
