@@ -187,6 +187,8 @@ object SparkEntry {
     "q_decontaminate_bloom" -> (DedupOps.decontaminateBloom _),
     // asymmetric containment (short-inside-long) on shingle-key candidates
     "q_containment_dedup" -> (DedupOps.containmentDedup _),
+    // surgical decontamination: merged token-range excision spans
+    "q_decontaminate_spans" -> (DedupOps.decontaminateSpans _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
@@ -2475,6 +2477,39 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_overlap,
            COUNT(DISTINCT cg.g) >= 8 AS contaminated
          FROM cg JOIN es USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    // Surgical decontamination: positional 5-gram hits merged into
+    // maximal excision spans by the gaps-and-islands fold.
+    "q_decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, i - 1 AS i,
+             array_to_string(toks[i:i+4], ' ') AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+           WHERE len(toks) >= 5),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         h AS (SELECT DISTINCT doc_id, i FROM p JOIN es USING (g)),
+         w AS (SELECT doc_id, i,
+             MAX(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM h),
+         f AS (SELECT doc_id, i,
+             CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END AS flag
+           FROM w),
+         isl AS (SELECT doc_id, i,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM f)
+         SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + 4 AS BIGINT) AS span_end,
+           CAST(MAX(i) + 4 - MIN(i) + 1 AS BIGINT) AS n_tokens_removed
+         FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     // Asymmetric containment dedup: distinct-5-gram containment of the
     // token-aligned fragment (tokens 5..44 of every 10th doc) in each
     // candidate source, exact integer ppm.

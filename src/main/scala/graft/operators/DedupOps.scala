@@ -140,6 +140,63 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** SPAN-LEVEL decontamination — the surgical variant of
+    * [[decontaminate]]: instead of dropping a whole contaminated
+    * document (wasteful for a long doc with one quoted benchmark
+    * passage), excise exactly the overlapping token ranges. Every
+    * POSITIONAL word 5-gram (duplicates kept — position matters here,
+    * unlike the set-semantics flag pass) that occurs in the benchmark
+    * shingle set marks tokens [i, i+4]; overlapping/adjacent marks merge
+    * into maximal excision spans by the gaps-and-islands fold (the
+    * [[dupSpans]] pattern): a span breaks where a hit position exceeds
+    * the running max end + 1. Output is one row per excision span.
+    *
+    * Scale shape: positional shingles are a narrow posexplode off the
+    * corpus scan, the benchmark probe is a broadcast join, and the
+    * island fold is two windows partitioned BY DOC over only the hit
+    * rows (benchmark-overlap-sized, tiny vs the corpus) — nothing wide
+    * ever carries full documents. */
+  def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalSh = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evalSh.count()
+    val pos = Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 5), i -> array_join(slice(toks, i + 1, 5), ' '))")))
+      .toDF("doc_id", "i", "g")
+    val hits = pos.join(broadcast(evalSh), Seq("g"))
+      .select(col("doc_id"), col("i")).distinct()
+    val wPrev = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = hits
+      .withColumn("prev_end", max(col("i") + 4).over(wPrev))
+      .withColumn("flag",
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("i")).cast("long").as("span_start"),
+        (max(col("i")) + 4).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens_removed"))
+      .orderBy("doc_id", "span_start")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    evalSh.unpersist()
+    out
+  }
+
   /** CONTAINMENT dedup — the asymmetric near-dup case Jaccard-based
     * MinHash structurally misses: a short document embedded verbatim in a
     * much longer one has Jaccard ≈ |short|/|long| (tiny, never crosses an

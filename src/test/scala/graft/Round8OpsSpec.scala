@@ -98,6 +98,28 @@ class Round8OpsSpec extends AnyFunSuite {
       "expected a native BloomFilterMightContain in the executed plan")
   }
 
+  test("decontaminateSpans: spans are disjoint, maximal, and cover exactly the flagged docs") {
+    val spans = DedupOps.decontaminateSpans(spark, dir).collect()
+    val flagged = DedupOps.decontaminate(spark, dir)
+      .filter(col("n_overlap") >= 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(spans.map(_.getLong(0)).toSet == flagged,
+      "span docs must be exactly the docs the flag pass finds overlapping")
+    spans.groupBy(_.getLong(0)).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.foreach { s =>
+        assert(s.getLong(2) >= s.getLong(1) + 4, s"doc $id: span shorter than one shingle")
+        assert(s.getLong(3) == s.getLong(2) - s.getLong(1) + 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) > a.getLong(2) + 1,
+            s"doc $id: adjacent/overlapping spans must have merged")
+        case _ => ()
+      }
+    }
+  }
+
   test("containmentDedup: every planted fragment scores exactly 1e6 ppm against its source") {
     val out = DedupOps.containmentDedup(spark, dir).collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
