@@ -218,10 +218,15 @@ object SparkEntry {
     // its write-side lifecycle: shard-partitioned pos-sorted store,
     // read back and folded to an order-digest manifest
     "q_shard_store"      -> ((s, d) => LayoutOps.corpusShuffleStore(s, d)),
+    // incremental extension: old positions immutable, arrivals rank
+    // into the tail and interleave across shards
+    "q_shard_upsert"     -> ((s, d) => LayoutOps.corpusShuffleUpsert(s, d)),
     // HLL++ distinct-count sketch gated against the exact twin
     "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
     // per-shard Datasketches HLL union == direct build, bit-exact
     "q_sketch_merge"     -> ((s, d) => TextOps.sketchMergeParity(s, d)),
+    // count-min point frequencies gated by the CMS contract
+    "q_cms_freq"         -> ((s, d) => TextOps.cmsFrequency(s, d)),
     // composed curation funnel: quality -> dedup -> decontam -> split
     "q_curation_pipeline" -> (TextOps.curationPipeline _),
     // lineage-graph analytics (exact fixed-point PageRank)
@@ -2549,6 +2554,18 @@ object SparkEntry {
            CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
            TRUE AS within_eps
          FROM t GROUP BY lang ORDER BY lang""",
+    // Count-min frequency gate: exact top-30 counts replayed
+    // relationally (deterministic count-desc/token-asc tie-break); the
+    // two bound bits are the CMS contract — the oracle expects TRUE.
+    "q_cms_freq" ->
+      """WITH t AS (SELECT
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM t GROUP BY token
+           ORDER BY n_exact DESC, token ASC LIMIT 30)
+         SELECT token, n_exact, TRUE AS never_undercounts, TRUE AS within_eps
+         FROM c ORDER BY n_exact DESC, token ASC""",
     // Sketch merge parity: exact counts replayed relationally; the
     // merge_exact and within_eps bits are Spark's own gates (register-max
     // union == direct build; estimate within 5-sigma of truth) — the
@@ -2569,6 +2586,22 @@ object SparkEntry {
          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(pos % 8 AS BIGINT) AS shard
          FROM t ORDER BY doc_id""",
+    // Incremental shuffle extension: existing docs keep their standalone
+    // ranks; arrivals rank among themselves offset by the old count.
+    "q_shard_upsert" ->
+      """WITH old AS (SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM documents WHERE doc_id % 5 <> 0),
+         n AS (SELECT COUNT(*) AS n_old FROM documents WHERE doc_id % 5 <> 0),
+         nw AS (SELECT doc_id,
+             (SELECT n_old FROM n) +
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM documents WHERE doc_id % 5 = 0),
+         u AS (SELECT doc_id, pos, FALSE AS is_new FROM old
+           UNION ALL SELECT doc_id, pos, TRUE AS is_new FROM nw)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(pos % 8 AS BIGINT) AS shard, is_new
+         FROM u ORDER BY doc_id""",
     // Shard-store manifest: every field recomputed from the raw corpus —
     // the order_digest gates the written store's doc sequence per shard.
     "q_shard_store" ->

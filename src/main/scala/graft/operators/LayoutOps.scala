@@ -53,9 +53,12 @@ object LayoutOps {
     * the token sharder, so the only wide ops are one range shuffle and a
     * partition-count-sized window. The production write is then
     * `partitionBy(shard)` with `sortWithinPartitions(pos)`. */
-  def corpusShuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  /** The rank core of [[corpusShuffle]]: (doc_id, pos) where pos is the
+    * global rank of (md5(doc_id), doc_id), computed by range shuffle +
+    * partition-local ranks + a partition-count-sized offset window. */
+  private[graft] def shuffleRanks(spark: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Tables(spark, dir, "documents")
+    val base = docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
       .repartitionByRange(spark.sparkContext.defaultParallelism,
         col("rk"), col("doc_id"))
@@ -69,8 +72,37 @@ object LayoutOps {
       .select("pid", "offset")
     local.join(broadcast(offsets), "pid")
       .withColumn("pos", (col("lr").cast("long") + col("offset")) - 1L)
-      .select(col("doc_id"), col("pos"),
-        (col("pos") % nShards).as("shard"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  def corpusShuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shuffleRanks(spark, Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"))
+      .orderBy("doc_id")
+
+  /** INCREMENTAL extension of the training order — the epoch-over-epoch
+    * maintenance story of [[corpusShuffle]] (the staged-IVF-upsert
+    * discipline applied to the layout): positions already assigned are
+    * IMMUTABLE (a training run that consumed shard files up to pos p can
+    * resume/extend without any re-read), and newly arrived documents
+    * slot in deterministically at the tail — ranked among themselves by
+    * the same md5 order, offset by the existing corpus size. Round-robin
+    * sharding then interleaves the tail across all shards, so every
+    * shard receives ~1/k of the new docs and stays an unbiased sample of
+    * the shuffled order; no existing shard file is rewritten, each only
+    * gains an appended tail segment. Fixture: doc_id % 5 == 0 is the
+    * arriving batch, the rest the existing corpus (immutability vs the
+    * standalone shuffle of the existing set is spec-proven). */
+  def corpusShuffleUpsert(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val old = shuffleRanks(spark, docs.filter(col("doc_id") % 5 =!= 0))
+    val nOld = docs.filter(col("doc_id") % 5 =!= 0).count()
+    val fresh = shuffleRanks(spark, docs.filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"), (col("pos") + nOld).as("pos"))
+    old.select(col("doc_id"), col("pos"), lit(false).as("is_new"))
+      .union(fresh.select(col("doc_id"), col("pos"), lit(true).as("is_new")))
+      .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"),
+        col("is_new"))
       .orderBy("doc_id")
   }
 

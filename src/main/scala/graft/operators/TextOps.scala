@@ -1302,6 +1302,49 @@ object TextOps {
       .orderBy("token")
   }
 
+  /** Count-Min FREQUENCY sketch gate — completes the sketch suite (HLL
+    * cardinality, GK quantiles, Misra-Gries heavy hitters, Bloom
+    * membership): point-frequency estimates from Spark's native
+    * `count_min_sketch` aggregate, checked against the structure's
+    * deterministic guarantees. A CMS never undercounts
+    * (est ≥ true, always) and with width ⌈e/ε⌉ overcounts by at most
+    * ε·N with probability 1−δ per counter row — with a FIXED seed and
+    * counter-wise merge the estimate is deterministic on any layout, so
+    * both bounds are gated as hard booleans the oracle expects TRUE.
+    * Probes run on the collected sketch (a bounded ~⌈e/ε⌉×⌈ln 1/δ⌉
+    * counter table, corpus-size-independent) for the exact top-30
+    * tokens.
+    *
+    * At 100 TB: the sketch is the only frequency state that merges
+    * across shards/days by counter addition — this gate is the
+    * regression check that the estimate path keeps its contract. */
+  def cmsFrequency(spark: SparkSession, dir: String,
+      eps: Double = 0.0001, conf: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+    val aggRow = toks
+      .agg(count_min_sketch(col("token"), lit(eps), lit(conf), lit(seed)).as("sk"),
+        count(lit(1)).as("n"))
+      .head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      aggRow.getAs[Array[Byte]](0))
+    val n = aggRow.getLong(1)
+    val bound = math.ceil(eps * n).toLong
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .limit(30)
+      .collect()
+      .map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1), est >= r.getLong(1),
+          est <= r.getLong(1) + bound)
+      }
+    top.toSeq.toDF("token", "n_exact", "never_undercounts", "within_eps")
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
+
   /** PMI COLLOCATIONS — the statistically-bound word pairs a tokenizer /
     * phrase-mining pass surfaces (word2vec's phrase detection, n-gram
     * vocab induction): adjacent token pairs scored by pointwise mutual

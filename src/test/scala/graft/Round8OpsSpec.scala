@@ -38,6 +38,26 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1, s"round-robin shards must balance to ±1, got $sizes")
   }
 
+  test("corpusShuffleUpsert keeps existing positions immutable and appends arrivals at the tail") {
+    val docs = Tables(spark, dir, "documents")
+    val upsert = LayoutOps.corpusShuffleUpsert(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val standalone = LayoutOps.shuffleRanks(spark, docs.filter(col("doc_id") % 5 =!= 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    standalone.foreach { case (id, pos) =>
+      assert(upsert(id) == ((pos, pos % 8, false)),
+        s"doc $id: existing position must be immutable under the upsert")
+    }
+    val nOld = standalone.size
+    val tail = upsert.collect { case (_, (pos, _, true)) => pos }.toSeq.sorted
+    assert(tail == (nOld.toLong until (nOld + tail.size).toLong).toSeq,
+      "arrivals must occupy exactly the contiguous tail positions")
+    val newShards = upsert.collect { case (_, (_, s, true)) => s }
+      .groupBy(identity).view.mapValues(_.size).values.toSeq
+    assert(newShards.max - newShards.min <= 1,
+      "tail interleave must spread arrivals across shards to ±1")
+  }
+
   test("distinctTokensSketch: exact counts match a driver recount and the HLL gate holds") {
     val out = TextOps.distinctTokensSketch(spark, dir).collect()
     assert(out.nonEmpty)
