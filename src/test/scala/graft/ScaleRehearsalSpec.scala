@@ -96,4 +96,56 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("corpus shuffle ranks a 1M-row id set correctly with no data-sized serial stage") {
+    // 2000x the sf0.001 corpus: the rank core must stay a range shuffle
+    // + partition-local windows; a single-partition data-sized sort or
+    // window would blow far past this budget at local[4]
+    val ids = spark.range(1000000).select(col("id").as("doc_id"))
+    val t = timed {
+      val ranked = LayoutOps.shuffleRanks(spark, ids)
+      val stats = ranked.agg(
+        count(lit(1)), min(col("pos")), max(col("pos")),
+        countDistinct(col("pos"))).collect()(0)
+      assert(stats.getLong(0) == 1000000L && stats.getLong(1) == 0L &&
+        stats.getLong(2) == 999999L && stats.getLong(3) == 1000000L,
+        "pos must be a permutation of 0..999999")
+    }
+    assert(t < 60.0, f"1M-row shuffle rank took $t%.1f s — not the distributed shape")
+  }
+
+  test("curation stream admit count is invariant to the micro-batch split") {
+    import org.apache.spark.sql.SaveMode
+    val dir001 = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, dir001, "documents").select("doc_id", "text")
+    val evalSh = graft.sources.Tables(spark, dir001, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(explode(col("sh")).as("g")).distinct().persist()
+    evalSh.count()
+    val funnelD3 = TextOps.curationPipeline(spark, dir001).collect()
+      .find(_.getString(0) == "03_decontam").get.getLong(1)
+    // two very different splits: thirds by doc_id mod 3, and one big batch
+    val splits = Seq(
+      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, col("doc_id") % 3 === 2),
+      Seq(lit(true)))
+    try splits.zipWithIndex.foreach { case (parts, si) =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-curation-split$si")
+      def p(s: String) = root.resolve(s).toString
+      parts.foreach(cond => docs.filter(cond)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(p("in")))
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p("in"))
+      graft.streaming.CurationStream.run(src, evalSh, p("out"), p("ckpt"))
+        .awaitTermination()
+      val admitted = spark.read.parquet(p("out"))
+        .filter(col("admitted")).count()
+      assert(admitted == funnelD3,
+        s"split $si: admit count $admitted != batch funnel $funnelD3 — " +
+          "the claim-set semantics must be split-invariant")
+      graft.sources.TmpStores.deleteRecursively(root)
+    } finally evalSh.unpersist()
+  }
 }
