@@ -151,11 +151,10 @@ object CurationStream {
       val src = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       run(src, evalSh, out, ckpt).awaitTermination()
-      val res = spark.read.parquet(out)
-        .dropDuplicates("doc_id").orderBy("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      res.count()
-      res
+      // no persist: the verdicts live on disk already — re-executing the
+      // returned frame is one scan of the small store, no cached state
+      // outlives this call
+      spark.read.parquet(out).dropDuplicates("doc_id").orderBy("doc_id")
     } finally evalSh.unpersist()
   }
 }
