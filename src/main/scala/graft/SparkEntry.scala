@@ -138,6 +138,8 @@ object SparkEntry {
     "q_ann_ivf_pairs"     -> (SimilarityOps.annIvfPairs _),
     "q_embed_neardup_groups" -> (SimilarityOps.embedNearDupGroups _),
     "q_embed_quantize"    -> (SimilarityOps.quantize _),
+    // per-label centroid cosine between snapshot slices, fixed-point sums
+    "q_embed_drift"       -> (SimilarityOps.embedDrift _),
     "q_semantic_dedup"    -> (SimilarityOps.semanticDedup _),
     "q_ann_ivf_topk"      -> (SimilarityOps.annIvfTopK _),
     "q_ann_ivf_recall"    -> (SimilarityOps.annIvfRecall _),
@@ -1873,6 +1875,32 @@ object SparkEntry {
            list_sum(list_transform(range(1, len(v) + 1),
              i -> abs(v[i] - (vmin + qv[i] * scale)))) / len(v) AS mae
          FROM q ORDER BY vec_id""",
+    // Embedding drift: centroid sums in 1e3 fixed point (exact BIGINT),
+    // one double cosine at the end; round(6) absorbs last-ulp sqrt.
+    "q_embed_drift" ->
+      """WITH p AS (SELECT label, vec_id % 2 AS slice, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xq
+           FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+         s AS (SELECT label, slice, i, CAST(SUM(xq) AS BIGINT) AS sv
+           FROM p GROUP BY label, slice, i),
+         d AS (SELECT label, i,
+             CAST(SUM(CASE WHEN slice = 0 THEN sv END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN slice = 1 THEN sv END) AS BIGINT) AS sb
+           FROM s GROUP BY label, i),
+         g AS (SELECT label,
+             CAST(SUM(sa * sb) AS BIGINT) AS dot,
+             CAST(SUM(sa * sa) AS BIGINT) AS na,
+             CAST(SUM(sb * sb) AS BIGINT) AS nb
+           FROM d GROUP BY label),
+         c AS (SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM embeddings GROUP BY label)
+         SELECT g.label, n_a, n_b,
+           CASE WHEN na > 0 AND nb > 0
+             THEN round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+           END AS cos_centroid
+         FROM g JOIN c ON g.label = c.label ORDER BY g.label""",
     "q_embed_pair_cosine" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)

@@ -183,6 +183,51 @@ object SimilarityOps {
     * narrow map over the scan (codegen'd HOFs, zero shuffle); rounding
     * is floor(x + 0.5) so both engines round identically on exact
     * doubles. */
+  /** EMBEDDING-SPACE drift monitor — the representation-side twin of the
+    * token-distribution drift op: per label, the cosine between the
+    * centroids of two snapshot slices (even vs odd vec_id — stand-ins
+    * for consecutive corpus snapshots). A drifting embedding pipeline
+    * (model swap, preprocessing change, domain shift) moves centroids
+    * apart long before nearest-neighbor quality visibly degrades, so
+    * this is the cheap canary a serving stack alerts on.
+    *
+    * Determinism discipline: float sums are NOT associative, so the
+    * centroid accumulates in 1e3 FIXED POINT — floor(x·1000 + 0.5) per
+    * component, exact long sums — and cosine is scale-invariant, so the
+    * raw integer sums stand in for the means with no division. The
+    * single double op is the final dot/(√·√), exactly reproducible from
+    * the integer sums on both engines (round(6) absorbs last-ulp √
+    * differences). Scale shape: one narrow posexplode over the vector
+    * scan, one shuffle on (label, slice, dim), then dim-sized frames —
+    * never a vector collect, layout-independent on any cluster. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables(spark, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("slice"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000d + 0.5d) as bigint))")))
+      .toDF("label", "slice", "i", "xq")
+    val sums = comp.groupBy("label", "slice", "i")
+      .agg(sum(col("xq")).as("sv"))
+    val piv = sums.groupBy("label", "i").agg(
+      sum(when(col("slice") === 0, col("sv"))).as("sa"),
+      sum(when(col("slice") === 1, col("sv"))).as("sb"))
+    val geom = piv.groupBy("label").agg(
+      sum(col("sa") * col("sb")).as("dot"),
+      sum(col("sa") * col("sa")).as("na"),
+      sum(col("sb") * col("sb")).as("nb"))
+    val counts = Tables(spark, dir, "embeddings")
+      .groupBy("label").agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    geom.join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("na") > 0L && col("nb") > 0L,
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+          .as("cos_centroid"))
+      .orderBy("label")
+  }
+
   def quantize(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .withColumn("v", asDouble(col("embedding")))

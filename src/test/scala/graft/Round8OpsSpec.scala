@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{DedupOps, LayoutOps, TextOps}
+import graft.operators.{DedupOps, LayoutOps, SimilarityOps, TextOps}
 import graft.sources.Tables
 
 /** Golden semantics for the round-8 operators: the deterministic global
@@ -87,6 +87,31 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(mergeExact, s"$lang: sharded union must equal the direct build")
       assert(withinEps, s"$lang: estimate must sit within the 5-sigma bound")
     }
+  }
+
+  test("embedDrift matches a driver recompute of the fixed-point centroid cosine") {
+    val out = SimilarityOps.embedDrift(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("label", "vec_id", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+    val ref = vecs.groupBy(_._1).map { case (label, rs) =>
+      def centroid(par: Int): Array[Long] = {
+        val slice = rs.filter(_._2 % 2 == par)
+        val d = rs.head._3.length
+        val acc = Array.fill(d)(0L)
+        slice.foreach(_._3.zipWithIndex.foreach { case (x, i) =>
+          acc(i) += math.floor(x.toDouble * 1000d + 0.5d).toLong })
+        acc
+      }
+      val (a, b) = (centroid(0), centroid(1))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      label -> (rs.count(_._2 % 2 == 0).toLong, rs.count(_._2 % 2 == 1).toLong,
+        BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out == ref, "distributed fixed-point drift must equal the driver reference")
   }
 
   test("decontaminateBloom returns exactly the exact pass's hit set (bloom is only a prefilter)") {
