@@ -192,6 +192,8 @@ object SparkEntry {
     // surgical decontamination: merged token-range excision spans
     "q_decontaminate_spans" -> (DedupOps.decontaminateSpans _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
+    // word-order-aware twin: interpolated bigram LM surprisal
+    "q_bigram_logprob"   -> (TextOps.bigramLogprob _),
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_bpe_encode"       -> (TextOps.bpeEncode _),
@@ -2781,6 +2783,38 @@ object SparkEntry {
          lp AS (SELECT doc_id, pos, -ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS logp
            FROM x JOIN c USING (token), n),
          g AS (SELECT doc_id, COUNT(*) AS n_tokens, list(logp ORDER BY pos) AS lps
+           FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           round(list_sum(lps) / n_tokens, 6) AS mean_surprisal
+         FROM g ORDER BY doc_id""",
+    // Interpolated bigram surprisal: same position-ordered fold; the
+    // 0.7/0.3 mixture is written with identical op shape both sides.
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         x AS (SELECT doc_id, u.p AS pos, u.tk AS token FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+               i -> {'p': i, 'tk': toks[i]})) AS u
+             FROM t)),
+         xp AS (SELECT doc_id, pos, token,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM x),
+         c AS (SELECT token, COUNT(*) AS cu FROM x GROUP BY token),
+         n AS (SELECT COUNT(*) AS t FROM x),
+         b AS (SELECT prev, token, COUNT(*) AS cb FROM xp
+           WHERE prev IS NOT NULL GROUP BY prev, token),
+         lp AS (SELECT xp.doc_id, xp.pos,
+             -ln(CASE WHEN xp.prev IS NULL
+                 THEN CAST(c.cu AS DOUBLE) / CAST(n.t AS DOUBLE)
+                 ELSE 0.7 * (CAST(b.cb AS DOUBLE) / CAST(cp.cu AS DOUBLE)) +
+                      0.3 * (CAST(c.cu AS DOUBLE) / CAST(n.t AS DOUBLE)) END) AS logp
+           FROM xp
+           JOIN c ON c.token = xp.token
+           LEFT JOIN c cp ON cp.token = xp.prev
+           LEFT JOIN b ON b.prev = xp.prev AND b.token = xp.token, n),
+         g AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             list(logp ORDER BY pos) AS lps
            FROM lp GROUP BY doc_id)
          SELECT doc_id, n_tokens,
            round(list_sum(lps) / n_tokens, 6) AS mean_surprisal

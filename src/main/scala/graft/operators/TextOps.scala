@@ -513,6 +513,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM-LM surprisal — the KenLM-lite scoring a
+    * CCNet-style filter actually runs (the unigram twin ignores word
+    * order entirely): position t ≥ 2 scores against
+    * λ·P(wₜ|wₜ₋₁) + (1−λ)·P(wₜ), position 1 backs off to the unigram.
+    * Interpolation (λ = 0.7) keeps every probability positive without a
+    * discounting scheme, so the model needs exactly two count tables.
+    *
+    * Scale shape: one lag window per doc (shuffle on doc_id), one
+    * shuffle each for the unigram and bigram count tables, count joins
+    * back on the token/pair keys, corpus total as a 1-row broadcast.
+    * The per-doc sum folds in POSITION ORDER on both engines (the
+    * [[unigramLogprob]] discipline), so the double arithmetic is
+    * bit-replayable; round(6) absorbs last-ulp ln() differences. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val withPrev = toks.withColumn("prev",
+      lag(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("cu"))
+    val total = toks.agg(count(lit(1)).as("t"))
+    val bi = withPrev.filter(col("prev").isNotNull)
+      .groupBy("prev", "token").agg(count(lit(1)).as("cb"))
+    withPrev
+      .join(uni, "token")
+      .join(uni.select(col("token").as("prev"), col("cu").as("cprev")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", -log(
+        when(col("prev").isNull,
+          col("cu").cast("double") / col("t").cast("double"))
+        .otherwise(
+          lit(0.7) * (col("cb").cast("double") / col("cprev").cast("double")) +
+          lit(0.3) * (col("cu").cast("double") / col("t").cast("double")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(sort_array(collect_list(struct(col("pos"), col("logp")))),
+          s => s.getField("logp")).as("lps"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("lps"), lit(0.0), (a, b) => a + b) /
+          col("n_tokens").cast("double"), 6).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus composition rollup — doc/char counts at (lang, source),
     * per-lang subtotal, and grand-total grains in ONE aggregation pass
     * (Spark plans rollup as a single Expand + hash-agg, so the three

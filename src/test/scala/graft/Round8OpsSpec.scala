@@ -89,6 +89,21 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram-interpolated surprisal beats the unigram model on natural text") {
+    val uni = TextOps.unigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bi = TextOps.bigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bi.keySet == uni.keySet)
+    bi.foreach { case (id, (n, _)) =>
+      assert(n == uni(id)._1, s"doc $id: token counts must agree across the two models")
+    }
+    val meanUni = uni.values.map(_._2).sum / uni.size
+    val meanBi = bi.values.map(_._2).sum / bi.size
+    assert(meanBi < meanUni,
+      f"word order must carry information: bigram $meanBi%.3f !< unigram $meanUni%.3f")
+  }
+
   test("embedDrift matches a driver recompute of the fixed-point centroid cosine") {
     val out = SimilarityOps.embedDrift(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
