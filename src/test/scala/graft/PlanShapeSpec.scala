@@ -255,7 +255,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // aggregate — the build side is a single row by construction, so
       // the "nested loop" is one probe per row, the correct plan)
       val scalarTotalJoin =
-        Set("q_tfidf_topk", "q_unigram_logprob", "q_weighted_sample",
+        Set("q_tfidf_topk", "q_unigram_logprob", "q_bigram_logprob",
+          "q_weighted_sample",
           "q_lm_ppl_buckets", "q_pmi_bigrams", "q_temperature_mix",
           "q_dsir_weight", "q_zorder_stats", "q_corpus_drift",
           "q_heavy_hitters")
