@@ -225,6 +225,9 @@ object SparkEntry {
     // incremental extension: old positions immutable, arrivals rank
     // into the tail and interleave across shards
     "q_shard_upsert"     -> ((s, d) => LayoutOps.corpusShuffleUpsert(s, d)),
+    // the end-to-end product: curation survivors -> training order ->
+    // sharded store -> loader manifest, one composed query
+    "q_curated_store"    -> ((s, d) => LayoutOps.curatedStore(s, d)),
     // HLL++ distinct-count sketch gated against the exact twin
     "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
     // per-shard Datasketches HLL union == direct build, bit-exact
@@ -2632,6 +2635,60 @@ object SparkEntry {
          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(pos % 8 AS BIGINT) AS shard, is_new
          FROM u ORDER BY doc_id""",
+    // Curated-store manifest: the full composition replayed — curation
+    // CTEs -> survivor ranking by md5(doc_id) -> pos%4 shards -> every
+    // manifest field including the order digest.
+    "q_curated_store" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         fl AS (SELECT f.doc_id, f.n_words,
+             (f.keep_quality AND f.doc_id =
+               MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+                 OVER (PARTITION BY f.fp)
+               AND cont.doc_id IS NULL) AS r3
+           FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+         surv AS (SELECT doc_id, n_words,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM fl WHERE r3),
+         sh2 AS (SELECT doc_id, n_words, pos, pos % 4 AS shard FROM surv)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos), ',')) AS order_digest
+         FROM sh2 GROUP BY shard ORDER BY shard""",
     // Shard-store manifest: every field recomputed from the raw corpus —
     // the order_digest gates the written store's doc sequence per shard.
     "q_shard_store" ->

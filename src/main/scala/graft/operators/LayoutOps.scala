@@ -149,6 +149,51 @@ object LayoutOps {
       .orderBy("shard")
   }
 
+  /** The END-TO-END corpus build product — what a training run actually
+    * consumes: the curation funnel's surviving documents
+    * (quality ∧ dedup-winner ∧ decontaminated, per
+    * `TextOps.curationFlags`) are given the deterministic training
+    * order ([[shuffleRanks]] over the survivor set), written as a
+    * shard=-partitioned pos-sorted parquet store, and read back into
+    * the per-shard loader manifest (doc count, token sum, pos range,
+    * order-sensitive doc-id digest). One query performs select → order
+    * → layout → manifest; the oracle replays the entire chain — the
+    * curation CTEs, the survivor ranking, and every manifest field —
+    * so a regression anywhere in the composition flips the row red.
+    * 4 shards (vs the raw store's 8) so the two lifecycles also differ
+    * structurally. */
+  def curatedStore(spark: SparkSession, dir: String, nShards: Int = 4): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("curated").toString
+    val flags = TextOps.curationFlags(spark, dir)
+    val survivors = flags.filter(col("r3")).select(col("doc_id"), col("n_words"))
+    val assigned = shuffleRanks(spark, survivors.select(col("doc_id")))
+      .join(survivors, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"),
+        col("n_words"))
+    assigned
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val out = spark.read.parquet(root)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            s => s.getField("doc_id").cast("string")), ",")).as("order_digest"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("n_tokens"), col("min_pos"), col("max_pos"), col("order_digest"))
+      .orderBy("shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    flags.unpersist()
+    out
+  }
+
   def zorderStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val maxes = docs.agg(

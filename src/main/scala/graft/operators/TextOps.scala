@@ -319,7 +319,11 @@ object TextOps {
     * min-doc_id-per-md5; [[DedupOps.decontaminate]]'s ≥8 shared distinct
     * word 5-grams vs the every-50th-doc excerpt set; [[splitAssign]]'s
     * md5-derived 80/10/10. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-document stage flags behind [[curationPipeline]], as a slim
+    * MATERIALIZED frame (doc_id, n_words, r1 quality, r2 +dedup-winner,
+    * r3 +decontaminated, split) — persisted, with the fat corpus cache
+    * already dropped. Callers own the unpersist. */
+  private[graft] def curationFlags(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val markers = EnMarkers.toArray
     val base = Tables(spark, dir, "documents")
@@ -377,6 +381,16 @@ object TextOps {
       .withColumn("r3", col("r2") && !coalesce(col("is_contaminated"), lit(false)))
       .withColumn("split",
         when(u < 80, "train").when(u < 90, "val").otherwise("test"))
+      .select("doc_id", "n_words", "r1", "r2", "r3", "split")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    flags.count() // materialize the slim flags, then drop the corpus cache
+    base.unpersist()
+    flags
+  }
+
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val flags = curationFlags(spark, dir)
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     def tok(c: Column): Column = sum(when(c, col("n_words")).otherwise(0L))
     val one = flags.agg(
@@ -401,8 +415,8 @@ object TextOps {
            '06_split_test', d6, t6) AS (stage, n_docs, n_tokens)"""))
       .orderBy("stage")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the 7-row funnel, then drop the corpus cache
-    base.unpersist()
+    out.count() // materialize the 7-row funnel, then drop the flags cache
+    flags.unpersist()
     out
   }
 

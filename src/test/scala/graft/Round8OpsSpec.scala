@@ -278,6 +278,29 @@ class Round8OpsSpec extends AnyFunSuite {
     streamed.unpersist()
   }
 
+  test("curatedStore ships exactly the funnel's surviving docs/tokens, pos-sorted on disk") {
+    val manifest = LayoutOps.curatedStore(spark, dir).collect()
+    val funnel = TextOps.curationPipeline(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest.map(_.getLong(1)).sum == funnel("03_decontam")._1,
+      "store doc count must equal the funnel's decontam stage")
+    assert(manifest.map(_.getLong(2)).sum == funnel("03_decontam")._2,
+      "store token sum must equal the funnel's decontam stage")
+    assert(manifest.map(_.getLong(0)).sorted.toSeq == (0L until 4L),
+      "all 4 shards must be present")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-shardstore-${ProcessHandle.current().pid()}/curated")
+    root.listFiles().filter(_.getName.startsWith("shard=")).foreach { sd =>
+      sd.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val pos = spark.read.parquet(f.getAbsolutePath)
+          .select("pos").collect().map(_.getLong(0))
+        assert(pos.sameElements(pos.sorted),
+          s"curated ${sd.getName}/${f.getName} must be pos-sorted on disk")
+      }
+    }
+  }
+
   test("curationPipeline funnel is monotone and the splits partition the decontaminated set") {
     val out = TextOps.curationPipeline(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
