@@ -156,6 +156,8 @@ object SparkEntry {
     "q_media_resize"      -> ((s, d) => MultimodalOps.resizedMetaDF(s, d)),
     "q_media_chunks"      -> ((s, d) => MultimodalOps.mediaChunks(s, d)),
     "q_audio_decode_meta" -> (MultimodalOps.audioDecodedMetaDF _),
+    // codec-verified multimodal admission gate (image ∧ audio rules)
+    "q_media_curation"    -> (MultimodalOps.mediaCuration _),
     "q_audio_frame_energy" -> ((s, d) => MultimodalOps.audioFrameEnergy(s, d)),
     "q_video_frames"      -> ((s, d) => MultimodalOps.videoFrames(s, d)),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
@@ -2228,6 +2230,25 @@ object SparkEntry {
                * ((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS energy
            FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x
          ORDER BY d.doc_id""",
+    // Multimodal admission gate: both modalities' rules replayed over
+    // the generator arithmetic (px_ok expected TRUE from the codec).
+    "q_media_curation" ->
+      """WITH img AS (SELECT doc_id,
+             16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+           FROM documents),
+         aud AS (SELECT d.doc_id,
+             (64 + d.doc_id % 128) * 1000000 // 8000 AS duration_us,
+             x.peak
+           FROM documents d, LATERAL (
+             SELECT MAX(ABS((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS peak
+             FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x)
+         SELECT i.doc_id,
+           (i.w >= 32 AND i.h >= 24) AS img_ok,
+           (a.duration_us >= 12000 AND a.peak >= 200) AS audio_ok,
+           ((i.w >= 32 AND i.h >= 24)
+             AND (a.duration_us >= 12000 AND a.peak >= 200)) AS keep
+         FROM img i JOIN aud a ON a.doc_id = i.doc_id
+         ORDER BY i.doc_id""",
     "q_audio_frame_energy" ->
       """SELECT d.doc_id, f.f AS frame_idx,
            CAST((SELECT SUM(((d.doc_id * 31 + (f.f * 32 + j) * 17) % 2003 - 1001)

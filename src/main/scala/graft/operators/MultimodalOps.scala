@@ -364,6 +364,26 @@ object MultimodalOps {
   /** Partition-local REAL WAV encode → decode: header fields and sample
     * stats all come from the codec reading the bytes; binaries never
     * shuffle (the metadata row is extracted before any wide op). */
+  /** MULTIMODAL curation gate — the curation-funnel discipline applied
+    * to media assets: per document, quality verdicts computed from the
+    * CODEC-RECOVERED properties (not trusted metadata) — the image must
+    * decode with pixel fidelity at minimum dimensions (px_ok ∧ w≥32 ∧
+    * h≥24), the audio must decode to a minimum duration with real
+    * signal (≥12 ms ∧ peak≥200). Decode stages stay partition-local
+    * (binaries never shuffle); only the slim per-doc meta rows meet at
+    * the join. The oracle replays every rule over the generator
+    * arithmetic, so a codec regression in EITHER modality flips
+    * verdicts red — this is the gate a 100 TB multimodal ingest runs
+    * before admitting an asset pair to training. */
+  def mediaCuration(spark: SparkSession, dir: String): DataFrame =
+    decodedMetaDF(spark, dir)
+      .join(audioDecodedMetaDF(spark, dir), Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("px_ok") && col("width") >= 32 && col("height") >= 24).as("img_ok"),
+        (col("duration_us") >= 12000L && col("peak") >= 200).as("audio_ok"))
+      .withColumn("keep", col("img_ok") && col("audio_ok"))
+      .orderBy("doc_id")
+
   def audioDecodedMeta(spark: SparkSession, dir: String): Dataset[AudioMeta] = {
     val spark0 = spark
     import spark0.implicits._

@@ -301,6 +301,23 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaCuration verdicts come from real decodes and both modalities gate") {
+    import graft.operators.MultimodalOps
+    val out = MultimodalOps.mediaCuration(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out.values.exists(v => !v._1), "some images must fail the min-dims rule")
+    assert(out.values.exists(v => !v._2), "some audio must fail the duration rule")
+    assert(out.values.exists(_._3), "some asset pairs must be admitted")
+    out.foreach { case (id, (img, aud, keep)) =>
+      assert(keep == (img && aud), s"doc $id: keep must be the conjunction")
+      // rules replay the generator arithmetic the codecs round-trip
+      assert(img == (16 + id % 48 >= 32 && 16 + id % 32 >= 24))
+      val n = (64 + id % 128).toInt
+      val peak = (0 until n).map(i => math.abs((id * 31 + i * 17) % 2003 - 1001)).max
+      assert(aud == (n.toLong * 125 >= 12000 && peak >= 200))
+    }
+  }
+
   test("curationPipeline funnel is monotone and the splits partition the decontaminated set") {
     val out = TextOps.curationPipeline(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
