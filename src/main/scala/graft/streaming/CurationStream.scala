@@ -30,9 +30,16 @@ import graft.sources.Tables
   * fp-key shuffle (window + claim-set join — the exact-dedup shuffle),
   * one broadcast probe for contamination; the claim store is
   * (distinct classes)-sized and rides as a parquet scan, never a
-  * growing cache chain. Redelivered batches re-derive identical
-  * verdicts (everything is deterministic), so at-least-once appends
-  * dedup trivially on doc_id. */
+  * growing cache chain. At-least-once caveat: quality and
+  * contamination verdicts re-derive identically on redelivery, but a
+  * batch replayed AFTER its claims landed (crash between the claim
+  * append and the checkpoint commit) sees its own winners as already
+  * claimed and re-emits them as duplicates — so the read side must
+  * resolve per doc with claim-respecting aggregation (admitted =
+  * ANY delivery admitted, is_dup = EVERY delivery duplicated; a doc's
+  * own claim in the store proves its admission), not an arbitrary
+  * first-row pick. [[curationStreamQuery]] reads back exactly that
+  * way. */
 object CurationStream {
 
   /** Per-batch curation against the accreting claim store. `evalSh` is
@@ -153,8 +160,16 @@ object CurationStream {
       run(src, evalSh, out, ckpt).awaitTermination()
       // no persist: the verdicts live on disk already — re-executing the
       // returned frame is one scan of the small store, no cached state
-      // outlives this call
-      spark.read.parquet(out).dropDuplicates("doc_id").orderBy("doc_id")
+      // outlives this call. The per-doc aggregation (not an arbitrary
+      // dropDuplicates row) makes redelivered appends resolve
+      // deterministically: a doc's own claim proves its admission.
+      spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(max(col("keep_quality")).as("keep_quality"),
+          min(col("is_dup")).as("is_dup"),
+          max(col("is_contaminated")).as("is_contaminated"),
+          max(col("admitted")).as("admitted"))
+        .orderBy("doc_id")
     } finally evalSh.unpersist()
   }
 }

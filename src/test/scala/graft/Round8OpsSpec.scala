@@ -268,6 +268,37 @@ class Round8OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("curation stream read-back resolves a redelivered batch: own claims prove admission") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-curation-redeliver")
+    def p(s: String) = root.resolve(s).toString
+    val textA = "the quick brown fox jumps over a lazy dog and that is fine today"
+    val evalSh = Seq.empty[String].toDF("g").persist()
+    Seq((1L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    val schema = spark.read.parquet(p("in")).schema
+    def deliver(ckpt: String): Unit =
+      graft.streaming.CurationStream.run(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+        evalSh, p("out"), p(ckpt)).awaitTermination()
+    deliver("ckpt1")
+    deliver("ckpt2") // same input, fresh checkpoint = an at-least-once redelivery
+    val raw = spark.read.parquet(p("out")).collect()
+    assert(raw.length == 2 && raw.map(_.getBoolean(4)).toSet == Set(true, false),
+      "the redelivery must have emitted a conflicting (dup-of-own-claim) row")
+    val resolved = spark.read.parquet(p("out"))
+      .groupBy("doc_id")
+      .agg(max(col("keep_quality")), min(col("is_dup")),
+        max(col("is_contaminated")), max(col("admitted")))
+      .collect()(0)
+    assert(resolved.getBoolean(1) && !resolved.getBoolean(2) && resolved.getBoolean(4),
+      "claim-respecting resolution must report the doc admitted, not duplicated")
+    evalSh.unpersist()
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("curation stream admits exactly as many docs as the batch funnel's decontam stage") {
     val streamed = graft.streaming.CurationStream.curationStreamQuery(spark, dir)
     val admitted = streamed.filter(col("admitted")).count()
