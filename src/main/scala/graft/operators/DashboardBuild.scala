@@ -357,8 +357,8 @@ object DashboardBuild {
     * run) instead of six inline re-scans — the 100 TB shape, priced
     * against the inline path in every bench round. */
   def nodeCountsStaged(spark: SparkSession, dir: String): DataFrame = {
-    val staged = sys.props("java.io.tmpdir") +
-      s"/graft-dash-facts-${ProcessHandle.current().pid()}"
+    val staged =
+      graft.sources.TmpStores.pidScopedRoot("graft-dash-facts").toString
     stageFacts(spark, dir, staged)
     nodesStaged(spark, dir, staged).groupBy("label")
       .agg(count(lit(1)).as("n")).orderBy("label")

@@ -242,8 +242,8 @@ object SearchDocs {
       nodes: Dataset[GraphNode],
       edges: Dataset[GraphRelationship],
       tag: String): (DataFrame, DataFrame) = {
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft-staged-$tag-graph-${ProcessHandle.current().pid()}"
+    val out =
+      graft.sources.TmpStores.pidScopedRoot(s"graft-staged-$tag-graph").toString
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -325,8 +325,8 @@ object SearchDocs {
     * is q_table_search_doc's. */
   def tableDocsEsPublished(spark: SparkSession, dir: String): DataFrame = {
     val docs = tableDocs(spark, dir)
-    val base = sys.props("java.io.tmpdir") +
-      s"/graft-es-table-docs-${ProcessHandle.current().pid()}"
+    val base =
+      graft.sources.TmpStores.pidScopedRoot("graft-es-table-docs").toString
     graft.sources.Stage.publishBlueGreen(docs, base, "r", docType = "table",
       idCol = "key")
     val target = graft.sources.Stage.currentTarget(base).get

@@ -211,8 +211,7 @@ object NeptuneBulkLoad {
         col("s_nationkey").cast("long").as("to"),
         lit("IN_NATION").as("label"))
 
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-nbl-${ProcessHandle.current().pid()}")
+    val base = graft.sources.TmpStores.pidScopedRoot("graft-nbl")
     // a prior in-JVM run leaves shards under differently-named part
     // files; start each run from an empty staging/bucket tree
     if (Files.isDirectory(base)) {

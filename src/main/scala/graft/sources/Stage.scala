@@ -131,8 +131,7 @@ object Stage {
       .select(col("o_orderkey").cast("long").as("order_id"),
         col("o_orderstatus").as("status"),
         col("o_totalprice").cast("double").as("total"))
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft-csv-loader-${ProcessHandle.current().pid()}"
+    val out = TmpStores.pidScopedRoot("graft-csv-loader").toString
     writeCsv(src, out)
     spark.read.option("header", "true").schema(src.schema).csv(out)
       .orderBy("order_id")
@@ -150,8 +149,7 @@ object Stage {
         col("o_orderstatus").as("status"),
         col("o_totalprice").cast("double").as("total"),
         (col("o_orderpriority") === "1-URGENT").as("urgent"))
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft-neptune-csv-${ProcessHandle.current().pid()}"
+    val out = TmpStores.pidScopedRoot("graft-neptune-csv").toString
     writeNeptuneCsv(src, out)
     readNeptuneCsv(spark, out)
       .select(col("order_id"), col("status"), col("total"),
@@ -248,8 +246,7 @@ object Stage {
       .select(col("o_orderkey").cast("long").as("order_id"),
         col("o_orderstatus").as("status"),
         col("o_totalprice").cast("double").as("total"))
-    val base = sys.props("java.io.tmpdir") +
-      s"/graft-compact-${ProcessHandle.current().pid()}"
+    val base = TmpStores.pidScopedRoot("graft-compact").toString
     src.repartition(64).write.mode(SaveMode.Overwrite).parquet(s"$base/frag")
     val (inFiles, outFiles, compacted) =
       compactParquet(spark, s"$base/frag", s"$base/compact")

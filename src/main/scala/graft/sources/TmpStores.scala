@@ -34,12 +34,14 @@ private[graft] object TmpStores {
     val sib = (prefix + "-(\\d+)").r
     val listing = Files.list(tmp)
     try listing.forEach { d =>
-      d.getFileName.toString match {
+      // tolerate malformed/overflowing suffixes: a bad sibling name must
+      // never break root creation for the live process
+      try d.getFileName.toString match {
         case sib(pid) if pid.toLong != self &&
             !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
           deleteRecursively(d)
         case _ => ()
-      }
+      } catch { case _: NumberFormatException => () }
     } finally listing.close()
     val p = tmp.resolve(s"$prefix-$self")
     Files.createDirectories(p)

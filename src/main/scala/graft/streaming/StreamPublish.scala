@@ -299,8 +299,7 @@ object StreamPublish {
     // per-process fixed dirs, wiped per run: repeated bench/verify passes
     // reuse the same paths instead of leaking an events-table-sized copy
     // per invocation; the pid suffix isolates concurrent graft JVMs
-    val root = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spq-${ProcessHandle.current().pid()}")
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-spq")
     deleteRecursively(root)
     Files.createDirectories(root)
     val in = root.resolve("in").toString

@@ -21,7 +21,7 @@ class DedupGateSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
   private def tmp(name: String): String =
-    Files.createTempDirectory(s"graft-$name").toString
+    Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), s"graft-$name").toString
 
   private def incoming = {
     val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))

@@ -57,7 +57,7 @@ class NeptuneBulkLoadSpec extends AnyFunSuite {
   private type RestFetchGet = graft.sources.RestFetch.HttpClient
 
   private def tmpDir(prefix: String): Path = {
-    val d = Files.createTempDirectory(prefix)
+    val d = Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), prefix)
     d.toFile.deleteOnExit()
     d
   }

@@ -132,7 +132,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   test("stage writes per-RDS-table parquet in FK order with intact parents") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(sampleTable, sampleTable.copy(name = "orders")))
-    val out = java.nio.file.Files.createTempDirectory("rds_stage").toString
+    val out = java.nio.file.Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "rds_stage").toString
     RdsBuild.stage(RdsBuild.records(ds), out)
     val tables = spark.read.parquet(s"$out/table")
     val schemas = spark.read.parquet(s"$out/schema")
@@ -287,7 +287,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   test("staged-facts dashboard build equals the inline-plan build") {
     val dir = "/root/testdata/sf0.001"
-    val staged = java.nio.file.Files.createTempDirectory("dash-facts").toString
+    val staged = java.nio.file.Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "dash-facts").toString
     DashboardBuild.stageFacts(spark, dir, staged)
     val inlineNodes = DashboardBuild.nodes(spark, dir).collect().toSet
     val stagedNodes = DashboardBuild.nodesStaged(spark, dir, staged).collect().toSet
@@ -327,7 +327,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   test("table search docs over the staged (written+reread) graph match the direct path") {
     val dir = "/root/testdata/sf0.001"
     val (nodes, edges) = GraphBuild.searchGraph(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("staged_graph").toString
+    val out = java.nio.file.Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "staged_graph").toString
     graft.sources.Stage.stageNodes(nodes, out)
     graft.sources.Stage.stageEdges(edges, out)
     val fromStage = SearchDocs.tableDocsFromGraph(
@@ -560,7 +560,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val df = Seq((1L, 2, 3.5, true, "x")).toDF("k", "i", "d", "b", "s")
     assert(graft.sources.Stage.typedHeader(df.schema) ==
       Seq("k:Long", "i:Long", "d:Double", "b:Bool", "s:String"))
-    val out = java.nio.file.Files.createTempDirectory("neptune_csv").toString + "/out"
+    val out = java.nio.file.Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "neptune_csv").toString + "/out"
     graft.sources.Stage.writeNeptuneCsv(df, out)
     val header = spark.read.text(out).filter(col("value").contains(":"))
       .collect().map(_.getString(0)).head
@@ -668,7 +668,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   }
 
   test("repetition signals count the top n-gram fraction exactly") {
-    val dir = java.nio.file.Files.createTempDirectory("rep_docs").toString
+    val dir = java.nio.file.Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "rep_docs").toString
     import spark.implicits._
     Seq(
       (1L, "a a a b"),        // top unigram a=3/4; top bigram "a a"=2/3; trigram "a a a"=1/2
@@ -689,7 +689,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   }
 
   test("as-of attribution picks the latest prior view, inclusive at ties") {
-    val dir = java.nio.file.Files.createTempDirectory("asof_events").toString
+    val dir = java.nio.file.Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "asof_events").toString
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision is enough here
     Seq(

@@ -79,7 +79,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("CSV extractor family: column group-join and badge join") {
-    val dir = Files.createTempDirectory("csv_ingest")
+    val dir = Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "csv_ingest")
     val tablesCsv = dir.resolve("tables.csv")
     Files.writeString(tablesCsv,
       "database,cluster,schema,name,description\n" +
@@ -207,7 +207,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("writeCsv round-trips with headers") {
-    val out = Files.createTempDirectory("csv_loader").toString + "/out"
+    val out = Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "csv_loader").toString + "/out"
     Stage.writeCsv(Tables(spark, "/root/testdata/sf0.001", "region"), out)
     assert(Tables.csv(spark, out).count() ==
       Tables(spark, "/root/testdata/sf0.001", "region").count())

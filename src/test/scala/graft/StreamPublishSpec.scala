@@ -22,7 +22,7 @@ class StreamPublishSpec extends AnyFunSuite {
     .getOrCreate()
 
   private def tmp(name: String): String =
-    Files.createTempDirectory(s"graft-$name").toString
+    Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), s"graft-$name").toString
 
   private val dir = "/root/testdata/sf0.001"
 

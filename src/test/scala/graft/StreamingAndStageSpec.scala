@@ -22,7 +22,7 @@ class StreamingAndStageSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    Files.createTempDirectory(graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), prefix).toString
 
   test("streaming windowed agg over AvailableNow micro-batch matches batch result") {
     // stage the events through a parquet dir with µs timestamps (stream edge)
