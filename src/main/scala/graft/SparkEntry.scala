@@ -190,7 +190,7 @@ object SparkEntry {
     // might_contain pass before the exact verify join
     "q_decontaminate_bloom" -> (DedupOps.decontaminateBloom _),
     // asymmetric containment (short-inside-long) on shingle-key candidates
-    "q_containment_dedup" -> (DedupOps.containmentDedup _),
+    "q_containment_dedup" -> ((s, d) => DedupOps.containmentDedup(s, d)),
     // surgical decontamination: merged token-range excision spans
     "q_decontaminate_spans" -> (DedupOps.decontaminateSpans _),
     "q_unigram_logprob"  -> (TextOps.unigramLogprob _),
@@ -2571,7 +2571,9 @@ object SparkEntry {
          FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     // Asymmetric containment dedup: distinct-5-gram containment of the
     // token-aligned fragment (tokens 5..44 of every 10th doc) in each
-    // candidate source, exact integer ppm.
+    // candidate source, exact integer ppm. Shingles in more than 256
+    // source docs are dropped before the join (the DF hot-key cap) —
+    // replayed here so the gate covers the capped semantics.
     "q_containment_dedup" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
@@ -2590,9 +2592,11 @@ object SparkEntry {
            FROM fr),
          fg AS (SELECT frag_id, CAST(len(sh) AS BIGINT) AS n_frag, unnest(sh) AS g FROM fs),
          cg AS (SELECT src_id, unnest(sh) AS g FROM cs),
+         cold AS (SELECT src_id, g FROM cg
+           WHERE g NOT IN (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > 256)),
          p AS (SELECT frag_id, n_frag, src_id,
              CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared
-           FROM fg JOIN cg USING (g) GROUP BY frag_id, n_frag, src_id)
+           FROM fg JOIN cold USING (g) GROUP BY frag_id, n_frag, src_id)
          SELECT frag_id, src_id, n_shared, n_frag,
            n_shared * 1000000 // n_frag AS containment_ppm,
            (n_shared * 1000000 // n_frag) >= 600000 AS contained
@@ -2708,10 +2712,12 @@ object SparkEntry {
            CAST(SUM(n_words) AS BIGINT) AS n_tokens,
            CAST(MIN(pos) AS BIGINT) AS min_pos,
            CAST(MAX(pos) AS BIGINT) AS max_pos,
-           md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos), ',')) AS order_digest
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
          FROM sh2 GROUP BY shard ORDER BY shard""",
     // Shard-store manifest: every field recomputed from the raw corpus —
-    // the order_digest gates the written store's doc sequence per shard.
+    // the order_digest (an md5 CHAIN over the pos-ordered doc ids, O(1)
+    // fold state on the Spark side) gates the store's doc sequence.
     "q_shard_store" ->
       """WITH t AS (SELECT doc_id,
              row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
@@ -2720,7 +2726,8 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(pos) AS BIGINT) AS min_pos,
            CAST(MAX(pos) AS BIGINT) AS max_pos,
-           md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos), ',')) AS order_digest
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
          FROM t GROUP BY 1 ORDER BY shard""",
     // Streaming curation gate: deterministic in the fixed arrival order
     // (even doc_ids then odd), so the class winner minimizes

@@ -210,13 +210,32 @@ object DedupOps {
     * key (fragment shingles × corpus shingles), never fragment×doc —
     * shuffle volume is linear in total shingle count, sharded cleanly by
     * the 5-gram key at 100 TB; the per-pair score then reads only the
-    * joined rows. Fixture: every 10th document contributes a fragment of
+    * joined rows. The LSH hot-bucket-cap discipline applies to the join
+    * key: a shingle's corpus document frequency is counted first
+    * (map-side-combined agg; the over-cap set is boilerplate-sized, so
+    * it broadcasts), and shingles in more than `maxShingleDf` documents
+    * are dropped before the join — a corpus-wide boilerplate 5-gram
+    * would otherwise make one key's join output quadratic
+    * (|frag-side| × |corpus-side|), and a shingle present in thousands
+    * of documents carries no containment signal anyway. The oracle
+    * replays the cap rule, so the gate covers the capped semantics.
+    * Fixture: every 10th document contributes a fragment of
     * its tokens 5..44 (token-aligned, so every fragment shingle occurs
     * in its source and the planted pair scores exactly 1000000 ppm —
     * spec-proven recall). */
-  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  def containmentDedup(spark: SparkSession, dir: String,
+      maxShingleDf: Long = 256L): DataFrame =
+    containmentPairs(
+      Tables(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      maxShingleDf)
+
+  /** [[containmentDedup]]'s core over an explicit (doc_id, text) corpus —
+    * exposed so specs can plant a boilerplate shingle and assert the DF
+    * cap bounds the join. */
+  private[graft] def containmentPairs(docs: DataFrame,
+      maxShingleDf: Long): DataFrame = {
+    val base = docs
       .withColumn("toks", TextOps.tokens(col("text")))
     val corpusSh = base
       .withColumn("sh", shingles(5))
@@ -230,10 +249,15 @@ object DedupOps {
       .select(col("frag_id"), col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     fragSh.count()
+    val corpusG = corpusSh.select(col("src_id"), explode(col("sh")).as("g"))
+    // DF cap: shingle sets are per-doc distinct, so DF(g) = count(g).
+    // The over-cap set is tiny (boilerplate only) — broadcast anti-join.
+    val hot = corpusG.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("g")
     val out = fragSh
       .select(col("frag_id"), size(col("sh")).cast("long").as("n_frag"),
         explode(col("sh")).as("g"))
-      .join(corpusSh.select(col("src_id"), explode(col("sh")).as("g")), Seq("g"))
+      .join(corpusG.join(broadcast(hot), Seq("g"), "left_anti"), Seq("g"))
       .groupBy("frag_id", "n_frag", "src_id")
       .agg(countDistinct(col("g")).as("n_shared"))
       .filter(col("n_shared") >= 3)

@@ -11,6 +11,80 @@ import graft.sources.Tables
   */
 object LayoutOps {
 
+  /** One shard's loader manifest row. */
+  private[graft] case class ShardManifest(shard: Long, n_docs: Long,
+      n_tokens: Long, min_pos: Long, max_pos: Long, order_digest: String)
+
+  /** One md5-chain step: acc' = md5(acc ++ "," ++ docId), lowercase hex —
+    * the same bytes Spark's `md5()` and DuckDB's `md5()` hash, so the
+    * oracle replays the chain with
+    * `list_reduce(list_prepend('', list(doc ORDER BY pos)), (a,x) -> md5(a||','||x))`. */
+  private[graft] def digestStep(md: java.security.MessageDigest,
+      acc: String, docId: Long): String = {
+    md.reset()
+    val bytes = md.digest((acc + "," + docId).getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      if (v < 16) sb.append('0')
+      sb.append(java.lang.Integer.toHexString(v))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-local manifest fold: rows arrive sorted by (shard, pos);
+    * the state per in-flight shard is ONE running digest plus five
+    * counters — O(1) regardless of shard size (the collect_list digest
+    * this replaces held a whole shard in a single aggregation buffer,
+    * an executor-killer at corpus scale). Output is one manifest row per
+    * shard seen by the partition. */
+  private[graft] def foldShardManifests(
+      it: Iterator[(Long, Long, Long, Long)]): Iterator[ShardManifest] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[ShardManifest]
+    var cur = -1L; var acc = ""; var n = 0L; var toks = 0L
+    var minP = Long.MaxValue; var maxP = Long.MinValue
+    def flush(): Unit =
+      if (cur >= 0) out += ShardManifest(cur, n, toks, minP, maxP, acc)
+    while (it.hasNext) {
+      val (shard, pos, docId, nWords) = it.next()
+      if (shard != cur) {
+        flush()
+        cur = shard; acc = ""; n = 0L; toks = 0L
+        minP = Long.MaxValue; maxP = Long.MinValue
+      }
+      acc = digestStep(md, acc, docId)
+      n += 1L; toks += nWords
+      if (pos < minP) minP = pos
+      if (pos > maxP) maxP = pos
+    }
+    flush()
+    out.iterator
+  }
+
+  /** Per-shard manifest over a written store, computed as a pos-ordered
+    * STREAMING fold: one slim (shard, pos, doc_id, n_words) shuffle onto
+    * the shard key, a partition-local sort, then [[foldShardManifests]] —
+    * k tasks each streaming one sorted shard with O(1) digest state.
+    * `tokensCol` is null for stores without a token column. */
+  private[graft] def shardManifest(spark: SparkSession, store: DataFrame,
+      nShards: Int, tokensCol: String = null): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val toks =
+      if (tokensCol == null) lit(0L) else col(tokensCol).cast("long")
+    store
+      .select(col("shard").cast("long").as("_1"), col("pos").cast("long").as("_2"),
+        col("doc_id").cast("long").as("_3"), toks.as("_4"))
+      .as[(Long, Long, Long, Long)]
+      .repartition(nShards, col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions(foldShardManifests)
+      .toDF()
+  }
+
   /** The interleave Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1) over `bits`
     * bit positions, as a generated SQL expression — unrolled so it stays
     * one codegen'd integer expression (no array fold at runtime). */
@@ -135,17 +209,9 @@ object LayoutOps {
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
     placed.write.mode("overwrite").partitionBy("shard").parquet(root)
-    spark.read.parquet(root)
-      .groupBy("shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        min(col("pos")).as("min_pos"),
-        max(col("pos")).as("max_pos"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))),
-            s => s.getField("doc_id").cast("string")), ",")).as("order_digest"))
-      .select(col("shard").cast("long").as("shard"), col("n_docs"),
-        col("min_pos"), col("max_pos"), col("order_digest"))
+    shardManifest(spark, spark.read.parquet(root), nShards)
+      .select(col("shard"), col("n_docs"), col("min_pos"), col("max_pos"),
+        col("order_digest"))
       .orderBy("shard")
   }
 
@@ -175,18 +241,10 @@ object LayoutOps {
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(root)
-    val out = spark.read.parquet(root)
-      .groupBy("shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("n_tokens"),
-        min(col("pos")).as("min_pos"),
-        max(col("pos")).as("max_pos"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))),
-            s => s.getField("doc_id").cast("string")), ",")).as("order_digest"))
-      .select(col("shard").cast("long").as("shard"), col("n_docs"),
-        col("n_tokens"), col("min_pos"), col("max_pos"), col("order_digest"))
+    val out = shardManifest(spark, spark.read.parquet(root), nShards,
+        tokensCol = "n_words")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+        col("max_pos"), col("order_digest"))
       .orderBy("shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
