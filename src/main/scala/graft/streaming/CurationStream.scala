@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.storage.StorageLevel
 import graft.operators.{DedupOps, TextOps}
 import graft.sources.Tables
+import scala.jdk.CollectionConverters._
 
 /** Streaming form of the CURATION funnel — the batch pipeline of
   * `TextOps.curationPipeline` run incrementally as documents arrive:
@@ -30,7 +31,15 @@ import graft.sources.Tables
   * fp-key shuffle (window + claim-set join — the exact-dedup shuffle),
   * one broadcast probe for contamination; the claim store is
   * (distinct classes)-sized and rides as a parquet scan, never a
-  * growing cache chain. At-least-once caveat: quality and
+  * growing cache chain. The store is GENERATIONAL so a long-running
+  * stream never accretes unbounded small files: per-batch claims land
+  * as deltas, and once the delta dir exceeds a file budget the whole
+  * set folds into one fresh `gen=N` base committed by an atomic
+  * CURRENT swap (the StreamPublish.compact manifest-swap discipline) —
+  * dead generations and consumed deltas are dropped after the swap, and
+  * a crash at any point only leaves harmless duplicates that the
+  * distinct() read resolves (claims are a monotone set). At-least-once
+  * caveat: quality and
   * contamination verdicts re-derive identically on redelivery, but a
   * batch replayed AFTER its claims landed (crash between the claim
   * append and the checkpoint commit) sees its own winners as already
@@ -42,6 +51,71 @@ import graft.sources.Tables
   * way. */
 object CurationStream {
 
+  /** Fold the claim store into one generation once the delta dir holds
+    * this many files — the bound on the store's file count. */
+  val CompactDeltaFiles = 8
+
+  private def deltaFiles(fpStore: String): Seq[java.nio.file.Path] = {
+    val d = java.nio.file.Paths.get(fpStore, "delta")
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+      finally s.close()
+    }
+  }
+
+  /** The claim-class set: the committed base generation (CURRENT, if any
+    * compaction has run) plus the per-batch delta files. Duplicates across
+    * the two (a crash between swap and cleanup) collapse in the
+    * distinct(). */
+  private[streaming] def claimedClasses(spark: SparkSession,
+      fpStore: String): DataFrame = {
+    import spark.implicits._
+    val base = graft.sources.Stage.currentTarget(fpStore).toSeq
+    val parts = base ++ deltaFiles(fpStore).map(_.toString)
+    if (parts.isEmpty) Seq.empty[String].toDF("fp")
+    else spark.read.parquet(parts: _*).select("fp").distinct()
+  }
+
+  /** Fold base + deltas into one fresh `gen=N`, atomically swap CURRENT
+    * at it, then drop dead generations and consumed deltas. Run between
+    * batches (the foreachBatch loop is single-threaded, so no append
+    * races the fold); a crash mid-compaction loses nothing — claims are
+    * a monotone set and every pre-swap byte stays where a restarted
+    * reader still finds it. */
+  private[streaming] def compactClaims(spark: SparkSession,
+      fpStore: String): Unit = {
+    val root = java.nio.file.Paths.get(fpStore)
+    val gens = {
+      if (!java.nio.file.Files.isDirectory(root)) return
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
+      finally s.close()
+    }
+    val next = s"$fpStore/gen=${(gens :+ -1L).max + 1}"
+    val consumed = deltaFiles(fpStore)
+    claimedClasses(spark, fpStore)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.parquet(next)
+    graft.sources.Stage.atomicRepoint(fpStore, next)
+    // cleanup AFTER the swap: readers resolve CURRENT first, so nothing
+    // they can reach disappears under them
+    val s = java.nio.file.Files.list(root)
+    val dead = try s.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("gen=") && p.toString != next
+      }.toList
+    finally s.close()
+    dead.foreach(graft.sources.TmpStores.deleteRecursively)
+    consumed.foreach(p =>
+      try java.nio.file.Files.deleteIfExists(p)
+      catch { case _: Exception => () })
+  }
+
   /** Per-batch curation against the accreting claim store. `evalSh` is
     * the static benchmark shingle set (one `g` column), persisted by
     * the caller for the stream's lifetime. */
@@ -51,12 +125,8 @@ object CurationStream {
       outDir: String,
       checkpoint: String): StreamingQuery = {
     val spark = incoming.sparkSession
-    import spark.implicits._
     val fpStore = s"${outDir}_fps"
-    def claimed(): DataFrame =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(fpStore)))
-        spark.read.parquet(fpStore).distinct()
-      else Seq.empty[String].toDF("fp")
+    def claimed(): DataFrame = claimedClasses(spark, fpStore)
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch
@@ -118,7 +188,12 @@ object CurationStream {
             // (stage order: dedup decides before decontamination drops)
             verdict.filter(col("keep_quality") && !col("is_dup"))
               .select("fp")
-              .write.mode(SaveMode.Append).parquet(fpStore)
+              .write.mode(SaveMode.Append).parquet(s"$fpStore/delta")
+            // bound the store's file count: fold into one generation once
+            // the delta dir exceeds its budget (no append races this — the
+            // foreachBatch loop is single-threaded)
+            if (deltaFiles(fpStore).size >= CompactDeltaFiles)
+              compactClaims(spark, fpStore)
           } finally verdict.unpersist()
         } finally b.unpersist()
       }

@@ -78,6 +78,52 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation claim store compacts into one generation and stays claim-respecting") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-claim-compact")
+    def p(s: String) = root.resolve(s).toString
+    val evalSh = Seq.empty[String].toDF("g").persist()
+    def text(i: Int) =
+      s"the quick brown fox number$i jumps over a lazy dog and that is fine"
+    // 12 one-doc batches: the delta budget (8) is crossed mid-stream, so
+    // at least one compaction must fold the store into a generation
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, text(i))).toDF("doc_id", "text")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    }
+    val schema = spark.read.parquet(p("in")).schema
+    graft.streaming.CurationStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+      evalSh, p("out"), p("ckpt")).awaitTermination()
+    val fpStore = p("out") + "_fps"
+    assert(graft.sources.Stage.currentTarget(fpStore).isDefined,
+      "crossing the delta budget must have committed a compacted generation")
+    val genDirs = new java.io.File(fpStore).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+    assert(genDirs.length == 1, "dead generations must be dropped after the swap")
+    val deltas = new java.io.File(fpStore, "delta").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(deltas < graft.streaming.CurationStream.CompactDeltaFiles,
+      s"consumed deltas must be dropped, got $deltas files")
+    val verdicts = spark.read.parquet(p("out")).collect()
+    assert(verdicts.length == 12 && verdicts.forall(_.getBoolean(4)),
+      "every distinct quality doc admits; compaction must not change verdicts")
+    // restart with a duplicate of an already-claimed class: the compacted
+    // store must still reject it
+    Seq((99L, text(1))).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in2"))
+    graft.streaming.CurationStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in2")),
+      evalSh, p("out"), p("ckpt2")).awaitTermination()
+    val dup = spark.read.parquet(p("out")).filter(col("doc_id") === 99L).collect()(0)
+    assert(dup.getBoolean(2) && !dup.getBoolean(4),
+      "a duplicate of an ever-claimed class must stay rejected after compaction")
+    evalSh.unpersist()
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("containment DF cap drops corpus-wide boilerplate shingles and bounds the join") {
     val spark0 = spark
     import spark0.implicits._
