@@ -169,10 +169,14 @@ object LayoutOps {
     * standalone shuffle of the existing set is spec-proven). */
   def corpusShuffleUpsert(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val old = shuffleRanks(spark, docs.filter(col("doc_id") % 5 =!= 0))
-    val nOld = docs.filter(col("doc_id") % 5 =!= 0).count()
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val old = shuffleRanks(spark, existing)
+    // the tail offset = |existing| folds into the plan as a broadcast
+    // 1-row aggregate (no driver-side count, no second filtered scan)
+    val nOld = existing.agg(count(lit(1)).as("n_old"))
     val fresh = shuffleRanks(spark, docs.filter(col("doc_id") % 5 === 0))
-      .select(col("doc_id"), (col("pos") + nOld).as("pos"))
+      .crossJoin(broadcast(nOld))
+      .select(col("doc_id"), (col("pos") + col("n_old")).as("pos"))
     old.select(col("doc_id"), col("pos"), lit(false).as("is_new"))
       .union(fresh.select(col("doc_id"), col("pos"), lit(true).as("is_new")))
       .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"),

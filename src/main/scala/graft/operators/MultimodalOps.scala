@@ -203,7 +203,10 @@ object MultimodalOps {
     * (lossless) and within ±8 for JPEG (a solid achromatic DCT block
     * survives the lossy path to within a couple of counts). The oracle
     * expects `px_ok = true` on every row. */
-  def decodedMetaDF(spark: SparkSession, dir: String): DataFrame =
+  /** [[decodedMetaDF]] without the presentational sort — the join input
+    * for [[mediaCuration]] (a pre-join orderBy is wasted work: the hash
+    * join re-shuffles anyway; sort once after). */
+  private def decodedVerdicts(spark: SparkSession, dir: String): DataFrame =
     decodedMeta(spark, dir).toDF()
       .withColumn("expected_gray",
         (lit(28) + (col("docId") * 37) % 200).cast("int"))
@@ -212,7 +215,9 @@ object MultimodalOps {
         when(col("format") === "png", col("pxGray") === col("expected_gray"))
           .otherwise(abs(col("pxGray") - col("expected_gray")) <= 8)
           .as("px_ok"))
-      .orderBy("doc_id")
+
+  def decodedMetaDF(spark: SparkSession, dir: String): DataFrame =
+    decodedVerdicts(spark, dir).orderBy("doc_id")
 
   /** [[resizedMeta]] as an oracle-checkable frame — the decode → resize
     * → re-encode → re-decode chain (all partition-local, nothing
@@ -376,8 +381,8 @@ object MultimodalOps {
     * verdicts red — this is the gate a 100 TB multimodal ingest runs
     * before admitting an asset pair to training. */
   def mediaCuration(spark: SparkSession, dir: String): DataFrame =
-    decodedMetaDF(spark, dir)
-      .join(audioDecodedMetaDF(spark, dir), Seq("doc_id"))
+    decodedVerdicts(spark, dir)
+      .join(audioVerdicts(spark, dir), Seq("doc_id"))
       .select(col("doc_id"),
         (col("px_ok") && col("width") >= 32 && col("height") >= 24).as("img_ok"),
         (col("duration_us") >= 12000L && col("peak") >= 200).as("audio_ok"))
@@ -396,12 +401,16 @@ object MultimodalOps {
   /** [[audioDecodedMeta]] as an oracle-checkable frame: every emitted
     * value is codec-recovered, and the oracle re-derives each sample
     * from the generator arithmetic relationally. */
-  def audioDecodedMetaDF(spark: SparkSession, dir: String): DataFrame =
+  /** [[audioDecodedMetaDF]] without the presentational sort (see
+    * [[decodedVerdicts]]). */
+  private def audioVerdicts(spark: SparkSession, dir: String): DataFrame =
     audioDecodedMeta(spark, dir).toDF()
       .select(col("docId").as("doc_id"), col("sampleRate").as("sample_rate"),
         col("nSamples").as("n_samples"), col("durationUs").as("duration_us"),
         col("peak"), col("energy"))
-      .orderBy("doc_id")
+
+  def audioDecodedMetaDF(spark: SparkSession, dir: String): DataFrame =
+    audioVerdicts(spark, dir).orderBy("doc_id")
 
   /** Windowed frame ENERGY over the decoded samples — the
     * spectrogram-frame batch shape for audio: fixed `width`-sample

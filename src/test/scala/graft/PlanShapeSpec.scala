@@ -259,7 +259,7 @@ class PlanShapeSpec extends AnyFunSuite {
           "q_weighted_sample",
           "q_lm_ppl_buckets", "q_pmi_bigrams", "q_temperature_mix",
           "q_dsir_weight", "q_zorder_stats", "q_corpus_drift",
-          "q_heavy_hitters")
+          "q_heavy_hitters", "q_shard_upsert")
       // q_ann_topk_quantized is the int8 twin of q_ann_topk: the same
       // intentional 20-query brute-force baseline (broadcast query set,
       // exactness oracle), so it carries the same BNLJ by design

@@ -78,6 +78,24 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaCuration and corpusShuffleUpsert plan exactly one (final) sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    Seq(graft.operators.MultimodalOps.mediaCuration(spark, dir),
+        LayoutOps.corpusShuffleUpsert(spark, dir)).foreach { df =>
+      val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
+      assert(sorts.size == 1,
+        s"expected one final presentational sort, found ${sorts.size}")
+    }
+  }
+
+  test("corpusShuffleUpsert folds the tail offset into the plan (no driver count)") {
+    // the offset rides as a broadcast 1-row aggregate: the optimized plan
+    // must contain the n_old aggregate and a join against it
+    val plan = LayoutOps.corpusShuffleUpsert(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("n_old"), "tail offset must be an in-plan aggregate")
+  }
+
   test("curation claim store compacts into one generation and stays claim-respecting") {
     import org.apache.spark.sql.SaveMode
     val spark0 = spark
