@@ -79,6 +79,39 @@ object Bench {
         if (mean > 0) sd / mean else 0.0
       })
     }
+    // Regression tripwire: compare per-query MIN times against the
+    // previous artifact (the file this run is about to overwrite — i.e.
+    // the last comparable run) and flag >1.5x drifts on queries that
+    // took >0.5 s before (sub-500 ms timings flicker with JIT/GC noise).
+    // Informational, never fails the run: the sandbox's run-to-run noise
+    // floor is ~±10%, so a flag is a pointer to investigate, not a verdict.
+    val prevFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      "/root/repo/BENCH_LAST.json")
+    val prevQueries: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(prevFile))
+        // only comparable at the same scale factor — a baseline captured
+        // at another SF would flag everything (or nothing) spuriously
+        val prevSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+        else {
+          val qblock = """"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+-]+)""".r
+            .findAllMatchIn(qblock)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    val regressions = results.toSeq.flatMap { case (name, now) =>
+      prevQueries.get(name) match {
+        case Some(prev) if prev > 0.5 && now > prev * 1.5 =>
+          Some(name -> (now / prev))
+        case _ => None
+      }
+    }.sortBy(-_._2)
+    val regJson = regressions
+      .map { case (k, r) => jstr(k) + ":" + f"$r%.2f" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val coldJson = cold.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val cvJson = cv.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
@@ -86,7 +119,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val filterJson = only.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"filter":$filterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
     // stdout tails get truncated by log capture (~2 KB window) — the full
     // per-query artifact (~16 KB) lives ONLY in the file; stdout gets a
     // compact summary as the FINAL line so a tail-parser always sees a
@@ -104,7 +137,7 @@ object Bench {
     val detailJson = if (writeError.isEmpty) jstr(outFile) else "null"
     val writeErrJson = writeError.map(e => s""","write_error":${jstr(e)}""").getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"detail":$detailJson$writeErrJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"detail":$detailJson$writeErrJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
