@@ -21,7 +21,12 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
         try fn(spark, warmDir).count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a query that fails only at warm SF skips warmup and pays JIT
+          // in pass 1 — surface it (stderr: stdout's tail must stay JSON)
+          Console.err.println(s"[bench] warm-pass failure: $name: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
     }
     // drop the warm pass's persisted frames (built at warmDir) so the
     // measured pass starts with clean executor memory
@@ -111,7 +116,11 @@ object Bench {
       }
     }.sortBy(-_._2)
     val regJson = regressions
-      .map { case (k, r) => jstr(k) + ":" + f"$r%.2f" }.mkString("{", ",", "}")
+      // explicit root locale: the f interpolator is locale-sensitive and a
+      // comma-decimal default locale would emit malformed JSON
+      .map { case (k, r) =>
+        jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val coldJson = cold.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val cvJson = cv.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")

@@ -196,13 +196,6 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** [[decodedMeta]] as an oracle-checkable frame: the codec-recovered
-    * format and dimensions hash-compare against the generator arithmetic
-    * replayed relationally, and `px_ok` gates pixel fidelity — the
-    * decoded probe pixel must equal the generator gray exactly for PNG
-    * (lossless) and within ±8 for JPEG (a solid achromatic DCT block
-    * survives the lossy path to within a couple of counts). The oracle
-    * expects `px_ok = true` on every row. */
   /** [[decodedMetaDF]] without the presentational sort — the join input
     * for [[mediaCuration]] (a pre-join orderBy is wasted work: the hash
     * join re-shuffles anyway; sort once after). */
@@ -216,6 +209,13 @@ object MultimodalOps {
           .otherwise(abs(col("pxGray") - col("expected_gray")) <= 8)
           .as("px_ok"))
 
+  /** [[decodedMeta]] as an oracle-checkable frame: the codec-recovered
+    * format and dimensions hash-compare against the generator arithmetic
+    * replayed relationally, and `px_ok` gates pixel fidelity — the
+    * decoded probe pixel must equal the generator gray exactly for PNG
+    * (lossless) and within ±8 for JPEG (a solid achromatic DCT block
+    * survives the lossy path to within a couple of counts). The oracle
+    * expects `px_ok = true` on every row. */
   def decodedMetaDF(spark: SparkSession, dir: String): DataFrame =
     decodedVerdicts(spark, dir).orderBy("doc_id")
 

@@ -111,9 +111,16 @@ object CurationStream {
       }.toList
     finally s.close()
     dead.foreach(graft.sources.TmpStores.deleteRecursively)
-    consumed.foreach(p =>
-      try java.nio.file.Files.deleteIfExists(p)
-      catch { case _: Exception => () })
+    // delete consumed deltas through the Hadoop (Checksum)FileSystem so
+    // each part file's '.part-*.parquet.crc' sidecar goes with it — a
+    // bare nio delete leaves the sidecars accreting in the delta dir,
+    // the very unbounded-small-file growth this compaction bounds
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    (consumed :+ java.nio.file.Paths.get(fpStore, "delta", "_SUCCESS"))
+      .foreach(p =>
+        try fs.delete(new org.apache.hadoop.fs.Path(p.toUri), false)
+        catch { case _: Exception => () })
   }
 
   /** Per-batch curation against the accreting claim store. `evalSh` is
