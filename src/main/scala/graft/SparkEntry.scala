@@ -160,6 +160,9 @@ object SparkEntry {
     "q_media_curation"    -> (MultimodalOps.mediaCuration _),
     "q_audio_frame_energy" -> ((s, d) => MultimodalOps.audioFrameEnergy(s, d)),
     "q_video_frames"      -> ((s, d) => MultimodalOps.videoFrames(s, d)),
+    // perceptual (pixel-level) image dedup: dHash + banded Hamming LSH
+    "q_image_dhash" -> (MultimodalOps.imageDHashDF _),
+    "q_image_dedup" -> (MultimodalOps.imageDedup _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -2257,6 +2260,50 @@ object SparkEntry {
          FROM documents d, LATERAL (
            SELECT unnest(range((64 + d.doc_id % 128 - 64) // 32 + 1)) AS f) f
          ORDER BY d.doc_id, frame_idx""",
+    // Perceptual dHash of every PNG asset: the codec decodes real bytes,
+    // box-averages onto a 9x8 grid and emits 64 gradient-sign bits; the
+    // oracle replays the identical integer arithmetic over the generator
+    // checkerboard (PNG is lossless, so the hash must match bit for bit;
+    // bit 63 is summed as its signed value — DuckDB errors on 1<<63).
+    "q_image_dhash" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             CAST(16 + doc_id % 32 AS BIGINT) AS h,
+             CAST(28 + (doc_id * 37) % 200 AS BIGINT) AS ga
+           FROM documents WHERE doc_id % 2 = 0),
+         cells AS (
+           SELECT d.doc_id, c.i, r.j,
+             (SELECT SUM(CASE WHEN ((x // 8) + (y // 8)) % 2 = 0
+                              THEN d.ga ELSE 255 - d.ga END) // COUNT(*)
+              FROM (SELECT unnest(range(c.i * d.w // 9, (c.i + 1) * d.w // 9)) AS x) xs,
+                   (SELECT unnest(range(r.j * d.h // 8, (r.j + 1) * d.h // 8)) AS y) ys) AS px
+           FROM d,
+             LATERAL (SELECT unnest(range(9)) AS i) c,
+             LATERAL (SELECT unnest(range(8)) AS j) r),
+         bits AS (
+           SELECT a.doc_id, CAST(a.j * 8 + a.i AS INT) AS bi
+           FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+           WHERE a.i < 8 AND b.px > a.px)
+         SELECT d.doc_id,
+           COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                  ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS dhash
+         FROM d LEFT JOIN bits b USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // Perceptual dedup recall gate: planted JPEG-transcode and
+    // 3/4-downscale twins (high-contrast assets only) must surface their
+    // original through the multiprobe banded-Hamming join. The oracle
+    // replays the planting arithmetic; found is structurally TRUE (8
+    // bands + one-bit multiprobe cover every hash within the 15-bit
+    // verify radius; measured twin worst case is 13).
+    "q_image_dedup" ->
+      """WITH g AS (SELECT doc_id, 28 + (doc_id * 37) % 200 AS ga FROM documents)
+         SELECT doc_id + 3000000 AS twin_id, doc_id AS orig_id,
+           'reencode' AS kind, TRUE AS found
+         FROM g WHERE doc_id % 6 = 0 AND abs(2 * ga - 255) >= 64
+         UNION ALL
+         SELECT doc_id + 4000000, doc_id, 'resize', TRUE
+         FROM g WHERE doc_id % 6 = 3 AND abs(2 * ga - 255) >= 64
+         ORDER BY twin_id""",
     // Video twin: Spark encodes a REAL animated GIF per doc and decodes
     // every stride-2 frame back out of the container; the oracle replays
     // the generator arithmetic with a strided unnest(range).

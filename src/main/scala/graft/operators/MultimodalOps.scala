@@ -114,11 +114,11 @@ object MultimodalOps {
       (math.max(1, (w * s / 1024).toInt), math.max(1, (h * s / 1024).toInt))
     }
 
-    /** Real resize: decode → Graphics2D scale to the fitBox dims →
-      * re-encode PNG → decode AGAIN and report what the codec recovered
-      * (so the emitted dims went through the full lossy pipeline, not
-      * just the arithmetic). */
-    def resize(id: Long, bytes: Array[Byte], targetW: Int, targetH: Int): MediaMeta = {
+    /** Real resize to PNG bytes: decode → Graphics2D bilinear scale to
+      * the fitBox dims → re-encode PNG. The bilinear hint matters for the
+      * perceptual-hash path: sampled-nearest downscales alias the
+      * checkerboard and destabilize box averages. */
+    def resizeBytes(id: Long, bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
       require(targetW > 0 && targetH > 0, "resize target must be positive")
       // the InputStream overload manages (and closes) its own image stream;
       // ImageIO.read(ImageInputStream) closes the caller's stream per its
@@ -128,11 +128,96 @@ object MultimodalOps {
       val (nw, nh) = fitBox(src.getWidth, src.getHeight, targetW, targetH)
       val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
-      try g.drawImage(src, 0, 0, nw, nh, null)
-      finally g.dispose()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, nw, nh, null)
+      } finally g.dispose()
       val out = new ByteArrayOutputStream()
       require(ImageIO.write(dst, "png", out), "no png writer")
-      decode(id, out.toByteArray)
+      out.toByteArray
+    }
+
+    /** Real resize: [[resizeBytes]] → decode AGAIN and report what the
+      * codec recovered (so the emitted dims went through the full lossy
+      * pipeline, not just the arithmetic). */
+    def resize(id: Long, bytes: Array[Byte], targetW: Int, targetH: Int): MediaMeta =
+      decode(id, resizeBytes(id, bytes, targetW, targetH))
+
+    /** Re-encode arbitrary decoded bytes as JPEG at the pinned quality —
+      * the lossy transcode a perceptual dedup must see through (byte-exact
+      * dedup misses a re-encoded duplicate entirely). */
+    def transcodeJpeg(id: Long, bytes: Array[Byte]): Array[Byte] = {
+      val src = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(src != null, s"no codec recognizes asset $id")
+      // JPEG writers reject images with alpha; normalize to RGB
+      val rgb =
+        if (src.getType == BufferedImage.TYPE_INT_RGB) src
+        else {
+          val d = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_INT_RGB)
+          val g = d.createGraphics()
+          try g.drawImage(src, 0, 0, null) finally g.dispose()
+          d
+        }
+      val out = new ByteArrayOutputStream()
+      val writers = ImageIO.getImageWritersByFormatName("jpeg")
+      require(writers.hasNext, "no jpeg writer")
+      val writer = writers.next()
+      try {
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.9f)
+        val ios = ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+        } finally ios.close()
+      } finally writer.dispose()
+      out.toByteArray
+    }
+
+    /** 64-bit DIFFERENCE HASH (dHash) of decoded bytes: box-average the
+      * luminance onto a 9×8 grid (integer arithmetic — pixel sums and
+      * truncating division, so the PNG path is replayable exactly by the
+      * oracle's generator-arithmetic twin), then each bit records whether
+      * the right neighbor cell is brighter. Robust to re-encoding and
+      * resizing because the grid is relative to the image, and the bits
+      * capture gradient SIGNS, not absolute levels. */
+    def dhashOf(id: Long, bytes: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"no codec recognizes asset $id")
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= 9 && h >= 8, s"asset $id too small for a 9x8 dhash grid ($w x $h)")
+      val cell = Array.ofDim[Int](8, 9)
+      var j = 0
+      while (j < 8) {
+        val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+        var i = 0
+        while (i < 9) {
+          val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += (img.getRGB(x, y) & 0xff); n += 1; x += 1 }
+            y += 1
+          }
+          cell(j)(i) = (sum / n).toInt
+          i += 1
+        }
+        j += 1
+      }
+      var hsh = 0L
+      j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          if (cell(j)(i + 1) > cell(j)(i)) hsh |= 1L << (j * 8 + i)
+          i += 1
+        }
+        j += 1
+      }
+      hsh
     }
   }
 
@@ -546,6 +631,125 @@ object MultimodalOps {
       .select(col("docId").as("doc_id"), col("frameIdx").cast("long").as("frame_idx"),
         col("width"), col("height"), col("gray"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** A perceptual fingerprint row: asset key, provenance, 64-bit dHash. */
+  case class PerceptualHash(docId: Long, origId: Long, kind: String, dhash: Long)
+
+  /** Planted near-duplicate twins for the perceptual dedup gate — the
+    * two transforms byte-exact dedup is blind to. Planting is restricted
+    * to high-contrast assets (|gA−gB| ≥ 64): a checkerboard whose two
+    * grays nearly meet has gradient signs that ride on codec noise, and
+    * the oracle needs the planted recall to be a deterministic TRUE.
+    * Mirrors the reference's admit-only-validated-records discipline
+    * (amundsendatabuilder publisher/neo4j_csv_publisher.py:271-287). */
+  private def highContrast(id: Long): Boolean =
+    math.abs(2 * MediaCodec.grayOf(id) - 255) >= 64
+
+  /** JPEG-transcode twins of every 6k-th (PNG) asset. */
+  private[graft] def reencodeTwinIds(id: Long): Boolean =
+    id % 6 == 0 && highContrast(id)
+  /** 3/4-downscale twins of every (6k+3)-th (JPEG) asset. */
+  private[graft] def resizeTwinIds(id: Long): Boolean =
+    id % 6 == 3 && highContrast(id)
+
+  /** Per-asset 64-bit dHash over the real decode path, for the corpus
+    * originals plus the planted twins. Everything binary stays
+    * partition-local: encode → transform → decode → hash in one
+    * mapPartitions; only (id, orig, kind, hash) rows ever shuffle. */
+  private def perceptualHashes(spark: SparkSession, dir: String): Dataset[PerceptualHash] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // ids only; see mediaAssets
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val orig = MediaCodec.encode(id)
+          val base = PerceptualHash(id, id, "orig", MediaCodec.dhashOf(id, orig))
+          if (reencodeTwinIds(id))
+            Seq(base, PerceptualHash(id + 3000000L, id, "reencode",
+              MediaCodec.dhashOf(id, MediaCodec.transcodeJpeg(id, orig))))
+          else if (resizeTwinIds(id)) {
+            val w = MediaCodec.widthOf(id); val h = MediaCodec.heightOf(id)
+            Seq(base, PerceptualHash(id + 4000000L, id, "resize",
+              MediaCodec.dhashOf(id,
+                MediaCodec.resizeBytes(id, orig, w * 3 / 4, h * 3 / 4))))
+          } else Seq(base)
+        }
+      }
+  }
+
+  /** dHash of every PNG asset, decoded by the real codec — the oracle
+    * replays the full 9×8 box-average + gradient-sign arithmetic over the
+    * generator checkerboard (PNG round-trips pixels exactly, so the
+    * codec-recovered hash must equal the arithmetic bit for bit; JPEG
+    * assets are gated via [[imageDedup]]'s recall instead). */
+  def imageDHashDF(spark: SparkSession, dir: String): DataFrame =
+    perceptualHashes(spark, dir).toDF()
+      .filter(col("kind") === "orig" && col("docId") % 2 === 0)
+      .select(col("docId").as("doc_id"), col("dhash"))
+      .orderBy("doc_id")
+
+  /** PERCEPTUAL image dedup — the ingest gate byte-exact dedup cannot
+    * provide: planted re-encoded (PNG→JPEG) and downscaled twins must
+    * come back as near-duplicates of their originals. Candidate
+    * generation is Hamming-LSH with ONE-BIT MULTIPROBE: each 64-bit
+    * dHash splits into 8 bands of 8 bits; the corpus side stores its 8
+    * exact band values, the incoming (twin) side probes each band with
+    * its exact value plus all 8 one-bit flips — so recall at the ≤ 15
+    * verify radius is STRUCTURAL, not empirical: 15 flipped bits across
+    * 8 bands leave some band with ≤ 1 flip (pigeonhole), which the 9
+    * probes cover. (Measured worst case over the full asset period:
+    * resize twins reach Hamming 13, JPEG transcodes 0.) The native
+    * codegen'd [[graft.functions.HammingDistance]] verifies candidates.
+    * Incoming-vs-corpus (not corpus self-join) is the production shape:
+    * the new batch probes the existing index; multiprobe lands on the
+    * small incoming side — the corpus index stays 8 rows per asset. At
+    * 100 TB the corpus side is the precomputed hash store bucketed on
+    * (band, value), and a hot-band frequency cap (the containment-dedup
+    * DF-cap discipline, DedupOps.scala) bounds the worst key.
+    *
+    * Output: one row per planted twin with `found` = its true original
+    * surfaced among its verified near-duplicates. The oracle replays the
+    * planting arithmetic and expects every `found` TRUE — a regression
+    * anywhere in codec, hash, banding, or verify flips rows red. */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HammingDistance.hamming
+    val hashes = perceptualHashes(spark, dir).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count() // one fill job before the two band sides fan out
+    val corpus = hashes.filter(col("kind") === "orig")
+      .select(col("docId").as("cand_id"), col("dhash").as("dhash_c"),
+        posexplode(expr("transform(sequence(0, 7), b -> shiftright(dhash, b * 8) & 255)"))
+          .as(Seq("band", "bv")))
+      .select(col("cand_id"), col("dhash_c"), col("band"), col("bv"))
+    val twins = hashes.filter(col("kind") =!= "orig")
+    val probes = twins
+      .select(col("docId").as("twin_id"), col("dhash").as("dhash_t"),
+        posexplode(expr("transform(sequence(0, 7), b -> shiftright(dhash, b * 8) & 255)"))
+          .as(Seq("band", "bv0")))
+      .select(col("twin_id"), col("dhash_t"), col("band"),
+        explode(expr(
+          "concat(array(bv0), transform(sequence(0, 7), j -> bv0 ^ shiftleft(1L, j)))"))
+          .as("bv"))
+    val verified = probes
+      .join(corpus, Seq("band", "bv"))
+      .select("twin_id", "cand_id", "dhash_t", "dhash_c")
+      .dropDuplicates("twin_id", "cand_id") // many probes agree per pair
+      .filter(hamming(col("dhash_t"), col("dhash_c")) <= 15)
+    val hits = verified
+      .select(col("twin_id"), col("cand_id").as("orig_id"), lit(true).as("hit"))
+    val out = twins
+      .select(col("docId").as("twin_id"), col("origId").as("orig_id"), col("kind"))
+      .join(hits, Seq("twin_id", "orig_id"), "left")
+      .select(col("twin_id"), col("orig_id"), col("kind"),
+        coalesce(col("hit"), lit(false)).as("found"))
+      .orderBy("twin_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the slim verdicts, then drop the hash cache
+    hashes.unpersist()
+    out
   }
 
   /** Oracle-checkable feature extraction over the binary column: byte
