@@ -163,6 +163,9 @@ object SparkEntry {
     // perceptual (pixel-level) image dedup: dHash + banded Hamming LSH
     "q_image_dhash" -> (MultimodalOps.imageDHashDF _),
     "q_image_dedup" -> (MultimodalOps.imageDedup _),
+    // perceptual audio dedup: loudness-profile hash + banded Hamming LSH
+    "q_audio_fingerprint" -> (MultimodalOps.audioFingerprintDF _),
+    "q_audio_dedup"       -> (MultimodalOps.audioDedup _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -211,6 +214,10 @@ object SparkEntry {
     // cross-batch first-wins dedup state (even docs arrive, then odd)
     "q_curation_stream" ->
       (graft.streaming.CurationStream.curationStreamQuery _),
+    // incremental curated store: each micro-batch's admitted docs append
+    // as shard tails; manifest read back from the on-disk store
+    "q_curated_store_incremental" ->
+      (graft.streaming.CurationStream.curatedStoreIncrementalQuery _),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -233,6 +240,9 @@ object SparkEntry {
     // the end-to-end product: curation survivors -> training order ->
     // sharded store -> loader manifest, one composed query
     "q_curated_store"    -> ((s, d) => LayoutOps.curatedStore(s, d)),
+    // survivors BPE-encoded, packed into fixed context windows, written
+    // as window-grain shards with a token-stream digest manifest
+    "q_tokenized_shards" -> ((s, d) => LayoutOps.tokenizedShardStore(s, d)),
     // HLL++ distinct-count sketch gated against the exact twin
     "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
     // per-shard Datasketches HLL union == direct build, bit-exact
@@ -241,6 +251,9 @@ object SparkEntry {
     "q_cms_freq"         -> ((s, d) => TextOps.cmsFrequency(s, d)),
     // composed curation funnel: quality -> dedup -> decontam -> split
     "q_curation_pipeline" -> (TextOps.curationPipeline _),
+    // cross-modal compose: the codec-verified media gates excise
+    // text-curation survivors whose image/audio asset fails
+    "q_curation_multimodal" -> (MultimodalOps.curationMultimodal _),
     // lineage-graph analytics (exact fixed-point PageRank)
     "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
     "q_split_assign"     -> (TextOps.splitAssign _),
@@ -312,6 +325,80 @@ object SparkEntry {
        SELECT doc_id, n_words, n_bpe_tokens,
          n_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
        FROM p ORDER BY doc_id"""
+  }
+
+  /** DuckDB twin of [[graft.operators.LayoutOps.tokenizedShardStore]]:
+    * the curation CTE chain, the md5 survivor ranking, the unrolled
+    * merge-table encode, the windowed token prefix sum, and every
+    * manifest field — the token digest chains over the piece-sequence
+    * payload in pos order exactly as the partition-local fold does. */
+  private def tokenizedShardsOracleSql: String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val merged = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       s AS (SELECT doc_id, text, words,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(['the','a','of','and','is'],
+             m -> list_contains(words, m))) AS BIGINT) AS n_required
+         FROM t),
+       f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+           (n_words >= 10 AND n_words <= 1000
+             AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             AND n_symbol * 10 <= n_words
+             AND n_alpha * 5 >= n_words * 4
+             AND n_required >= 2) AS keep_quality
+         FROM s),
+       shq AS (SELECT doc_id,
+           CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> array_to_string(words[i:i+4], ' '))) END AS sh
+         FROM f WHERE keep_quality),
+       ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\\s+'), x -> x <> '') AS toks
+         FROM documents WHERE doc_id % 50 = 0),
+       es AS (SELECT DISTINCT unnest(
+           CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+         FROM ev),
+       cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+       cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+         GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+       fl AS (SELECT f.doc_id,
+           (f.keep_quality AND f.doc_id =
+             MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+               OVER (PARTITION BY f.fp)
+             AND cont.doc_id IS NULL) AS r3
+         FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+       surv AS (SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM fl WHERE r3),
+       e AS (SELECT surv.doc_id, surv.pos,
+           flatten(list_transform(t.words, w -> string_split(trim($merged), '  '))) AS pcs
+         FROM surv JOIN t USING (doc_id)),
+       e2 AS (SELECT doc_id, pos, CAST(len(pcs) AS BIGINT) AS n_bpe,
+           array_to_string(pcs, ' ') AS tok_str FROM e),
+       c AS (SELECT doc_id, pos, n_bpe, tok_str,
+           SUM(n_bpe) OVER (ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM e2),
+       wn AS (SELECT pos, n_bpe, tok_str, (cum - n_bpe) // 2048 AS win FROM c)
+       SELECT CAST(win % 4 AS BIGINT) AS shard,
+         CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         CAST(MIN(win) AS BIGINT) AS min_window,
+         CAST(MAX(win) AS BIGINT) AS max_window,
+         list_reduce(list_prepend('', list(tok_str ORDER BY pos)),
+           (acc, x) -> md5(acc || ',' || x)) AS token_digest
+       FROM wn GROUP BY 1 ORDER BY shard"""
   }
 
   /** DuckDB twin of [[graft.operators.TextOps.bpeFertility]]: the
@@ -2304,6 +2391,48 @@ object SparkEntry {
          SELECT doc_id + 4000000, doc_id, 'resize', TRUE
          FROM g WHERE doc_id % 6 = 3 AND abs(2 * ga - 255) >= 64
          ORDER BY twin_id""",
+    // Perceptual audio fingerprint: the codec decodes real RIFF bytes
+    // and hashes the magnitude-bucket histogram's gradient signs; the
+    // oracle replays the identical integer arithmetic per sample
+    // (WAV/PCM16 is lossless, so the hash matches bit for bit; bit 63
+    // is summed as its signed value — DuckDB errors on 1<<63).
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         sm AS (SELECT d.doc_id, ABS((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS a
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+         pk AS (SELECT doc_id, MAX(a) AS peak FROM sm GROUP BY doc_id),
+         bk AS (SELECT sm.doc_id, (sm.a * 64) // pk.peak AS b
+           FROM sm JOIN pk USING (doc_id)),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bk GROUP BY doc_id, b),
+         grid AS (SELECT d.doc_id, g.k FROM d,
+           LATERAL (SELECT unnest(range(65)) AS k) g),
+         fullc AS (SELECT grid.doc_id, grid.k, COALESCE(cnts.c, 0) AS c
+           FROM grid LEFT JOIN cnts
+             ON cnts.doc_id = grid.doc_id AND cnts.b = grid.k),
+         bits AS (SELECT a.doc_id, CAST(a.k AS INT) AS bi
+           FROM fullc a JOIN fullc b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k < 64 AND b.c > a.c)
+         SELECT d.doc_id,
+           COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                  ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS ahash
+         FROM d LEFT JOIN bits b USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // Perceptual audio dedup recall gate: planted 2x-volume and
+    // 4-sample-silence-lead-in twins must surface their original through
+    // the banded Hamming join. The oracle replays the planting
+    // arithmetic; found is structurally TRUE (gain cancels exactly in
+    // the integer bucket rational -> Hamming 0; padded zeros move only
+    // bucket 0's count -> Hamming <= 1; either leaves >= 7 of 8 bands
+    // exact, and the verify radius is 7).
+    "q_audio_dedup" ->
+      """SELECT doc_id + 5000000 AS twin_id, doc_id AS orig_id,
+           'gain' AS kind, TRUE AS found
+         FROM documents WHERE doc_id % 6 = 1
+         UNION ALL
+         SELECT doc_id + 6000000, doc_id, 'pad', TRUE
+         FROM documents WHERE doc_id % 6 = 4
+         ORDER BY twin_id""",
     // Video twin: Spark encodes a REAL animated GIF per doc and decodes
     // every stride-2 frame back out of the container; the oracle replays
     // the generator arithmetic with a strided unnest(range).
@@ -2825,6 +2954,70 @@ object SparkEntry {
          SELECT doc_id, keep_quality, is_dup, is_contaminated,
            (keep_quality AND NOT is_dup AND NOT is_contaminated) AS admitted
          FROM fl ORDER BY doc_id""",
+    // Incremental curated store: the stream gate's admitted set in the
+    // fixed arrival order (winner minimizes (batch, doc_id)), then the
+    // two-stage tail ranking — batch-0 survivors ranked by md5 order,
+    // batch-1 survivors ranked after them — folded to the same 4-shard
+    // manifest fields as q_curated_store.
+    "q_curated_store_incremental" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         w AS (SELECT doc_id, n_words, fp, keep_quality,
+             (doc_id % 2) * 1000000000 + doc_id AS wk
+           FROM f),
+         fl AS (SELECT w.doc_id, w.n_words,
+             (w.keep_quality AND w.wk =
+               MIN(CASE WHEN w.keep_quality THEN w.wk END)
+                 OVER (PARTITION BY w.fp)
+               AND cont.doc_id IS NULL) AS admitted
+           FROM w LEFT JOIN cont ON w.doc_id = cont.doc_id),
+         b0 AS (SELECT doc_id, n_words,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM fl WHERE admitted AND doc_id % 2 = 0),
+         b1 AS (SELECT doc_id, n_words,
+             (SELECT COUNT(*) FROM b0) +
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM fl WHERE admitted AND doc_id % 2 = 1),
+         u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+         SELECT CAST(pos % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
+         FROM u GROUP BY 1 ORDER BY shard""",
     // Composed curation funnel: gopher rules on raw text -> first-wins
     // exact dedup among survivors -> eval-excerpt decontamination ->
     // md5-derived 80/10/10 split, replayed as one relational CTE chain
@@ -2900,6 +3093,82 @@ object SparkEntry {
            UNION ALL SELECT '05_split_val', d5, t5 FROM agg
            UNION ALL SELECT '06_split_test', d6, t6 FROM agg)
          ORDER BY stage""",
+    // Cross-modal curation: the text funnel's CTE chain (quality ->
+    // first-wins dedup -> decontamination) extended with both media
+    // gates replayed over the generator arithmetic (image px_ok is
+    // codec-guaranteed TRUE; audio peak re-derived per sample).
+    "q_curation_multimodal" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         fl AS (SELECT f.doc_id, f.n_words, f.keep_quality AS r1,
+             (f.keep_quality AND f.doc_id =
+               MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+                 OVER (PARTITION BY f.fp)) AS r2,
+             (cont.doc_id IS NOT NULL) AS is_cont
+           FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+         fl2 AS (SELECT doc_id, n_words, r1, r2, (r2 AND NOT is_cont) AS r3 FROM fl),
+         med AS (SELECT d.doc_id,
+             (16 + d.doc_id % 48 >= 32 AND 16 + d.doc_id % 32 >= 24) AS img_ok,
+             ((64 + d.doc_id % 128) * 1000000 // 8000 >= 12000
+               AND x.peak >= 200) AS audio_ok
+           FROM documents d, LATERAL (
+             SELECT MAX(ABS((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS peak
+             FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x),
+         j AS (SELECT fl2.*, med.img_ok, med.audio_ok
+           FROM fl2 JOIN med ON med.doc_id = fl2.doc_id),
+         agg AS (SELECT
+             CAST(COUNT(*) AS BIGINT) AS d0,
+             CAST(SUM(n_words) AS BIGINT) AS t0,
+             CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN r1 THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN r2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(SUM(CASE WHEN r3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN r3 AND img_ok THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(SUM(CASE WHEN r3 AND img_ok THEN n_words ELSE 0 END) AS BIGINT) AS t4,
+             CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+             CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok THEN n_words ELSE 0 END) AS BIGINT) AS t5
+           FROM j)
+         SELECT stage, n_docs, n_tokens FROM (
+           SELECT '00_ingest' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+           UNION ALL SELECT '01_quality', d1, t1 FROM agg
+           UNION ALL SELECT '02_dedup', d2, t2 FROM agg
+           UNION ALL SELECT '03_decontam', d3, t3 FROM agg
+           UNION ALL SELECT '04_media_image', d4, t4 FROM agg
+           UNION ALL SELECT '05_media_audio', d5, t5 FROM agg)
+         ORDER BY stage""",
     // Unigram surprisal: the per-doc sum folds in position order on both
     // engines; round(6) absorbs last-ulp ln() differences.
     "q_unigram_logprob" ->
@@ -2957,6 +3226,7 @@ object SparkEntry {
     // right replace semantics in both engines.
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_tokenized_shards" -> tokenizedShardsOracleSql,
     "q_pagerank_lineage" -> pagerankOracleSql(3),
     "q_quality_train" -> qualityTrainOracleSql(12),
     "q_quality_eval" -> qualityEvalOracleSql(12),

@@ -15,14 +15,14 @@ object LayoutOps {
   private[graft] case class ShardManifest(shard: Long, n_docs: Long,
       n_tokens: Long, min_pos: Long, max_pos: Long, order_digest: String)
 
-  /** One md5-chain step: acc' = md5(acc ++ "," ++ docId), lowercase hex —
+  /** One md5-chain step: acc' = md5(acc ++ "," ++ payload), lowercase hex —
     * the same bytes Spark's `md5()` and DuckDB's `md5()` hash, so the
     * oracle replays the chain with
-    * `list_reduce(list_prepend('', list(doc ORDER BY pos)), (a,x) -> md5(a||','||x))`. */
-  private[graft] def digestStep(md: java.security.MessageDigest,
-      acc: String, docId: Long): String = {
+    * `list_reduce(list_prepend('', list(payload ORDER BY pos)), (a,x) -> md5(a||','||x))`. */
+  private[graft] def digestStepStr(md: java.security.MessageDigest,
+      acc: String, payload: String): String = {
     md.reset()
-    val bytes = md.digest((acc + "," + docId).getBytes("UTF-8"))
+    val bytes = md.digest((acc + "," + payload).getBytes("UTF-8"))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < bytes.length) {
@@ -33,6 +33,11 @@ object LayoutOps {
     }
     sb.toString
   }
+
+  /** The doc-id digest step of [[foldShardManifests]]. */
+  private[graft] def digestStep(md: java.security.MessageDigest,
+      acc: String, docId: Long): String =
+    digestStepStr(md, acc, java.lang.Long.toString(docId))
 
   /** Partition-local manifest fold: rows arrive sorted by (shard, pos);
     * the state per in-flight shard is ONE running digest plus five
@@ -121,22 +126,31 @@ object LayoutOps {
     * data order auditable.
     *
     * Scale shape: NOT a global sort-to-one-partition. The corpus is
-    * range-partitioned on the shuffle key, ranks are computed
-    * partition-locally, and partition offsets (≤ one row per partition)
-    * compose the global position — the same two-pass prefix-sum used by
-    * the token sharder, so the only wide ops are one range shuffle and a
-    * partition-count-sized window. The production write is then
+    * bucketed on the leading byte of the shuffle key, ranks are computed
+    * bucket-locally, and bucket offsets (a 256-row broadcast) compose
+    * the global position — the same two-pass prefix-sum used by the
+    * token sharder, so the only wide ops are one hash shuffle and a
+    * 256-row window. The production write is then
     * `partitionBy(shard)` with `sortWithinPartitions(pos)`. */
   /** The rank core of [[corpusShuffle]]: (doc_id, pos) where pos is the
-    * global rank of (md5(doc_id), doc_id), computed by range shuffle +
-    * partition-local ranks + a partition-count-sized offset window. */
+    * global rank of (md5(doc_id), doc_id), computed as a two-pass prefix
+    * sum over 256 DATA-DERIVED buckets — the first byte of the md5 key.
+    * The bucket is monotone in the key, so (bucket, rk, doc_id) is the
+    * same total order as (rk, doc_id); per-bucket ranks plus a 256-row
+    * broadcast offset window compose the global position. Critically the
+    * bucket is a pure FUNCTION OF THE ROW, not of physical placement:
+    * the earlier `repartitionByRange + spark_partition_id` form computed
+    * its partition id from a SAMPLED range exchange that appears twice
+    * in the joined plan (window side + offset side), and when exchange
+    * reuse does not kick in — observed under streaming foreachBatch —
+    * the two executions sample different boundaries and the offsets
+    * misalign, duplicating and holing positions. A row-derived bucket
+    * cannot disagree with itself, whatever the planner does. */
   private[graft] def shuffleRanks(spark: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("rk"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("rk"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", expr("cast(conv(substring(rk, 1, 2), 16, 10) as int)"))
     val local = base.withColumn("lr",
       row_number().over(Window.partitionBy("pid").orderBy("rk", "doc_id")))
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
@@ -249,6 +263,126 @@ object LayoutOps {
         tokensCol = "n_words")
       .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
         col("max_pos"), col("order_digest"))
+      .orderBy("shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    flags.unpersist()
+    out
+  }
+
+  /** One tokenized shard's loader manifest row. */
+  private[graft] case class TokenShardManifest(shard: Long, n_windows: Long,
+      n_docs: Long, n_tokens: Long, min_window: Long, max_window: Long,
+      token_digest: String)
+
+  /** Partition-local token-manifest fold: rows arrive sorted by
+    * (shard, window, pos); state per in-flight shard is ONE running
+    * digest plus six counters — O(1) regardless of shard size. The
+    * digest chains over each document's PIECE-SEQUENCE payload (the
+    * encoded token stream), not the doc id, so a re-tokenization under a
+    * different merge table flips the manifest even when the doc-id
+    * sequence is unchanged — the property a training loader needs before
+    * memory-mapping a token shard it didn't write. */
+  private[graft] def foldTokenManifests(
+      it: Iterator[(Long, Long, Long, Long, String)]): Iterator[TokenShardManifest] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[TokenShardManifest]
+    var cur = -1L; var acc = ""; var nDocs = 0L; var toks = 0L
+    var nWin = 0L; var lastWin = Long.MinValue
+    var minW = Long.MaxValue; var maxW = Long.MinValue
+    def flush(): Unit =
+      if (cur >= 0) out += TokenShardManifest(cur, nWin, nDocs, toks, minW, maxW, acc)
+    while (it.hasNext) {
+      val (shard, win, _, nBpe, tokStr) = it.next()
+      if (shard != cur) {
+        flush(); cur = shard; acc = ""; nDocs = 0L; toks = 0L
+        nWin = 0L; lastWin = Long.MinValue
+        minW = Long.MaxValue; maxW = Long.MinValue
+      }
+      acc = digestStepStr(md, acc, tokStr)
+      nDocs += 1L; toks += nBpe
+      if (win != lastWin) { nWin += 1L; lastWin = win }
+      if (win < minW) minW = win
+      if (win > maxW) maxW = win
+    }
+    flush()
+    out.iterator
+  }
+
+  /** TOKENIZED PACKED SHARD STORE — the last mile between curation and a
+    * training run: the funnel's survivors (`TextOps.curationFlags` r3)
+    * are BPE-encoded under the pinned merge table
+    * ([[TextOps.bpePieceArr]] — one codegen'd expression, zero shuffle),
+    * laid into the deterministic training order ([[shuffleRanks]]),
+    * packed into fixed `ctx`-token context windows by global token
+    * offset (doc → window containing its first token — the
+    * document-boundary-respecting greedy chunking a dataloader performs,
+    * made deterministic), written as a `shard=`-partitioned window-grain
+    * parquet store, and read BACK into a per-shard loader manifest whose
+    * digest chains over the encoded token stream itself.
+    *
+    * Scale shape: the encode is a narrow map; the token prefix sum is
+    * the same two-pass 256-bucket discipline as [[shuffleRanks]] (the
+    * md5-leading-byte bucket is monotone in pos, so a bucket-local
+    * running sum plus a 256-row broadcast offset window composes the
+    * global token offset — never a single-partition window); the store
+    * write is k sorted writer tasks; the manifest fold streams each
+    * sorted shard with O(1) state. The oracle replays the ENTIRE chain —
+    * curation CTEs, md5 ranking, the unrolled merge-table replace chain,
+    * the windowed prefix sum, and every manifest field including the
+    * token digest — so a regression anywhere from quality rules to
+    * tokenizer flips a row red. */
+  def tokenizedShardStore(spark: SparkSession, dir: String,
+      ctx: Long = 2048L, nShards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = spark
+    import spark0.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("tokenized").toString
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3")).select("doc_id")
+    // survivors carry ≥10 words by the quality rule, so the encode needs
+    // no emptiness guard; ranks come from the slim cached survivor set
+    // (not the encoded frame) so the BPE expressions evaluate once
+    val pieces = TextOps.bpePieceArr
+    val enc = Tables(spark, dir, "documents")
+      .join(surv, Seq("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+      .select(col("doc_id"), size(col("pcs")).cast("long").as("n_bpe"),
+        array_join(col("pcs"), " ").as("tok_str"))
+    val ranked = shuffleRanks(spark, surv).join(enc, Seq("doc_id"))
+      // the prefix-sum bucket re-derives shuffleRanks' row-derived pid:
+      // monotone in pos, so bucket-local cumsum + offsets = global offset
+      .withColumn("pid",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+    val wIn = Window.partitionBy("pid").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranked.withColumn("local_cum", sum(col("n_bpe")).over(wIn))
+    val offsets = withLocal.groupBy("pid").agg(max(col("local_cum")).as("psum"))
+      .withColumn("offset",
+        coalesce(sum(col("psum")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val assigned = withLocal.join(broadcast(offsets), "pid")
+      .withColumn("win", expr(s"(local_cum + offset - n_bpe) div $ctx"))
+      .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
+        col("win"), (col("win") % nShards).as("shard"))
+    assigned
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "win", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val out = spark.read.parquet(root)
+      .select(col("shard").cast("long").as("_1"), col("win").cast("long").as("_2"),
+        col("pos").cast("long").as("_3"), col("n_bpe").cast("long").as("_4"),
+        col("tok_str").as("_5"))
+      .as[(Long, Long, Long, Long, String)]
+      .repartition(nShards, col("_1"))
+      .sortWithinPartitions("_1", "_2", "_3")
+      .mapPartitions(foldTokenManifests)
+      .toDF()
+      .select(col("shard"), col("n_windows"), col("n_docs"), col("n_tokens"),
+        col("min_window"), col("max_window"), col("token_digest"))
       .orderBy("shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()

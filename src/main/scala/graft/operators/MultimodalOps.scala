@@ -372,10 +372,11 @@ object MultimodalOps {
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
 
-    /** Synthesize + ENCODE one asset as a real RIFF/WAVE file (PCM16
-      * little-endian, mono). */
-    def encode(id: Long): Array[Byte] = {
-      val n = nSamplesOf(id)
+    /** ENCODE a PCM16 sample array as a real RIFF/WAVE file (little-
+      * endian, mono) — the write half shared by the synthesizer and the
+      * twin transforms (gain / silence-pad re-encode through here). */
+    def encodeSamples(samples: Array[Int]): Array[Byte] = {
+      val n = samples.length
       val dataLen = n * 2
       val out = new ByteArrayOutputStream(44 + dataLen)
       out.write("RIFF".getBytes("US-ASCII")); le32(out, 36 + dataLen)
@@ -389,8 +390,64 @@ object MultimodalOps {
       le16(out, 16)           // bits per sample
       out.write("data".getBytes("US-ASCII")); le32(out, dataLen)
       var i = 0
-      while (i < n) { le16(out, sampleOf(id, i) & 0xffff); i += 1 }
+      while (i < n) { le16(out, samples(i) & 0xffff); i += 1 }
       out.toByteArray
+    }
+
+    /** Synthesize + ENCODE one asset as a real RIFF/WAVE file. */
+    def encode(id: Long): Array[Byte] =
+      encodeSamples(Array.tabulate(nSamplesOf(id))(i => sampleOf(id, i)))
+
+    /** Volume-change twin: decode → scale every sample by an integer
+      * gain → re-encode. No clipping for gain ≤ 16 (synth peak ≤ 1001 ≪
+      * 32767/16) — a byte-level duplicate detector is blind to this. */
+    def gainBytes(id: Long, bytes: Array[Byte], gain: Int): Array[Byte] = {
+      require(gain >= 1 && gain <= 16, s"gain $gain would clip PCM16")
+      encodeSamples(decodeSamples(id, bytes).map(_ * gain))
+    }
+
+    /** Lead-in-silence twin: decode → prepend `m` zero samples →
+      * re-encode (a time-shifted duplicate — different length, different
+      * bytes, same audible content). */
+    def padBytes(id: Long, bytes: Array[Byte], m: Int): Array[Byte] = {
+      require(m >= 0, s"negative pad $m")
+      encodeSamples(new Array[Int](m) ++ decodeSamples(id, bytes))
+    }
+
+    /** 64-bit LOUDNESS-PROFILE hash — the audio twin of the image dHash:
+      * decode the PCM, normalize each |sample| into one of 65 magnitude
+      * buckets by exact integer division against the peak
+      * (`|s|·64 div peak`), count per bucket, and emit one gradient-sign
+      * bit per adjacent bucket pair (`bit k = count[k+1] > count[k]`).
+      *
+      * The two planted transforms are covered STRUCTURALLY, not
+      * empirically: an integer gain `c` cancels exactly in the bucket
+      * rational (`⌊64·c|s| / (c·peak)⌋ = ⌊64|s|/peak⌋`), so the gain
+      * twin's hash is BIT-IDENTICAL (Hamming 0); prepended zero samples
+      * leave the peak untouched and land in bucket 0, so only
+      * `count[0]` moves and only bit 0 can flip (Hamming ≤ 1) — both
+      * inside any banded-LSH recall radius by pigeonhole. */
+    def ahashOf(id: Long, bytes: Array[Byte]): Long = {
+      val s = decodeSamples(id, bytes)
+      var peak = 0
+      var i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i)); if (a > peak) peak = a; i += 1
+      }
+      require(peak > 0, s"asset $id decodes to all-silence; no loudness profile")
+      val cnt = new Array[Long](65)
+      i = 0
+      while (i < s.length) {
+        cnt((math.abs(s(i)).toLong * 64L / peak).toInt) += 1
+        i += 1
+      }
+      var h = 0L
+      var k = 0
+      while (k < 64) {
+        if (cnt(k + 1) > cnt(k)) h |= 1L << k
+        k += 1
+      }
+      h
     }
 
     private def rdLe16(b: Array[Byte], off: Int): Int =
@@ -749,6 +806,151 @@ object MultimodalOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the slim verdicts, then drop the hash cache
     hashes.unpersist()
+    out
+  }
+
+  /** A perceptual audio fingerprint row: asset key, provenance, 64-bit
+    * loudness-profile hash. */
+  case class AudioHash(docId: Long, origId: Long, kind: String, ahash: Long)
+
+  /** Gain twins of every (6k+1)-th asset. */
+  private[graft] def gainTwinIds(id: Long): Boolean = id % 6 == 1
+  /** Lead-in-silence twins of every (6k+4)-th asset. */
+  private[graft] def padTwinIds(id: Long): Boolean = id % 6 == 4
+
+  /** Per-asset loudness-profile hash over the real RIFF decode path, for
+    * the corpus originals plus the planted twins (2× volume, 4-sample
+    * silence lead-in). Everything binary stays partition-local: encode →
+    * transform → decode → hash in one mapPartitions; only slim
+    * (id, orig, kind, hash) rows ever shuffle. */
+  private def audioPerceptualHashes(spark: SparkSession, dir: String): Dataset[AudioHash] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // ids only; see mediaAssets
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val orig = AudioCodec.encode(id)
+          val base = AudioHash(id, id, "orig", AudioCodec.ahashOf(id, orig))
+          if (gainTwinIds(id))
+            Seq(base, AudioHash(id + 5000000L, id, "gain",
+              AudioCodec.ahashOf(id, AudioCodec.gainBytes(id, orig, 2))))
+          else if (padTwinIds(id))
+            Seq(base, AudioHash(id + 6000000L, id, "pad",
+              AudioCodec.ahashOf(id, AudioCodec.padBytes(id, orig, 4))))
+          else Seq(base)
+        }
+      }
+  }
+
+  /** Loudness-profile hash of every audio asset, decoded by the real
+    * RIFF chunk walker — the oracle replays the full magnitude-bucket
+    * histogram + gradient-sign arithmetic per sample (WAV/PCM16 is
+    * lossless, so the codec-recovered hash must equal the arithmetic bit
+    * for bit — the audio twin of [[imageDHashDF]]'s PNG gate). */
+  def audioFingerprintDF(spark: SparkSession, dir: String): DataFrame =
+    audioPerceptualHashes(spark, dir).toDF()
+      .filter(col("kind") === "orig")
+      .select(col("docId").as("doc_id"), col("ahash"))
+      .orderBy("doc_id")
+
+  /** PERCEPTUAL audio dedup — [[imageDedup]]'s discipline on the audio
+    * column: planted volume-scaled and silence-padded twins (both
+    * byte-level novel) must surface their original through a banded
+    * Hamming join on the loudness-profile hash. The hash's transform
+    * bounds are STRUCTURAL ([[AudioCodec.ahashOf]]: gain → Hamming 0,
+    * pad → ≤ 1), so plain 8×8-bit banding suffices — ≤ 7 flipped bits
+    * leave some band exact by pigeonhole; no multiprobe needed — with
+    * the codegen'd [[graft.functions.HammingDistance]] verifying at
+    * radius 7. Incoming-vs-corpus join shape as in [[imageDedup]]; at
+    * 100 TB the corpus side is the precomputed fingerprint store
+    * bucketed on (band, value) with a hot-band frequency cap. */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HammingDistance.hamming
+    val hashes = audioPerceptualHashes(spark, dir).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count() // one fill job before the two band sides fan out
+    val corpus = hashes.filter(col("kind") === "orig")
+      .select(col("docId").as("cand_id"), col("ahash").as("ahash_c"),
+        posexplode(expr("transform(sequence(0, 7), b -> shiftright(ahash, b * 8) & 255)"))
+          .as(Seq("band", "bv")))
+      .select(col("cand_id"), col("ahash_c"), col("band"), col("bv"))
+    val twins = hashes.filter(col("kind") =!= "orig")
+    val probes = twins
+      .select(col("docId").as("twin_id"), col("ahash").as("ahash_t"),
+        posexplode(expr("transform(sequence(0, 7), b -> shiftright(ahash, b * 8) & 255)"))
+          .as(Seq("band", "bv")))
+    val verified = probes
+      .join(corpus, Seq("band", "bv"))
+      .select("twin_id", "cand_id", "ahash_t", "ahash_c")
+      .dropDuplicates("twin_id", "cand_id") // several bands agree per pair
+      .filter(hamming(col("ahash_t"), col("ahash_c")) <= 7)
+    val hits = verified
+      .select(col("twin_id"), col("cand_id").as("orig_id"), lit(true).as("hit"))
+    val out = twins
+      .select(col("docId").as("twin_id"), col("origId").as("orig_id"), col("kind"))
+      .join(hits, Seq("twin_id", "orig_id"), "left")
+      .select(col("twin_id"), col("orig_id"), col("kind"),
+        coalesce(col("hit"), lit(false)).as("found"))
+      .orderBy("twin_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the slim verdicts, then drop the hash cache
+    hashes.unpersist()
+    out
+  }
+
+  /** CROSS-MODAL curation funnel — [[mediaCuration]]'s codec-verified
+    * verdicts composed INTO the text curation funnel
+    * (`TextOps.curationFlags`): a document that survives quality → exact
+    * dedup → decontamination is still excised when its image asset fails
+    * the decode-fidelity/min-dimension gate or its audio asset fails the
+    * duration/signal gate. Output is the same (stage, n_docs, n_tokens)
+    * funnel discipline as `curationPipeline`, extended with the two
+    * media stages — the admission report a 100 TB multimodal corpus
+    * build emits before the curated store is written.
+    *
+    * Scale shape: the text flags are one slim cached pass over the
+    * corpus; each media gate decodes partition-local and reduces to a
+    * one-boolean-per-doc row before the equi-join on doc_id; the funnel
+    * itself is a single aggregation unpivoted with `stack` — no stage
+    * rewrites the corpus. The oracle replays the text CTE chain AND both
+    * modalities' generator-arithmetic rules, so a regression in the
+    * codec path, the hash dedup, or the composition flips a row red. */
+  def curationMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.Column
+    val flags = TextOps.curationFlags(spark, dir) // persisted; unpersist below
+    val media = decodedVerdicts(spark, dir)
+      .select(col("doc_id"),
+        (col("px_ok") && col("width") >= 32 && col("height") >= 24).as("img_ok"))
+      .join(audioVerdicts(spark, dir)
+        .select(col("doc_id"),
+          (col("duration_us") >= 12000L && col("peak") >= 200).as("audio_ok")),
+        Seq("doc_id"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column): Column = sum(when(c, col("n_words")).otherwise(0L))
+    val one = flags.join(media, Seq("doc_id")).agg(
+      count(lit(1)).as("d0"), sum(col("n_words")).as("t0"),
+      cnt(col("r1")).as("d1"), tok(col("r1")).as("t1"),
+      cnt(col("r2")).as("d2"), tok(col("r2")).as("t2"),
+      cnt(col("r3")).as("d3"), tok(col("r3")).as("t3"),
+      cnt(col("r3") && col("img_ok")).as("d4"),
+      tok(col("r3") && col("img_ok")).as("t4"),
+      cnt(col("r3") && col("img_ok") && col("audio_ok")).as("d5"),
+      tok(col("r3") && col("img_ok") && col("audio_ok")).as("t5"))
+    val out = one.select(expr(
+      """stack(6,
+           '00_ingest', d0, t0,
+           '01_quality', d1, t1,
+           '02_dedup', d2, t2,
+           '03_decontam', d3, t3,
+           '04_media_image', d4, t4,
+           '05_media_audio', d5, t5) AS (stage, n_docs, n_tokens)"""))
+      .orderBy("stage")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the 6-row funnel, then drop the flags cache
+    flags.unpersist()
     out
   }
 

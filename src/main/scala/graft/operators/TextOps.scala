@@ -1033,9 +1033,10 @@ object TextOps {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeFrame(Tables(spark, dir, "documents"))
 
-  /** Per-word BPE piece count under [[BpeMergeTable]] — the unrolled
-    * encode chain shared by [[bpeEncodeFrame]] and [[bpeFertility]]. */
-  private[graft] val bpePieces: Column => Column = {
+  /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
+    * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
+    * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). */
+  private[graft] val bpePieceArr: Column => Column = {
     // word → "  c1  c2  ...  ", then the merge chain in rank order
     val encoded = BpeMergeTable.foldLeft[Column => Column](w =>
       concat(lit("  "),
@@ -1043,8 +1044,12 @@ object TextOps {
         lit("  "))) { case (enc, (a, b)) =>
       w => replace(enc(w), lit(s" $a  $b "), lit(s" $a$b "))
     }
-    w => size(split(trim(encoded(w)), "  "))
+    w => split(trim(encoded(w)), "  ")
   }
+
+  /** Per-word BPE piece count under [[BpeMergeTable]]. */
+  private[graft] val bpePieces: Column => Column =
+    w => size(bpePieceArr(w))
 
   private[graft] def bpeEncodeFrame(docs: DataFrame): DataFrame = {
     val pieces = bpePieces

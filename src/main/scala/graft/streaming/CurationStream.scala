@@ -123,14 +123,52 @@ object CurationStream {
         catch { case _: Exception => () })
   }
 
+  /** Row count of the incremental curated store as a broadcastable
+    * 1-row frame — the tail offset for the next batch's positions (0
+    * before the first append; the `shard=` probe keeps an empty or
+    * half-created dir from breaking schema inference). */
+  private def storeCount(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get(storeDir)
+    val hasShard = java.nio.file.Files.isDirectory(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.exists(_.getFileName.toString.startsWith("shard="))
+      finally s.close()
+    }
+    if (hasShard) {
+      // the session FileStatusCache may hold a listing of this path taken
+      // mid-append (a previous batch of this very stream); a stale leaf
+      // list undercounts the tail offset and collides positions — refresh
+      // before every offset read
+      spark.catalog.refreshByPath(storeDir)
+      spark.read.parquet(storeDir).agg(count(lit(1)).cast("long").as("n_old"))
+    } else Seq(0L).toDF("n_old")
+  }
+
   /** Per-batch curation against the accreting claim store. `evalSh` is
     * the static benchmark shingle set (one `g` column), persisted by
-    * the caller for the stream's lifetime. */
+    * the caller for the stream's lifetime.
+    *
+    * With `storeDir` set, each batch also appends its ADMITTED documents
+    * to an incremental curated store: the batch's survivors rank among
+    * themselves by the same md5 training order as the batch build
+    * (`LayoutOps.shuffleRanks`), offset by the store's current size — the
+    * `corpusShuffleUpsert` tail discipline run per micro-batch, so
+    * existing positions are immutable, every shard gains only an appended
+    * tail file, and a training run consuming the store never re-reads a
+    * shard file it already has. At-least-once caveat: the store append
+    * lands BEFORE the batch's claims (a batch replayed after its claims
+    * landed re-derives admitted=false and appends nothing), so the one
+    * crash window — between store append and claim append — duplicates
+    * rather than loses; a read side that needs crash immunity resolves
+    * per doc by min pos, the claim-store read-back discipline. */
   def run(
       incoming: DataFrame,
       evalSh: DataFrame,
       outDir: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      storeDir: Option[String] = None,
+      nShards: Int = 4): StreamingQuery = {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
     def claimed(): DataFrame = claimedClasses(spark, fpStore)
@@ -158,7 +196,7 @@ object CurationStream {
           .withColumn("toks", col("words"))
           .withColumn("sh", DedupOps.shingles(5))
           .select(col("doc_id"), md5(col("text")).as("fp"),
-            col("keep_quality"), col("sh"))
+            col("keep_quality"), col("sh"), col("n_words"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         b.count()
         try {
@@ -191,6 +229,26 @@ object CurationStream {
           try {
             verdict.drop("fp")
               .write.mode(SaveMode.Append).parquet(outDir)
+            // incremental curated store: this batch's admitted docs rank
+            // among themselves by the md5 training order, offset by the
+            // store's current size, and append as shard TAILS — no
+            // existing shard file is rewritten (byte-identity is
+            // spec-asserted). Lands before the claims (see scaladoc).
+            storeDir.foreach { sd =>
+              val admitted = verdict.filter(col("admitted"))
+                .select("doc_id")
+                .join(b.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+              graft.operators.LayoutOps
+                .shuffleRanks(spark, admitted.select("doc_id"))
+                .join(admitted, Seq("doc_id"))
+                .crossJoin(broadcast(storeCount(spark, sd)))
+                .select(col("doc_id"),
+                  (col("pos") + col("n_old")).as("pos"), col("n_words"))
+                .withColumn("shard", col("pos") % nShards)
+                .repartitionByRange(nShards, col("shard"))
+                .sortWithinPartitions("shard", "pos")
+                .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+            }
             // claims accrete for every batch winner — contaminated or not
             // (stage order: dedup decides before decontamination drops)
             verdict.filter(col("keep_quality") && !col("is_dup"))
@@ -209,19 +267,19 @@ object CurationStream {
       .start()
   }
 
-  /** Oracle-gated query: all documents stream through the gate as two
-    * micro-batches (even doc_ids arrive first, then odd), with the
-    * claim store carrying the dedup state across them. The verdicts
-    * are deterministic in the arrival order, so the oracle replays
-    * them relationally: the class winner is the quality-passing doc
-    * minimizing (batch index, doc_id). */
-  def curationStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.sources.TmpStores.pidScopedRoot("graft-curation")
-    Seq("in", "out", "out_fps", "ckpt").foreach(d =>
+  /** The deterministic two-batch arrival fixture shared by the stream
+    * gates: even doc_ids land as the first micro-batch, odd as the
+    * second; `evalSh` is persisted for the stream's lifetime (callers
+    * own the unpersist). */
+  private case class StreamFixture(src: DataFrame, evalSh: DataFrame,
+      out: String, ckpt: String, root: java.nio.file.Path)
+
+  private def streamFixture(spark: SparkSession, dir: String,
+      tag: String, extra: Seq[String] = Seq.empty): StreamFixture = {
+    val root = graft.sources.TmpStores.pidScopedRoot(tag)
+    (Seq("in", "out", "out_fps", "ckpt") ++ extra).foreach(d =>
       graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
     val in = root.resolve("in").toString
-    val out = root.resolve("out").toString
-    val ckpt = root.resolve("ckpt").toString
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     docs.filter(col("doc_id") % 2 === 0)
       .coalesce(1).write.mode(SaveMode.Append).parquet(in)
@@ -236,22 +294,59 @@ object CurationStream {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     evalSh.count()
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    StreamFixture(src, evalSh, root.resolve("out").toString,
+      root.resolve("ckpt").toString, root)
+  }
+
+  /** Oracle-gated query: all documents stream through the gate as two
+    * micro-batches (even doc_ids arrive first, then odd), with the
+    * claim store carrying the dedup state across them. The verdicts
+    * are deterministic in the arrival order, so the oracle replays
+    * them relationally: the class winner is the quality-passing doc
+    * minimizing (batch index, doc_id). */
+  def curationStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fx = streamFixture(spark, dir, "graft-curation")
     try {
-      val src = spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(in)
-      run(src, evalSh, out, ckpt).awaitTermination()
+      run(fx.src, fx.evalSh, fx.out, fx.ckpt).awaitTermination()
       // no persist: the verdicts live on disk already — re-executing the
       // returned frame is one scan of the small store, no cached state
       // outlives this call. The per-doc aggregation (not an arbitrary
       // dropDuplicates row) makes redelivered appends resolve
       // deterministically: a doc's own claim proves its admission.
-      spark.read.parquet(out)
+      spark.read.parquet(fx.out)
         .groupBy("doc_id")
         .agg(max(col("keep_quality")).as("keep_quality"),
           min(col("is_dup")).as("is_dup"),
           max(col("is_contaminated")).as("is_contaminated"),
           max(col("admitted")).as("admitted"))
         .orderBy("doc_id")
-    } finally evalSh.unpersist()
+    } finally fx.evalSh.unpersist()
+  }
+
+  /** Oracle-gated query for the INCREMENTAL curated store: the same
+    * two-batch arrival as [[curationStreamQuery]], with each batch's
+    * admitted documents appended to the shard store as tails, then the
+    * store read back from disk into the per-shard loader manifest (the
+    * `LayoutOps.curatedStore` fields — doc count, token sum, pos range,
+    * order-sensitive digest). The oracle replays curation verdicts in
+    * arrival order AND the two-stage tail ranking (batch-0 survivors
+    * ranked by md5, batch-1 survivors ranked after them), so a
+    * regression in the gate, the ranking, the offset fold, or the
+    * write→read round trip flips a manifest row red. */
+  def curatedStoreIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fx = streamFixture(spark, dir, "graft-curation-inc", Seq("store"))
+    val store = fx.root.resolve("store").toString
+    try {
+      run(fx.src, fx.evalSh, fx.out, fx.ckpt,
+        storeDir = Some(store), nShards = 4).awaitTermination()
+      spark.catalog.refreshByPath(store) // see storeCount: drop stale listings
+      graft.operators.LayoutOps
+        .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+          col("max_pos"), col("order_digest"))
+        .orderBy("shard")
+    } finally fx.evalSh.unpersist()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.MultimodalOps
 import graft.operators.MultimodalOps.MediaCodec
+import scala.jdk.CollectionConverters._
 
 /** Round-11 capability depth: perceptual (pixel-level) media dedup and
   * the incremental curated-store / tokenized-shard compositions.
@@ -61,6 +62,148 @@ class Round11OpsSpec extends AnyFunSuite {
       .filter(col("twin_id") === 4000021L).collect()
     assert(row.length == 1 && row.head.getAs[Boolean]("found"),
       "multiprobe banding must recall the no-shared-band twin")
+  }
+
+  test("audio loudness hash: gain is bit-identical, silence pad flips at most bit 0") {
+    import MultimodalOps.AudioCodec
+    (0L until 600L).foreach { id =>
+      val orig = AudioCodec.encode(id)
+      val h = AudioCodec.ahashOf(id, orig)
+      // integer gain cancels exactly in the bucket rational
+      val hg = AudioCodec.ahashOf(id, AudioCodec.gainBytes(id, orig, 2))
+      assert(hg == h, s"id=$id gain changed the hash")
+      // prepended zeros land in bucket 0 only -> only bit 0 may flip
+      val hp = AudioCodec.ahashOf(id, AudioCodec.padBytes(id, orig, 4))
+      assert(((h ^ hp) & ~1L) == 0L, s"id=$id pad flipped a bit above 0")
+      // byte level: both transforms are novel to a byte-exact dedup
+      assert(!java.util.Arrays.equals(orig, AudioCodec.gainBytes(id, orig, 2)))
+      assert(!java.util.Arrays.equals(orig, AudioCodec.padBytes(id, orig, 4)))
+    }
+  }
+
+  test("audio dedup recalls every planted gain and time-shift twin") {
+    val out = MultimodalOps.audioDedup(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byKind = out.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap
+    assert(byKind.getOrElse("gain", 0) > 0 && byKind.getOrElse("pad", 0) > 0)
+    val missed = out.filterNot(_.getAs[Boolean]("found"))
+    assert(missed.isEmpty, s"unrecalled twins: ${missed.take(5).mkString(",")}")
+  }
+
+  test("cross-modal funnel excises decontam survivors with failing assets") {
+    val rows = MultimodalOps.curationMultimodal(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq == Seq(
+      "00_ingest", "01_quality", "02_dedup", "03_decontam",
+      "04_media_image", "05_media_audio"))
+    val docs = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val toks = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_tokens")).toMap
+    // funnel is monotone in both documents and tokens
+    val order = rows.map(_.getAs[String]("stage")).toSeq
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(docs(b) <= docs(a), s"$b docs grew past $a")
+      assert(toks(b) <= toks(a), s"$b tokens grew past $a")
+    }
+    // the media gates actually excise: a third of assets fail the image
+    // width rule (doc_id % 48 < 16) alone, so some decontam survivor
+    // must fall at the image stage
+    assert(docs("04_media_image") < docs("03_decontam"),
+      "image gate excised nothing — the compose is a no-op")
+  }
+
+  test("incremental curated store appends shard tails without touching existing files") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-testtmp")
+      .resolve("inc-store-spec")
+    graft.sources.TmpStores.deleteRecursively(root)
+    def p(s: String) = root.resolve(s).toString
+    val evalSh = Seq.empty[String].toDF("g").persist()
+    def text(i: Int) =
+      s"the quick brown fox number$i jumps over a lazy dog and that is fine"
+    val docs = (1 to 20).map(i => (i.toLong, text(i)))
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    def snap(): Map[String, (Long, String)] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p("store")))
+      try w.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          f.toString -> (bytes.length.toLong,
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes))
+        }.toMap
+      finally w.close()
+    }
+    def runOnce(): Unit = graft.streaming.CurationStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+      evalSh, p("out"), p("ckpt"), storeDir = Some(p("store")), nShards = 4)
+      .awaitTermination()
+    // batch 0: even ids arrive and seed the store
+    docs.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    runOnce()
+    val s1 = snap()
+    assert(s1.nonEmpty, "batch 0 must seed the store")
+    val pos1 = spark.read.parquet(p("store"))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(pos1.keySet == docs.map(_._1).filter(_ % 2 == 0).toSet)
+    // batch 1: odd ids arrive; the checkpoint resumes and appends tails
+    docs.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    runOnce()
+    val s2 = snap()
+    s1.foreach { case (f, sig) =>
+      assert(s2.get(f).contains(sig), s"existing shard file rewritten: $f")
+    }
+    assert(s2.size > s1.size, "batch 1 must append new tail files")
+    val pos2 = spark.read.parquet(p("store"))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    pos1.foreach { case (id, pos) =>
+      assert(pos2(id) == pos, s"doc $id position moved on append")
+    }
+    // arrivals rank into the tail: every new position follows the old max
+    val newPos = pos2.view.filterKeys(_ % 2 == 1).values
+    assert(newPos.min == pos1.values.max + 1 &&
+      newPos.max == pos1.size + newPos.size - 1,
+      "tail positions must continue the existing order densely")
+    evalSh.unpersist()
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
+  test("tokenized shards: windows respect doc order, round-robin shards, deterministic digest") {
+    import graft.operators.{LayoutOps, TextOps}
+    import graft.sources.Tables
+    val manifest = LayoutOps.tokenizedShardStore(spark, dir).collect()
+    assert(manifest.map(_.getAs[Long]("shard")).toSeq == Seq(0L, 1L, 2L, 3L))
+    // doc/token accounting matches an independent recomputation of the
+    // survivor encode (the window machinery can't invent or drop tokens)
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3")).select("doc_id")
+    val pieces = TextOps.bpePieceArr
+    val enc = Tables(spark, dir, "documents")
+      .join(surv, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(flatten(transform(TextOps.tokens(col("text")), w => pieces(w))))
+          .cast("long").as("n_bpe"))
+      .agg(count(lit(1)).as("d"), sum(col("n_bpe")).as("t"))
+      .collect()(0)
+    flags.unpersist()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == enc.getAs[Long]("d"))
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == enc.getAs[Long]("t"))
+    // window ranges per shard stay inside the global window span and the
+    // round-robin residue: every window in shard s has win % 4 == s
+    val allWins = manifest.map(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("min_window"), r.getAs[Long]("max_window")))
+    allWins.foreach { case (s, lo, hi) =>
+      assert(lo >= 0 && lo <= hi)
+      assert(lo % 4 == s && hi % 4 == s,
+        s"shard $s window range [$lo,$hi] breaks the round-robin residue")
+    }
+    // determinism: a second full build (fresh store write) reproduces
+    // every manifest field including the token digest bit for bit
+    val again = LayoutOps.tokenizedShardStore(spark, dir).collect()
+    assert(manifest.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "rebuild changed the manifest — the layout is not deterministic")
   }
 
   test("dHash is invariant under JPEG transcode of checkerboard assets") {
