@@ -166,6 +166,9 @@ object SparkEntry {
     // perceptual audio dedup: loudness-profile hash + banded Hamming LSH
     "q_audio_fingerprint" -> (MultimodalOps.audioFingerprintDF _),
     "q_audio_dedup"       -> (MultimodalOps.audioDedup _),
+    // perceptual video dedup: temporal-gradient signature, exact equi-join
+    "q_video_fingerprint" -> (MultimodalOps.videoFingerprintDF _),
+    "q_video_dedup"       -> (MultimodalOps.videoDedup _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -2432,6 +2435,36 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id + 6000000, doc_id, 'pad', TRUE
          FROM documents WHERE doc_id % 6 = 4
+         ORDER BY twin_id""",
+    // Perceptual video fingerprint: the codec decodes real animated-GIF
+    // frames and chains the collapsed frame-luminance deltas through the
+    // manifest md5 fold; the oracle replays the per-frame generator
+    // arithmetic (consecutive synth grays never repeat — 29 is not a
+    // multiple of 224 — so the collapse is the identity on originals).
+    "q_video_fingerprint" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS n FROM documents),
+         g AS (SELECT d.doc_id, f.f, 16 + (d.doc_id * 13 + f.f * 29) % 224 AS gray
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS f) f),
+         dl AS (SELECT a.doc_id, a.f, CAST(b.gray - a.gray AS VARCHAR) AS delta
+           FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f + 1)
+         SELECT doc_id, list_reduce(list_prepend('', list(delta ORDER BY f)),
+           (acc, x) -> md5(acc || ',' || x)) AS vhash
+         FROM dl GROUP BY doc_id ORDER BY doc_id""",
+    // Perceptual video dedup recall gate: planted 2x-frame-rate,
+    // +8-luminance, and 2x-rescale twins must surface their original
+    // through the signature equi-join. found is structurally TRUE
+    // (duplicated frames collapse away, the lift cancels in the deltas,
+    // the rescale leaves the solid frame's probe pixel untouched).
+    "q_video_dedup" ->
+      """SELECT doc_id + 7000000 AS twin_id, doc_id AS orig_id,
+           'fps' AS kind, TRUE AS found
+         FROM documents WHERE doc_id % 6 = 2
+         UNION ALL
+         SELECT doc_id + 8000000, doc_id, 'bright', TRUE
+         FROM documents WHERE doc_id % 6 = 5
+         UNION ALL
+         SELECT doc_id + 9000000, doc_id, 'scale', TRUE
+         FROM documents WHERE doc_id % 6 = 0
          ORDER BY twin_id""",
     // Video twin: Spark encodes a REAL animated GIF per doc and decodes
     // every stride-2 frame back out of the container; the oracle replays

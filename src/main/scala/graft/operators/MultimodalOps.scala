@@ -612,9 +612,11 @@ object MultimodalOps {
     def frameGrayOf(id: Long, f: Int): Int =
       16 + ((id * 13 + f.toLong * 29) % 224).toInt      // 16..239
 
-    /** Synthesize + ENCODE one asset as a real animated GIF. */
-    def encode(id: Long): Array[Byte] = {
-      val w = widthOf(id); val h = heightOf(id)
+    /** ENCODE an explicit solid-gray frame sequence as a real animated
+      * GIF — the write half shared by the synthesizer and the twin
+      * transforms (fps-resample / brightness / rescale all re-encode
+      * through here). */
+    def encodeFrames(grays: Seq[Int], w: Int, h: Int): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       val ios = ImageIO.createImageOutputStream(out)
       val writers = ImageIO.getImageWritersByFormatName("gif")
@@ -623,20 +625,75 @@ object MultimodalOps {
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
-        var f = 0
-        val n = nFramesOf(id)
-        while (f < n) {
-          val g = frameGrayOf(id, f)
+        grays.foreach { g =>
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           val gr = img.createGraphics()
           try { gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, w, h) }
           finally gr.dispose()
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
         }
         writer.endWriteSequence()
       } finally { writer.dispose(); ios.close() }
       out.toByteArray
+    }
+
+    /** Synthesize + ENCODE one asset as a real animated GIF. */
+    def encode(id: Long): Array[Byte] =
+      encodeFrames((0 until nFramesOf(id)).map(frameGrayOf(id, _)),
+        widthOf(id), heightOf(id))
+
+    /** Frame-rate twin: decode → write every frame TWICE → re-encode (a
+      * 2× temporal resample — different container bytes, more frames,
+      * same visual content). */
+    def fpsBytes(id: Long, bytes: Array[Byte]): Array[Byte] = {
+      val fr = decodeFrames(id, bytes)
+      encodeFrames(fr.flatMap(f => Seq(f.gray, f.gray)),
+        fr.head.width, fr.head.height)
+    }
+
+    /** Brightness twin: decode → lift every frame's luminance by `c` →
+      * re-encode. No clipping for the synth range (gray ≤ 239, c ≤ 16),
+      * and GIF stores a solid frame's palette entry exactly. */
+    def brightBytes(id: Long, bytes: Array[Byte], c: Int): Array[Byte] = {
+      require(c >= 0 && c <= 16, s"lift $c would clip the 16..239 synth range")
+      val fr = decodeFrames(id, bytes)
+      encodeFrames(fr.map(_.gray + c), fr.head.width, fr.head.height)
+    }
+
+    /** Spatial-rescale twin: decode → re-encode every frame at 2× the
+      * dimensions (a solid frame rescales losslessly, so the probe pixel
+      * decodes to the same luminance). */
+    def scaleBytes(id: Long, bytes: Array[Byte]): Array[Byte] = {
+      val fr = decodeFrames(id, bytes)
+      encodeFrames(fr.map(_.gray), fr.head.width * 2, fr.head.height * 2)
+    }
+
+    /** TEMPORAL-GRADIENT signature — the video member of the perceptual
+      * triple (image dHash, audio loudness hash): decode every frame,
+      * take each frame's luminance (the probe pixel — exact on solid
+      * frames), COLLAPSE consecutive equal-luminance runs, DIFFERENCE
+      * consecutive collapsed luminances, and chain the delta sequence
+      * through the same md5 fold as the shard manifests
+      * ([[graft.operators.LayoutOps.digestStepStr]]) so the oracle
+      * replays it with `list_reduce`.
+      *
+      * All three planted transforms are covered STRUCTURALLY, not
+      * empirically: frame duplication collapses away, a +c luminance
+      * lift cancels in the differences, and a 2× rescale leaves the
+      * solid frame's probe pixel untouched — each twin's signature is
+      * BYTE-IDENTICAL to its original's, so the dedup join is an exact
+      * equi-join on the signature, no Hamming radius needed. */
+    def vhashOf(id: Long, bytes: Array[Byte]): String = {
+      val grays = decodeFrames(id, bytes).map(_.gray)
+      require(grays.length >= 2, s"asset $id has <2 frames; no temporal signature")
+      val collapsed = grays.head +: grays.sliding(2).collect {
+        case Seq(a, b) if a != b => b
+      }.toSeq
+      require(collapsed.length >= 2, s"asset $id is a static clip; no gradient")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      collapsed.sliding(2).foldLeft("") { case (acc, Seq(a, b)) =>
+        LayoutOps.digestStepStr(md, acc, (b - a).toString)
+      }
     }
 
     /** DECODE every frame out of the container: the frame count comes
@@ -888,6 +945,98 @@ object MultimodalOps {
       .filter(hamming(col("ahash_t"), col("ahash_c")) <= 7)
     val hits = verified
       .select(col("twin_id"), col("cand_id").as("orig_id"), lit(true).as("hit"))
+    val out = twins
+      .select(col("docId").as("twin_id"), col("origId").as("orig_id"), col("kind"))
+      .join(hits, Seq("twin_id", "orig_id"), "left")
+      .select(col("twin_id"), col("orig_id"), col("kind"),
+        coalesce(col("hit"), lit(false)).as("found"))
+      .orderBy("twin_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the slim verdicts, then drop the hash cache
+    hashes.unpersist()
+    out
+  }
+
+  /** A perceptual video fingerprint row: asset key, provenance,
+    * temporal-gradient signature ([[VideoCodec.vhashOf]]). */
+  case class VideoHash(docId: Long, origId: Long, kind: String, vhash: String)
+
+  /** 2×-frame-rate twins of every (6k+2)-th asset. */
+  private[graft] def fpsTwinIds(id: Long): Boolean = id % 6 == 2
+  /** +8-luminance twins of every (6k+5)-th asset. */
+  private[graft] def brightTwinIds(id: Long): Boolean = id % 6 == 5
+  /** 2×-rescale twins of every 6k-th asset. */
+  private[graft] def scaleTwinIds(id: Long): Boolean = id % 6 == 0
+
+  /** Per-asset temporal-gradient signature over the real GIF decode
+    * path, for the corpus originals plus the planted twins (2× frame
+    * rate, +8 luminance, 2× rescale). Everything binary stays
+    * partition-local: encode → transform → decode → hash in one
+    * mapPartitions; only slim (id, orig, kind, signature) rows ever
+    * shuffle. */
+  private def videoPerceptualHashes(spark: SparkSession, dir: String): Dataset[VideoHash] = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // ids only; see mediaAssets
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val orig = VideoCodec.encode(id)
+          val base = VideoHash(id, id, "orig", VideoCodec.vhashOf(id, orig))
+          if (fpsTwinIds(id))
+            Seq(base, VideoHash(id + 7000000L, id, "fps",
+              VideoCodec.vhashOf(id, VideoCodec.fpsBytes(id, orig))))
+          else if (brightTwinIds(id))
+            Seq(base, VideoHash(id + 8000000L, id, "bright",
+              VideoCodec.vhashOf(id, VideoCodec.brightBytes(id, orig, 8))))
+          else if (scaleTwinIds(id))
+            Seq(base, VideoHash(id + 9000000L, id, "scale",
+              VideoCodec.vhashOf(id, VideoCodec.scaleBytes(id, orig))))
+          else Seq(base)
+        }
+      }
+  }
+
+  /** Temporal-gradient signature of every video asset, decoded by the
+    * real GIF sequence reader — the oracle replays the per-frame
+    * luminance generator and the delta md5 chain relationally (solid
+    * frames survive GIF's palette quantization exactly, so the
+    * codec-recovered signature must equal the arithmetic bit for bit —
+    * the video member of the [[imageDHashDF]] / [[audioFingerprintDF]]
+    * gate family). */
+  def videoFingerprintDF(spark: SparkSession, dir: String): DataFrame =
+    videoPerceptualHashes(spark, dir).toDF()
+      .filter(col("kind") === "orig")
+      .select(col("docId").as("doc_id"), col("vhash"))
+      .orderBy("doc_id")
+
+  /** PERCEPTUAL video dedup — the modality triple's third leg: planted
+    * frame-rate-doubled, brightness-lifted, and rescaled twins (all
+    * byte-level novel containers) must surface their original. Because
+    * every planted transform cancels STRUCTURALLY in the signature
+    * ([[VideoCodec.vhashOf]]), candidate generation is an exact
+    * equi-join on the signature — the degenerate (radius-0) case of the
+    * banded-Hamming discipline [[imageDedup]]/[[audioDedup]] use, with
+    * the whole 128-bit signature as the single band. Incoming-vs-corpus
+    * join shape as there; at 100 TB the corpus side is the precomputed
+    * signature store bucketed on the signature, and a hot-signature
+    * frequency cap (the containment-dedup DF-cap discipline,
+    * DedupOps.scala) bounds degenerate keys — low-entropy clips (e.g.
+    * near-static footage) collapse to short delta chains that many
+    * assets share. */
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = videoPerceptualHashes(spark, dir).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count() // one fill job before the two join sides fan out
+    val corpus = hashes.filter(col("kind") === "orig")
+      .select(col("docId").as("cand_id"), col("vhash"))
+    val twins = hashes.filter(col("kind") =!= "orig")
+    val hits = twins
+      .select(col("docId").as("twin_id"), col("vhash"))
+      .join(corpus, Seq("vhash"))
+      .select(col("twin_id"), col("cand_id").as("orig_id"), lit(true).as("hit"))
+      .dropDuplicates("twin_id", "orig_id")
     val out = twins
       .select(col("docId").as("twin_id"), col("origId").as("orig_id"), col("kind"))
       .join(hits, Seq("twin_id", "orig_id"), "left")

@@ -81,6 +81,43 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("video temporal signature is invariant under fps-double, brightness lift, rescale") {
+    import MultimodalOps.VideoCodec
+    (0L until 600L).foreach { id =>
+      val orig = VideoCodec.encode(id)
+      val h = VideoCodec.vhashOf(id, orig)
+      // duplicated frames collapse away
+      val fps = VideoCodec.fpsBytes(id, orig)
+      assert(VideoCodec.vhashOf(id, fps) == h, s"id=$id fps-double changed the signature")
+      // a constant luminance lift cancels in the deltas
+      val bright = VideoCodec.brightBytes(id, orig, 8)
+      assert(VideoCodec.vhashOf(id, bright) == h, s"id=$id brightness lift changed the signature")
+      // a solid frame rescales losslessly
+      val scaled = VideoCodec.scaleBytes(id, orig)
+      assert(VideoCodec.vhashOf(id, scaled) == h, s"id=$id rescale changed the signature")
+      // byte level: every transform is novel to a byte-exact dedup
+      Seq(fps, bright, scaled).foreach(t =>
+        assert(!java.util.Arrays.equals(orig, t)))
+      // and the signature DOES move when the content does: dropping the
+      // last frame shortens the delta chain
+      val n = VideoCodec.nFramesOf(id)
+      val trimmed = VideoCodec.encodeFrames(
+        (0 until n - 1).map(VideoCodec.frameGrayOf(id, _)),
+        VideoCodec.widthOf(id), VideoCodec.heightOf(id))
+      assert(VideoCodec.vhashOf(id, trimmed) != h, s"id=$id signature blind to a dropped frame")
+    }
+  }
+
+  test("video dedup recalls every planted fps, brightness and rescale twin") {
+    val out = MultimodalOps.videoDedup(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byKind = out.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap
+    Seq("fps", "bright", "scale").foreach(k =>
+      assert(byKind.getOrElse(k, 0) > 0, s"no planted $k twins"))
+    val missed = out.filterNot(_.getAs[Boolean]("found"))
+    assert(missed.isEmpty, s"unrecalled twins: ${missed.take(5).mkString(",")}")
+  }
+
   test("audio dedup recalls every planted gain and time-shift twin") {
     val out = MultimodalOps.audioDedup(spark, dir).collect()
     assert(out.nonEmpty)
