@@ -221,6 +221,11 @@ object SparkEntry {
     // as shard tails; manifest read back from the on-disk store
     "q_curated_store_incremental" ->
       (graft.streaming.CurationStream.curatedStoreIncrementalQuery _),
+    // incremental TOKENIZED store: each micro-batch's admitted docs
+    // BPE-encode and pack into context windows continuing the store's
+    // global token offset; manifest read back from the on-disk store
+    "q_tokenized_store_incremental" ->
+      (graft.streaming.CurationStream.tokenizedStoreIncrementalQuery _),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -392,6 +397,84 @@ object SparkEntry {
            SUM(n_bpe) OVER (ORDER BY pos
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          FROM e2),
+       wn AS (SELECT pos, n_bpe, tok_str, (cum - n_bpe) // 2048 AS win FROM c)
+       SELECT CAST(win % 4 AS BIGINT) AS shard,
+         CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         CAST(MIN(win) AS BIGINT) AS min_window,
+         CAST(MAX(win) AS BIGINT) AS max_window,
+         list_reduce(list_prepend('', list(tok_str ORDER BY pos)),
+           (acc, x) -> md5(acc || ',' || x)) AS token_digest
+       FROM wn GROUP BY 1 ORDER BY shard"""
+  }
+
+  /** DuckDB twin of the INCREMENTAL tokenized store
+    * ([[graft.streaming.CurationStream.tokenizedStoreIncrementalQuery]]):
+    * arrival-order stream verdicts (class winner minimizes
+    * (batch, doc_id)), per-batch md5 ranking concatenated batch-major,
+    * the unrolled merge-table encode, and the CROSS-BATCH window prefix
+    * sum — batch 1's first window continues batch 0's partial tail. */
+  private def tokenizedStoreIncrementalOracleSql: String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val merged = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       s AS (SELECT doc_id, text, words,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(['the','a','of','and','is'],
+             m -> list_contains(words, m))) AS BIGINT) AS n_required
+         FROM t),
+       f AS (SELECT doc_id, md5(text) AS fp, words,
+           (n_words >= 10 AND n_words <= 1000
+             AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             AND n_symbol * 10 <= n_words
+             AND n_alpha * 5 >= n_words * 4
+             AND n_required >= 2) AS keep_quality
+         FROM s),
+       shq AS (SELECT doc_id,
+           CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> array_to_string(words[i:i+4], ' '))) END AS sh
+         FROM f WHERE keep_quality),
+       ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\\s+'), x -> x <> '') AS toks
+         FROM documents WHERE doc_id % 50 = 0),
+       es AS (SELECT DISTINCT unnest(
+           CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+         FROM ev),
+       cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+       cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+         GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+       wv AS (SELECT doc_id, fp, keep_quality,
+           (doc_id % 2) * 1000000000 + doc_id AS wk
+         FROM f),
+       fl AS (SELECT wv.doc_id,
+           (wv.keep_quality AND wv.wk =
+             MIN(CASE WHEN wv.keep_quality THEN wv.wk END)
+               OVER (PARTITION BY wv.fp)
+             AND cont.doc_id IS NULL) AS admitted
+         FROM wv LEFT JOIN cont ON wv.doc_id = cont.doc_id),
+       e AS (SELECT fl.doc_id, fl.doc_id % 2 AS batch,
+           flatten(list_transform(t.words, w -> string_split(trim($merged), '  '))) AS pcs
+         FROM fl JOIN t USING (doc_id) WHERE admitted),
+       e2 AS (SELECT doc_id, batch, CAST(len(pcs) AS BIGINT) AS n_bpe,
+           array_to_string(pcs, ' ') AS tok_str FROM e),
+       r AS (SELECT doc_id, n_bpe, tok_str,
+           row_number() OVER (ORDER BY batch, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM e2),
+       c AS (SELECT pos, n_bpe, tok_str,
+           SUM(n_bpe) OVER (ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM r),
        wn AS (SELECT pos, n_bpe, tok_str, (cum - n_bpe) // 2048 AS win FROM c)
        SELECT CAST(win % 4 AS BIGINT) AS shard,
          CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
@@ -3260,6 +3343,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_tokenized_shards" -> tokenizedShardsOracleSql,
+    "q_tokenized_store_incremental" -> tokenizedStoreIncrementalOracleSql,
     "q_pagerank_lineage" -> pagerankOracleSql(3),
     "q_quality_train" -> qualityTrainOracleSql(12),
     "q_quality_eval" -> qualityEvalOracleSql(12),

@@ -332,26 +332,32 @@ object LayoutOps {
     * the windowed prefix sum, and every manifest field including the
     * token digest — so a regression anywhere from quality rules to
     * tokenizer flips a row red. */
-  def tokenizedShardStore(spark: SparkSession, dir: String,
-      ctx: Long = 2048L, nShards: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark0 = spark
-    import spark0.implicits._
-    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
-      .resolve("tokenized").toString
-    val flags = TextOps.curationFlags(spark, dir)
-    val surv = flags.filter(col("r3")).select("doc_id")
-    // survivors carry ≥10 words by the quality rule, so the encode needs
-    // no emptiness guard; ranks come from the slim cached survivor set
-    // (not the encoded frame) so the BPE expressions evaluate once
+  /** BPE-encode a (doc_id, text) frame under the pinned merge table —
+    * one codegen'd expression, zero shuffle: (doc_id, n_bpe, tok_str). */
+  private[graft] def bpeEncodeDocs(docs: DataFrame): DataFrame = {
     val pieces = TextOps.bpePieceArr
-    val enc = Tables(spark, dir, "documents")
-      .join(surv, Seq("doc_id"))
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
       .select(col("doc_id"), size(col("pcs")).cast("long").as("n_bpe"),
         array_join(col("pcs"), " ").as("tok_str"))
-    val ranked = shuffleRanks(spark, surv).join(enc, Seq("doc_id"))
+  }
+
+  /** Pack ranked, encoded documents into fixed `ctx`-token context
+    * windows by global token offset: `ranked` carries (doc_id, pos,
+    * n_bpe, tok_str); `baseTokens` is a broadcastable 1-row frame with a
+    * `t_old` column — the token count already in the store (0 for a
+    * batch build, the store's running total for a streaming tail append,
+    * so a partially-filled last window keeps filling across appends).
+    * The token prefix sum is the same two-pass 256-bucket discipline as
+    * [[shuffleRanks]]: the md5-leading-byte bucket is monotone in pos,
+    * so a bucket-local running sum plus a 256-row broadcast offset
+    * window composes the global token offset — never a single-partition
+    * window. Output adds (win, shard = win % nShards). */
+  private[graft] def assignWindows(ranked0: DataFrame, ctx: Long,
+      nShards: Int, baseTokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = ranked0
       // the prefix-sum bucket re-derives shuffleRanks' row-derived pid:
       // monotone in pos, so bucket-local cumsum + offsets = global offset
       .withColumn("pid",
@@ -364,15 +370,20 @@ object LayoutOps {
         coalesce(sum(col("psum")).over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
-    val assigned = withLocal.join(broadcast(offsets), "pid")
-      .withColumn("win", expr(s"(local_cum + offset - n_bpe) div $ctx"))
+    withLocal.join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(baseTokens))
+      .withColumn("win", expr(s"(local_cum + offset + t_old - n_bpe) div $ctx"))
       .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
         col("win"), (col("win") % nShards).as("shard"))
-    assigned
-      .repartitionByRange(nShards, col("shard"))
-      .sortWithinPartitions("shard", "win", "pos")
-      .write.mode("overwrite").partitionBy("shard").parquet(root)
-    val out = spark.read.parquet(root)
+  }
+
+  /** Fold a window-grain token store into its per-shard loader manifest
+    * ([[foldTokenManifests]]): k streaming tasks, O(1) state each. */
+  private[graft] def tokenShardManifest(spark: SparkSession, store: DataFrame,
+      nShards: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    store
       .select(col("shard").cast("long").as("_1"), col("win").cast("long").as("_2"),
         col("pos").cast("long").as("_3"), col("n_bpe").cast("long").as("_4"),
         col("tok_str").as("_5"))
@@ -384,6 +395,26 @@ object LayoutOps {
       .select(col("shard"), col("n_windows"), col("n_docs"), col("n_tokens"),
         col("min_window"), col("max_window"), col("token_digest"))
       .orderBy("shard")
+  }
+
+  def tokenizedShardStore(spark: SparkSession, dir: String,
+      ctx: Long = 2048L, nShards: Int = 4): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("tokenized").toString
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3")).select("doc_id")
+    // survivors carry ≥10 words by the quality rule, so the encode needs
+    // no emptiness guard; ranks come from the slim cached survivor set
+    // (not the encoded frame) so the BPE expressions evaluate once
+    val enc = bpeEncodeDocs(Tables(spark, dir, "documents").join(surv, Seq("doc_id")))
+    val ranked = shuffleRanks(spark, surv).join(enc, Seq("doc_id"))
+    assignWindows(ranked, ctx, nShards, Seq(0L).toDF("t_old"))
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "win", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val out = tokenShardManifest(spark, spark.read.parquet(root), nShards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     flags.unpersist()

@@ -145,6 +145,27 @@ object CurationStream {
     } else Seq(0L).toDF("n_old")
   }
 
+  /** Doc and TOKEN tail state of the incremental tokenized store as a
+    * broadcastable 1-row frame — `n_old` offsets the next batch's
+    * positions, `t_old` its global token offsets, so a partially-filled
+    * last context window keeps filling across appends. Same stale-listing
+    * refresh discipline as [[storeCount]]. */
+  private def tokenStoreState(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get(storeDir)
+    val hasShard = java.nio.file.Files.isDirectory(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.exists(_.getFileName.toString.startsWith("shard="))
+      finally s.close()
+    }
+    if (hasShard) {
+      spark.catalog.refreshByPath(storeDir)
+      spark.read.parquet(storeDir).agg(
+        count(lit(1)).cast("long").as("n_old"),
+        coalesce(sum(col("n_bpe")), lit(0L)).cast("long").as("t_old"))
+    } else Seq((0L, 0L)).toDF("n_old", "t_old")
+  }
+
   /** Per-batch curation against the accreting claim store. `evalSh` is
     * the static benchmark shingle set (one `g` column), persisted by
     * the caller for the stream's lifetime.
@@ -168,7 +189,9 @@ object CurationStream {
       outDir: String,
       checkpoint: String,
       storeDir: Option[String] = None,
-      nShards: Int = 4): StreamingQuery = {
+      nShards: Int = 4,
+      tokenStoreDir: Option[String] = None,
+      ctx: Long = 2048L): StreamingQuery = {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
     def claimed(): DataFrame = claimedClasses(spark, fpStore)
@@ -247,6 +270,30 @@ object CurationStream {
                 .withColumn("shard", col("pos") % nShards)
                 .repartitionByRange(nShards, col("shard"))
                 .sortWithinPartitions("shard", "pos")
+                .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+            }
+            // incremental TOKENIZED store: admitted docs BPE-encode under
+            // the pinned merge table, rank by the md5 training order, and
+            // pack into fixed ctx-token context windows CONTINUING the
+            // store's global token offset — a partially-filled last
+            // window keeps filling across appends, and every shard gains
+            // only a tail file (byte-identity spec-asserted). Same
+            // at-least-once window as the curated store above.
+            tokenStoreDir.foreach { sd =>
+              val admitted = verdict.filter(col("admitted")).select("doc_id")
+              val enc = graft.operators.LayoutOps
+                .bpeEncodeDocs(batch.join(admitted, Seq("doc_id")))
+              val st = tokenStoreState(spark, sd)
+              val ranked = graft.operators.LayoutOps
+                .shuffleRanks(spark, admitted)
+                .join(enc, Seq("doc_id"))
+                .crossJoin(broadcast(st.select("n_old")))
+                .select(col("doc_id"), (col("pos") + col("n_old")).as("pos"),
+                  col("n_bpe"), col("tok_str"))
+              graft.operators.LayoutOps
+                .assignWindows(ranked, ctx, nShards, st.select("t_old"))
+                .repartitionByRange(nShards, col("shard"))
+                .sortWithinPartitions("shard", "win", "pos")
                 .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
             }
             // claims accrete for every batch winner — contaminated or not
@@ -347,6 +394,30 @@ object CurationStream {
         .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
           col("max_pos"), col("order_digest"))
         .orderBy("shard")
+    } finally fx.evalSh.unpersist()
+  }
+
+  /** Oracle-gated query for the INCREMENTAL TOKENIZED store — the full
+    * incremental pre-training loop in one artifact: the same two-batch
+    * arrival as [[curationStreamQuery]], each batch's admitted documents
+    * BPE-encoded, ranked into the batch-major training order, packed
+    * into 2048-token context windows continuing the store's global token
+    * offset, appended as shard tails, then the store read back from disk
+    * into the window-grain loader manifest
+    * (`LayoutOps.tokenizedShardStore`'s fields, token digest included).
+    * The oracle replays arrival-order curation, the per-batch md5
+    * ranking, the unrolled merge-table encode, and the CROSS-BATCH
+    * window prefix sum — so a regression in the gate, the tokenizer, the
+    * offset fold, or the window continuation flips a manifest row red. */
+  def tokenizedStoreIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fx = streamFixture(spark, dir, "graft-curation-tok", Seq("tstore"))
+    val store = fx.root.resolve("tstore").toString
+    try {
+      run(fx.src, fx.evalSh, fx.out, fx.ckpt,
+        tokenStoreDir = Some(store), nShards = 4, ctx = 2048L).awaitTermination()
+      spark.catalog.refreshByPath(store) // see storeCount: drop stale listings
+      graft.operators.LayoutOps
+        .tokenShardManifest(spark, spark.read.parquet(store), 4)
     } finally fx.evalSh.unpersist()
   }
 }

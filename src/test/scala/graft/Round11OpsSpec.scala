@@ -207,6 +207,69 @@ class Round11OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("incremental tokenized store: tail-only appends, windows continue across batches") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-testtmp")
+      .resolve("inc-tok-spec")
+    graft.sources.TmpStores.deleteRecursively(root)
+    def p(s: String) = root.resolve(s).toString
+    val evalSh = Seq.empty[String].toDF("g").persist()
+    def text(i: Int) =
+      s"the quick brown fox number$i jumps over a lazy dog and that is fine"
+    val docs = (1 to 20).map(i => (i.toLong, text(i)))
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    val ctx = 64L // a few docs per window, so batch 1 CONTINUES a partial window
+    def snap(): Map[String, String] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(p("tstore")))
+      try w.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.toString -> org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(java.nio.file.Files.readAllBytes(f)))
+        .toMap
+      finally w.close()
+    }
+    def runOnce(): Unit = graft.streaming.CurationStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+      evalSh, p("out"), p("ckpt"),
+      tokenStoreDir = Some(p("tstore")), nShards = 4, ctx = ctx)
+      .awaitTermination()
+    docs.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    runOnce()
+    val s1 = snap()
+    assert(s1.nonEmpty, "batch 0 must seed the token store")
+    docs.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    runOnce()
+    val s2 = snap()
+    s1.foreach { case (f, sig) =>
+      assert(s2.get(f).contains(sig), s"existing token shard file rewritten: $f")
+    }
+    assert(s2.size > s1.size, "batch 1 must append new tail files")
+    // window continuity: every doc's window must equal the one derived
+    // from the CROSS-BATCH running token offset — a stream that restarted
+    // its offsets at batch 1 (or re-ranked batch 0) fails here
+    val rows = spark.read.parquet(p("tstore"))
+      .select(col("pos").cast("long"), col("n_bpe").cast("long"),
+        col("win").cast("long"), col("shard").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong),
+      "positions must be dense across batches")
+    var cum = 0L
+    rows.foreach { case (pos, nBpe, win, shard) =>
+      assert(win == cum / ctx, s"doc at pos $pos window $win != ${cum / ctx}")
+      assert(shard == win % 4, s"doc at pos $pos shard $shard breaks win % 4")
+      cum += nBpe
+    }
+    // the fixture straddles: at least one window must span the batch seam
+    assert(rows.map(_._3).distinct.length < rows.length,
+      "ctx too large — no window packs more than one doc")
+    evalSh.unpersist()
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("tokenized shards: windows respect doc order, round-robin shards, deterministic digest") {
     import graft.operators.{LayoutOps, TextOps}
     import graft.sources.Tables
