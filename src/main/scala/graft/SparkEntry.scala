@@ -251,6 +251,9 @@ object SparkEntry {
     // survivors BPE-encoded, packed into fixed context windows, written
     // as window-grain shards with a token-stream digest manifest
     "q_tokenized_shards" -> ((s, d) => LayoutOps.tokenizedShardStore(s, d)),
+    // the dataloader contract: exact ctx-token window slices of the
+    // packed stream, split mid-document where the boundary falls
+    "q_window_slices"    -> ((s, d) => LayoutOps.windowSlices(s, d)),
     // HLL++ distinct-count sketch gated against the exact twin
     "q_distinct_sketch"  -> ((s, d) => TextOps.distinctTokensSketch(s, d)),
     // per-shard Datasketches HLL union == direct build, bit-exact
@@ -407,6 +410,81 @@ object SparkEntry {
          list_reduce(list_prepend('', list(tok_str ORDER BY pos)),
            (acc, x) -> md5(acc || ',' || x)) AS token_digest
        FROM wn GROUP BY 1 ORDER BY shard"""
+  }
+
+  /** DuckDB twin of [[graft.operators.LayoutOps.windowSlices]]: the
+    * curation chain, the md5 survivor ranking, the unrolled merge-table
+    * encode, the GLOBAL TOKEN INDEX (running token sum + in-doc
+    * position), and the per-window exact-slice aggregation — the window
+    * digest string_aggs the pieces in token order, exactly the
+    * sort_array(collect_list) fold Spark performs per ctx-bounded
+    * window. */
+  private def windowSlicesOracleSql: String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val merged = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       s AS (SELECT doc_id, text, words,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(['the','a','of','and','is'],
+             m -> list_contains(words, m))) AS BIGINT) AS n_required
+         FROM t),
+       f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+           (n_words >= 10 AND n_words <= 1000
+             AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             AND n_symbol * 10 <= n_words
+             AND n_alpha * 5 >= n_words * 4
+             AND n_required >= 2) AS keep_quality
+         FROM s),
+       shq AS (SELECT doc_id,
+           CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> array_to_string(words[i:i+4], ' '))) END AS sh
+         FROM f WHERE keep_quality),
+       ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\\s+'), x -> x <> '') AS toks
+         FROM documents WHERE doc_id % 50 = 0),
+       es AS (SELECT DISTINCT unnest(
+           CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+         FROM ev),
+       cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+       cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+         GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+       fl AS (SELECT f.doc_id,
+           (f.keep_quality AND f.doc_id =
+             MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+               OVER (PARTITION BY f.fp)
+             AND cont.doc_id IS NULL) AS r3
+         FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+       surv AS (SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM fl WHERE r3),
+       e AS (SELECT surv.doc_id, surv.pos,
+           flatten(list_transform(t.words, w -> string_split(trim($merged), '  '))) AS pcs
+         FROM surv JOIN t USING (doc_id)),
+       c AS (SELECT doc_id, pos, pcs, CAST(len(pcs) AS BIGINT) AS n_bpe,
+           SUM(CAST(len(pcs) AS BIGINT)) OVER (ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM e),
+       tok AS (SELECT c.doc_id,
+           CAST(c.cum - c.n_bpe + u.i AS BIGINT) AS idx,
+           c.pcs[CAST(u.i AS INT) + 1] AS piece
+         FROM c, LATERAL (SELECT unnest(range(len(c.pcs))) AS i) u)
+       SELECT CAST(idx // 2048 AS BIGINT) AS win,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(MIN(idx) AS BIGINT) AS first_idx,
+         CAST(MAX(idx) AS BIGINT) AS last_idx,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         md5(string_agg(piece, ' ' ORDER BY idx)) AS window_digest
+       FROM tok GROUP BY 1 ORDER BY win"""
   }
 
   /** DuckDB twin of the INCREMENTAL tokenized store
@@ -3344,6 +3422,7 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_tokenized_shards" -> tokenizedShardsOracleSql,
     "q_tokenized_store_incremental" -> tokenizedStoreIncrementalOracleSql,
+    "q_window_slices" -> windowSlicesOracleSql,
     "q_pagerank_lineage" -> pagerankOracleSql(3),
     "q_quality_train" -> qualityTrainOracleSql(12),
     "q_quality_eval" -> qualityEvalOracleSql(12),

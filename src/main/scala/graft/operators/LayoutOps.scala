@@ -355,7 +355,19 @@ object LayoutOps {
     * window composes the global token offset — never a single-partition
     * window. Output adds (win, shard = win % nShards). */
   private[graft] def assignWindows(ranked0: DataFrame, ctx: Long,
-      nShards: Int, baseTokens: DataFrame): DataFrame = {
+      nShards: Int, baseTokens: DataFrame): DataFrame =
+    withTokenStart(ranked0)
+      .crossJoin(broadcast(baseTokens))
+      .withColumn("win", expr(s"(start + t_old) div $ctx"))
+      .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
+        col("win"), (col("win") % nShards).as("shard"))
+
+  /** Add each document's global token START offset — the running token
+    * sum before it in pos order — via the two-pass 256-bucket prefix
+    * sum: the md5-leading-byte bucket is monotone in pos, so a
+    * bucket-local running sum plus a 256-row broadcast offset window
+    * composes the global offset without a single-partition window. */
+  private def withTokenStart(ranked0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = ranked0
       // the prefix-sum bucket re-derives shuffleRanks' row-derived pid:
@@ -371,10 +383,8 @@ object LayoutOps {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     withLocal.join(broadcast(offsets), "pid")
-      .crossJoin(broadcast(baseTokens))
-      .withColumn("win", expr(s"(local_cum + offset + t_old - n_bpe) div $ctx"))
-      .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
-        col("win"), (col("win") % nShards).as("shard"))
+      .withColumn("start", col("local_cum") + col("offset") - col("n_bpe"))
+      .drop("pid", "local_cum", "offset")
   }
 
   /** Fold a window-grain token store into its per-shard loader manifest
@@ -417,6 +427,66 @@ object LayoutOps {
     val out = tokenShardManifest(spark, spark.read.parquet(root), nShards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
+    flags.unpersist()
+    out
+  }
+
+  /** CONTEXT-WINDOW SLICES — the dataloader contract on the packed
+    * token stream: every training sample is the EXACT `ctx`-token slice
+    * `[w·ctx, (w+1)·ctx)` of the continuous stream, split mid-document
+    * where the boundary falls (what the training loop actually consumes;
+    * [[tokenizedShardStore]] stores at document grain and this
+    * materializes the window grain). Output is one row per window with
+    * its exact token count (== ctx everywhere but the tail window), the
+    * spanned document range, and an order-sensitive digest of the
+    * window's token sequence.
+    *
+    * Scale shape: per-document token START offsets come from the same
+    * two-pass 256-bucket prefix sum as [[assignWindows]]; the
+    * token-grain fan-out is one `posexplode` (narrow); the per-window
+    * fold's state is BOUNDED BY CONSTRUCTION at ctx tokens — a window is
+    * a training sample, so the sort_array(collect_list) buffer is O(ctx)
+    * per group, never O(corpus). The oracle replays the curation chain,
+    * the encode, the global token index, and the per-window string
+    * aggregation. */
+  def windowSlices(spark: SparkSession, dir: String, ctx: Long = 2048L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3")).select("doc_id")
+    val pieces = TextOps.bpePieceArr
+    val enc = Tables(spark, dir, "documents")
+      .join(surv, Seq("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+      .select(col("doc_id"), size(col("pcs")).cast("long").as("n_bpe"), col("pcs"))
+    // the prefix-sum window sorts slim (doc_id, pos, n_bpe) rows; the
+    // piece arrays join back on doc_id afterwards instead of riding
+    // through the window sort
+    val ranked = shuffleRanks(spark, surv)
+      .join(enc.select(col("doc_id"), col("n_bpe")), Seq("doc_id"))
+    val staged = withTokenStart(ranked)
+      .join(enc.select(col("doc_id"), col("pcs")), Seq("doc_id"))
+      .select(col("doc_id"), col("start"), col("pcs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    staged.count() // barrier: keep InferFiltersFromGenerate off the HOF encode
+    val out = staged
+      .select(col("doc_id"), col("start"),
+        posexplode(col("pcs")).as(Seq("pi", "piece")))
+      .withColumn("idx", col("start") + col("pi"))
+      .withColumn("win", expr(s"idx div $ctx"))
+      .groupBy("win")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("idx")).as("first_idx"),
+        max(col("idx")).as("last_idx"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("piece")))),
+            x => x.getField("piece")), " ")).as("window_digest"))
+      .orderBy("win")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    staged.unpersist()
     flags.unpersist()
     out
   }

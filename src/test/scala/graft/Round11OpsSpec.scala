@@ -306,6 +306,38 @@ class Round11OpsSpec extends AnyFunSuite {
       "rebuild changed the manifest — the layout is not deterministic")
   }
 
+  test("window slices: every window is exactly ctx tokens except the tail, densely covering the stream") {
+    import graft.operators.LayoutOps
+    val ctx = 256L
+    val rows = LayoutOps.windowSlices(spark, dir, ctx).collect()
+    assert(rows.length > 1, "fixture too small for more than one window")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = r.getAs[Long]("win")
+      assert(win == i.toLong, s"window ids must be dense, got $win at $i")
+      assert(r.getAs[Long]("first_idx") == win * ctx,
+        s"window $win does not start on its boundary")
+      if (i < rows.length - 1) {
+        assert(r.getAs[Long]("n_tokens") == ctx, s"window $win is not exactly $ctx tokens")
+        assert(r.getAs[Long]("last_idx") == (win + 1) * ctx - 1,
+          s"window $win does not end on its boundary")
+      } else {
+        assert(r.getAs[Long]("n_tokens") <= ctx && r.getAs[Long]("n_tokens") > 0)
+      }
+      // a mid-document split means some window spans >1 doc OR a doc
+      // spans >1 window; either way n_docs >= 1 always holds
+      assert(r.getAs[Long]("n_docs") >= 1)
+    }
+    // the slice totals must equal the packed-store totals: same survivors,
+    // same encode, two independent layouts of one token stream
+    val manifest = LayoutOps.tokenizedShardStore(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+      manifest.map(_.getAs[Long]("n_tokens")).sum,
+      "window slices and token shards disagree on the stream length")
+    // at least one window must span a document boundary (the split case)
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1),
+      "no window spans a document boundary — the slice semantics are untested")
+  }
+
   test("dHash is invariant under JPEG transcode of checkerboard assets") {
     // the DCT-block-aligned checkerboard survives the lossy path with
     // box averages intact — transcoded hashes are bit-identical, which
