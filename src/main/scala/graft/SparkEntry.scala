@@ -169,6 +169,9 @@ object SparkEntry {
     // perceptual video dedup: temporal-gradient signature, exact equi-join
     "q_video_fingerprint" -> (MultimodalOps.videoFingerprintDF _),
     "q_video_dedup"       -> (MultimodalOps.videoDedup _),
+    // streaming perceptual gate: dHash claims accrete across micro-batches
+    "q_image_dedup_stream" ->
+      (graft.streaming.MediaDedupStream.imageDedupStreamQuery _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -2555,6 +2558,59 @@ object SparkEntry {
          SELECT doc_id + 4000000, doc_id, 'resize', TRUE
          FROM g WHERE doc_id % 6 = 3 AND abs(2 * ga - 255) >= 64
          ORDER BY twin_id""",
+    // Streaming perceptual gate: batch 0 (4k-th PNG assets) admits
+    // vacuously and seeds the claim store; batch 1 ((4k+2)-th assets +
+    // re-encoded twins of batch 0's high-contrast assets) is judged
+    // against exactly the batch-0 fingerprints. The banded multiprobe
+    // join is recall-complete at radius 15 by pigeonhole, so the oracle
+    // replays it brute-force pairwise with bit_count(xor(..)); the
+    // twins' JPEG transcode is dHash-bit-identical on the DCT-aligned
+    // checkerboards (spec-asserted over the full asset period).
+    "q_image_dedup_stream" ->
+      """WITH d0 AS (SELECT doc_id,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             CAST(16 + doc_id % 32 AS BIGINT) AS h,
+             CAST(28 + (doc_id * 37) % 200 AS BIGINT) AS ga
+           FROM documents WHERE doc_id % 2 = 0),
+         cells AS (
+           SELECT d0.doc_id, c.i, r.j,
+             (SELECT SUM(CASE WHEN ((x // 8) + (y // 8)) % 2 = 0
+                              THEN d0.ga ELSE 255 - d0.ga END) // COUNT(*)
+              FROM (SELECT unnest(range(c.i * d0.w // 9, (c.i + 1) * d0.w // 9)) AS x) xs,
+                   (SELECT unnest(range(r.j * d0.h // 8, (r.j + 1) * d0.h // 8)) AS y) ys) AS px
+           FROM d0,
+             LATERAL (SELECT unnest(range(9)) AS i) c,
+             LATERAL (SELECT unnest(range(8)) AS j) r),
+         bits AS (
+           SELECT a.doc_id, CAST(a.j * 8 + a.i AS INT) AS bi
+           FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.j = a.j AND b.i = a.i + 1
+           WHERE a.i < 8 AND b.px > a.px),
+         dh AS (SELECT d0.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                    ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS dhash
+           FROM d0 LEFT JOIN bits b USING (doc_id) GROUP BY d0.doc_id),
+         b0 AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 4 = 0),
+         inc AS (
+           SELECT doc_id, doc_id AS orig_id, 'orig' AS kind, dhash
+           FROM dh WHERE doc_id % 4 = 2
+           UNION ALL
+           SELECT dh.doc_id + 3000000, dh.doc_id, 'reencode', dh.dhash
+           FROM dh JOIN d0 USING (doc_id)
+           WHERE dh.doc_id % 4 = 0 AND dh.doc_id % 6 = 0
+             AND abs(2 * d0.ga - 255) >= 64),
+         m AS (SELECT inc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             MIN(b0.doc_id) AS min_match
+           FROM inc JOIN b0 ON bit_count(xor(inc.dhash, b0.dhash)) <= 15
+           GROUP BY inc.doc_id)
+         SELECT doc_id, doc_id AS orig_id, 'orig' AS kind, TRUE AS admitted,
+           CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
+         FROM b0
+         UNION ALL
+         SELECT inc.doc_id, inc.orig_id, inc.kind, m.doc_id IS NULL AS admitted,
+           COALESCE(m.n_matches, 0) AS n_matches,
+           COALESCE(m.min_match, -1) AS min_match
+         FROM inc LEFT JOIN m ON m.doc_id = inc.doc_id
+         ORDER BY doc_id""",
     // Perceptual audio fingerprint: the codec decodes real RIFF bytes
     // and hashes the magnitude-bucket histogram's gradient signs; the
     // oracle replays the identical integer arithmetic per sample

@@ -794,6 +794,20 @@ object MultimodalOps {
       }
   }
 
+  /** Synthesize the asset for one (orig_id, kind) spec and hash it over
+    * the real decode path — the per-row codec step of the STREAMING
+    * perceptual gate ([[graft.streaming.MediaDedupStream]]); partition-
+    * local, binaries never leave the executor. */
+  private[graft] def dhashForKind(origId: Long, kind: String): Long = {
+    val orig = MediaCodec.encode(origId)
+    kind match {
+      case "orig" => MediaCodec.dhashOf(origId, orig)
+      case "reencode" =>
+        MediaCodec.dhashOf(origId, MediaCodec.transcodeJpeg(origId, orig))
+      case other => throw new IllegalArgumentException(s"unknown asset kind $other")
+    }
+  }
+
   /** dHash of every PNG asset, decoded by the real codec — the oracle
     * replays the full 9×8 box-average + gradient-sign arithmetic over the
     * generator checkerboard (PNG round-trips pixels exactly, so the

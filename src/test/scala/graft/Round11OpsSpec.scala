@@ -306,6 +306,47 @@ class Round11OpsSpec extends AnyFunSuite {
       "rebuild changed the manifest — the layout is not deterministic")
   }
 
+  test("streaming perceptual gate: claims accrete across batches and survive a restart") {
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-testtmp")
+      .resolve("media-gate-spec")
+    graft.sources.TmpStores.deleteRecursively(root)
+    def p(s: String) = root.resolve(s).toString
+    // id 0 is a high-contrast checkerboard (ga=28); 3000000+0 is its
+    // JPEG-transcode twin, dHash-bit-identical by the codec spec
+    def runOnce(): Unit = graft.streaming.MediaDedupStream.run(
+      spark.readStream
+        .schema(Seq((0L, 0L, "x")).toDF("doc_id", "orig_id", "kind").schema)
+        .option("maxFilesPerTrigger", "1").parquet(p("in")),
+      p("out"), p("ckpt")).awaitTermination()
+    Seq((0L, 0L, "orig"))
+      .toDF("doc_id", "orig_id", "kind")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    runOnce()
+    val afterSeed = spark.read.parquet(p("out")).collect()
+    assert(afterSeed.length == 1 && afterSeed.head.getAs[Boolean]("admitted"),
+      "the seed asset must admit against an empty store")
+    // RESTART: a fresh run() against the same checkpoint must fold the
+    // claim store back in and reject the twin of the pre-restart asset
+    Seq((3000000L, 0L, "reencode"))
+      .toDF("doc_id", "orig_id", "kind")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(p("in"))
+    runOnce()
+    val rows = spark.read.parquet(p("out")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("admitted"), r.getAs[Long]("min_match")))).toMap
+    assert(rows(0L)._1, "seed verdict must persist")
+    assert(!rows(3000000L)._1, "post-restart twin must be rejected")
+    assert(rows(3000000L)._2 == 0L, "the twin must match its pre-restart original")
+    // the claim store holds exactly the one admitted fingerprint
+    val claims = spark.read.parquet(p("out") + "_fps").collect()
+    assert(claims.map(_.getAs[Long]("claim_id")).toSeq == Seq(0L),
+      "rejected assets must not claim")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("window slices: every window is exactly ctx tokens except the tail, densely covering the stream") {
     import graft.operators.LayoutOps
     val ctx = 256L
