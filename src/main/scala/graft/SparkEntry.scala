@@ -268,6 +268,10 @@ object SparkEntry {
     // cross-modal compose: the codec-verified media gates excise
     // text-curation survivors whose image/audio asset fails
     "q_curation_multimodal" -> (MultimodalOps.curationMultimodal _),
+    // the multimodal corpus build product: (text AND media) survivors ->
+    // training order -> sharded store -> loader manifest
+    "q_curated_store_multimodal" ->
+      ((s, d) => MultimodalOps.curatedStoreMultimodal(s, d)),
     // lineage-graph analytics (exact fixed-point PageRank)
     "q_pagerank_lineage" -> ((s, d) => GraphBuild.pageRankLineage(s, d)),
     "q_split_assign"     -> (TextOps.splitAssign _),
@@ -3419,6 +3423,69 @@ object SparkEntry {
            UNION ALL SELECT '04_media_image', d4, t4 FROM agg
            UNION ALL SELECT '05_media_audio', d5, t5 FROM agg)
          ORDER BY stage""",
+    // Multimodal curated store: the cross-modal funnel's survivors
+    // (text chain AND both media gates, replayed over the generator
+    // arithmetic) ranked into the md5 training order and folded to the
+    // 4-shard loader manifest.
+    "q_curated_store_multimodal" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         fl AS (SELECT f.doc_id, f.n_words,
+             (f.keep_quality AND f.doc_id =
+               MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+                 OVER (PARTITION BY f.fp)
+               AND cont.doc_id IS NULL) AS r3
+           FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+         med AS (SELECT d.doc_id,
+             (16 + d.doc_id % 48 >= 32 AND 16 + d.doc_id % 32 >= 24) AS img_ok,
+             ((64 + d.doc_id % 128) * 1000000 // 8000 >= 12000
+               AND x.peak >= 200) AS audio_ok
+           FROM documents d, LATERAL (
+             SELECT MAX(ABS((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS peak
+             FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x),
+         surv AS (SELECT fl.doc_id, fl.n_words,
+             row_number() OVER (ORDER BY md5(CAST(fl.doc_id AS VARCHAR)), fl.doc_id) - 1 AS pos
+           FROM fl JOIN med ON med.doc_id = fl.doc_id
+           WHERE fl.r3 AND med.img_ok AND med.audio_ok)
+         SELECT CAST(pos % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
+         FROM surv GROUP BY 1 ORDER BY shard""",
     // Unigram surprisal: the per-doc sum folds in position order on both
     // engines; round(6) absorbs last-ulp ln() differences.
     "q_unigram_logprob" ->

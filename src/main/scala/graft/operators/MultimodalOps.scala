@@ -1080,17 +1080,24 @@ object MultimodalOps {
     * rewrites the corpus. The oracle replays the text CTE chain AND both
     * modalities' generator-arithmetic rules, so a regression in the
     * codec path, the hash dedup, or the composition flips a row red. */
-  def curationMultimodal(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    import org.apache.spark.sql.Column
-    val flags = TextOps.curationFlags(spark, dir) // persisted; unpersist below
-    val media = decodedVerdicts(spark, dir)
+  /** Per-document media admission flags — the image decode-fidelity /
+    * min-dimension gate and the audio duration/signal gate, each reduced
+    * to one boolean per doc before anything joins (decodes stay
+    * partition-local inside the verdict frames). */
+  private[graft] def mediaOkFlags(spark: SparkSession, dir: String): DataFrame =
+    decodedVerdicts(spark, dir)
       .select(col("doc_id"),
         (col("px_ok") && col("width") >= 32 && col("height") >= 24).as("img_ok"))
       .join(audioVerdicts(spark, dir)
         .select(col("doc_id"),
           (col("duration_us") >= 12000L && col("peak") >= 200).as("audio_ok")),
         Seq("doc_id"))
+
+  def curationMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.Column
+    val flags = TextOps.curationFlags(spark, dir) // persisted; unpersist below
+    val media = mediaOkFlags(spark, dir)
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     def tok(c: Column): Column = sum(when(c, col("n_words")).otherwise(0L))
     val one = flags.join(media, Seq("doc_id")).agg(
@@ -1113,6 +1120,49 @@ object MultimodalOps {
       .orderBy("stage")
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the 6-row funnel, then drop the flags cache
+    flags.unpersist()
+    out
+  }
+
+  /** The MULTIMODAL corpus build product — `LayoutOps.curatedStore`
+    * with both media gates composed in: documents surviving
+    * quality → dedup → decontamination AND the image and audio
+    * admission gates are given the deterministic training order,
+    * written as a shard=-partitioned pos-sorted parquet store, and read
+    * back into the per-shard loader manifest. One query performs
+    * (text ∧ media) select → order → layout → manifest; the oracle
+    * replays the text CTE chain, BOTH modalities' generator-arithmetic
+    * gates, the survivor ranking, and every manifest field — so a
+    * regression in a codec path, a gate threshold, or the layout flips
+    * a manifest row red. Scale shape as `curatedStore`: the media gates
+    * reduce to one boolean per doc before the equi-join; the store
+    * write is k sorted writer tasks; the manifest fold is O(1) state. */
+  def curatedStoreMultimodal(spark: SparkSession, dir: String,
+      nShards: Int = 4): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("curated-mm").toString
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3"))
+      .join(mediaOkFlags(spark, dir), Seq("doc_id"))
+      .filter(col("img_ok") && col("audio_ok"))
+      .select(col("doc_id"), col("n_words"))
+    val assigned = graft.operators.LayoutOps
+      .shuffleRanks(spark, surv.select("doc_id"))
+      .join(surv, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"),
+        col("n_words"))
+    assigned
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val out = graft.operators.LayoutOps
+      .shardManifest(spark, spark.read.parquet(root), nShards,
+        tokensCol = "n_words")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+        col("max_pos"), col("order_digest"))
+      .orderBy("shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     flags.unpersist()
     out
   }

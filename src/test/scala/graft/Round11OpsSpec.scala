@@ -306,6 +306,22 @@ class Round11OpsSpec extends AnyFunSuite {
       "rebuild changed the manifest — the layout is not deterministic")
   }
 
+  test("multimodal curated store excises media-failing docs from the text-only store") {
+    import graft.operators.LayoutOps
+    val mm = MultimodalOps.curatedStoreMultimodal(spark, dir).collect()
+    val text = LayoutOps.curatedStore(spark, dir).collect()
+    assert(mm.map(_.getAs[Long]("shard")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val mmDocs = mm.map(_.getAs[Long]("n_docs")).sum
+    val textDocs = text.map(_.getAs[Long]("n_docs")).sum
+    assert(mmDocs > 0, "media gates must not excise everything")
+    assert(mmDocs < textDocs,
+      "media gates excised nothing — the compose is a no-op")
+    // the layout is a genuinely different order, not a filtered view of
+    // the text store's digests
+    assert(mm.map(_.getAs[String]("order_digest")).toSet
+      .intersect(text.map(_.getAs[String]("order_digest")).toSet).isEmpty)
+  }
+
   test("streaming perceptual gate: claims accrete across batches and survive a restart") {
     import org.apache.spark.sql.SaveMode
     val spark0 = spark
