@@ -794,6 +794,23 @@ object MultimodalOps {
       }
   }
 
+  /** 8×8-bit band fan-out of a 64-bit perceptual hash — the shared
+    * candidate-generation primitive of the banded-Hamming family
+    * ([[imageDedup]], [[audioDedup]],
+    * [[graft.streaming.MediaDedupStream]]): `posexplode` to
+    * (band, value) rows, 8 per hash. */
+  private[graft] def hashBands(hashCol: String) =
+    posexplode(expr(
+      s"transform(sequence(0, 7), b -> shiftright($hashCol, b * 8) & 255)"))
+
+  /** One-bit multiprobe over an 8-bit band value: the exact value plus
+    * all 8 one-bit flips. With 8 bands this covers every hash within
+    * Hamming 15 of the probe by pigeonhole (≤ 15 flipped bits leave a
+    * band within one bit of exact). */
+  private[graft] def bandMultiprobe(bvCol: String) =
+    explode(expr(
+      s"concat(array($bvCol), transform(sequence(0, 7), j -> $bvCol ^ shiftleft(1L, j)))"))
+
   /** Synthesize the asset for one (orig_id, kind) spec and hash it over
     * the real decode path — the per-row codec step of the STREAMING
     * perceptual gate ([[graft.streaming.MediaDedupStream]]); partition-
@@ -849,18 +866,14 @@ object MultimodalOps {
     hashes.count() // one fill job before the two band sides fan out
     val corpus = hashes.filter(col("kind") === "orig")
       .select(col("docId").as("cand_id"), col("dhash").as("dhash_c"),
-        posexplode(expr("transform(sequence(0, 7), b -> shiftright(dhash, b * 8) & 255)"))
-          .as(Seq("band", "bv")))
+        hashBands("dhash").as(Seq("band", "bv")))
       .select(col("cand_id"), col("dhash_c"), col("band"), col("bv"))
     val twins = hashes.filter(col("kind") =!= "orig")
     val probes = twins
       .select(col("docId").as("twin_id"), col("dhash").as("dhash_t"),
-        posexplode(expr("transform(sequence(0, 7), b -> shiftright(dhash, b * 8) & 255)"))
-          .as(Seq("band", "bv0")))
+        hashBands("dhash").as(Seq("band", "bv0")))
       .select(col("twin_id"), col("dhash_t"), col("band"),
-        explode(expr(
-          "concat(array(bv0), transform(sequence(0, 7), j -> bv0 ^ shiftleft(1L, j)))"))
-          .as("bv"))
+        bandMultiprobe("bv0").as("bv"))
     val verified = probes
       .join(corpus, Seq("band", "bv"))
       .select("twin_id", "cand_id", "dhash_t", "dhash_c")
@@ -944,14 +957,12 @@ object MultimodalOps {
     hashes.count() // one fill job before the two band sides fan out
     val corpus = hashes.filter(col("kind") === "orig")
       .select(col("docId").as("cand_id"), col("ahash").as("ahash_c"),
-        posexplode(expr("transform(sequence(0, 7), b -> shiftright(ahash, b * 8) & 255)"))
-          .as(Seq("band", "bv")))
+        hashBands("ahash").as(Seq("band", "bv")))
       .select(col("cand_id"), col("ahash_c"), col("band"), col("bv"))
     val twins = hashes.filter(col("kind") =!= "orig")
     val probes = twins
       .select(col("docId").as("twin_id"), col("ahash").as("ahash_t"),
-        posexplode(expr("transform(sequence(0, 7), b -> shiftright(ahash, b * 8) & 255)"))
-          .as(Seq("band", "bv")))
+        hashBands("ahash").as(Seq("band", "bv")))
     val verified = probes
       .join(corpus, Seq("band", "bv"))
       .select("twin_id", "cand_id", "ahash_t", "ahash_c")

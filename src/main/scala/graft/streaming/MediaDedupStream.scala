@@ -79,16 +79,12 @@ object MediaDedupStream {
           val store = claimed(spark, fpStore)
           val corpus = store
             .select(col("claim_id"), col("dhash").as("dhash_c"),
-              posexplode(expr("transform(sequence(0, 7), b -> shiftright(dhash, b * 8) & 255)"))
-                .as(Seq("band", "bv")))
+              MultimodalOps.hashBands("dhash").as(Seq("band", "bv")))
           val probes = hashed
             .select(col("doc_id"), col("dhash").as("dhash_t"),
-              posexplode(expr("transform(sequence(0, 7), b -> shiftright(dhash, b * 8) & 255)"))
-                .as(Seq("band", "bv0")))
+              MultimodalOps.hashBands("dhash").as(Seq("band", "bv0")))
             .select(col("doc_id"), col("dhash_t"), col("band"),
-              explode(expr(
-                "concat(array(bv0), transform(sequence(0, 7), j -> bv0 ^ shiftleft(1L, j)))"))
-                .as("bv"))
+              MultimodalOps.bandMultiprobe("bv0").as("bv"))
           val matches = probes
             .join(corpus, Seq("band", "bv"))
             .select("doc_id", "claim_id", "dhash_t", "dhash_c")
