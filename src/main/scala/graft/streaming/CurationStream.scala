@@ -123,47 +123,86 @@ object CurationStream {
         catch { case _: Exception => () })
   }
 
-  /** Row count of the incremental curated store as a broadcastable
-    * 1-row frame — the tail offset for the next batch's positions (0
-    * before the first append; the `shard=` probe keeps an empty or
-    * half-created dir from breaking schema inference). */
-  private def storeCount(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    val p = java.nio.file.Paths.get(storeDir)
-    val hasShard = java.nio.file.Files.isDirectory(p) && {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.exists(_.getFileName.toString.startsWith("shard="))
-      finally s.close()
+  /** Generational TAIL COUNTER for the incremental stores — the logical
+    * (doc, token) offsets the next batch appends at, kept OUTSIDE the
+    * store so a batch never scans the accreted data to learn its own
+    * start (a whole-store `count()/sum()` per batch is O(store) per
+    * batch — quadratic over a stream's lifetime — and counts crash
+    * duplicates, drilling holes in the dense position sequence).
+    *
+    * One (batch_id, n_docs, n_tokens) row lands per committed batch as
+    * a delta file; reads union the committed base generation with the
+    * deltas and resolve per batch_id, so a read is O(delta budget + 1)
+    * tiny files however large the store grows. At the file budget the
+    * set folds into a fresh `gen=N` base by the same atomic CURRENT
+    * swap as [[compactClaims]] — per-BATCH rows are retained (the row
+    * count is batch-count-sized, trivially one file; it is the FILE
+    * count that must stay bounded) because the batch_id rows double as
+    * the REDELIVERY GUARD: a replayed batch whose row already exists
+    * skips its store append entirely, making the append idempotent.
+    * The one remaining crash window — store rows landed, counter row
+    * did not — re-appends the SAME rows at the SAME positions on
+    * replay (the counter still excludes the batch), so the worst
+    * outcome is exact-duplicate rows a `dropDuplicates` read resolves;
+    * positions stay dense and immutable under every single-crash
+    * schedule. */
+  private[streaming] object TailCounter {
+    private def rows(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      val base = graft.sources.Stage.currentTarget(dir).toSeq
+      val parts = base ++ deltaFiles(dir).map(_.toString)
+      if (parts.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("batch_id", "n_docs", "n_tokens")
+      else spark.read.parquet(parts: _*)
+        .dropDuplicates("batch_id") // swap-then-cleanup crash leaves copies
     }
-    if (hasShard) {
-      // the session FileStatusCache may hold a listing of this path taken
-      // mid-append (a previous batch of this very stream); a stale leaf
-      // list undercounts the tail offset and collides positions — refresh
-      // before every offset read
-      spark.catalog.refreshByPath(storeDir)
-      spark.read.parquet(storeDir).agg(count(lit(1)).cast("long").as("n_old"))
-    } else Seq(0L).toDF("n_old")
-  }
 
-  /** Doc and TOKEN tail state of the incremental tokenized store as a
-    * broadcastable 1-row frame — `n_old` offsets the next batch's
-    * positions, `t_old` its global token offsets, so a partially-filled
-    * last context window keeps filling across appends. Same stale-listing
-    * refresh discipline as [[storeCount]]. */
-  private def tokenStoreState(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    val p = java.nio.file.Paths.get(storeDir)
-    val hasShard = java.nio.file.Files.isDirectory(p) && {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.exists(_.getFileName.toString.startsWith("shard="))
-      finally s.close()
+    /** The accreted (n_old, t_old) offsets as a broadcastable 1-row
+      * frame. */
+    def state(spark: SparkSession, dir: String): DataFrame =
+      rows(spark, dir).agg(
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_old"),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("t_old"))
+
+    /** Redelivery guard: has this batch already committed its append? */
+    def hasBatch(spark: SparkSession, dir: String, batchId: Long): Boolean =
+      !rows(spark, dir).filter(col("batch_id") === batchId).isEmpty
+
+    /** Record a committed batch append; folds the file set into one
+      * generation at the delta budget (same swap discipline as
+      * [[compactClaims]] — the foreachBatch loop is single-threaded, so
+      * nothing races the fold). */
+    def append(spark: SparkSession, dir: String, batchId: Long,
+        nDocs: Long, nTokens: Long): Unit = {
+      import spark.implicits._
+      Seq((batchId, nDocs, nTokens)).toDF("batch_id", "n_docs", "n_tokens")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/delta")
+      if (deltaFiles(dir).size >= CompactDeltaFiles) {
+        val root = java.nio.file.Paths.get(dir)
+        val gens = {
+          val s = java.nio.file.Files.list(root)
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
+          finally s.close()
+        }
+        val next = s"$dir/gen=${(gens :+ -1L).max + 1}"
+        val consumed = deltaFiles(dir)
+        rows(spark, dir).coalesce(1).write.parquet(next)
+        graft.sources.Stage.atomicRepoint(dir, next)
+        val s = java.nio.file.Files.list(root)
+        val dead = try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("gen=") && p.toString != next
+        }.toList finally s.close()
+        dead.foreach(graft.sources.TmpStores.deleteRecursively)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+        (consumed :+ java.nio.file.Paths.get(dir, "delta", "_SUCCESS"))
+          .foreach(p =>
+            try fs.delete(new org.apache.hadoop.fs.Path(p.toUri), false)
+            catch { case _: Exception => () })
+      }
     }
-    if (hasShard) {
-      spark.catalog.refreshByPath(storeDir)
-      spark.read.parquet(storeDir).agg(
-        count(lit(1)).cast("long").as("n_old"),
-        coalesce(sum(col("n_bpe")), lit(0L)).cast("long").as("t_old"))
-    } else Seq((0L, 0L)).toDF("n_old", "t_old")
   }
 
   /** Per-batch curation against the accreting claim store. `evalSh` is
@@ -173,16 +212,20 @@ object CurationStream {
     * With `storeDir` set, each batch also appends its ADMITTED documents
     * to an incremental curated store: the batch's survivors rank among
     * themselves by the same md5 training order as the batch build
-    * (`LayoutOps.shuffleRanks`), offset by the store's current size — the
-    * `corpusShuffleUpsert` tail discipline run per micro-batch, so
-    * existing positions are immutable, every shard gains only an appended
-    * tail file, and a training run consuming the store never re-reads a
-    * shard file it already has. At-least-once caveat: the store append
-    * lands BEFORE the batch's claims (a batch replayed after its claims
-    * landed re-derives admitted=false and appends nothing), so the one
-    * crash window — between store append and claim append — duplicates
-    * rather than loses; a read side that needs crash immunity resolves
-    * per doc by min pos, the claim-store read-back discipline. */
+    * (`LayoutOps.shuffleRanks`), offset by the [[TailCounter]]'s logical
+    * store size — the `corpusShuffleUpsert` tail discipline run per
+    * micro-batch, so existing positions are immutable, every shard gains
+    * only an appended tail file, and a training run consuming the store
+    * never re-reads a shard file it already has. `tokenStoreDir` is the
+    * tokenized twin: admitted docs BPE-encode and pack into `ctx`-token
+    * context windows continuing the counter's global token offset.
+    * At-least-once: the counter's batch_id row lands AFTER the store
+    * append and doubles as the redelivery guard — a replayed batch whose
+    * row exists skips its append; the one crash window (store rows
+    * landed, counter row did not) re-appends the SAME rows at the SAME
+    * positions, so a read side that needs crash immunity drops exact
+    * duplicates — positions stay dense and immutable under every
+    * single-crash schedule. */
   def run(
       incoming: DataFrame,
       evalSh: DataFrame,
@@ -196,7 +239,7 @@ object CurationStream {
     val fpStore = s"${outDir}_fps"
     def claimed(): DataFrame = claimedClasses(spark, fpStore)
     incoming.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch
           .withColumn("words", TextOps.tokens(col("text")))
           .withColumn("n_words", size(col("words")).cast("long"))
@@ -258,19 +301,26 @@ object CurationStream {
             // existing shard file is rewritten (byte-identity is
             // spec-asserted). Lands before the claims (see scaladoc).
             storeDir.foreach { sd =>
-              val admitted = verdict.filter(col("admitted"))
-                .select("doc_id")
-                .join(b.select(col("doc_id"), col("n_words")), Seq("doc_id"))
-              graft.operators.LayoutOps
-                .shuffleRanks(spark, admitted.select("doc_id"))
-                .join(admitted, Seq("doc_id"))
-                .crossJoin(broadcast(storeCount(spark, sd)))
-                .select(col("doc_id"),
-                  (col("pos") + col("n_old")).as("pos"), col("n_words"))
-                .withColumn("shard", col("pos") % nShards)
-                .repartitionByRange(nShards, col("shard"))
-                .sortWithinPartitions("shard", "pos")
-                .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+              val tail = s"${sd}_tail"
+              if (!TailCounter.hasBatch(spark, tail, batchId)) {
+                val admitted = verdict.filter(col("admitted"))
+                  .select("doc_id")
+                  .join(b.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                val nAdmitted = admitted.count()
+                graft.operators.LayoutOps
+                  .shuffleRanks(spark, admitted.select("doc_id"))
+                  .join(admitted, Seq("doc_id"))
+                  .crossJoin(broadcast(TailCounter.state(spark, tail).select("n_old")))
+                  .select(col("doc_id"),
+                    (col("pos") + col("n_old")).as("pos"), col("n_words"))
+                  .withColumn("shard", col("pos") % nShards)
+                  .repartitionByRange(nShards, col("shard"))
+                  .sortWithinPartitions("shard", "pos")
+                  .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+                admitted.unpersist()
+                TailCounter.append(spark, tail, batchId, nAdmitted, 0L)
+              }
             }
             // incremental TOKENIZED store: admitted docs BPE-encode under
             // the pinned merge table, rank by the md5 training order, and
@@ -280,21 +330,34 @@ object CurationStream {
             // only a tail file (byte-identity spec-asserted). Same
             // at-least-once window as the curated store above.
             tokenStoreDir.foreach { sd =>
-              val admitted = verdict.filter(col("admitted")).select("doc_id")
-              val enc = graft.operators.LayoutOps
-                .bpeEncodeDocs(batch.join(admitted, Seq("doc_id")))
-              val st = tokenStoreState(spark, sd)
-              val ranked = graft.operators.LayoutOps
-                .shuffleRanks(spark, admitted)
-                .join(enc, Seq("doc_id"))
-                .crossJoin(broadcast(st.select("n_old")))
-                .select(col("doc_id"), (col("pos") + col("n_old")).as("pos"),
-                  col("n_bpe"), col("tok_str"))
-              graft.operators.LayoutOps
-                .assignWindows(ranked, ctx, nShards, st.select("t_old"))
-                .repartitionByRange(nShards, col("shard"))
-                .sortWithinPartitions("shard", "win", "pos")
-                .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+              val tail = s"${sd}_tail"
+              if (!TailCounter.hasBatch(spark, tail, batchId)) {
+                val admitted = verdict.filter(col("admitted")).select("doc_id")
+                val enc = graft.operators.LayoutOps
+                  .bpeEncodeDocs(batch.join(admitted, Seq("doc_id")))
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                // one fill pass also yields the counter update: the batch's
+                // doc and token contribution (the encode runs ONCE)
+                val (nAdmitted, nTokens) = {
+                  val r = enc.agg(count(lit(1)).cast("long"),
+                    coalesce(sum(col("n_bpe")), lit(0L)).cast("long")).collect()(0)
+                  (r.getLong(0), r.getLong(1))
+                }
+                val st = TailCounter.state(spark, tail)
+                val ranked = graft.operators.LayoutOps
+                  .shuffleRanks(spark, admitted)
+                  .join(enc, Seq("doc_id"))
+                  .crossJoin(broadcast(st.select("n_old")))
+                  .select(col("doc_id"), (col("pos") + col("n_old")).as("pos"),
+                    col("n_bpe"), col("tok_str"))
+                graft.operators.LayoutOps
+                  .assignWindows(ranked, ctx, nShards, st.select("t_old"))
+                  .repartitionByRange(nShards, col("shard"))
+                  .sortWithinPartitions("shard", "win", "pos")
+                  .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+                enc.unpersist()
+                TailCounter.append(spark, tail, batchId, nAdmitted, nTokens)
+              }
             }
             // claims accrete for every batch winner — contaminated or not
             // (stage order: dedup decides before decontamination drops)
@@ -383,12 +446,12 @@ object CurationStream {
     * regression in the gate, the ranking, the offset fold, or the
     * write→read round trip flips a manifest row red. */
   def curatedStoreIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val fx = streamFixture(spark, dir, "graft-curation-inc", Seq("store"))
+    val fx = streamFixture(spark, dir, "graft-curation-inc", Seq("store", "store_tail"))
     val store = fx.root.resolve("store").toString
     try {
       run(fx.src, fx.evalSh, fx.out, fx.ckpt,
         storeDir = Some(store), nShards = 4).awaitTermination()
-      spark.catalog.refreshByPath(store) // see storeCount: drop stale listings
+      spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
         .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
         .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
@@ -410,12 +473,12 @@ object CurationStream {
     * window prefix sum — so a regression in the gate, the tokenizer, the
     * offset fold, or the window continuation flips a manifest row red. */
   def tokenizedStoreIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val fx = streamFixture(spark, dir, "graft-curation-tok", Seq("tstore"))
+    val fx = streamFixture(spark, dir, "graft-curation-tok", Seq("tstore", "tstore_tail"))
     val store = fx.root.resolve("tstore").toString
     try {
       run(fx.src, fx.evalSh, fx.out, fx.ckpt,
         tokenStoreDir = Some(store), nShards = 4, ctx = 2048L).awaitTermination()
-      spark.catalog.refreshByPath(store) // see storeCount: drop stale listings
+      spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
         .tokenShardManifest(spark, spark.read.parquet(store), 4)
     } finally fx.evalSh.unpersist()

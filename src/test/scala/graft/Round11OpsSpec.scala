@@ -203,6 +203,12 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(newPos.min == pos1.values.max + 1 &&
       newPos.max == pos1.size + newPos.size - 1,
       "tail positions must continue the existing order densely")
+    // REDELIVERY: wipe the checkpoint so both batches replay from
+    // scratch with the same batch ids; the TailCounter batch-id guard
+    // must skip every append, leaving the store byte-identical
+    graft.sources.TmpStores.deleteRecursively(root.resolve("ckpt"))
+    runOnce()
+    assert(snap() == s2, "a replayed batch re-appended despite the batch-id guard")
     evalSh.unpersist()
     graft.sources.TmpStores.deleteRecursively(root)
   }
