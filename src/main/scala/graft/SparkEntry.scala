@@ -172,6 +172,9 @@ object SparkEntry {
     // streaming perceptual gate: dHash claims accrete across micro-batches
     "q_image_dedup_stream" ->
       (graft.streaming.MediaDedupStream.imageDedupStreamQuery _),
+    // the audio modality through the same hash-agnostic streaming gate
+    "q_audio_dedup_stream" ->
+      (graft.streaming.MediaDedupStream.audioDedupStreamQuery _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -2605,6 +2608,53 @@ object SparkEntry {
          m AS (SELECT inc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
              MIN(b0.doc_id) AS min_match
            FROM inc JOIN b0 ON bit_count(xor(inc.dhash, b0.dhash)) <= 15
+           GROUP BY inc.doc_id)
+         SELECT doc_id, doc_id AS orig_id, 'orig' AS kind, TRUE AS admitted,
+           CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
+         FROM b0
+         UNION ALL
+         SELECT inc.doc_id, inc.orig_id, inc.kind, m.doc_id IS NULL AS admitted,
+           COALESCE(m.n_matches, 0) AS n_matches,
+           COALESCE(m.min_match, -1) AS min_match
+         FROM inc LEFT JOIN m ON m.doc_id = inc.doc_id
+         ORDER BY doc_id""",
+    // Audio modality through the streaming gate: batch 0 = even-id
+    // assets (seed the store vacuously); batch 1 = odd-id assets plus
+    // 2x-gain twins of the (6k+4)-th assets, judged against exactly the
+    // batch-0 loudness hashes. The hash is replayable for every asset
+    // and the gain twin's hash is bit-identical, so the oracle replays
+    // brute-force pairwise at the verify radius 7.
+    "q_audio_dedup_stream" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         sm AS (SELECT d.doc_id, ABS((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS a
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+         pk AS (SELECT doc_id, MAX(a) AS peak FROM sm GROUP BY doc_id),
+         bk AS (SELECT sm.doc_id, (sm.a * 64) // pk.peak AS b
+           FROM sm JOIN pk USING (doc_id)),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bk GROUP BY doc_id, b),
+         grid AS (SELECT d.doc_id, g.k FROM d,
+           LATERAL (SELECT unnest(range(65)) AS k) g),
+         fullc AS (SELECT grid.doc_id, grid.k, COALESCE(cnts.c, 0) AS c
+           FROM grid LEFT JOIN cnts
+             ON cnts.doc_id = grid.doc_id AND cnts.b = grid.k),
+         bits AS (SELECT a.doc_id, CAST(a.k AS INT) AS bi
+           FROM fullc a JOIN fullc b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k < 64 AND b.c > a.c),
+         ah AS (SELECT d.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                    ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS ahash
+           FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+         b0 AS (SELECT doc_id, ahash FROM ah WHERE doc_id % 2 = 0),
+         inc AS (
+           SELECT doc_id, doc_id AS orig_id, 'orig' AS kind, ahash
+           FROM ah WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 5000000, doc_id, 'gain', ahash
+           FROM ah WHERE doc_id % 6 = 4),
+         m AS (SELECT inc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             MIN(b0.doc_id) AS min_match
+           FROM inc JOIN b0 ON bit_count(xor(inc.ahash, b0.ahash)) <= 7
            GROUP BY inc.doc_id)
          SELECT doc_id, doc_id AS orig_id, 'orig' AS kind, TRUE AS admitted,
            CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match

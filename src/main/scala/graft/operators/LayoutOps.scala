@@ -367,7 +367,7 @@ object LayoutOps {
     * sum: the md5-leading-byte bucket is monotone in pos, so a
     * bucket-local running sum plus a 256-row broadcast offset window
     * composes the global offset without a single-partition window. */
-  private def withTokenStart(ranked0: DataFrame): DataFrame = {
+  private[graft] def withTokenStart(ranked0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = ranked0
       // the prefix-sum bucket re-derives shuffleRanks' row-derived pid:

@@ -825,6 +825,19 @@ object MultimodalOps {
     }
   }
 
+  /** The audio twin of [[dhashForKind]]: synthesize, optionally apply
+    * the volume-gain transform, and recover the loudness-profile hash
+    * through the real RIFF decode path. */
+  private[graft] def ahashForKind(origId: Long, kind: String): Long = {
+    val orig = AudioCodec.encode(origId)
+    kind match {
+      case "orig" => AudioCodec.ahashOf(origId, orig)
+      case "gain" =>
+        AudioCodec.ahashOf(origId, AudioCodec.gainBytes(origId, orig, 2))
+      case other => throw new IllegalArgumentException(s"unknown asset kind $other")
+    }
+  }
+
   /** dHash of every PNG asset, decoded by the real codec — the oracle
     * replays the full 9×8 box-average + gradient-sign arithmetic over the
     * generator checkerboard (PNG round-trips pixels exactly, so the

@@ -53,12 +53,17 @@ object MediaDedupStream {
   }
 
   /** Per-batch gate: hash → multiprobe banded candidate join against
-    * the claim store → radius verify → verdict append → claim append. */
+    * the claim store → radius verify → verdict append → claim append.
+    * `hashForKind` is the modality: the image dHash by default, the
+    * audio loudness hash for [[audioDedupStreamQuery]] — the gate
+    * itself is hash-agnostic (any 64-bit perceptual fingerprint whose
+    * near-dup radius fits the 8-band multiprobe pigeonhole bound). */
   def run(
       incoming: DataFrame,
       outDir: String,
       checkpoint: String,
-      radius: Int = 15): StreamingQuery = {
+      radius: Int = 15,
+      hashForKind: (Long, String) => Long = MultimodalOps.dhashForKind): StreamingQuery = {
     import graft.functions.HammingDistance.hamming
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
@@ -70,7 +75,7 @@ object MediaDedupStream {
           .select(col("doc_id"), col("orig_id"), col("kind"))
           .as[(Long, Long, String)]
           .mapPartitions(_.map { case (d, o, k) =>
-            (d, o, k, MultimodalOps.dhashForKind(o, k))
+            (d, o, k, hashForKind(o, k))
           })
           .toDF("doc_id", "orig_id", "kind", "dhash")
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -152,7 +157,11 @@ object MediaDedupStream {
       .schema(spark.read.parquet(in).schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     run(src, out, ckpt).awaitTermination()
-    // redelivered appends are identical rows; resolve per doc_id
+    readVerdicts(spark, out)
+  }
+
+  /** Redelivered appends are identical rows; resolve per doc_id. */
+  private def readVerdicts(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(out)
       .groupBy("doc_id")
       .agg(min(col("orig_id")).as("orig_id"), min(col("kind")).as("kind"),
@@ -160,5 +169,37 @@ object MediaDedupStream {
         max(col("n_matches")).as("n_matches"),
         min(col("min_match")).as("min_match"))
       .orderBy("doc_id")
+
+  /** The AUDIO modality through the same gate: even-id assets stream as
+    * batch 0 and seed the claim store; batch 1 brings the odd-id assets
+    * plus 2×-gain twins of the (6k+4)-th (even, batch-0) assets. The
+    * loudness hash is oracle-replayable for EVERY asset (WAV/PCM16 is
+    * lossless) and the gain twin's hash is bit-identical structurally,
+    * so the oracle replays all verdicts brute-force pairwise at the
+    * audio verify radius 7 — the [[imageDedupStreamQuery]] discipline
+    * with zero PNG/JPEG asymmetry. */
+  def audioDedupStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-audiodedup")
+    Seq("in", "out", "out_fps", "ckpt").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("doc_id").as("orig_id"), lit("orig").as("kind"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("doc_id").as("orig_id"), lit("orig").as("kind"))
+      .union(docs.filter(col("doc_id") % 6 === 4)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("doc_id").as("orig_id"), lit("gain").as("kind")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    val src = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    run(src, out, ckpt, radius = 7,
+      hashForKind = MultimodalOps.ahashForKind).awaitTermination()
+    readVerdicts(spark, out)
   }
 }

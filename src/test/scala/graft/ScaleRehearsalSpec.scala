@@ -114,6 +114,36 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t < 60.0, f"1M-row shuffle rank took $t%.1f s — not the distributed shape")
   }
 
+  test("token prefix sum composes 1M-row global offsets from 256 buckets exactly") {
+    // the window packer's start offsets must telescope exactly at volume:
+    // start(0) = 0, start(pos) = start(pos-1) + n_bpe(pos-1), and the
+    // stream total closes the chain — a bucket-boundary error anywhere
+    // in the two-pass 256-bucket prefix sum breaks one of the three
+    val docs = spark.range(1000000).select(col("id").as("doc_id"),
+      (col("id") % 97 + 1).cast("long").as("n_bpe"))
+    val t = timed {
+      val ranked = LayoutOps.shuffleRanks(spark, docs.select("doc_id"))
+        .join(docs, Seq("doc_id"))
+      val st = LayoutOps.withTokenStart(ranked)
+        .select(col("pos"), col("n_bpe"), col("start"))
+        .persist()
+      val first = st.filter(col("pos") === 0).select("start").collect()
+      assert(first.length == 1 && first.head.getLong(0) == 0L,
+        "pos 0 must start at token offset 0")
+      val prev = st.select((col("pos") + 1).as("pos"),
+        col("start").as("prev_start"), col("n_bpe").as("prev_n"))
+      val broken = st.join(prev, Seq("pos"))
+        .filter(col("start") =!= col("prev_start") + col("prev_n")).count()
+      assert(broken == 0L, s"$broken telescoping violations in the prefix sum")
+      val totals = st.agg(max(col("start") + col("n_bpe")), sum(col("n_bpe")))
+        .collect()(0)
+      assert(totals.getLong(0) == totals.getLong(1),
+        "the chain must close on the stream total")
+      st.unpersist()
+    }
+    assert(t < 60.0, f"1M-row token prefix sum took $t%.1f s — not the distributed shape")
+  }
+
   test("curation stream admit count is invariant to the micro-batch split") {
     import org.apache.spark.sql.SaveMode
     val dir001 = "/root/testdata/sf0.001"
