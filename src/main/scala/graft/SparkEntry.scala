@@ -254,6 +254,8 @@ object SparkEntry {
     // the end-to-end product: curation survivors -> training order ->
     // sharded store -> loader manifest, one composed query
     "q_curated_store"    -> ((s, d) => LayoutOps.curatedStore(s, d)),
+    // curriculum data ordering: survivors laid out quality-descending
+    "q_curriculum_store" -> ((s, d) => LayoutOps.curriculumStore(s, d)),
     // survivors BPE-encoded, packed into fixed context windows, written
     // as window-grain shards with a token-stream digest manifest
     "q_tokenized_shards" -> ((s, d) => LayoutOps.tokenizedShardStore(s, d)),
@@ -3195,6 +3197,67 @@ object SparkEntry {
            list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
              (acc, x) -> md5(acc || ',' || x)) AS order_digest
          FROM sh2 GROUP BY shard ORDER BY shard""",
+    // Curriculum store: the same survivors laid out QUALITY-DESCENDING
+    // (hashed-feature logit replayed in integer ppm, doc_id tie-break)
+    // instead of md5-shuffled, folded to the same manifest fields.
+    "q_curriculum_store" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         fl AS (SELECT f.doc_id, f.n_words,
+             (f.keep_quality AND f.doc_id =
+               MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+                 OVER (PARTITION BY f.fp)
+               AND cont.doc_id IS NULL) AS r3
+           FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+         q AS (SELECT t.doc_id,
+             CAST(list_sum(list_transform(t.words, w ->
+               ((CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64)
+                 * 2654435761) % 2001 - 1000)) AS BIGINT) AS logit_scaled,
+             CAST(len(t.words) AS BIGINT) AS n_toks
+           FROM t WHERE len(t.words) > 0),
+         surv AS (SELECT fl.doc_id, fl.n_words,
+             row_number() OVER (
+               ORDER BY -(q.logit_scaled * 1000 // q.n_toks), fl.doc_id) - 1 AS pos
+           FROM fl JOIN q ON q.doc_id = fl.doc_id WHERE fl.r3)
+         SELECT CAST(pos % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
+         FROM surv GROUP BY 1 ORDER BY shard""",
     // Shard-store manifest: every field recomputed from the raw corpus —
     // the order_digest (an md5 CHAIN over the pos-ordered doc ids, O(1)
     // fold state on the Spark side) gates the store's doc sequence.

@@ -270,6 +270,62 @@ object LayoutOps {
     out
   }
 
+  /** CURRICULUM-ORDERED curated store — the data-ordering alternative to
+    * the uniform training shuffle (curriculum learning, Bengio et al.
+    * 2009): curation survivors are laid out in QUALITY-DESCENDING order
+    * (highest classifier logit first, doc_id tie-break) so a training
+    * run consumes easy/clean documents before hard/noisy ones, then
+    * written and manifested exactly like [[curatedStore]].
+    *
+    * The global curriculum position is composed WITHOUT a sampled range
+    * partitioner or a data-sized single-partition sort: the bucket is a
+    * FIXED-BOUNDARY value range of the integer score (a pure function of
+    * the row, monotone in the sort key — deterministic on any layout,
+    * the [[shuffleRanks]] discipline with value ranges instead of md5
+    * bytes), ranks are bucket-local, and a ~128-row broadcast offset
+    * window composes the global rank. Value buckets can be skewed when
+    * scores cluster — at corpus scale the fix is more boundaries, not a
+    * different algorithm; correctness never depends on balance. */
+  def curriculumStore(spark: SparkSession, dir: String,
+      nShards: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("curriculum").toString
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3")).select(col("doc_id"), col("n_words"))
+    val scored = surv
+      .join(TextOps.qualityLogit(spark, dir)
+        .select(col("doc_id"), col("quality_logit_ppm")), Seq("doc_id"))
+      // ascending ck = descending quality; ppm is bounded in ±1e6 by
+      // construction (a mean of ±1000 weights, scaled 1000x)
+      .withColumn("ck", -col("quality_logit_ppm"))
+      .withColumn("bk", expr("cast((ck + 1000000L) div 15700 as int)"))
+    val local = scored.withColumn("lr",
+      row_number().over(Window.partitionBy("bk").orderBy("ck", "doc_id")))
+    val offsets = local.groupBy("bk").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    val assigned = local.join(broadcast(offsets), "bk")
+      .select(col("doc_id"), (col("lr") - 1L + col("off")).as("pos"),
+        col("n_words"))
+      .withColumn("shard", col("pos") % nShards)
+    assigned
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val out = shardManifest(spark, spark.read.parquet(root), nShards,
+        tokensCol = "n_words")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+        col("max_pos"), col("order_digest"))
+      .orderBy("shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    flags.unpersist()
+    out
+  }
+
   /** One tokenized shard's loader manifest row. */
   private[graft] case class TokenShardManifest(shard: Long, n_windows: Long,
       n_docs: Long, n_tokens: Long, min_window: Long, max_window: Long,

@@ -312,6 +312,23 @@ class Round11OpsSpec extends AnyFunSuite {
       "rebuild changed the manifest — the layout is not deterministic")
   }
 
+  test("curriculum store reorders the same survivors the uniform store shuffles") {
+    import graft.operators.LayoutOps
+    val cur = LayoutOps.curriculumStore(spark, dir).collect()
+    val uni = LayoutOps.curatedStore(spark, dir).collect()
+    // identical survivor set: totals match the uniform store exactly
+    assert(cur.map(_.getAs[Long]("n_docs")).sum == uni.map(_.getAs[Long]("n_docs")).sum)
+    assert(cur.map(_.getAs[Long]("n_tokens")).sum == uni.map(_.getAs[Long]("n_tokens")).sum)
+    // but a genuinely different order: no shard digest coincides
+    assert(cur.map(_.getAs[String]("order_digest")).toSet
+      .intersect(uni.map(_.getAs[String]("order_digest")).toSet).isEmpty,
+      "curriculum layout must differ from the uniform shuffle")
+    // positions are dense across the round-robin shards
+    assert(cur.map(_.getAs[Long]("min_pos")).min == 0L)
+    assert(cur.map(_.getAs[Long]("max_pos")).max ==
+      cur.map(_.getAs[Long]("n_docs")).sum - 1)
+  }
+
   test("multimodal curated store excises media-failing docs from the text-only store") {
     import graft.operators.LayoutOps
     val mm = MultimodalOps.curatedStoreMultimodal(spark, dir).collect()
