@@ -129,6 +129,8 @@ object SparkEntry {
     "q_paragraph_dedup" -> (DedupOps.paragraphDedup _),
     "q_editdist_verify" -> (DedupOps.editDistVerify _),
     "q_dup_spans"     -> ((s, d) => DedupOps.dupSpans(s, d)),
+    // intra-document repeated-span excision (self-repetition cleaning)
+    "q_selfdup_spans" -> ((s, d) => DedupOps.selfDupSpans(s, d)),
     "q_exact_gate_bloom" -> (DedupOps.exactGateBloom _),
     // similarity search
     "q_embed_norm"        -> (SimilarityOps.norms _),
@@ -3935,6 +3937,41 @@ object SparkEntry {
            CAST(MIN(start) AS BIGINT) AS start_tok,
            CAST(MAX(start) + 20 AS BIGINT) AS end_tok,
            CAST(MAX(start) + 20 - MIN(start) AS BIGINT) AS n_dup_tokens
+         FROM g GROUP BY doc_id, island ORDER BY doc_id, span_id""",
+    // Intra-document repeated spans: every 7th doc re-appends its own
+    // first 8 tokens; a window hash occurring >= 2 times within one doc
+    // keeps its first occurrence and excises the rest, merged to
+    // maximal spans by the islands fold.
+    "q_selfdup_spans" ->
+      """WITH t0 AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t0
+           FROM documents),
+         t AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN list_concat(t0, t0[1:8]) ELSE t0 END AS toks
+           FROM t0 WHERE len(t0) >= 8),
+         wns AS (SELECT doc_id, u.s AS start, u.h AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(toks) - 8 + 1),
+             i -> {'s': i,
+               'h': CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15) AS BIGINT)})) AS u
+           FROM t)),
+         rep AS (SELECT doc_id, start FROM (
+             SELECT doc_id, start,
+               COUNT(*) OVER (PARTITION BY doc_id, h) AS cnt,
+               MIN(start) OVER (PARTITION BY doc_id, h) AS first_start
+             FROM wns)
+           WHERE cnt >= 2 AND start > first_start),
+         f AS (SELECT doc_id, start,
+             CASE WHEN lag(start + 8) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+                  OR start > lag(start + 8) OVER (PARTITION BY doc_id ORDER BY start)
+               THEN 1 ELSE 0 END AS ni
+           FROM rep),
+         g AS (SELECT doc_id, start,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+           FROM f)
+         SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+           CAST(MIN(start) AS BIGINT) AS start_tok,
+           CAST(MAX(start) + 8 AS BIGINT) AS end_tok,
+           CAST(MAX(start) + 8 - MIN(start) AS BIGINT) AS n_dup_tokens
          FROM g GROUP BY doc_id, island ORDER BY doc_id, span_id""",
     // Bigram add-one LM + per-lang terciles: integer counts, position-
     // ordered logp folds (round 6), integer rank → bucket.

@@ -949,6 +949,55 @@ object DedupOps {
     * hashes back, then merge overlapping/adjacent windows per doc into
     * maximal spans with the islands-and-gaps window (per-doc partitions
     * — no global sort). Output is the span mask a cut pass consumes. */
+  /** INTRA-document repeated-span excision — the self-repetition half
+    * of ExactSubstr dedup (Lee et al. 2021): a k-token run appearing
+    * twice WITHIN one document (boilerplate repeated on a page,
+    * model-looped text) keeps its FIRST occurrence and marks every
+    * later occurrence for excision. Same machinery as [[dupSpans]] with
+    * the duplicate test scoped to the document: hash every k-token
+    * window, keep (doc, hash) groups of ≥ 2 occurrences, drop each
+    * group's first start, merge the surviving starts into maximal spans
+    * with the islands-and-gaps fold. Every wide op is keyed on
+    * (doc_id[, h]) — the corpus never pairs across documents and only
+    * slim (doc_id, start, int64) rows shuffle. Planted fixture: every
+    * 7th document re-appends its own first k tokens (token-aligned
+    * boilerplate), which must surface as an excision span at the tail
+    * (spec-asserted); the oracle replays hashing, the within-doc
+    * first-occurrence rule, and the span merge. */
+  def selfDupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked0 = Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("t0"))
+      .filter(size(col("t0")) >= w)
+    val toked = toked0.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("t0"), slice(col("t0"), 1, w)))
+        .otherwise(col("t0")).as("toks"))
+    val wins = toked.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - w),
+        i => conv(substring(md5(array_join(slice(col("toks"), i + 1, lit(w)), " ")), 1, 15),
+          16, 10).cast("long"))).as(Seq("start", "h")))
+    val byDocHash = Window.partitionBy("doc_id", "h")
+    val rep = wins
+      .withColumn("cnt", count(lit(1)).over(byDocHash))
+      .withColumn("first_start", min(col("start")).over(byDocHash))
+      .filter(col("cnt") >= 2 && col("start") > col("first_start"))
+      .select("doc_id", "start")
+    val byStart = Window.partitionBy("doc_id").orderBy("start")
+    rep
+      .withColumn("prev_end", lag(col("start") + w, 1).over(byStart))
+      .withColumn("ni",
+        (col("prev_end").isNull || col("start") > col("prev_end")).cast("int"))
+      .withColumn("island", sum(col("ni")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("start")).as("s"), max(col("start")).as("m"))
+      .select(col("doc_id"), col("island").cast("long").as("span_id"),
+        col("s").cast("long").as("start_tok"),
+        (col("m") + w).cast("long").as("end_tok"),
+        (col("m") + w - col("s")).cast("long").as("n_dup_tokens"))
+      .orderBy("doc_id", "span_id")
+  }
+
   def dupSpans(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toked = docsWithTwins(spark, dir)

@@ -312,6 +312,30 @@ class Round11OpsSpec extends AnyFunSuite {
       "rebuild changed the manifest — the layout is not deterministic")
   }
 
+  test("self-dup spans excise the planted tail boilerplate, first occurrence kept") {
+    import graft.operators.{DedupOps, TextOps}
+    import graft.sources.Tables
+    val w = 8
+    val spans = DedupOps.selfDupSpans(spark, dir, w).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val planted = lens.keys.filter(id => id % 7 == 0 && lens(id) >= w)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val ss = spans.getOrElse(id, Array.empty)
+      assert(ss.nonEmpty, s"doc $id: planted tail boilerplate not excised")
+      // the appended copy ends at the (n + w)-token mark and its spans
+      // never reach back into the doc's own first occurrence at 0
+      val last = ss.maxBy(_.getAs[Long]("end_tok"))
+      assert(last.getAs[Long]("end_tok") == lens(id) + w,
+        s"doc $id: tail span must end at the appended copy's last token")
+      assert(ss.forall(_.getAs[Long]("start_tok") > 0),
+        s"doc $id: the first occurrence must never be excised")
+    }
+  }
+
   test("curriculum store reorders the same survivors the uniform store shuffles") {
     import graft.operators.LayoutOps
     val cur = LayoutOps.curriculumStore(spark, dir).collect()
