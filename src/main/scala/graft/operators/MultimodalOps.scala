@@ -811,6 +811,27 @@ object MultimodalOps {
     explode(expr(
       s"concat(array($bvCol), transform(sequence(0, 7), j -> $bvCol ^ shiftleft(1L, j)))"))
 
+  /** HOT-KEY guard for the perceptual candidate joins — the containment
+    * DF-cap discipline (DedupOps) / LSH maxBucket guard (SimilarityOps)
+    * applied to the banded-Hamming family: real corpora pile degenerate
+    * perceptual hashes (solid-color images, silence, static clips) onto
+    * a handful of key values, and ONE hot key yields |probe|×|corpus|
+    * candidate rows for that key. Corpus-side keys whose frequency
+    * exceeds the cap are dropped WHOLE before the probe join — bounded
+    * recall loss on pathological keys for a hard bound on candidate
+    * volume. The over-cap set is tiny by construction (only degenerate
+    * content crosses a sane cap) — broadcast anti-join. Off (None) in
+    * the oracle queries: the planted twin fixtures are degenerate-free,
+    * so the capped and uncapped verdicts coincide there. */
+  private[graft] def capHotKeys(corpus: DataFrame, keys: Seq[String],
+      maxKeyFreq: Option[Long]): DataFrame =
+    maxKeyFreq.fold(corpus) { cap =>
+      val hot = corpus.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+        .select(keys.map(col): _*)
+      corpus.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** Synthesize the asset for one (orig_id, kind) spec and hash it over
     * the real decode path — the per-row codec step of the STREAMING
     * perceptual gate ([[graft.streaming.MediaDedupStream]]); partition-
@@ -865,22 +886,25 @@ object MultimodalOps {
     * the new batch probes the existing index; multiprobe lands on the
     * small incoming side — the corpus index stays 8 rows per asset. At
     * 100 TB the corpus side is the precomputed hash store bucketed on
-    * (band, value), and a hot-band frequency cap (the containment-dedup
-    * DF-cap discipline, DedupOps.scala) bounds the worst key.
+    * (band, value), and `maxBandFreq` ([[capHotKeys]]) bounds the worst
+    * key — degenerate hashes (solid-color assets) are dropped whole
+    * before the join.
     *
     * Output: one row per planted twin with `found` = its true original
     * surfaced among its verified near-duplicates. The oracle replays the
     * planting arithmetic and expects every `found` TRUE — a regression
     * anywhere in codec, hash, banding, or verify flips rows red. */
-  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+  def imageDedup(spark: SparkSession, dir: String,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     import graft.functions.HammingDistance.hamming
     val hashes = perceptualHashes(spark, dir).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count() // one fill job before the two band sides fan out
-    val corpus = hashes.filter(col("kind") === "orig")
+    val corpus = capHotKeys(hashes.filter(col("kind") === "orig")
       .select(col("docId").as("cand_id"), col("dhash").as("dhash_c"),
         hashBands("dhash").as(Seq("band", "bv")))
-      .select(col("cand_id"), col("dhash_c"), col("band"), col("bv"))
+      .select(col("cand_id"), col("dhash_c"), col("band"), col("bv")),
+      Seq("band", "bv"), maxBandFreq)
     val twins = hashes.filter(col("kind") =!= "orig")
     val probes = twins
       .select(col("docId").as("twin_id"), col("dhash").as("dhash_t"),
@@ -962,16 +986,19 @@ object MultimodalOps {
     * the codegen'd [[graft.functions.HammingDistance]] verifying at
     * radius 7. Incoming-vs-corpus join shape as in [[imageDedup]]; at
     * 100 TB the corpus side is the precomputed fingerprint store
-    * bucketed on (band, value) with a hot-band frequency cap. */
-  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    * bucketed on (band, value) with the `maxBandFreq` hot-key cap
+    * ([[capHotKeys]]). */
+  def audioDedup(spark: SparkSession, dir: String,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     import graft.functions.HammingDistance.hamming
     val hashes = audioPerceptualHashes(spark, dir).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count() // one fill job before the two band sides fan out
-    val corpus = hashes.filter(col("kind") === "orig")
+    val corpus = capHotKeys(hashes.filter(col("kind") === "orig")
       .select(col("docId").as("cand_id"), col("ahash").as("ahash_c"),
         hashBands("ahash").as(Seq("band", "bv")))
-      .select(col("cand_id"), col("ahash_c"), col("band"), col("bv"))
+      .select(col("cand_id"), col("ahash_c"), col("band"), col("bv")),
+      Seq("band", "bv"), maxBandFreq)
     val twins = hashes.filter(col("kind") =!= "orig")
     val probes = twins
       .select(col("docId").as("twin_id"), col("ahash").as("ahash_t"),
@@ -1058,17 +1085,18 @@ object MultimodalOps {
     * banded-Hamming discipline [[imageDedup]]/[[audioDedup]] use, with
     * the whole 128-bit signature as the single band. Incoming-vs-corpus
     * join shape as there; at 100 TB the corpus side is the precomputed
-    * signature store bucketed on the signature, and a hot-signature
-    * frequency cap (the containment-dedup DF-cap discipline,
-    * DedupOps.scala) bounds degenerate keys — low-entropy clips (e.g.
-    * near-static footage) collapse to short delta chains that many
-    * assets share. */
-  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    * signature store bucketed on the signature, and the `maxSigFreq`
+    * hot-key cap ([[capHotKeys]]) bounds degenerate keys — low-entropy
+    * clips (e.g. near-static footage) collapse to short delta chains
+    * that many assets share. */
+  def videoDedup(spark: SparkSession, dir: String,
+      maxSigFreq: Option[Long] = None): DataFrame = {
     val hashes = videoPerceptualHashes(spark, dir).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count() // one fill job before the two join sides fan out
-    val corpus = hashes.filter(col("kind") === "orig")
-      .select(col("docId").as("cand_id"), col("vhash"))
+    val corpus = capHotKeys(hashes.filter(col("kind") === "orig")
+      .select(col("docId").as("cand_id"), col("vhash")),
+      Seq("vhash"), maxSigFreq)
     val twins = hashes.filter(col("kind") =!= "orig")
     val hits = twins
       .select(col("docId").as("twin_id"), col("vhash"))

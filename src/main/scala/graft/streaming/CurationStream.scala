@@ -52,8 +52,9 @@ import scala.jdk.CollectionConverters._
 object CurationStream {
 
   /** Fold the claim store into one generation once the delta dir holds
-    * this many files — the bound on the store's file count. */
-  val CompactDeltaFiles = 8
+    * this many files — the bound on the store's file count (the shared
+    * [[ClaimStore]] budget; re-exported for specs). */
+  val CompactDeltaFiles: Int = ClaimStore.CompactDeltaFiles
 
   private def deltaFiles(fpStore: String): Seq[java.nio.file.Path] = {
     val d = java.nio.file.Paths.get(fpStore, "delta")
@@ -66,62 +67,25 @@ object CurationStream {
     }
   }
 
-  /** The claim-class set: the committed base generation (CURRENT, if any
-    * compaction has run) plus the per-batch delta files. Duplicates across
-    * the two (a crash between swap and cleanup) collapse in the
-    * distinct(). */
-  private[streaming] def claimedClasses(spark: SparkSession,
-      fpStore: String): DataFrame = {
+  private def emptyClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val base = graft.sources.Stage.currentTarget(fpStore).toSeq
-    val parts = base ++ deltaFiles(fpStore).map(_.toString)
-    if (parts.isEmpty) Seq.empty[String].toDF("fp")
-    else spark.read.parquet(parts: _*).select("fp").distinct()
+    Seq.empty[String].toDF("fp")
   }
 
-  /** Fold base + deltas into one fresh `gen=N`, atomically swap CURRENT
-    * at it, then drop dead generations and consumed deltas. Run between
-    * batches (the foreachBatch loop is single-threaded, so no append
-    * races the fold); a crash mid-compaction loses nothing — claims are
-    * a monotone set and every pre-swap byte stays where a restarted
-    * reader still finds it. */
+  /** The claim-class set: the committed base generation (CURRENT, if any
+    * compaction has run) plus the per-batch delta files — the shared
+    * [[ClaimStore]] read. Duplicates across the two (a crash between swap
+    * and cleanup) collapse in the distinct(). */
+  private[streaming] def claimedClasses(spark: SparkSession,
+      fpStore: String): DataFrame =
+    ClaimStore(fpStore).read(spark, emptyClaims(spark))
+      .select("fp").distinct()
+
+  /** Fold base + deltas into one fresh `gen=N` — the shared
+    * [[ClaimStore.compact]] swap discipline. */
   private[streaming] def compactClaims(spark: SparkSession,
-      fpStore: String): Unit = {
-    val root = java.nio.file.Paths.get(fpStore)
-    val gens = {
-      if (!java.nio.file.Files.isDirectory(root)) return
-      val s = java.nio.file.Files.list(root)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
-      finally s.close()
-    }
-    val next = s"$fpStore/gen=${(gens :+ -1L).max + 1}"
-    val consumed = deltaFiles(fpStore)
-    claimedClasses(spark, fpStore)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.parquet(next)
-    graft.sources.Stage.atomicRepoint(fpStore, next)
-    // cleanup AFTER the swap: readers resolve CURRENT first, so nothing
-    // they can reach disappears under them
-    val s = java.nio.file.Files.list(root)
-    val dead = try s.iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("gen=") && p.toString != next
-      }.toList
-    finally s.close()
-    dead.foreach(graft.sources.TmpStores.deleteRecursively)
-    // delete consumed deltas through the Hadoop (Checksum)FileSystem so
-    // each part file's '.part-*.parquet.crc' sidecar goes with it — a
-    // bare nio delete leaves the sidecars accreting in the delta dir,
-    // the very unbounded-small-file growth this compaction bounds
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
-    (consumed :+ java.nio.file.Paths.get(fpStore, "delta", "_SUCCESS"))
-      .foreach(p =>
-        try fs.delete(new org.apache.hadoop.fs.Path(p.toUri), false)
-        catch { case _: Exception => () })
-  }
+      fpStore: String): Unit =
+    ClaimStore(fpStore).compact(spark, emptyClaims(spark))
 
   /** Generational TAIL COUNTER for the incremental stores — the logical
     * (doc, token) offsets the next batch appends at, kept OUTSIDE the
@@ -360,15 +324,12 @@ object CurationStream {
               }
             }
             // claims accrete for every batch winner — contaminated or not
-            // (stage order: dedup decides before decontamination drops)
-            verdict.filter(col("keep_quality") && !col("is_dup"))
-              .select("fp")
-              .write.mode(SaveMode.Append).parquet(s"$fpStore/delta")
-            // bound the store's file count: fold into one generation once
-            // the delta dir exceeds its budget (no append races this — the
-            // foreachBatch loop is single-threaded)
-            if (deltaFiles(fpStore).size >= CompactDeltaFiles)
-              compactClaims(spark, fpStore)
+            // (stage order: dedup decides before decontamination drops);
+            // ClaimStore.append folds the store into one generation once
+            // the delta budget is crossed
+            ClaimStore(fpStore).append(spark,
+              verdict.filter(col("keep_quality") && !col("is_dup"))
+                .select("fp"))
           } finally verdict.unpersist()
         } finally b.unpersist()
       }
@@ -422,16 +383,13 @@ object CurationStream {
       run(fx.src, fx.evalSh, fx.out, fx.ckpt).awaitTermination()
       // no persist: the verdicts live on disk already — re-executing the
       // returned frame is one scan of the small store, no cached state
-      // outlives this call. The per-doc aggregation (not an arbitrary
-      // dropDuplicates row) makes redelivered appends resolve
+      // outlives this call. The shared per-doc resolution (not an
+      // arbitrary dropDuplicates row) makes redelivered appends resolve
       // deterministically: a doc's own claim proves its admission.
-      spark.read.parquet(fx.out)
-        .groupBy("doc_id")
-        .agg(max(col("keep_quality")).as("keep_quality"),
-          min(col("is_dup")).as("is_dup"),
-          max(col("is_contaminated")).as("is_contaminated"),
-          max(col("admitted")).as("admitted"))
-        .orderBy("doc_id")
+      StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
+        anyTrue = Seq("keep_quality", "is_contaminated", "admitted"),
+        everyTrue = Seq("is_dup"))
+        .select("doc_id", "keep_quality", "is_dup", "is_contaminated", "admitted")
     } finally fx.evalSh.unpersist()
   }
 

@@ -1,35 +1,65 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.DedupOps
 
 /** Streaming form of the near-dup admission gate: incoming documents
   * arrive as micro-batches and each batch is checked against the STATIC
-  * corpus index, built and persisted ONCE before the stream starts and
-  * reused by every micro-batch (at production scale the corpus index is
-  * a staged artifact refreshed out-of-band as admitted docs accrete).
-  * The incoming side's shingle cache and the verdict frame are scoped to
-  * their batch and unpersisted once the batch's decisions land, so cache
-  * usage is flat across an unbounded stream. Decisions append to a
-  * parquet side channel per batch; the checkpoint advances only after
-  * the batch's decisions land — the same at-least-once discipline as the
-  * publishers, and re-emitted decisions are identical rows (the gate is
-  * deterministic), so downstream dedups are trivial. */
+  * corpus index, built, banded and persisted ONCE before the stream
+  * starts and reused by every micro-batch (at production scale the
+  * corpus index is a staged artifact refreshed out-of-band as admitted
+  * docs accrete). The incoming side's shingle cache and the verdict
+  * frame are scoped to their batch and unpersisted once the batch's
+  * decisions land, so cache usage is flat across an unbounded stream.
+  * Decisions append to a parquet side channel per batch; the checkpoint
+  * advances only after the batch's decisions land — the same
+  * at-least-once discipline as the publishers, and re-emitted decisions
+  * are identical rows (the gate is deterministic), so downstream dedups
+  * are trivial. */
 object DedupGateStream {
+
+  private def emptySh(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Seq[String])].toDF("dbucket", "doc_id", "sh")
+  }
+  private def emptyBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Int, Long)].toDF("bucket", "doc_id", "band", "band_hash")
+  }
+
+  /** Probe-key bucket of a MinHash band hash: its low 8 bits (splitmix64
+    * output — uniform), 256 possible values, so a batch's touched set is
+    * a bounded driver collect whatever the batch size. */
+  private def bucketOf(bandHash: org.apache.spark.sql.Column) =
+    bandHash.bitwiseAND(255).cast("int")
+
+  /** Verify-side bucket of an admitted doc id — 64 possible values. */
+  private def dbucketOf(docId: org.apache.spark.sql.Column) =
+    pmod(docId, lit(64L)).cast("int")
 
   /** `accrete = true` folds each batch's ADMITTED documents into the
     * corpus index before the next batch — the production admission-gate
     * semantics: once a novel document enters the corpus, later
     * duplicates of it are rejected, even across micro-batches AND across
-    * restarts: admitted shingles append to a parquet side store
-    * (`<outDir>_index`) before the checkpoint commits, and run() folds
-    * that store back in on start, so a resumed stream keeps rejecting
-    * duplicates of everything it ever admitted. The index is always
-    * cached-base-corpus ∪ one parquet scan of the side store — constant
-    * lineage depth and one corpus-sized cache however long the stream
-    * runs (never a union-of-unions chain). Redelivered batches re-append
-    * identical rows; the read side dedups on doc_id, so at-least-once
+    * restarts. The accreted index is TWO generational [[ClaimStore]]s,
+    * both laid out on their probe key so a batch never rescans the whole
+    * store:
+    *
+    *  - `<outDir>_bands` — admitted docs' MinHash band rows, partitioned
+    *    by the band hash's low byte: candidate generation reads only the
+    *    ≤ 256 buckets the batch's own band hashes touch;
+    *  - `<outDir>_index` — admitted docs' shingle sets, partitioned by
+    *    doc-id bucket: the exact-Jaccard verify fetches sh ONLY for the
+    *    ≤ 64 id buckets the surviving candidates name.
+    *
+    * Claims land one delta file per batch BEFORE the checkpoint commits
+    * and fold into a partitioned generation at the file budget (the
+    * shared ClaimStore swap discipline), so the store's file count is
+    * bounded and a resumed stream keeps rejecting duplicates of
+    * everything it ever admitted. Redelivered batches re-append
+    * identical rows; the pruned reads dedup per doc_id, so at-least-once
     * delivery cannot double-count a corpus doc in later verdicts. */
   def run(
       corpus: DataFrame,
@@ -37,33 +67,69 @@ object DedupGateStream {
       outDir: String,
       checkpoint: String,
       accrete: Boolean = false): StreamingQuery = {
-    import org.apache.spark.sql.functions.col
     val spark = corpus.sparkSession
-    val indexDir = s"${outDir}_index"
+    val spark0 = spark
+    import spark0.implicits._
+    val shStore = ClaimStore(s"${outDir}_index", partitionCol = Some("dbucket"))
+    val bandStore = ClaimStore(s"${outDir}_bands", partitionCol = Some("bucket"))
+    // base index: shingles AND band rows persist for the stream's
+    // lifetime — band hashes of the static corpus are computed once, not
+    // once per micro-batch
     val base = DedupOps.gateShingles(corpus)
-    // base stays cached for the stream's lifetime; the accreted side is
-    // |admitted docs|-sized, so it rides as a plain parquet scan under
-    // the union instead of a second corpus-sized cache
-    def currentIndex(): DataFrame =
-      if (!accrete ||
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir))) base
-      else base.union(spark.read.parquet(indexDir).dropDuplicates("doc_id"))
-    val index = new java.util.concurrent.atomic.AtomicReference(currentIndex())
+    val baseBands = DedupOps.bandRows(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baseBands.count()
     val query = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val iSh = DedupOps.gateShingles(batch)
-        val verdict = DedupOps.dedupGateScored(index.get(), iSh, batch)
+        val iBands = DedupOps.bandRows(iSh)
+        // candidate generation: the batch's bands against the cached base
+        // plus the accreted store PRUNED to the buckets this batch probes
+        val touched = iBands.select(bucketOf(col("band_hash")).as("bucket"))
+          .distinct().as[Int].collect().toSeq
+        val storeBands = bandStore
+          .readPruned(spark, emptyBands(spark), touched)
+          .select("doc_id", "band", "band_hash")
+        val cand = DedupOps.gateCandidates(iBands, baseBands.union(storeBands))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cand.count()
         try {
-          verdict.write.mode(SaveMode.Append).parquet(outDir)
-          if (accrete) {
-            val admitted = verdict.filter(col("decision") === "admit")
-              .select("doc_id")
-            iSh.join(admitted, Seq("doc_id"))
-              .write.mode(SaveMode.Append).parquet(indexDir)
-            index.set(currentIndex())
-          }
+          // verify fetch: sh only for the id buckets the candidates name
+          // (redelivered store rows are identical — dedup the pruned read)
+          val touchedIds = cand.select(dbucketOf(col("corpus_id")).as("d"))
+            .distinct().as[Int].collect().toSeq
+          val storeSh = shStore.readPruned(spark, emptySh(spark), touchedIds)
+            .dropDuplicates("doc_id")
+            .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+          val cShById = base
+            .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+            .union(storeSh)
+          val verdict = DedupOps.gateVerdicts(cand, iSh, cShById, batch)
+          try {
+            verdict.write.mode(SaveMode.Append).parquet(outDir)
+            if (accrete) {
+              val admitted = verdict.filter(col("decision") === "admit")
+                .select("doc_id")
+              val shClaims = iSh.join(admitted, Seq("doc_id"))
+                .select(dbucketOf(col("doc_id")).as("dbucket"),
+                  col("doc_id"), col("sh"))
+              val bandClaims = iBands.join(admitted, Seq("doc_id"))
+                .select(bucketOf(col("band_hash")).as("bucket"),
+                  col("doc_id"), col("band"), col("band_hash"))
+              // BOTH delta writes land before EITHER store folds: a fold
+              // deletes its consumed delta files, and the second write's
+              // lineage re-reads this batch's store scan when Spark
+              // recomputes instead of hitting the verdict cache (observed
+              // under foreachBatch) — write-all-then-fold-all keeps every
+              // recomputation on files that still exist
+              shStore.appendDelta(shClaims)
+              bandStore.appendDelta(bandClaims)
+              shStore.maybeCompact(spark, shClaims.limit(0))
+              bandStore.maybeCompact(spark, bandClaims.limit(0))
+            }
+          } finally verdict.unpersist()
         } finally {
-          verdict.unpersist()
+          cand.unpersist()
           iSh.unpersist()
         }
       }
@@ -76,10 +142,27 @@ object DedupGateStream {
     val watcher = new Thread(() => {
       try query.awaitTermination()
       catch { case _: Throwable => () }
-      finally base.unpersist()
+      finally { baseBands.unpersist(); base.unpersist() }
     })
     watcher.setDaemon(true)
     watcher.start()
     query
   }
+
+  /** Decision readback under the shared at-least-once contract
+    * ([[StreamVerdicts]]): a doc admits if ANY delivery admitted it (its
+    * own shingles in the accreted index prove the admission — a replay
+    * after the claim landed self-matches and re-emits reject), and the
+    * match stats come from the pre-claim delivery (minimum n_matches —
+    * the index only grows, so the original match set is a subset of any
+    * replay's). */
+  def readDecisions(spark: SparkSession, outDir: String): DataFrame =
+    StreamVerdicts.resolvePerDoc(
+      spark.read.parquet(outDir)
+        .withColumn("admitted", col("decision") === "admit"),
+      anyTrue = Seq("admitted"),
+      preClaim = Seq("n_matches", "best_match", "best_jaccard"))
+      .select(col("doc_id"),
+        when(col("admitted"), "admit").otherwise("reject").as("decision"),
+        col("n_matches"), col("best_match"), col("best_jaccard"))
 }

@@ -32,30 +32,44 @@ import graft.sources.Tables
   * like the reference's admit-only-validated-records publisher gate
   * (amundsendatabuilder publisher/neo4j_csv_publisher.py:271-287).
   *
+  * Claim-store shape — the shared [[ClaimStore]] discipline: claims land
+  * pre-exploded to their 8 (band, value) probe rows keyed by
+  * `pk = band * 256 + value` (2048 possible keys), one delta file per
+  * batch, folded into a `pk=`-partitioned generation at the file budget
+  * by an atomic CURRENT swap. A batch's probe collects its touched pk
+  * set (bounded by 2048 whatever the batch size) and reads the store
+  * PARTITION-PRUNED to those keys — per-batch probe cost is the touched
+  * partitions plus at most the delta budget of small files, never a
+  * whole-store scan or shuffle. `maxBandFreq` is the hot-key guard: real
+  * corpora pile degenerate perceptual hashes (solid-color images,
+  * silence) onto a handful of (band, value) keys, and one hot key yields
+  * |probe|×|corpus| candidates — keys whose claim count exceeds the cap
+  * are dropped whole (bounded recall loss on pathological keys for a
+  * hard bound on candidate volume, the containment DF-cap discipline).
+  *
   * At-least-once: verdicts land, then claims, then the checkpoint — a
-  * replayed batch re-derives identical rows (the gate is deterministic
-  * given the store, and the store only ever GROWS by that batch's own
-  * claims), so the read side resolves per doc_id. Scale shape: the
-  * store is one parquet scan per batch (never a union-of-unions), the
-  * probe side is |batch|×9 band rows, and the store side explodes to
-  * 8 rows per claim — at 100 TB the store is bucketed on (band, value)
-  * with a hot-band frequency cap, the containment-dedup DF-cap
-  * discipline. */
+  * batch replayed AFTER its claims landed sees its own winners as
+  * already claimed and re-emits corrupted match counts, so the read
+  * side resolves per doc with admitted = ANY delivery admitted and the
+  * match stats from the row with the MINIMUM n_matches (the store only
+  * grows, so the original delivery's match set is a subset of any
+  * replay's — equal counts imply the identical set). [[resolveVerdicts]]
+  * is that shared read contract. */
 object MediaDedupStream {
 
-  /** Claimed fingerprints, deduped per claim (redelivered appends are
-    * identical rows). */
-  private def claimed(spark: SparkSession, fpStore: String): DataFrame = {
+  /** Claim rows pre-exploded to probe keys: pk = band * 256 + value. */
+  private def emptyClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fpStore)))
-      Seq.empty[(Long, Long)].toDF("claim_id", "dhash")
-    else spark.read.parquet(fpStore).dropDuplicates("claim_id")
+    Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
   }
 
+  private def withPk(df: DataFrame): DataFrame =
+    df.withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
+
   /** Per-batch gate: hash → multiprobe banded candidate join against
-    * the claim store → radius verify → verdict append → claim append.
-    * `hashForKind` is the modality: the image dHash by default, the
-    * audio loudness hash for [[audioDedupStreamQuery]] — the gate
+    * the pruned claim store → radius verify → verdict append → claim
+    * append. `hashForKind` is the modality: the image dHash by default,
+    * the audio loudness hash for [[audioDedupStreamQuery]] — the gate
     * itself is hash-agnostic (any 64-bit perceptual fingerprint whose
     * near-dup radius fits the 8-band multiprobe pigeonhole bound). */
   def run(
@@ -63,10 +77,11 @@ object MediaDedupStream {
       outDir: String,
       checkpoint: String,
       radius: Int = 15,
-      hashForKind: (Long, String) => Long = MultimodalOps.dhashForKind): StreamingQuery = {
+      hashForKind: (Long, String) => Long = MultimodalOps.dhashForKind,
+      maxBandFreq: Option[Long] = None): StreamingQuery = {
     import graft.functions.HammingDistance.hamming
     val spark = incoming.sparkSession
-    val fpStore = s"${outDir}_fps"
+    val store = ClaimStore(s"${outDir}_fps", partitionCol = Some("pk"))
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark0 = spark
@@ -79,19 +94,26 @@ object MediaDedupStream {
           })
           .toDF("doc_id", "orig_id", "kind", "dhash")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        hashed.count() // one codec pass; the two probe sides reuse it
+        hashed.count() // one codec pass; probe + claim sides reuse it
         try {
-          val store = claimed(spark, fpStore)
-          val corpus = store
-            .select(col("claim_id"), col("dhash").as("dhash_c"),
-              MultimodalOps.hashBands("dhash").as(Seq("band", "bv")))
-          val probes = hashed
+          val probes = withPk(hashed
             .select(col("doc_id"), col("dhash").as("dhash_t"),
               MultimodalOps.hashBands("dhash").as(Seq("band", "bv0")))
             .select(col("doc_id"), col("dhash_t"), col("band"),
-              MultimodalOps.bandMultiprobe("bv0").as("bv"))
+              MultimodalOps.bandMultiprobe("bv0").as("bv")))
+            .select("doc_id", "dhash_t", "pk")
+          // the touched probe-key set is bounded by the key space (2048)
+          // whatever the batch size — a tiny driver collect that lets the
+          // store read partition-prune to the keys this batch can hit
+          val touched = probes.select("pk").distinct().as[Int].collect().toSeq
+          // hot-key guard: per-pk claim counts are exact on the pruned
+          // read (pruning keeps every row of a touched key)
+          val corpus = MultimodalOps.capHotKeys(
+            store.readPruned(spark, emptyClaims(spark), touched),
+            Seq("pk"), maxBandFreq)
           val matches = probes
-            .join(corpus, Seq("band", "bv"))
+            .join(corpus.select(col("pk"), col("claim_id"),
+              col("fhash").as("dhash_c")), Seq("pk"))
             .select("doc_id", "claim_id", "dhash_t", "dhash_c")
             .dropDuplicates("doc_id", "claim_id") // many probes agree per pair
             .filter(hamming(col("dhash_t"), col("dhash_c")) <= radius)
@@ -110,10 +132,13 @@ object MediaDedupStream {
             verdict.drop("dhash")
               .write.mode(SaveMode.Append).parquet(outDir)
             // novel assets claim their fingerprint BEFORE the checkpoint
-            // commits — the CurationStream claim discipline
-            verdict.filter(col("admitted"))
-              .select(col("doc_id").as("claim_id"), col("dhash"))
-              .write.mode(SaveMode.Append).parquet(fpStore)
+            // commits — pre-exploded to the probe-key layout; the shared
+            // ClaimStore folds the file set at the delta budget
+            store.append(spark, withPk(verdict.filter(col("admitted"))
+              .select(col("doc_id").as("claim_id"), col("dhash").as("fhash"))
+              .select(col("claim_id"), col("fhash"),
+                MultimodalOps.hashBands("fhash").as(Seq("band", "bv"))))
+              .select("pk", "claim_id", "fhash"))
           } finally verdict.unpersist()
         } finally hashed.unpersist()
       }
@@ -157,18 +182,25 @@ object MediaDedupStream {
       .schema(spark.read.parquet(in).schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     run(src, out, ckpt).awaitTermination()
-    readVerdicts(spark, out)
+    resolveVerdicts(spark, out)
   }
 
-  /** Redelivered appends are identical rows; resolve per doc_id. */
-  private def readVerdicts(spark: SparkSession, out: String): DataFrame =
-    spark.read.parquet(out)
-      .groupBy("doc_id")
-      .agg(min(col("orig_id")).as("orig_id"), min(col("kind")).as("kind"),
-        max(col("admitted")).as("admitted"),
-        max(col("n_matches")).as("n_matches"),
-        min(col("min_match")).as("min_match"))
-      .orderBy("doc_id")
+  /** The shared at-least-once READ CONTRACT for perceptual-gate verdict
+    * stores: admitted = ANY delivery admitted (a doc's own claim in the
+    * store proves its admission — the replay of an admitted doc
+    * self-matches and re-emits admitted = false), and the match stats
+    * come from the delivery with the MINIMUM n_matches: the claim store
+    * only ever grows, so the original delivery's match set is a subset
+    * of any replay's — the smaller count IS the pre-claim verdict, and
+    * equal counts imply the identical set (hence identical min_match).
+    * Taking max(n_matches) here would surface a replay's self-match-
+    * inflated count instead of the original verdict. */
+  def resolveVerdicts(spark: SparkSession, out: String): DataFrame =
+    StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
+      anyTrue = Seq("admitted"),
+      preClaim = Seq("n_matches", "min_match"),
+      carried = Seq("orig_id", "kind"))
+      .select("doc_id", "orig_id", "kind", "admitted", "n_matches", "min_match")
 
   /** The AUDIO modality through the same gate: even-id assets stream as
     * batch 0 and seed the claim store; batch 1 brings the odd-id assets
@@ -200,6 +232,6 @@ object MediaDedupStream {
       .option("maxFilesPerTrigger", "1").parquet(in)
     run(src, out, ckpt, radius = 7,
       hashForKind = MultimodalOps.ahashForKind).awaitTermination()
-    readVerdicts(spark, out)
+    resolveVerdicts(spark, out)
   }
 }

@@ -403,9 +403,13 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rows(0L)._1, "seed verdict must persist")
     assert(!rows(3000000L)._1, "post-restart twin must be rejected")
     assert(rows(3000000L)._2 == 0L, "the twin must match its pre-restart original")
-    // the claim store holds exactly the one admitted fingerprint
-    val claims = spark.read.parquet(p("out") + "_fps").collect()
-    assert(claims.map(_.getAs[Long]("claim_id")).toSeq == Seq(0L),
+    // the claim store holds exactly the one admitted fingerprint (8
+    // pre-exploded (band, value) probe rows, all for claim 0)
+    val claims = graft.streaming.ClaimStore(p("out") + "_fps", Some("pk"))
+      .read(spark, Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash"))
+      .collect()
+    assert(claims.length == 8 &&
+      claims.map(_.getAs[Long]("claim_id")).distinct.toSeq == Seq(0L),
       "rejected assets must not claim")
     graft.sources.TmpStores.deleteRecursively(root)
   }
@@ -442,14 +446,32 @@ class Round11OpsSpec extends AnyFunSuite {
       "no window spans a document boundary — the slice semantics are untested")
   }
 
-  test("dHash is invariant under JPEG transcode of checkerboard assets") {
-    // the DCT-block-aligned checkerboard survives the lossy path with
-    // box averages intact — transcoded hashes are bit-identical, which
-    // is what anchors the reencode twins' structural recall
-    (0L until 60L by 6L).filter(MultimodalOps.reencodeTwinIds).foreach { id =>
-      val orig = MediaCodec.encode(id)
-      assert(MediaCodec.dhashOf(id, orig) ==
-        MediaCodec.dhashOf(id, MediaCodec.transcodeJpeg(id, orig)))
+  test("dHash twin bounds hold over the FULL asset period (2400 ids)") {
+    // the full generator period — lcm(48, 32, 200) = 2400 — covers every
+    // (width, height, gray) shape the corpus can produce, so a larger-SF
+    // run or an ImageIO behavior change cannot reach an untested asset
+    // and flip the q_image_dedup(_stream) oracles red without this spec
+    // catching the drift first (mirrors the 600-id audio/video loops).
+    // Transcode: the DCT-block-aligned checkerboard survives the lossy
+    // path with box averages intact — bit-identical hashes, which is
+    // what anchors the reencode twins' structural recall. Resize: every
+    // 3/4-downscale twin stays within the 15-bit verify radius, which
+    // the multiprobe banding covers by pigeonhole.
+    (0L until 2400L).foreach { id =>
+      if (MultimodalOps.reencodeTwinIds(id)) {
+        val orig = MediaCodec.encode(id)
+        assert(MediaCodec.dhashOf(id, orig) ==
+          MediaCodec.dhashOf(id, MediaCodec.transcodeJpeg(id, orig)),
+          s"id=$id JPEG transcode moved the dHash")
+      }
+      if (MultimodalOps.resizeTwinIds(id)) {
+        val orig = MediaCodec.encode(id)
+        val h = MediaCodec.dhashOf(id, orig)
+        val t = MediaCodec.dhashOf(id, MediaCodec.resizeBytes(id, orig,
+          MediaCodec.widthOf(id) * 3 / 4, MediaCodec.heightOf(id) * 3 / 4))
+        assert(java.lang.Long.bitCount(h ^ t) <= 15,
+          s"id=$id resize twin left the 15-bit verify radius")
+      }
     }
   }
 }

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MultimodalOps
+import graft.streaming.{ClaimStore, DedupGateStream, MediaDedupStream}
+import java.nio.file.Files
+
+/** Round-12 discipline: ONE generational claim store across every
+  * streaming gate (bounded file count, probe-key-pruned reads, restart
+  * claim-respect) and the hot-key cap on the perceptual candidate joins.
+  */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(name: String): String =
+    Files.createTempDirectory(
+      graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), s"graft-$name").toString
+
+  private def assertCompacted(store: String): Unit = {
+    assert(graft.sources.Stage.currentTarget(store).isDefined,
+      s"$store: crossing the delta budget must have committed a generation")
+    val gens = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+    assert(gens.length == 1, s"$store: dead generations must be dropped")
+    val deltas = Option(new java.io.File(store, "delta").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(deltas < ClaimStore.CompactDeltaFiles,
+      s"$store: consumed deltas must be dropped, got $deltas files")
+  }
+
+  // walk physical nodes through AQE wrappers (the PlanShapeSpec helper)
+  private def flattenAll(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: flattenAll(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: flattenAll(q.plan)
+    case _ => p +: p.children.flatMap(flattenAll)
+  }
+
+  test("media gate claim store compacts generationally and stays claim-respecting") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(tmp("media-compact"))
+    def p(s: String) = root.resolve(s).toString
+    // 12 one-asset micro-batches: the delta budget (8) is crossed
+    // mid-stream, so the fingerprint store must fold into a generation
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, i.toLong, "orig")).toDF("doc_id", "orig_id", "kind")
+        .coalesce(1).write.mode("append").parquet(p("in"))
+    }
+    val schema = spark.read.parquet(p("in")).schema
+    MediaDedupStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+      p("out"), p("ckpt")).awaitTermination()
+    assertCompacted(p("out") + "_fps")
+    val verdicts = spark.read.parquet(p("out"))
+      .select("doc_id", "admitted").as[(Long, Boolean)].collect().toMap
+    assert(verdicts.size == 12)
+    assert(verdicts(1L), "the first asset admits vacuously (empty store)")
+    // RESTART with an exact duplicate of an ever-admitted asset: the
+    // compacted + delta store must still reject it
+    val adm = verdicts.filter(_._2).keys.max
+    Seq((7777777L, adm, "orig")).toDF("doc_id", "orig_id", "kind")
+      .coalesce(1).write.mode("append").parquet(p("in2"))
+    MediaDedupStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in2")),
+      p("out"), p("ckpt2")).awaitTermination()
+    val dup = MediaDedupStream.resolveVerdicts(spark, p("out"))
+      .filter(col("doc_id") === 7777777L).collect()(0)
+    assert(!dup.getAs[Boolean]("admitted") && dup.getAs[Long]("n_matches") >= 1L,
+      "a duplicate of an ever-claimed fingerprint must stay rejected after compaction")
+    // probe-key layout: a single-key read PARTITION-PRUNES the compacted
+    // base — the filter must land in the scan's partitionFilters, not as
+    // a post-scan predicate over the whole store
+    val st = ClaimStore(p("out") + "_fps", partitionCol = Some("pk"))
+    val empty = Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    val somePk = st.read(spark, empty).select("pk").as[Int].head()
+    val pruned = st.readPruned(spark, empty, Seq(somePk))
+    assert(pruned.collect().forall(_.getInt(0) == somePk))
+    val scans = flattenAll(pruned.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no parquet scan under the pruned read")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "pk"))),
+      s"claim-store probe did not partition-prune:\n${pruned.queryExecution.executedPlan}")
+  }
+
+  test("accreting text gate stores compact generationally; duplicates stay rejected") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(tmp("gate-compact"))
+    def p(s: String) = root.resolve(s).toString
+    def text(i: Int) =
+      s"the quick brown fox number$i jumps over a lazy dog and that is fine today"
+    val corpus = Seq((1L, "completely unrelated corpus text about supplier nations and regions"),
+      (2L, "another unrelated corpus document mentioning orders and lineitems only"))
+      .toDF("doc_id", "text")
+    // 12 one-doc batches of mutually-novel docs: every doc admits and
+    // claims, so BOTH accreted stores (bands + shingles) cross the delta
+    // budget and must fold
+    (1 to 12).foreach { i =>
+      Seq((100L + i, text(i))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(p("in"))
+    }
+    val schema = spark.read.parquet(p("in")).schema
+    DedupGateStream.run(corpus,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+      p("out"), p("ckpt"), accrete = true).awaitTermination()
+    assertCompacted(p("out") + "_index")
+    assertCompacted(p("out") + "_bands")
+    val decisions = DedupGateStream.readDecisions(spark, p("out")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(decisions.size == 12 && decisions.values.forall(_ == "admit"),
+      s"mutually-novel docs must all admit: $decisions")
+    // RESTART: a copy of an admitted doc, arriving in a brand-new stream,
+    // must reject against the compacted + delta index
+    Seq((999L, text(3))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(p("in2"))
+    DedupGateStream.run(corpus,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in2")),
+      p("out"), p("ckpt2"), accrete = true).awaitTermination()
+    val dup = DedupGateStream.readDecisions(spark, p("out"))
+      .filter(col("doc_id") === 999L).collect()(0)
+    assert(dup.getAs[String]("decision") == "reject" &&
+      dup.getAs[Long]("best_match") == 103L,
+      s"duplicate must reject against the accreted claim: $dup")
+  }
+
+  test("hot-key cap bounds a planted degenerate perceptual cluster") {
+    val spark0 = spark
+    import spark0.implicits._
+    // unit level: one hot key (60 corpus rows) + distinct cold keys; the
+    // cap drops the hot key WHOLE and keeps every cold key
+    val corpus = ((0 until 60).map(i => (0L, 1000L + i)) ++
+      (1 to 5).map(i => (i.toLong, 2000L + i))).toDF("bv", "cand_id")
+    val capped = MultimodalOps.capHotKeys(corpus, Seq("bv"), Some(10L))
+    val probes = (0L to 5L).map(b => Tuple1(b)).toDF("bv")
+    assert(probes.join(capped, Seq("bv")).count() == 5,
+      "cap must drop the degenerate key's 60 pairs and keep the 5 cold ones")
+    assert(probes.join(corpus, Seq("bv")).count() == 65, "fixture sanity")
+    // a cap the corpus never crosses changes nothing (why the oracle
+    // queries run uncapped and stay oracle-identical)
+    assert(MultimodalOps.capHotKeys(corpus, Seq("bv"), Some(60L)).count() == 65)
+    // stream level: batch 0 plants 20 assets with IDENTICAL dHash (ids a
+    // full generator period apart collapse to one (w, h, gray) shape —
+    // the solid-color pileup of a real corpus); batch 1 probes with one
+    // more copy. Uncapped, the probe matches all 20; capped at 10, the
+    // degenerate key is dropped whole and the probe admits with zero
+    // candidates — bounded join output on the pathological key.
+    val ids = (0 until 20).map(k => k.toLong * 2400L)
+    def stage(in: String): Unit = {
+      ids.toDF("orig_id")
+        .select(col("orig_id").as("doc_id"), col("orig_id"), lit("orig").as("kind"))
+        .coalesce(1).write.mode("append").parquet(in)
+      Seq((8888888L, 20L * 2400L, "orig")).toDF("doc_id", "orig_id", "kind")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val h0 = MultimodalOps.MediaCodec.dhashOf(0L, MultimodalOps.MediaCodec.encode(0L))
+    ids.foreach { id =>
+      assert(MultimodalOps.MediaCodec.dhashOf(id,
+        MultimodalOps.MediaCodec.encode(id)) == h0,
+        s"fixture drifted: id $id no longer collapses to the degenerate hash")
+    }
+    def runGate(cap: Option[Long], tag: String): org.apache.spark.sql.Row = {
+      val root = java.nio.file.Paths.get(tmp(tag))
+      val in = root.resolve("in").toString
+      stage(in)
+      val schema = spark.read.parquet(in).schema
+      MediaDedupStream.run(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in),
+        root.resolve("out").toString, root.resolve("ckpt").toString,
+        maxBandFreq = cap).awaitTermination()
+      MediaDedupStream.resolveVerdicts(spark, root.resolve("out").toString)
+        .filter(col("doc_id") === 8888888L).collect()(0)
+    }
+    val uncapped = runGate(None, "cap-off")
+    assert(!uncapped.getAs[Boolean]("admitted") &&
+      uncapped.getAs[Long]("n_matches") == 20L,
+      s"uncapped probe must match all 20 degenerate claims: $uncapped")
+    val capped10 = runGate(Some(10L), "cap-on")
+    assert(capped10.getAs[Boolean]("admitted") &&
+      capped10.getAs[Long]("n_matches") == 0L,
+      s"capped probe must see zero candidates on the dropped hot key: $capped10")
+  }
+
+  test("batch perceptual dedups accept the cap without changing clean-fixture verdicts") {
+    // a cap no corpus key crosses is the oracle-query configuration's
+    // contract: capped and uncapped verdicts coincide on the planted
+    // (degenerate-free) fixture
+    val n = graft.sources.Tables(spark, dir, "documents").count()
+    val uncapped = MultimodalOps.videoDedup(spark, dir).collect()
+      .map(_.toString).sorted
+    val capped = MultimodalOps.videoDedup(spark, dir, Some(n)).collect()
+      .map(_.toString).sorted
+    assert(capped.sameElements(uncapped) && uncapped.nonEmpty)
+  }
+}
