@@ -236,6 +236,14 @@ object SparkEntry {
     // global token offset; manifest read back from the on-disk store
     "q_tokenized_store_incremental" ->
       (graft.streaming.CurationStream.tokenizedStoreIncrementalQuery _),
+    // streaming CROSS-MODAL gate: text funnel composed with the media
+    // property gates and the accreting perceptual claim store per batch
+    "q_curation_multimodal_stream" ->
+      (graft.streaming.CurationStream.curationMultimodalStreamQuery _),
+    // the composed gate driving the incremental curated store — the full
+    // incremental multimodal pre-training loop in one artifact
+    "q_curated_store_multimodal_stream" ->
+      (graft.streaming.CurationStream.curatedStoreMultimodalStreamQuery _),
     "q_unimax_sample"    -> ((s, d) => TextOps.unimaxSample(s, d)),
     "q_heavy_hitters"    -> ((s, d) => TextOps.heavyHitters(s, d)),
     "q_pmi_bigrams"      -> ((s, d) => TextOps.pmiBigrams(s, d)),
@@ -249,6 +257,10 @@ object SparkEntry {
     "q_zorder_stats"     -> (LayoutOps.zorderStats _),
     // deterministic global training-order shuffle + round-robin shards
     "q_corpus_shuffle"   -> ((s, d) => LayoutOps.corpusShuffle(s, d)),
+    // epoch re-shuffle contract: per-epoch deterministic permutations
+    // served as manifests over the immutable store (epoch 0 = the store
+    // order itself; no shard is ever rewritten)
+    "q_epoch_order"      -> ((s, d) => LayoutOps.epochOrderManifest(s, d)),
     // its write-side lifecycle: shard-partitioned pos-sorted store,
     // read back and folded to an order-digest manifest
     "q_shard_store"      -> ((s, d) => LayoutOps.corpusShuffleStore(s, d)),
@@ -3130,6 +3142,24 @@ object SparkEntry {
          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
            CAST(pos % 8 AS BIGINT) AS shard
          FROM t ORDER BY doc_id""",
+    // Epoch re-shuffle manifests: shard = store order (pos % 4); within
+    // a shard epoch e visits docs by md5(doc_id || ':' || e) (epoch 0 =
+    // md5(doc_id), the store's own order); digest = the md5 chain.
+    "q_epoch_order" ->
+      """WITH r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM documents),
+         e AS (SELECT unnest(range(3)) AS epoch),
+         k AS (SELECT r.doc_id, r.pos % 4 AS shard, e.epoch,
+             md5(CAST(r.doc_id AS VARCHAR) ||
+               CASE WHEN e.epoch = 0 THEN ''
+                    ELSE ':' || CAST(e.epoch AS VARCHAR) END) AS ek
+           FROM r, e)
+         SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY ek, doc_id)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
+         FROM k GROUP BY 1, 2 ORDER BY epoch, shard""",
     // Incremental shuffle extension: existing docs keep their standalone
     // ranks; arrivals rank among themselves offset by the old count.
     "q_shard_upsert" ->
@@ -3325,6 +3355,95 @@ object SparkEntry {
          SELECT doc_id, keep_quality, is_dup, is_contaminated,
            (keep_quality AND NOT is_dup AND NOT is_contaminated) AS admitted
          FROM fl ORDER BY doc_id""",
+    // Streaming cross-modal gate: the text stream CTE chain composed
+    // with both media property gates (generator arithmetic; px_ok is
+    // codec-guaranteed) and the perceptual audio claim store replayed
+    // in arrival order — batch 0 (even ids) claims every loudness hash
+    // against an empty store, batch 1 (odd ids) is judged against
+    // exactly those fingerprints, brute-force pairwise at radius 7.
+    "q_curation_multimodal_stream" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         w AS (SELECT doc_id, fp, keep_quality,
+             (doc_id % 2) * 1000000000 + doc_id AS wk
+           FROM f),
+         fl AS (SELECT w.doc_id, w.keep_quality,
+             (w.keep_quality AND w.wk <>
+               MIN(CASE WHEN w.keep_quality THEN w.wk END)
+                 OVER (PARTITION BY w.fp)) AS is_dup,
+             (cont.doc_id IS NOT NULL) AS is_contaminated
+           FROM w LEFT JOIN cont ON w.doc_id = cont.doc_id),
+         d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         sm AS (SELECT d.doc_id, ABS((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS a
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+         pk AS (SELECT doc_id, MAX(a) AS peak FROM sm GROUP BY doc_id),
+         bk AS (SELECT sm.doc_id, (sm.a * 64) // pk.peak AS b
+           FROM sm JOIN pk USING (doc_id)),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bk GROUP BY doc_id, b),
+         grid AS (SELECT d.doc_id, g.k FROM d,
+           LATERAL (SELECT unnest(range(65)) AS k) g),
+         fullc AS (SELECT grid.doc_id, grid.k, COALESCE(cnts.c, 0) AS c
+           FROM grid LEFT JOIN cnts
+             ON cnts.doc_id = grid.doc_id AND cnts.b = grid.k),
+         bits AS (SELECT a.doc_id, CAST(a.k AS INT) AS bi
+           FROM fullc a JOIN fullc b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k < 64 AND b.c > a.c),
+         ah AS (SELECT d.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                    ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS ahash
+           FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+         med AS (SELECT documents.doc_id,
+             (16 + documents.doc_id % 48 >= 32
+               AND 16 + documents.doc_id % 32 >= 24) AS img_ok,
+             ((64 + documents.doc_id % 128) * 1000000 // 8000 >= 12000
+               AND pk.peak >= 200) AS audio_ok
+           FROM documents JOIN pk ON pk.doc_id = documents.doc_id),
+         mdup AS (SELECT o.doc_id FROM ah o JOIN ah e
+             ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+               AND bit_count(xor(o.ahash, e.ahash)) <= 7
+           GROUP BY o.doc_id)
+         SELECT fl.doc_id, fl.keep_quality, fl.is_dup, fl.is_contaminated,
+           med.img_ok, med.audio_ok,
+           (mdup.doc_id IS NOT NULL) AS media_dup,
+           (fl.keep_quality AND NOT fl.is_dup AND NOT fl.is_contaminated
+             AND med.img_ok AND med.audio_ok
+             AND mdup.doc_id IS NULL) AS admitted
+         FROM fl
+         JOIN med ON med.doc_id = fl.doc_id
+         LEFT JOIN mdup ON mdup.doc_id = fl.doc_id
+         ORDER BY fl.doc_id""",
     // Incremental curated store: the stream gate's admitted set in the
     // fixed arrival order (winner minimizes (batch, doc_id)), then the
     // two-stage tail ranking — batch-0 survivors ranked by md5 order,
@@ -3373,6 +3492,105 @@ object SparkEntry {
                  OVER (PARTITION BY w.fp)
                AND cont.doc_id IS NULL) AS admitted
            FROM w LEFT JOIN cont ON w.doc_id = cont.doc_id),
+         b0 AS (SELECT doc_id, n_words,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM fl WHERE admitted AND doc_id % 2 = 0),
+         b1 AS (SELECT doc_id, n_words,
+             (SELECT COUNT(*) FROM b0) +
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+           FROM fl WHERE admitted AND doc_id % 2 = 1),
+         u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+         SELECT CAST(pos % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
+         FROM u GROUP BY 1 ORDER BY shard""",
+    // Incremental MULTIMODAL curated store: the incremental-store chain
+    // with the cross-modal stream gate composed into the admitted
+    // predicate — property gates from the generator arithmetic, the
+    // perceptual claim store as the brute-force odd-vs-even pairwise
+    // loudness-hash join, then the two-stage tail ranking and manifest.
+    "q_curated_store_multimodal_stream" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         sm AS (SELECT d.doc_id, ABS((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS a
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+         pk AS (SELECT doc_id, MAX(a) AS peak FROM sm GROUP BY doc_id),
+         bk AS (SELECT sm.doc_id, (sm.a * 64) // pk.peak AS b
+           FROM sm JOIN pk USING (doc_id)),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bk GROUP BY doc_id, b),
+         grid AS (SELECT d.doc_id, g.k FROM d,
+           LATERAL (SELECT unnest(range(65)) AS k) g),
+         fullc AS (SELECT grid.doc_id, grid.k, COALESCE(cnts.c, 0) AS c
+           FROM grid LEFT JOIN cnts
+             ON cnts.doc_id = grid.doc_id AND cnts.b = grid.k),
+         bits AS (SELECT a.doc_id, CAST(a.k AS INT) AS bi
+           FROM fullc a JOIN fullc b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k < 64 AND b.c > a.c),
+         ah AS (SELECT d.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                    ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS ahash
+           FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+         med AS (SELECT documents.doc_id,
+             (16 + documents.doc_id % 48 >= 32
+               AND 16 + documents.doc_id % 32 >= 24) AS img_ok,
+             ((64 + documents.doc_id % 128) * 1000000 // 8000 >= 12000
+               AND pk.peak >= 200) AS audio_ok
+           FROM documents JOIN pk ON pk.doc_id = documents.doc_id),
+         mdup AS (SELECT o.doc_id FROM ah o JOIN ah e
+             ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+               AND bit_count(xor(o.ahash, e.ahash)) <= 7
+           GROUP BY o.doc_id),
+         w AS (SELECT doc_id, n_words, fp, keep_quality,
+             (doc_id % 2) * 1000000000 + doc_id AS wk
+           FROM f),
+         fl AS (SELECT w.doc_id, w.n_words,
+             (w.keep_quality AND w.wk =
+               MIN(CASE WHEN w.keep_quality THEN w.wk END)
+                 OVER (PARTITION BY w.fp)
+               AND cont.doc_id IS NULL
+               AND med.img_ok AND med.audio_ok
+               AND mdup.doc_id IS NULL) AS admitted
+           FROM w
+           JOIN med ON med.doc_id = w.doc_id
+           LEFT JOIN cont ON w.doc_id = cont.doc_id
+           LEFT JOIN mdup ON mdup.doc_id = w.doc_id),
          b0 AS (SELECT doc_id, n_words,
              row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
            FROM fl WHERE admitted AND doc_id % 2 = 0),
@@ -3465,9 +3683,10 @@ object SparkEntry {
            UNION ALL SELECT '06_split_test', d6, t6 FROM agg)
          ORDER BY stage""",
     // Cross-modal curation: the text funnel's CTE chain (quality ->
-    // first-wins dedup -> decontamination) extended with both media
-    // gates replayed over the generator arithmetic (image px_ok is
-    // codec-guaranteed TRUE; audio peak re-derived per sample).
+    // first-wins dedup -> decontamination) extended with all three media
+    // gates replayed over the generator arithmetic (image px_ok and
+    // video gray fidelity are codec-guaranteed TRUE; audio peak
+    // re-derived per sample; video frames/dims from the generator).
     "q_curation_multimodal" ->
       """WITH t AS (SELECT doc_id, text,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
@@ -3512,11 +3731,13 @@ object SparkEntry {
          med AS (SELECT d.doc_id,
              (16 + d.doc_id % 48 >= 32 AND 16 + d.doc_id % 32 >= 24) AS img_ok,
              ((64 + d.doc_id % 128) * 1000000 // 8000 >= 12000
-               AND x.peak >= 200) AS audio_ok
+               AND x.peak >= 200) AS audio_ok,
+             (3 + d.doc_id % 5 >= 4 AND 16 + d.doc_id % 16 >= 20
+               AND 12 + d.doc_id % 12 >= 16) AS video_ok
            FROM documents d, LATERAL (
              SELECT MAX(ABS((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS peak
              FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x),
-         j AS (SELECT fl2.*, med.img_ok, med.audio_ok
+         j AS (SELECT fl2.*, med.img_ok, med.audio_ok, med.video_ok
            FROM fl2 JOIN med ON med.doc_id = fl2.doc_id),
          agg AS (SELECT
              CAST(COUNT(*) AS BIGINT) AS d0,
@@ -3530,7 +3751,9 @@ object SparkEntry {
              CAST(SUM(CASE WHEN r3 AND img_ok THEN 1 ELSE 0 END) AS BIGINT) AS d4,
              CAST(SUM(CASE WHEN r3 AND img_ok THEN n_words ELSE 0 END) AS BIGINT) AS t4,
              CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok THEN 1 ELSE 0 END) AS BIGINT) AS d5,
-             CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok THEN n_words ELSE 0 END) AS BIGINT) AS t5
+             CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok THEN n_words ELSE 0 END) AS BIGINT) AS t5,
+             CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok AND video_ok THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+             CAST(SUM(CASE WHEN r3 AND img_ok AND audio_ok AND video_ok THEN n_words ELSE 0 END) AS BIGINT) AS t6
            FROM j)
          SELECT stage, n_docs, n_tokens FROM (
            SELECT '00_ingest' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
@@ -3538,7 +3761,8 @@ object SparkEntry {
            UNION ALL SELECT '02_dedup', d2, t2 FROM agg
            UNION ALL SELECT '03_decontam', d3, t3 FROM agg
            UNION ALL SELECT '04_media_image', d4, t4 FROM agg
-           UNION ALL SELECT '05_media_audio', d5, t5 FROM agg)
+           UNION ALL SELECT '05_media_audio', d5, t5 FROM agg
+           UNION ALL SELECT '06_media_video', d6, t6 FROM agg)
          ORDER BY stage""",
     // Multimodal curated store: the cross-modal funnel's survivors
     // (text chain AND both media gates, replayed over the generator
@@ -3587,14 +3811,16 @@ object SparkEntry {
          med AS (SELECT d.doc_id,
              (16 + d.doc_id % 48 >= 32 AND 16 + d.doc_id % 32 >= 24) AS img_ok,
              ((64 + d.doc_id % 128) * 1000000 // 8000 >= 12000
-               AND x.peak >= 200) AS audio_ok
+               AND x.peak >= 200) AS audio_ok,
+             (3 + d.doc_id % 5 >= 4 AND 16 + d.doc_id % 16 >= 20
+               AND 12 + d.doc_id % 12 >= 16) AS video_ok
            FROM documents d, LATERAL (
              SELECT MAX(ABS((d.doc_id * 31 + i * 17) % 2003 - 1001)) AS peak
              FROM (SELECT unnest(range(64 + d.doc_id % 128)) AS i)) x),
          surv AS (SELECT fl.doc_id, fl.n_words,
              row_number() OVER (ORDER BY md5(CAST(fl.doc_id AS VARCHAR)), fl.doc_id) - 1 AS pos
            FROM fl JOIN med ON med.doc_id = fl.doc_id
-           WHERE fl.r3 AND med.img_ok AND med.audio_ok)
+           WHERE fl.r3 AND med.img_ok AND med.audio_ok AND med.video_ok)
          SELECT CAST(pos % 4 AS BIGINT) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS n_tokens,

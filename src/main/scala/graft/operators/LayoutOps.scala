@@ -168,6 +168,68 @@ object LayoutOps {
       .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"))
       .orderBy("doc_id")
 
+  /** Streaming fold of one epoch-ordered shard: rows arrive sorted by
+    * (shard, epoch key, doc_id); state is ONE running digest + a counter
+    * per in-flight shard — the [[foldShardManifests]] discipline without
+    * the position fields (an epoch permutation has no storage positions
+    * of its own). */
+  private def foldEpochShards(
+      it: Iterator[(Long, String, Long)]): Iterator[(Long, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var cur = -1L; var acc = ""; var n = 0L
+    def flush(): Unit = if (cur >= 0) out += ((cur, n, acc))
+    while (it.hasNext) {
+      val (shard, _, docId) = it.next()
+      if (shard != cur) { flush(); cur = shard; acc = ""; n = 0L }
+      acc = digestStep(md, acc, docId)
+      n += 1L
+    }
+    flush()
+    out.iterator
+  }
+
+  /** EPOCH RE-SHUFFLE CONTRACT over the immutable training store: the
+    * curated store's physical order is write-once (positions are
+    * immutable, shard files append-only), but a multi-epoch training run
+    * must not revisit documents in the same order every epoch. Epoch e
+    * is served as a MANIFEST over the unchanged shards: within each
+    * store shard, visit documents in the order of md5(doc_id ‖ ':' ‖ e)
+    * — a deterministic, epoch-salted permutation that needs NO shard
+    * rewrite, no data movement, and is reproducible on any cluster (the
+    * corpusShuffle determinism contract lifted to epochs). Epoch 0's key
+    * is md5(doc_id) — exactly the store's own training order, so the
+    * epoch-0 manifest digest EQUALS the store manifest digest
+    * (spec-asserted), anchoring the contract to the layout it serves.
+    *
+    * Scale shape: per epoch, one narrow map adds the salted key, one
+    * hash shuffle onto the k shard keys, a partition-local sort, and the
+    * O(1)-state digest fold — no global sort, no per-epoch store
+    * rewrite; the manifest is k rows per epoch. */
+  def epochOrderManifest(spark: SparkSession, dir: String,
+      epochs: Int = 3, nShards: Int = 4): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = shuffleRanks(spark,
+      Tables(spark, dir, "documents").select("doc_id"))
+      .select(col("doc_id"), (col("pos") % nShards).as("shard"))
+    val perEpoch = (0 until epochs).map { e =>
+      base
+        .withColumn("ek", md5(concat(col("doc_id").cast("string"),
+          lit(if (e == 0) "" else s":$e"))))
+        .select(col("shard").cast("long").as("_1"), col("ek").as("_2"),
+          col("doc_id").cast("long").as("_3"))
+        .as[(Long, String, Long)]
+        .repartition(nShards, col("_1"))
+        .sortWithinPartitions("_1", "_2", "_3")
+        .mapPartitions(foldEpochShards)
+        .toDF("shard", "n_docs", "order_digest")
+        .select(lit(e.toLong).as("epoch"), col("shard"),
+          col("n_docs").cast("long").as("n_docs"), col("order_digest"))
+    }
+    perEpoch.reduce(_ union _).orderBy("epoch", "shard")
+  }
+
   /** INCREMENTAL extension of the training order — the epoch-over-epoch
     * maintenance story of [[corpusShuffle]] (the staged-IVF-upsert
     * discipline applied to the layout): positions already assigned are

@@ -1120,8 +1120,9 @@ object MultimodalOps {
     * (`TextOps.curationFlags`): a document that survives quality → exact
     * dedup → decontamination is still excised when its image asset fails
     * the decode-fidelity/min-dimension gate or its audio asset fails the
-    * duration/signal gate. Output is the same (stage, n_docs, n_tokens)
-    * funnel discipline as `curationPipeline`, extended with the two
+    * duration/signal gate or its video asset fails the frame-count/
+    * resolution gate. Output is the same (stage, n_docs, n_tokens)
+    * funnel discipline as `curationPipeline`, extended with the three
     * media stages — the admission report a 100 TB multimodal corpus
     * build emits before the curated store is written.
     *
@@ -1132,10 +1133,38 @@ object MultimodalOps {
     * rewrites the corpus. The oracle replays the text CTE chain AND both
     * modalities' generator-arithmetic rules, so a regression in the
     * codec path, the hash dedup, or the composition flips a row red. */
+  /** Per-document VIDEO admission flags over the real GIF decode path:
+    * the frame count comes from the reader's sequence walk, dimensions
+    * and the probe pixel from the decoded frames — nothing is trusted
+    * from the generator. `video_ok` = enough temporal content (≥ 4
+    * frames), minimum spatial resolution (≥ 20×16), and frame-0 gray
+    * fidelity (a solid frame survives GIF's palette quantization
+    * exactly, so the codec-recovered pixel must equal the generator
+    * gray — the video member of the px_ok / peak decode-fidelity
+    * family). Decodes stay partition-local; one boolean row per doc
+    * shuffles. */
+  private def videoVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // ids only; see mediaAssets
+      .mapPartitions(_.map { id =>
+        val fr = VideoCodec.decodeFrames(id, VideoCodec.encode(id))
+        (id, fr.length, fr.head.width, fr.head.height,
+          fr.head.gray == VideoCodec.frameGrayOf(id, 0))
+      })
+      .toDF("doc_id", "n_frames", "width", "height", "gray_ok")
+      .select(col("doc_id"),
+        (col("gray_ok") && col("n_frames") >= 4 &&
+          col("width") >= 20 && col("height") >= 16).as("video_ok"))
+  }
+
   /** Per-document media admission flags — the image decode-fidelity /
-    * min-dimension gate and the audio duration/signal gate, each reduced
-    * to one boolean per doc before anything joins (decodes stay
-    * partition-local inside the verdict frames). */
+    * min-dimension gate, the audio duration/signal gate, and the video
+    * frame-count/resolution gate, each reduced to one boolean per doc
+    * before anything joins (decodes stay partition-local inside the
+    * verdict frames). */
   private[graft] def mediaOkFlags(spark: SparkSession, dir: String): DataFrame =
     decodedVerdicts(spark, dir)
       .select(col("doc_id"),
@@ -1144,6 +1173,7 @@ object MultimodalOps {
         .select(col("doc_id"),
           (col("duration_us") >= 12000L && col("peak") >= 200).as("audio_ok")),
         Seq("doc_id"))
+      .join(videoVerdicts(spark, dir), Seq("doc_id"))
 
   def curationMultimodal(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -1160,15 +1190,18 @@ object MultimodalOps {
       cnt(col("r3") && col("img_ok")).as("d4"),
       tok(col("r3") && col("img_ok")).as("t4"),
       cnt(col("r3") && col("img_ok") && col("audio_ok")).as("d5"),
-      tok(col("r3") && col("img_ok") && col("audio_ok")).as("t5"))
+      tok(col("r3") && col("img_ok") && col("audio_ok")).as("t5"),
+      cnt(col("r3") && col("img_ok") && col("audio_ok") && col("video_ok")).as("d6"),
+      tok(col("r3") && col("img_ok") && col("audio_ok") && col("video_ok")).as("t6"))
     val out = one.select(expr(
-      """stack(6,
+      """stack(7,
            '00_ingest', d0, t0,
            '01_quality', d1, t1,
            '02_dedup', d2, t2,
            '03_decontam', d3, t3,
            '04_media_image', d4, t4,
-           '05_media_audio', d5, t5) AS (stage, n_docs, n_tokens)"""))
+           '05_media_audio', d5, t5,
+           '06_media_video', d6, t6) AS (stage, n_docs, n_tokens)"""))
       .orderBy("stage")
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the 6-row funnel, then drop the flags cache
@@ -1177,8 +1210,8 @@ object MultimodalOps {
   }
 
   /** The MULTIMODAL corpus build product — `LayoutOps.curatedStore`
-    * with both media gates composed in: documents surviving
-    * quality → dedup → decontamination AND the image and audio
+    * with all three media gates composed in: documents surviving
+    * quality → dedup → decontamination AND the image, audio and video
     * admission gates are given the deterministic training order,
     * written as a shard=-partitioned pos-sorted parquet store, and read
     * back into the per-shard loader manifest. One query performs
@@ -1196,7 +1229,7 @@ object MultimodalOps {
     val flags = TextOps.curationFlags(spark, dir)
     val surv = flags.filter(col("r3"))
       .join(mediaOkFlags(spark, dir), Seq("doc_id"))
-      .filter(col("img_ok") && col("audio_ok"))
+      .filter(col("img_ok") && col("audio_ok") && col("video_ok"))
       .select(col("doc_id"), col("n_words"))
     val assigned = graft.operators.LayoutOps
       .shuffleRanks(spark, surv.select("doc_id"))

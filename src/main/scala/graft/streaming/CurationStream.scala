@@ -190,6 +190,14 @@ object CurationStream {
     * positions, so a read side that needs crash immunity drops exact
     * duplicates — positions stay dense and immutable under every
     * single-crash schedule. */
+  /** Media claim rows for the streaming cross-modal gate — the
+    * [[MediaDedupStream]] pre-exploded probe-key layout on the audio
+    * loudness hash. */
+  private def emptyMediaClaims(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+  }
+
   def run(
       incoming: DataFrame,
       evalSh: DataFrame,
@@ -198,9 +206,11 @@ object CurationStream {
       storeDir: Option[String] = None,
       nShards: Int = 4,
       tokenStoreDir: Option[String] = None,
-      ctx: Long = 2048L): StreamingQuery = {
+      ctx: Long = 2048L,
+      mediaGate: Boolean = false): StreamingQuery = {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
+    val mediaStore = ClaimStore(s"${outDir}_mfps", partitionCol = Some("pk"))
     def claimed(): DataFrame = claimedClasses(spark, fpStore)
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -229,6 +239,58 @@ object CurationStream {
             col("keep_quality"), col("sh"), col("n_words"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         b.count()
+        // STREAMING CROSS-MODAL gate: each doc's media assets decode
+        // partition-locally into per-doc admission flags (image
+        // decode-fidelity/dims, audio duration/signal) plus the audio
+        // loudness hash, which probes the ACCRETING media claim store
+        // with the MediaDedupStream banded-Hamming discipline — a
+        // streamed doc whose asset perceptually duplicates anything an
+        // earlier batch carried is excised BEFORE the store append.
+        val media: Option[DataFrame] = if (!mediaGate) None else Some {
+          import graft.operators.MultimodalOps.{AudioCodec, MediaCodec}
+          val spark1 = spark
+          import spark1.implicits._
+          val m = batch.select(col("doc_id")).as[Long]
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapPartitions(_.map { id =>
+              val im = MediaCodec.decode(id, MediaCodec.encode(id))
+              val ab = AudioCodec.encode(id)
+              val au = AudioCodec.decode(id, ab)
+              val expected = (28 + (id * 37) % 200).toInt
+              val pxOk =
+                if (im.format == "png") im.pxGray == expected
+                else math.abs(im.pxGray - expected) <= 8
+              (id,
+                pxOk && im.width >= 32 && im.height >= 24,
+                au.durationUs >= 12000L && au.peak >= 200,
+                AudioCodec.ahashOf(id, ab))
+            })
+            .toDF("doc_id", "img_ok", "audio_ok", "ahash")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          m.count() // one codec pass; probe + claim sides reuse it
+          m
+        }
+        val mediaVerdict: Option[DataFrame] = media.map { m =>
+          import graft.functions.HammingDistance.hamming
+          val spark1 = spark
+          import spark1.implicits._
+          val probes = m
+            .select(col("doc_id"), col("ahash").as("h_t"),
+              graft.operators.MultimodalOps.hashBands("ahash").as(Seq("band", "bv")))
+            .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
+            .select("doc_id", "h_t", "pk")
+          val touched = probes.select("pk").distinct().as[Int].collect().toSeq
+          val matches = probes
+            .join(mediaStore.readPruned(spark, emptyMediaClaims(spark), touched)
+              .select(col("pk"), col("claim_id"), col("fhash").as("h_c")), Seq("pk"))
+            .select("doc_id", "claim_id", "h_t", "h_c")
+            .dropDuplicates("doc_id", "claim_id")
+            .filter(hamming(col("h_t"), col("h_c")) <= 7)
+            .groupBy("doc_id").agg(count(lit(1)).as("_mm"))
+          m.join(matches, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("img_ok"), col("audio_ok"),
+              col("_mm").isNotNull.as("media_dup"), col("ahash"))
+        }
         try {
           val contaminated = b.filter(col("keep_quality"))
             .select(col("doc_id"), explode(col("sh")).as("g"))
@@ -239,7 +301,7 @@ object CurationStream {
             .select(col("doc_id"), lit(true).as("is_cont"))
           val winBatch = min(when(col("keep_quality") && !col("already_claimed"),
             col("doc_id"))).over(Window.partitionBy("fp"))
-          val verdict = b
+          val textVerdict = b
             .join(claimed().withColumn("already_claimed", lit(true)),
               Seq("fp"), "left")
             .withColumn("already_claimed",
@@ -254,6 +316,14 @@ object CurationStream {
               col("keep_quality") && !col("is_dup") && !col("is_contaminated"))
             .select(col("doc_id"), col("fp"), col("keep_quality"),
               col("is_dup"), col("is_contaminated"), col("admitted"))
+          // with the media gate on, a text-admitted doc is still excised
+          // when an asset fails a property gate or perceptually
+          // duplicates an earlier batch's asset
+          val verdict = mediaVerdict.fold(textVerdict)(mv =>
+            textVerdict.join(mv.drop("ahash"), Seq("doc_id"))
+              .withColumn("admitted",
+                col("admitted") && col("img_ok") && col("audio_ok") &&
+                  !col("media_dup")))
             .persist(StorageLevel.MEMORY_AND_DISK)
           verdict.count()
           try {
@@ -324,14 +394,33 @@ object CurationStream {
               }
             }
             // claims accrete for every batch winner — contaminated or not
-            // (stage order: dedup decides before decontamination drops);
-            // ClaimStore.append folds the store into one generation once
-            // the delta budget is crossed
-            ClaimStore(fpStore).append(spark,
+            // (stage order: dedup decides before decontamination drops).
+            // Write-all-then-fold-all (the ClaimStore multi-store
+            // discipline): every delta lands before either store folds,
+            // so a lazily recomputed frame never resolves deleted files
+            val textStore = ClaimStore(fpStore)
+            textStore.appendDelta(
               verdict.filter(col("keep_quality") && !col("is_dup"))
                 .select("fp"))
+            // every perceptually NOVEL asset claims its fingerprint —
+            // independent of the text verdicts, the MediaDedupStream
+            // claim semantics (novelty is against earlier batches only)
+            mediaVerdict.foreach { mv =>
+              mediaStore.appendDelta(mv.filter(!col("media_dup"))
+                .select(col("doc_id").as("claim_id"), col("ahash").as("fhash"))
+                .select(col("claim_id"), col("fhash"),
+                  graft.operators.MultimodalOps.hashBands("fhash").as(Seq("band", "bv")))
+                .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
+                .select("pk", "claim_id", "fhash"))
+            }
+            textStore.maybeCompact(spark, emptyClaims(spark))
+            if (mediaGate)
+              mediaStore.maybeCompact(spark, emptyMediaClaims(spark))
           } finally verdict.unpersist()
-        } finally b.unpersist()
+        } finally {
+          media.foreach(_.unpersist())
+          b.unpersist()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -439,6 +528,58 @@ object CurationStream {
       spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
         .tokenShardManifest(spark, spark.read.parquet(store), 4)
+    } finally fx.evalSh.unpersist()
+  }
+
+  /** Oracle-gated query for the STREAMING CROSS-MODAL gate: the same
+    * two-batch arrival as [[curationStreamQuery]] with `mediaGate` on —
+    * each doc's assets decode per batch, the image/audio property gates
+    * and the accreting perceptual (audio loudness hash) claim store
+    * compose into the admission verdict IN ARRIVAL ORDER. Batch 0 (even
+    * ids) probes an empty media store (media_dup vacuously false) and
+    * claims every hash; batch 1 (odd ids) is judged against exactly the
+    * batch-0 fingerprints — so the oracle replays the text stream CTE
+    * chain, both property gates' generator arithmetic, AND a brute-force
+    * pairwise `bit_count(xor(..)) <= 7` join of odd against even loudness
+    * hashes. A regression in the codec path, the hash, the banding, the
+    * claim ordering, or the composition flips a row red. */
+  def curationMultimodalStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fx = streamFixture(spark, dir, "graft-curation-mm", Seq("out_mfps"))
+    try {
+      run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
+      StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
+        anyTrue = Seq("keep_quality", "is_contaminated", "img_ok",
+          "audio_ok", "admitted"),
+        everyTrue = Seq("is_dup", "media_dup"))
+        .select("doc_id", "keep_quality", "is_dup", "is_contaminated",
+          "img_ok", "audio_ok", "media_dup", "admitted")
+    } finally fx.evalSh.unpersist()
+  }
+
+  /** The full INCREMENTAL MULTIMODAL pre-training loop in one artifact:
+    * [[curationMultimodalStreamQuery]]'s composed gate (text funnel ∧
+    * media property gates ∧ accreting perceptual claim store) driving
+    * the incremental curated store — each batch's cross-modally admitted
+    * documents rank into the batch-major training order and append as
+    * shard tails, then the store reads back into the per-shard loader
+    * manifest. The oracle replays arrival-order text curation, both
+    * property gates, the brute-force perceptual pairwise join, the
+    * two-stage tail ranking, and every manifest field — a regression in
+    * a codec path, the claim ordering, the composition, or the layout
+    * flips a manifest row red. */
+  def curatedStoreMultimodalStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fx = streamFixture(spark, dir, "graft-curation-mm-store",
+      Seq("out_mfps", "store", "store_tail"))
+    val store = fx.root.resolve("store").toString
+    try {
+      run(fx.src, fx.evalSh, fx.out, fx.ckpt,
+        storeDir = Some(store), nShards = 4, mediaGate = true).awaitTermination()
+      spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
+      graft.operators.LayoutOps
+        .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+          col("max_pos"), col("order_digest"))
+        .orderBy("shard")
     } finally fx.evalSh.unpersist()
   }
 }

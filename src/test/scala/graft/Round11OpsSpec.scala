@@ -131,7 +131,7 @@ class Round11OpsSpec extends AnyFunSuite {
     val rows = MultimodalOps.curationMultimodal(spark, dir).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq == Seq(
       "00_ingest", "01_quality", "02_dedup", "03_decontam",
-      "04_media_image", "05_media_audio"))
+      "04_media_image", "05_media_audio", "06_media_video"))
     val docs = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
     val toks = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_tokens")).toMap
     // funnel is monotone in both documents and tokens
@@ -145,6 +145,10 @@ class Round11OpsSpec extends AnyFunSuite {
     // must fall at the image stage
     assert(docs("04_media_image") < docs("03_decontam"),
       "image gate excised nothing — the compose is a no-op")
+    // the video gate excises too: 20% of assets fail the frame-count
+    // rule (doc_id % 5 == 0) alone
+    assert(docs("06_media_video") < docs("05_media_audio"),
+      "video gate excised nothing — the compose is a no-op")
   }
 
   test("incremental curated store appends shard tails without touching existing files") {

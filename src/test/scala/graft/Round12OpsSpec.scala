@@ -193,6 +193,71 @@ class Round12OpsSpec extends AnyFunSuite {
       s"capped probe must see zero candidates on the dropped hot key: $capped10")
   }
 
+  test("epoch manifests: epoch 0 IS the store order; later epochs permute it") {
+    import graft.operators.LayoutOps
+    val em = LayoutOps.epochOrderManifest(spark, dir, epochs = 3, nShards = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[String]("order_digest")))).toMap
+    assert(em.size == 12)
+    // the store's own manifest, derived independently through the
+    // shardManifest fold over the corpusShuffle layout
+    val sm = LayoutOps.shardManifest(spark,
+      LayoutOps.corpusShuffle(spark, dir, nShards = 4), 4).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[String]("order_digest")))).toMap
+    (0L until 4L).foreach { sh =>
+      assert(em((0L, sh)) == sm(sh),
+        s"epoch 0 must equal the immutable store order (shard $sh)")
+      // a permutation reorders but never drops: same membership count
+      assert(em((1L, sh))._1 == sm(sh)._1 && em((2L, sh))._1 == sm(sh)._1)
+      assert(em((1L, sh))._2 != em((0L, sh))._2,
+        s"epoch 1 must visit shard $sh in a different order")
+      assert(em((2L, sh))._2 != em((1L, sh))._2 &&
+        em((2L, sh))._2 != em((0L, sh))._2,
+        s"epoch 2 must differ from both earlier epochs (shard $sh)")
+    }
+  }
+
+  test("streaming cross-modal gate composes text verdicts with batch-derived media truth") {
+    import graft.operators.MultimodalOps.{AudioCodec, MediaCodec}
+    import graft.streaming.CurationStream
+    val mm = CurationStream.curationMultimodalStreamQuery(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val text = CurationStream.curationStreamQuery(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(mm.keySet == text.keySet && mm.nonEmpty)
+    // independent driver-side media truth over the same ids: property
+    // gates from the real decodes, media_dup by brute-force pairwise
+    // Hamming of odd (batch-1) hashes against even (batch-0) claims
+    val ids = mm.keySet.toSeq.sorted
+    val ahash = ids.map(id => id -> AudioCodec.ahashOf(id, AudioCodec.encode(id))).toMap
+    val evenHashes = ids.filter(_ % 2 == 0).map(ahash)
+    ids.foreach { id =>
+      val r = mm(id)
+      val im = MediaCodec.decode(id, MediaCodec.encode(id))
+      val au = AudioCodec.decode(id, AudioCodec.encode(id))
+      val expGray = (28 + (id * 37) % 200).toInt
+      val pxOk = if (im.format == "png") im.pxGray == expGray
+        else math.abs(im.pxGray - expGray) <= 8
+      val imgOk = pxOk && im.width >= 32 && im.height >= 24
+      val audioOk = au.durationUs >= 12000L && au.peak >= 200
+      val mediaDup = id % 2 == 1 &&
+        evenHashes.exists(h => java.lang.Long.bitCount(h ^ ahash(id)) <= 7)
+      assert(r.getAs[Boolean]("img_ok") == imgOk, s"img_ok drift at doc $id")
+      assert(r.getAs[Boolean]("audio_ok") == audioOk, s"audio_ok drift at doc $id")
+      assert(r.getAs[Boolean]("media_dup") == mediaDup, s"media_dup drift at doc $id")
+      // the text half of the composed verdict is EXACTLY the text-only
+      // stream's verdict on the same arrival order
+      val t = text(id)
+      Seq("keep_quality", "is_dup", "is_contaminated").foreach(c =>
+        assert(r.getAs[Boolean](c) == t.getAs[Boolean](c), s"$c drift at doc $id"))
+      assert(r.getAs[Boolean]("admitted") ==
+        (t.getAs[Boolean]("admitted") && imgOk && audioOk && !mediaDup),
+        s"composed admission drift at doc $id")
+    }
+  }
+
   test("batch perceptual dedups accept the cap without changing clean-fixture verdicts") {
     // a cap no corpus key crosses is the oracle-query configuration's
     // contract: capped and uncapped verdicts coincide on the planted
