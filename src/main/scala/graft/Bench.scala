@@ -108,9 +108,26 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Exception => Map.empty }
+    // run-level shift: the MEDIAN per-query ratio against the previous
+    // artifact. Background box load moves every query together, so a
+    // per-query tripwire that ignores it mis-reads load as regression
+    // (the r10 q_dedup_rows / r11 q_table_lineage precedents, each
+    // cleared by an isolated rerun). Normalizing by the median
+    // self-discounts the correlated component while leaving a genuine
+    // single-query regression fully visible (the median is robust to
+    // it); a faster-than-before box never tightens the bar (max 1.0).
+    val runShift = {
+      val ratios = results.toSeq.flatMap { case (name, now) =>
+        prevQueries.get(name) match {
+          case Some(prev) if prev > 0.5 && now > 0 => Some(now / prev)
+          case _ => None
+        }
+      }.sorted
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+    }
     val regressions = results.toSeq.flatMap { case (name, now) =>
       prevQueries.get(name) match {
-        case Some(prev) if prev > 0.5 && now > prev * 1.5 =>
+        case Some(prev) if prev > 0.5 && now > prev * runShift * 1.5 =>
           Some(name -> (now / prev))
         case _ => None
       }
@@ -128,7 +145,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val filterJson = only.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"run_shift":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(runShift))},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
     // stdout tails get truncated by log capture (~2 KB window) — the full
     // per-query artifact (~16 KB) lives ONLY in the file; stdout gets a
     // compact summary as the FINAL line so a tail-parser always sees a

@@ -179,6 +179,10 @@ object SparkEntry {
     // the audio modality through the same hash-agnostic streaming gate
     "q_audio_dedup_stream" ->
       (graft.streaming.MediaDedupStream.audioDedupStreamQuery _),
+    // the EMBEDDING modality: streaming vector admission over the
+    // cell-pruned accreting claim store (the IVF serving layout)
+    "q_embed_dedup_stream" ->
+      (graft.streaming.EmbedDedupStream.embedDedupStreamQuery _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -272,6 +276,9 @@ object SparkEntry {
     "q_curated_store"    -> ((s, d) => LayoutOps.curatedStore(s, d)),
     // curriculum data ordering: survivors laid out quality-descending
     "q_curriculum_store" -> ((s, d) => LayoutOps.curriculumStore(s, d)),
+    // data mixing composed into the corpus build: curation survivors
+    // downsampled to per-language target rates, then ordered + sharded
+    "q_curated_store_mixed" -> ((s, d) => LayoutOps.curatedStoreMixed(s, d)),
     // survivors BPE-encoded, packed into fixed context windows, written
     // as window-grain shards with a token-stream digest manifest
     "q_tokenized_shards" -> ((s, d) => LayoutOps.tokenizedShardStore(s, d)),
@@ -2439,6 +2446,40 @@ object SparkEntry {
          FROM vb ORDER BY vec_id""",
     // IVF cell assignment is cosine-based, so a scaled twin shares its
     // parent's cell — recall 1.0 against the same brute-force truth.
+    // Streaming embedding gate: batch 0 = even orig vectors (claim
+    // vacuously); batch 1 = odd origs + 2x-rescaled twins of the
+    // (10k)-th vectors, judged against exactly the batch-0 claims. The
+    // oracle replays brute-force pairwise with the position-ordered
+    // double cosine; cell scoping is an implementation detail exactly
+    // where q_ann_ivf_pairs proves cell-scoped = brute force here.
+    "q_embed_dedup_stream" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c AS (SELECT vec_id, vec_id AS orig_id, 'orig' AS kind, v,
+                 CAST(vec_id % 2 AS INT) AS b
+               FROM e
+               UNION ALL
+               SELECT vec_id + 1000000, vec_id, 'scale',
+                 list_transform(v, x -> x * 2), 1
+               FROM e WHERE vec_id % 10 = 0),
+         n AS (SELECT vec_id, orig_id, kind, b, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+         b0 AS (SELECT * FROM n WHERE b = 0),
+         inc AS (SELECT * FROM n WHERE b = 1),
+         m AS (SELECT inc.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                 MIN(b0.vec_id) AS min_match
+               FROM inc JOIN b0
+                 ON list_sum(list_transform(range(1, 65), i -> inc.v[i] * b0.v[i]))
+                    / (inc.nrm * b0.nrm) >= 0.99
+               GROUP BY inc.vec_id)
+         SELECT vec_id, orig_id, kind, TRUE AS admitted,
+           CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
+         FROM b0
+         UNION ALL
+         SELECT inc.vec_id, inc.orig_id, inc.kind, m.vec_id IS NULL AS admitted,
+           COALESCE(m.n_matches, 0) AS n_matches,
+           COALESCE(m.min_match, -1) AS min_match
+         FROM inc LEFT JOIN m ON m.vec_id = inc.vec_id
+         ORDER BY vec_id""",
     "q_ann_ivf_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          c AS (SELECT vec_id, v FROM e
@@ -3508,6 +3549,87 @@ object SparkEntry {
            list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
              (acc, x) -> md5(acc || ',' || x)) AS order_digest
          FROM u GROUP BY 1 ORDER BY shard""",
+    // Mixed curated store: the curation chain's survivors further
+    // downsampled by the deterministic md5-uniform language-target
+    // admission (the q_domain_mix arithmetic), then the md5 training
+    // order and the 4-shard manifest.
+    "q_curated_store_mixed" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         fl AS (SELECT f.doc_id, f.n_words,
+             (f.keep_quality AND f.doc_id =
+               MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+                 OVER (PARTITION BY f.fp)
+               AND cont.doc_id IS NULL) AS r3
+           FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+         ls AS (SELECT doc_id,
+           CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(words, x -> list_contains(['el','la','de','y','es'], x))) AS BIGINT) AS s_es,
+           CAST(len(list_filter(words, x -> list_contains(['le','la','et','les','des'], x))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(words, x -> list_contains(['的','是','在'], x))) AS BIGINT) AS s_zh
+           FROM t),
+         lg AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM ls),
+         lang AS (SELECT doc_id,
+           CASE WHEN s_en = best AND best > 0 THEN 'en'
+                WHEN s_de = best AND best > 0 THEN 'de'
+                WHEN s_es = best AND best > 0 THEN 'es'
+                WHEN s_fr = best AND best > 0 THEN 'fr'
+                WHEN s_zh = best AND best > 0 THEN 'zh'
+                ELSE 'unknown' END AS predicted_lang
+           FROM lg),
+         mix AS (SELECT doc_id FROM (
+             SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS DOUBLE)
+                 / 1000000.0 AS sample_u,
+               CASE predicted_lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                    WHEN 'es' THEN 0.8 WHEN 'fr' THEN 0.3 WHEN 'zh' THEN 1.0
+                    ELSE 0.1 END AS rate
+             FROM lang)
+           WHERE sample_u < rate),
+         surv AS (SELECT fl.doc_id, fl.n_words,
+             row_number() OVER (ORDER BY md5(CAST(fl.doc_id AS VARCHAR)), fl.doc_id) - 1 AS pos
+           FROM fl JOIN mix ON mix.doc_id = fl.doc_id
+           WHERE fl.r3)
+         SELECT CAST(pos % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           list_reduce(list_prepend('', list(CAST(doc_id AS VARCHAR) ORDER BY pos)),
+             (acc, x) -> md5(acc || ',' || x)) AS order_digest
+         FROM surv GROUP BY 1 ORDER BY shard""",
     // Incremental MULTIMODAL curated store: the incremental-store chain
     // with the cross-modal stream gate composed into the admitted
     // predicate — property gates from the generator arithmetic, the

@@ -686,12 +686,21 @@ object DedupOps {
   }
 
   /** Candidate pairs from the band-keyed equi-join: incoming band rows
-    * vs corpus band rows, slim (in_id, corpus_id) out. */
-  private[graft] def gateCandidates(iBands: DataFrame, cBands: DataFrame): DataFrame =
+    * vs corpus band rows, slim (in_id, corpus_id) out. `maxBandFreq` is
+    * the hot-key guard (the perceptual joins' capHotKeys discipline): a
+    * corpus full of identical boilerplate piles one (band, band_hash)
+    * key with N rows and yields N×|batch| candidates for that key —
+    * over-cap keys drop WHOLE (bounded recall loss on pathological keys
+    * for a hard bound on candidate volume). Off (None) in the oracle
+    * queries — the fixtures are boilerplate-free. */
+  private[graft] def gateCandidates(iBands: DataFrame, cBands: DataFrame,
+      maxBandFreq: Option[Long] = None): DataFrame =
     iBands
       .select(col("band"), col("band_hash"), col("doc_id").as("in_id"))
-      .join(cBands
-        .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id")),
+      .join(graft.operators.MultimodalOps.capHotKeys(
+        cBands.select(col("band"), col("band_hash"),
+          col("doc_id").as("corpus_id")),
+        Seq("band", "band_hash"), maxBandFreq),
         Seq("band", "band_hash"))
       .select("in_id", "corpus_id")
       .dropDuplicates("in_id", "corpus_id")

@@ -332,6 +332,46 @@ object LayoutOps {
     out
   }
 
+  /** TEMPERATURE/TARGET-MIXED curated store — the DATA-MIXING step
+    * composed into the corpus build product: curation survivors are
+    * further downsampled to the per-language target rates
+    * (`TextOps.MixRates`, the deterministic md5-uniform admission of
+    * `domainMix` — no RNG state, the same keep/drop on any layout or
+    * rerun), and only the mixed survivor set is ranked into the training
+    * order, written as the shard=-partitioned pos-sorted store, and
+    * folded to the per-shard loader manifest. One query performs
+    * curate → mix → order → layout → manifest; the oracle replays the
+    * curation CTE chain, the language-ID scores, the md5 admission
+    * arithmetic, the survivor ranking and every manifest field. Scale
+    * shape: the mix is a narrow filter over the language-ID map joined
+    * on doc_id; everything else is [[curatedStore]]'s plan. */
+  def curatedStoreMixed(spark: SparkSession, dir: String,
+      nShards: Int = 4): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+      .resolve("curated-mix").toString
+    val flags = TextOps.curationFlags(spark, dir)
+    val survivors = flags.filter(col("r3"))
+      .join(TextOps.domainMixKeeps(spark, dir).select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"))
+    val assigned = shuffleRanks(spark, survivors.select(col("doc_id")))
+      .join(survivors, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), (col("pos") % nShards).as("shard"),
+        col("n_words"))
+    assigned
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+    val out = shardManifest(spark, spark.read.parquet(root), nShards,
+        tokensCol = "n_words")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+        col("max_pos"), col("order_digest"))
+      .orderBy("shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    flags.unpersist()
+    out
+  }
+
   /** CURRICULUM-ORDERED curated store — the data-ordering alternative to
     * the uniform training shuffle (curriculum learning, Bengio et al.
     * 2009): curation survivors are laid out in QUALITY-DESCENDING order

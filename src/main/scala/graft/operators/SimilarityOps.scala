@@ -18,7 +18,7 @@ import graft.sources.Tables
 object SimilarityOps {
 
   /** Element-wise double cast. */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Sequential-order dot product of two double arrays — the native
     * codegen'd expression (graft.functions.DotProduct); same
@@ -422,13 +422,13 @@ object SimilarityOps {
       corpus, probes)
 
   /** The k×d centroid artifact — driver-sized by construction. */
-  private def collectCentroids(src: DataFrame): Array[Array[Double]] = {
+  private[graft] def collectCentroids(src: DataFrame): Array[Array[Double]] = {
     val spark0 = src.sparkSession
     import spark0.implicits._
     src.orderBy("vec_id").select("v").as[Seq[Double]].collect().map(_.toArray)
   }
 
-  private def assignCells(centroids: Array[Array[Double]], corpus: DataFrame,
+  private[graft] def assignCells(centroids: Array[Array[Double]], corpus: DataFrame,
       probes: Int): DataFrame = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._

@@ -482,7 +482,12 @@ object TextOps {
     * the same document always makes the same keep/drop decision on any
     * cluster layout, so reruns and incremental builds agree — and the
     * whole thing stays a narrow filter over the language-ID map. */
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMixKeeps(spark, dir).orderBy("doc_id")
+
+  /** [[domainMix]] without the presentational sort — the join input for
+    * the mixed curated store (`LayoutOps.curatedStoreMixed`). */
+  private[graft] def domainMixKeeps(spark: SparkSession, dir: String): DataFrame = {
     val rate = MixRates.tail.foldLeft(
       when(col("predicted_lang") === MixRates.head._1, lit(MixRates.head._2))) {
       case (acc, (l, r)) => acc.when(col("predicted_lang") === l, lit(r))
@@ -494,7 +499,6 @@ object TextOps {
       .withColumn("rate", rate)
       .filter(col("sample_u") < col("rate"))
       .select(col("doc_id"), col("predicted_lang"), col("sample_u"), col("rate"))
-      .orderBy("doc_id")
   }
 
   /** Unigram-LM surprisal scoring — the cheap perplexity-style quality

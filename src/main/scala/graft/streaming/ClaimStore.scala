@@ -36,17 +36,18 @@ private[streaming] object StreamVerdicts {
       anyTrue: Seq[String] = Nil,
       everyTrue: Seq[String] = Nil,
       preClaim: Seq[String] = Nil,
-      carried: Seq[String] = Nil): DataFrame = {
+      carried: Seq[String] = Nil,
+      key: String = "doc_id"): DataFrame = {
     val aggs =
       carried.map(c => min(col(c)).as(c)) ++
         anyTrue.map(c => max(col(c)).as(c)) ++
         everyTrue.map(c => min(col(c)).as(c)) ++
         (if (preClaim.isEmpty) Nil
          else Seq(min(struct(preClaim.map(col): _*)).as("_pre")))
-    val grouped = verdicts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val grouped = verdicts.groupBy(key).agg(aggs.head, aggs.tail: _*)
     val out = preClaim.foldLeft(grouped)((df, c) =>
       df.withColumn(c, col(s"_pre.$c")))
-    (if (preClaim.isEmpty) out else out.drop("_pre")).orderBy("doc_id")
+    (if (preClaim.isEmpty) out else out.drop("_pre")).orderBy(key)
   }
 }
 

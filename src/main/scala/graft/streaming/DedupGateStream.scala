@@ -66,7 +66,8 @@ object DedupGateStream {
       incoming: DataFrame,
       outDir: String,
       checkpoint: String,
-      accrete: Boolean = false): StreamingQuery = {
+      accrete: Boolean = false,
+      maxBandFreq: Option[Long] = None): StreamingQuery = {
     val spark = corpus.sparkSession
     val spark0 = spark
     import spark0.implicits._
@@ -90,7 +91,8 @@ object DedupGateStream {
         val storeBands = bandStore
           .readPruned(spark, emptyBands(spark), touched)
           .select("doc_id", "band", "band_hash")
-        val cand = DedupOps.gateCandidates(iBands, baseBands.union(storeBands))
+        val cand = DedupOps
+          .gateCandidates(iBands, baseBands.union(storeBands), maxBandFreq)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cand.count()
         try {

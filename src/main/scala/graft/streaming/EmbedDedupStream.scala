@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.SimilarityOps
+import graft.sources.Tables
+
+/** STREAMING admission gate on the EMBEDDING column — the vector member
+  * of the gate family ([[DedupGateStream]] text shingles,
+  * [[MediaDedupStream]] perceptual hashes): micro-batches of vectors
+  * arrive, each is assigned its IVF cell by max-cosine against the
+  * pinned centroid artifact (scale-invariant, so a rescaled copy of a
+  * claimed vector lands in its parent's cell — recall is structural for
+  * the planted twins), the batch probes the ACCRETING claim store
+  * CELL-PRUNED, exact cosine verifies at the SemDeDup threshold, and
+  * every novel vector claims (cell, vec_id, v) before the checkpoint
+  * commits — a near-duplicate embedding of anything the stream ever
+  * admitted is rejected, across micro-batches AND restarts.
+  *
+  * The claim store IS the serving layout: the same cell-partitioned
+  * vector store `SimilarityOps.annIvfUpsert` maintains batch-side, here
+  * accreted through the shared [[ClaimStore]] generational discipline
+  * (one delta file per batch, pk=cell partitioned fold, atomic CURRENT
+  * swap) — so a batch's probe reads only the ≤ 64 cells it touches plus
+  * the delta budget, never the whole store. Intra-batch novelty is NOT
+  * adjudicated (the batch operator `SimilarityOps.semanticDedup` owns
+  * that pass); matching is CELL-SCOPED, the IVF recall contract the
+  * batch-side q_ann_ivf_pairs oracle already proves equal to brute
+  * force on this corpus.
+  *
+  * At 100 TB: the centroid artifact is k×d driver-side, assignment is a
+  * narrow map, the probe is a cell equi-join against a pruned read, and
+  * claims carry the vector itself — the store doubles as the
+  * incremental ANN serving index. At-least-once: the
+  * [[StreamVerdicts]] read contract resolves replays. */
+object EmbedDedupStream {
+
+  /** Claim rows: pk = IVF cell (≤ 64 values), the probe key. */
+  private def emptyClaims(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Seq[Double])].toDF("pk", "claim_id", "cv")
+  }
+
+  /** Per-batch gate over (vec_id, orig_id, kind, v) rows: assign cells →
+    * pruned claim probe → exact-cosine verify at `threshold` → verdict
+    * append → claim append. */
+  def run(
+      incoming: DataFrame,
+      vectors: DataFrame, // (vec_id, orig_id, kind, v) universe, static
+      centroids: Array[Array[Double]],
+      outDir: String,
+      checkpoint: String,
+      threshold: Double = 0.99): StreamingQuery = {
+    val spark = incoming.sparkSession
+    val store = ClaimStore(s"${outDir}_vfps", partitionCol = Some("pk"))
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark0 = spark
+        import spark0.implicits._
+        val vecs = batch.select("vec_id")
+          .join(vectors, Seq("vec_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        vecs.count() // one fill job; the probe + claim sides reuse it
+        try {
+          val celled = SimilarityOps
+            .assignCells(centroids, vecs.select("vec_id", "v"), probes = 1)
+            .withColumn("pk", col("cell").cast("int"))
+            .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          celled.count()
+          try {
+            val touched = celled.select("pk").distinct().as[Int].collect().toSeq
+            val matches = celled
+              .join(store.readPruned(spark, emptyClaims(spark), touched),
+                Seq("pk"))
+              .select("vec_id", "claim_id", "v", "cv")
+              // crash-redelivered claim rows are identical — collapse
+              // per pair so n_matches counts claims, not deliveries
+              .dropDuplicates("vec_id", "claim_id")
+              .filter(SimilarityOps.cosine(col("v"), col("cv")) >= threshold)
+              .groupBy("vec_id")
+              .agg(count(lit(1)).as("n_matches"),
+                min(col("claim_id")).as("min_match"))
+            val verdict = vecs
+              .join(matches, Seq("vec_id"), "left")
+              .select(col("vec_id"), col("orig_id"), col("kind"),
+                col("n_matches").isNull.as("admitted"),
+                coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+                coalesce(col("min_match"), lit(-1L)).as("min_match"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            verdict.count()
+            try {
+              verdict.write.mode(SaveMode.Append).parquet(outDir)
+              // novel vectors claim their (cell, vector) BEFORE the
+              // checkpoint commits — the store grows into exactly the
+              // cell-partitioned ANN serving layout
+              store.append(spark, celled
+                .join(verdict.filter(col("admitted")).select("vec_id"),
+                  Seq("vec_id"))
+                .select(col("pk"), col("vec_id").as("claim_id"),
+                  col("v").as("cv")))
+            } finally verdict.unpersist()
+          } finally celled.unpersist()
+        } finally vecs.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The (vec_id, orig_id, kind, v) universe: every embedding as 'orig'
+    * plus a 2×-rescaled twin of every 10th — byte-level novel vectors
+    * whose cosine against the parent is 1 up to one rounding (identical
+    * float ops both engines) and whose max-cosine cell EQUALS the
+    * parent's (assignment is scale-invariant): recall is structural. */
+  private def vectorUniverse(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+      .withColumn("v", SimilarityOps.asDouble(col("embedding")))
+      .select(col("vec_id"), col("v"))
+    base
+      .select(col("vec_id"), col("vec_id").as("orig_id"),
+        lit("orig").as("kind"), col("v"))
+      .union(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("vec_id").as("orig_id"), lit("scale").as("kind"),
+          expr("transform(v, x -> x * 2)").as("v")))
+  }
+
+  /** Oracle-gated query: even vec_ids stream as batch 0 and seed the
+    * claim store vacuously; batch 1 brings the odd vec_ids plus the
+    * 2×-rescaled twins of the (10k)-th (even, batch-0) vectors. Every
+    * batch-1 vector is judged against exactly the batch-0 claims, so
+    * the oracle replays the verdicts brute-force pairwise with the
+    * position-ordered double cosine — the cell scoping is an
+    * implementation detail exactly where the batch-side
+    * q_ann_ivf_pairs oracle already proves cell-scoped equals brute
+    * force on this corpus. */
+  def embedDedupStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-embeddedup")
+    Seq("in", "out", "out_vfps", "ckpt").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    val universe = vectorUniverse(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    universe.count()
+    try {
+      universe.filter(col("vec_id") % 2 === 0 && col("kind") === "orig")
+        .select("vec_id")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+      universe.filter(col("vec_id") % 2 === 1 || col("kind") === "scale")
+        .select("vec_id")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+      val centroids = SimilarityOps.collectCentroids(
+        Tables(spark, dir, "embeddings")
+          .withColumn("v", SimilarityOps.asDouble(col("embedding")))
+          .filter(col("vec_id") < 64))
+      val src = spark.readStream
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      run(src, universe, centroids, out, root.resolve("ckpt").toString)
+        .awaitTermination()
+      StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
+        anyTrue = Seq("admitted"),
+        preClaim = Seq("n_matches", "min_match"),
+        carried = Seq("orig_id", "kind"),
+        key = "vec_id")
+        .select("vec_id", "orig_id", "kind", "admitted", "n_matches", "min_match")
+    } finally universe.unpersist()
+  }
+}

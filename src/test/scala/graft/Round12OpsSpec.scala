@@ -193,6 +193,39 @@ class Round12OpsSpec extends AnyFunSuite {
       s"capped probe must see zero candidates on the dropped hot key: $capped10")
   }
 
+  test("text gate hot-key cap bounds a boilerplate corpus pile-up") {
+    val spark0 = spark
+    import spark0.implicits._
+    val boiler = "exactly the same boilerplate sentence repeated across every single document here"
+    val corpus = ((1 to 30).map(i => (i.toLong, boiler)) :+
+      (50L, "one genuinely distinct corpus document about nations and suppliers today"))
+      .toDF("doc_id", "text")
+    val probe = Seq((999L, boiler)).toDF("doc_id", "text")
+    def gate(cap: Option[Long], tag: String): org.apache.spark.sql.Row = {
+      val root = java.nio.file.Paths.get(tmp(tag))
+      val in = root.resolve("in").toString
+      probe.coalesce(1).write.mode("append").parquet(in)
+      DedupGateStream.run(corpus,
+        spark.readStream.schema(probe.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        root.resolve("out").toString, root.resolve("ckpt").toString,
+        maxBandFreq = cap).awaitTermination()
+      DedupGateStream.readDecisions(spark, root.resolve("out").toString)
+        .collect()(0)
+    }
+    val uncapped = gate(None, "tcap-off")
+    assert(uncapped.getAs[String]("decision") == "reject" &&
+      uncapped.getAs[Long]("n_matches") == 30L,
+      s"uncapped probe must match all 30 boilerplate docs: $uncapped")
+    // every boilerplate band key has corpus frequency 30 > 10 — dropped
+    // whole, so the probe sees zero candidates: bounded join output on
+    // the pathological key (recall deliberately traded, as documented)
+    val capped = gate(Some(10L), "tcap-on")
+    assert(capped.getAs[String]("decision") == "admit" &&
+      capped.getAs[Long]("n_matches") == 0L,
+      s"capped probe must see zero candidates on the dropped hot key: $capped")
+  }
+
   test("epoch manifests: epoch 0 IS the store order; later epochs permute it") {
     import graft.operators.LayoutOps
     val em = LayoutOps.epochOrderManifest(spark, dir, epochs = 3, nShards = 4)
@@ -256,6 +289,78 @@ class Round12OpsSpec extends AnyFunSuite {
         (t.getAs[Boolean]("admitted") && imgOk && audioOk && !mediaDup),
         s"composed admission drift at doc $id")
     }
+  }
+
+  test("embedding stream gate: rescaled twins reject in-cell; claims survive a restart") {
+    import graft.streaming.EmbedDedupStream
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(tmp("embed-gate"))
+    def p(s: String) = root.resolve(s).toString
+    // an orthogonal 2-cell universe: v1/v2 are the centroids themselves;
+    // the twin is 2*v1 — byte-novel, cosine 1 vs v1, same max-cosine cell
+    val e1 = Seq.fill(4)(0.0).updated(0, 1.0)
+    val e2 = Seq.fill(4)(0.0).updated(1, 1.0)
+    val universe = Seq(
+      (1L, 1L, "orig", e1), (2L, 2L, "orig", e2),
+      (101L, 1L, "scale", e1.map(_ * 2)), (102L, 1L, "scale", e1.map(_ * 4)))
+      .toDF("vec_id", "orig_id", "kind", "v")
+    val centroids = Array(e1.toArray, e2.toArray)
+    Seq(Tuple1(1L)).toDF("vec_id").coalesce(1).write.mode("append").parquet(p("in"))
+    Seq(Tuple1(101L), Tuple1(2L)).toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(p("in"))
+    val schema = spark.read.parquet(p("in")).schema
+    def gate(in: String, ckpt: String): Unit =
+      EmbedDedupStream.run(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in),
+        universe, centroids, p("out"), ckpt).awaitTermination()
+    gate(p("in"), p("ckpt"))
+    def verdicts() = spark.read.parquet(p("out")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("admitted"), r.getAs[Long]("min_match")))).toMap
+    val v1 = verdicts()
+    assert(v1(1L)._1, "seed vector admits against an empty store")
+    assert(v1(2L)._1, "an orthogonal vector admits (different cell, cosine 0)")
+    assert(v1(101L) == ((false, 1L)),
+      s"the rescaled twin must reject against its parent's claim: ${v1(101L)}")
+    // RESTART: a fresh stream against the same store — another rescale of
+    // the ever-claimed vector still rejects
+    Seq(Tuple1(102L)).toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(p("in2"))
+    gate(p("in2"), p("ckpt2"))
+    assert(verdicts()(102L) == ((false, 1L)),
+      "a rescale of an ever-claimed vector must reject after restart")
+    // the claim store is laid out on the cell probe key
+    val claims = graft.streaming.ClaimStore(p("out") + "_vfps", Some("pk"))
+      .read(spark, Seq.empty[(Int, Long, Seq[Double])].toDF("pk", "claim_id", "cv"))
+      .collect()
+    assert(claims.map(_.getAs[Long]("claim_id")).sorted.toSeq == Seq(1L, 2L),
+      "exactly the two novel vectors claim")
+    assert(claims.map(_.getInt(0)).distinct.sorted.toSeq == Seq(0, 1),
+      "claims land in their assigned cells")
+  }
+
+  test("mixed curated store keeps exactly the mix-admitted curation survivors") {
+    import graft.operators.{LayoutOps, TextOps}
+    val mixed = LayoutOps.curatedStoreMixed(spark, dir).collect()
+    val full = LayoutOps.curatedStore(spark, dir).collect()
+    val mixedDocs = mixed.map(_.getAs[Long]("n_docs")).sum
+    val fullDocs = full.map(_.getAs[Long]("n_docs")).sum
+    assert(mixedDocs > 0, "the mix must not excise everything")
+    assert(mixedDocs < fullDocs, "the mix excised nothing — the compose is a no-op")
+    // a different survivor set gets a different order, not a re-labeling
+    assert(mixed.map(_.getAs[String]("order_digest")).toSet
+      .intersect(full.map(_.getAs[String]("order_digest")).toSet).isEmpty)
+    // membership: the store holds EXACTLY survivors ∩ mix-admits
+    val kept = TextOps.domainMix(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val storeIds = spark.read.parquet(
+      graft.sources.TmpStores.pidScopedRoot("graft-shardstore")
+        .resolve("curated-mix").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeIds.nonEmpty && storeIds.subsetOf(kept),
+      "every stored doc must pass the language-target admission")
+    mixed.foreach(_ => ())
   }
 
   test("batch perceptual dedups accept the cap without changing clean-fixture verdicts") {
