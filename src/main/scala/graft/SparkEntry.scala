@@ -265,6 +265,8 @@ object SparkEntry {
     // served as manifests over the immutable store (epoch 0 = the store
     // order itself; no shard is ever rewritten)
     "q_epoch_order"      -> ((s, d) => LayoutOps.epochOrderManifest(s, d)),
+    // the same contract at the WINDOW grain — the dataloader's unit
+    "q_epoch_windows"    -> ((s, d) => LayoutOps.epochWindowManifest(s, d)),
     // its write-side lifecycle: shard-partitioned pos-sorted store,
     // read back and folded to an order-digest manifest
     "q_shard_store"      -> ((s, d) => LayoutOps.corpusShuffleStore(s, d)),
@@ -520,6 +522,76 @@ object SparkEntry {
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          md5(string_agg(piece, ' ' ORDER BY idx)) AS window_digest
        FROM tok GROUP BY 1 ORDER BY win"""
+  }
+
+  /** DuckDB twin of the WINDOW-grain epoch manifests: the window-id
+    * universe derives from the survivors' total encoded token count
+    * (the windowSlices CTE chain through the running sum), then each
+    * epoch orders every shard's windows by its salted key — epoch 0 by
+    * the window id itself (storage order, via a fixed-width pad so the
+    * lexicographic ORDER BY equals the numeric order), epoch e ≥ 1 by
+    * md5(win:e). */
+  private def epochWindowOracleSql: String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val merged = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       s AS (SELECT doc_id, text, words,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(['the','a','of','and','is'],
+             m -> list_contains(words, m))) AS BIGINT) AS n_required
+         FROM t),
+       f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+           (n_words >= 10 AND n_words <= 1000
+             AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             AND n_symbol * 10 <= n_words
+             AND n_alpha * 5 >= n_words * 4
+             AND n_required >= 2) AS keep_quality
+         FROM s),
+       shq AS (SELECT doc_id,
+           CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> array_to_string(words[i:i+4], ' '))) END AS sh
+         FROM f WHERE keep_quality),
+       ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\\s+'), x -> x <> '') AS toks
+         FROM documents WHERE doc_id % 50 = 0),
+       es AS (SELECT DISTINCT unnest(
+           CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+         FROM ev),
+       cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+       cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+         GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+       fl AS (SELECT f.doc_id,
+           (f.keep_quality AND f.doc_id =
+             MIN(CASE WHEN f.keep_quality THEN f.doc_id END)
+               OVER (PARTITION BY f.fp)
+             AND cont.doc_id IS NULL) AS r3
+         FROM f LEFT JOIN cont ON f.doc_id = cont.doc_id),
+       surv AS (SELECT doc_id FROM fl WHERE r3),
+       e AS (SELECT surv.doc_id,
+           flatten(list_transform(t.words, w -> string_split(trim($merged), '  '))) AS pcs
+         FROM surv JOIN t USING (doc_id)),
+       tot AS (SELECT COALESCE(CAST(SUM(len(pcs)) AS BIGINT), 0) AS n FROM e),
+       w2 AS (SELECT unnest(range((n + 2047) // 2048)) AS win FROM tot),
+       ep AS (SELECT unnest(range(3)) AS epoch),
+       k AS (SELECT w2.win, w2.win % 4 AS shard, ep.epoch,
+           CASE WHEN ep.epoch = 0 THEN lpad(CAST(w2.win AS VARCHAR), 20, '0')
+                ELSE md5(CAST(w2.win AS VARCHAR) || ':' || CAST(ep.epoch AS VARCHAR)) END AS ek
+         FROM w2, ep)
+       SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         list_reduce(list_prepend('', list(CAST(win AS VARCHAR) ORDER BY ek, win)),
+           (acc, x) -> md5(acc || ',' || x)) AS order_digest
+       FROM k GROUP BY 1, 2 ORDER BY epoch, shard"""
   }
 
   /** DuckDB twin of the INCREMENTAL tokenized store
@@ -4009,6 +4081,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_tokenized_shards" -> tokenizedShardsOracleSql,
+    "q_epoch_windows" -> epochWindowOracleSql,
     "q_tokenized_store_incremental" -> tokenizedStoreIncrementalOracleSql,
     "q_window_slices" -> windowSlicesOracleSql,
     "q_pagerank_lineage" -> pagerankOracleSql(3),

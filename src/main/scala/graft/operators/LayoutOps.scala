@@ -372,6 +372,52 @@ object LayoutOps {
     out
   }
 
+  /** EPOCH RE-SHUFFLE at the WINDOW grain — [[epochOrderManifest]]'s
+    * contract applied to the unit a dataloader actually consumes: the
+    * tokenized stream's fixed `ctx`-token context windows. Epoch 0
+    * visits each shard's windows in STORAGE ORDER (sequential window
+    * ids — the order the packed shards were written); epoch e ≥ 1
+    * permutes them by md5(win ‖ ':' ‖ e). No shard is rewritten for a
+    * new epoch; the manifest is k rows per epoch.
+    *
+    * Scale shape: the window-id universe derives from ONE corpus
+    * aggregate (the survivors' total BPE token count — a single bounded
+    * driver scalar) and `spark.range`, so the universe is distributed
+    * at any corpus size; per epoch the plan is a narrow key map, one
+    * hash shuffle onto the k shard keys, a partition-local sort and the
+    * O(1)-state digest fold. */
+  def epochWindowManifest(spark: SparkSession, dir: String,
+      epochs: Int = 3, nShards: Int = 4, ctx: Long = 2048L): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val flags = TextOps.curationFlags(spark, dir)
+    val surv = flags.filter(col("r3")).select("doc_id")
+    val totalTokens = bpeEncodeDocs(
+      Tables(spark, dir, "documents").join(surv, Seq("doc_id")))
+      .agg(coalesce(sum(col("n_bpe")), lit(0L)).cast("long"))
+      .as[Long].head()
+    flags.unpersist()
+    val nWins = (totalTokens + ctx - 1) / ctx
+    val base = spark.range(nWins)
+      .select(col("id").as("win"), (col("id") % nShards).as("shard"))
+    val perEpoch = (0 until epochs).map { e =>
+      base
+        .withColumn("ek",
+          if (e == 0) format_string("%020d", col("win")) // storage order
+          else md5(concat(col("win").cast("string"), lit(s":$e"))))
+        .select(col("shard").cast("long").as("_1"), col("ek").as("_2"),
+          col("win").cast("long").as("_3"))
+        .as[(Long, String, Long)]
+        .repartition(nShards, col("_1"))
+        .sortWithinPartitions("_1", "_2", "_3")
+        .mapPartitions(foldEpochShards)
+        .toDF("shard", "n_windows", "order_digest")
+        .select(lit(e.toLong).as("epoch"), col("shard"),
+          col("n_windows").cast("long").as("n_windows"), col("order_digest"))
+    }
+    perEpoch.reduce(_ union _).orderBy("epoch", "shard")
+  }
+
   /** CURRICULUM-ORDERED curated store — the data-ordering alternative to
     * the uniform training shuffle (curriculum learning, Bengio et al.
     * 2009): curation survivors are laid out in QUALITY-DESCENDING order

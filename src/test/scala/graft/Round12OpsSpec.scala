@@ -252,6 +252,28 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch window manifests: epoch 0 is the sequential storage order") {
+    import graft.operators.LayoutOps
+    val em = LayoutOps.epochWindowManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_windows"), r.getAs[String]("order_digest")))).toMap
+    assert(em.size == 12)
+    (0L until 4L).foreach { sh =>
+      val (n, d0) = em((0L, sh))
+      assert(n > 0, s"shard $sh has no windows")
+      // a dataloader reading shard sh sequentially visits windows
+      // sh, sh+4, sh+8, … — epoch 0's digest must be exactly that chain
+      val expected = (0L until n).map(i => sh + 4 * i).foldLeft("")((acc, w) =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(acc + "," + w))
+      assert(d0 == expected, s"epoch 0 must be storage order (shard $sh)")
+      assert(em((1L, sh))._1 == n && em((2L, sh))._1 == n,
+        "an epoch permutes, never drops")
+      assert(em((1L, sh))._2 != d0 && em((2L, sh))._2 != d0 &&
+        em((2L, sh))._2 != em((1L, sh))._2,
+        s"epochs must visit shard $sh in three distinct orders")
+    }
+  }
+
   test("streaming cross-modal gate composes text verdicts with batch-derived media truth") {
     import graft.operators.MultimodalOps.{AudioCodec, MediaCodec}
     import graft.streaming.CurationStream

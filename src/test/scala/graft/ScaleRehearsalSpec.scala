@@ -178,4 +178,61 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       graft.sources.TmpStores.deleteRecursively(root)
     } finally evalSh.unpersist()
   }
+
+  test("claim-store pruned probe reads one key's files, not the store (99k-claim rehearsal)") {
+    // 9 batch appends spread 99k claims over the full 2048-key space and
+    // cross the delta budget, so the store folds into a pk=-partitioned
+    // generation. A single-key probe must then read exactly that key's
+    // generation file (plus the post-fold delta) — the property that
+    // keeps a per-batch probe O(touched keys + delta budget) however
+    // large the store grows. Asserted at the SCAN level: the gen scan's
+    // numFiles metric, not just the row values.
+    import graft.streaming.ClaimStore
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-claimscale")
+    val st = ClaimStore(root.resolve("fps").toString, partitionCol = Some("pk"))
+    val empty = Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    (0 until 9).foreach { b =>
+      st.append(spark, spark.range(b * 11000L, (b + 1) * 11000L)
+        .select((col("id") % 2048).cast("int").as("pk"),
+          col("id").as("claim_id"), (col("id") * 31).as("fhash")))
+    }
+    val fps = root.resolve("fps").toString
+    assert(graft.sources.Stage.currentTarget(fps).isDefined,
+      "crossing the delta budget must have folded a generation")
+    val genDir = java.nio.file.Paths.get(graft.sources.Stage.currentTarget(fps).get)
+    def parquetFiles(p: java.nio.file.Path): Long = {
+      val w = java.nio.file.Files.walk(p)
+      try w.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    val genFiles = parquetFiles(genDir)
+    assert(genFiles >= 2000, s"expected ~2048 per-key generation files, got $genFiles")
+    val pruned = st.readPruned(spark, empty, Seq(7))
+    val got = pruned.collect()
+    val expected = (0L until 99000L).count(_ % 2048 == 7)
+    assert(got.length == expected && got.forall(_.getInt(0) == 7),
+      s"pruned read returned ${got.length} rows for key 7, expected $expected")
+    // the generation scan touched ~1 file out of ~2048 — partition
+    // pruning at the file level, not a post-scan filter
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val genScans = flatten(pruned.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("gen=")) => f
+    }
+    assert(genScans.nonEmpty, "no generation scan under the pruned read")
+    val filesRead = genScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead <= 4,
+      s"pruned probe read $filesRead generation files out of $genFiles — not pruned")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
 }
