@@ -122,6 +122,19 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     readWhere(spark, empty, Some(col(pc).isin(keys.map(Integer.valueOf): _*)))
   }
 
+  /** A generation folded from ALL-EMPTY claims writes no part files at
+    * all under the partitioned layout (dynamic partition dirs exist per
+    * row) — reading such a directory would fail schema inference, so an
+    * empty generation reads as the empty set it is. */
+  private def hasParquet(p: String): Boolean = {
+    val path = java.nio.file.Paths.get(p)
+    java.nio.file.Files.isDirectory(path) && {
+      val w = java.nio.file.Files.walk(path)
+      try w.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+  }
+
   private def readWhere(spark: SparkSession, empty: DataFrame,
       pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val sel = empty.columns.toSeq.map(col)
@@ -132,7 +145,7 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
         Some(pred.fold(df)(df.filter).select(sel: _*))
       }
     val parts =
-      part(graft.sources.Stage.currentTarget(dir).toSeq).toSeq ++
+      part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet)).toSeq ++
         part(deltaFiles.map(_.toString)).toSeq
     if (parts.isEmpty) pred.fold(empty)(empty.filter)
     else parts.reduce(_ union _)

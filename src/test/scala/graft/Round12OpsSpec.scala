@@ -193,6 +193,28 @@ class Round12OpsSpec extends AnyFunSuite {
       s"capped probe must see zero candidates on the dropped hot key: $capped10")
   }
 
+  test("claim store survives a fold of all-empty claims (empty generation reads as empty)") {
+    // a stream of all-duplicate batches appends EMPTY claim frames; at
+    // the budget the fold writes a generation with zero part files
+    // (partitioned writes emit no files for zero rows) — the store must
+    // keep reading as the empty set, and a later real claim must land
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(tmp("empty-fold"))
+    val st = ClaimStore(root.resolve("fps").toString, partitionCol = Some("pk"))
+    def empty = Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    (1 to ClaimStore.CompactDeltaFiles).foreach(_ => st.append(spark, empty))
+    assert(graft.sources.Stage.currentTarget(root.resolve("fps").toString).isDefined,
+      "the budget crossing must have folded a generation")
+    assert(st.read(spark, empty).count() == 0L,
+      "an all-empty store must read as the empty set, not fail schema inference")
+    assert(st.readPruned(spark, empty, Seq(3)).count() == 0L)
+    st.append(spark, Seq((3, 42L, 7L)).toDF("pk", "claim_id", "fhash"))
+    assert(st.readPruned(spark, empty, Seq(3)).collect()
+      .map(_.getLong(1)).toSeq == Seq(42L),
+      "a claim appended after the empty fold must be readable")
+  }
+
   test("text gate hot-key cap bounds a boilerplate corpus pile-up") {
     val spark0 = spark
     import spark0.implicits._
