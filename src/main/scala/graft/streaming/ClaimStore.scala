@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 object ClaimStore {
-  /** Fold a store into one generation once its delta dir holds this many
-    * files — the bound on every claim store's live file count. */
+  /** Fold a store's delta dir once it holds this many files — the bound
+    * on every claim store's live delta-file count. */
   val CompactDeltaFiles = 8
+
+  /** Runs allowed per log2-size class before a tier merge folds that
+    * class into one run of the next class (the size-tiered discipline:
+    * run count stays O(RunsPerClass · log store), per-claim rewrites stay
+    * O(log store)). */
+  val RunsPerClass = 4
 }
 
 /** The ONE at-least-once verdict READ CONTRACT shared by every streaming
@@ -58,20 +64,29 @@ private[streaming] object StreamVerdicts {
   * type, so a long-running stream can never regrow the
   * one-file-per-batch-forever / O(store)-shuffle-per-batch shape.
   *
-  * Layout and lifecycle (the StreamPublish manifest-swap discipline):
+  * Layout — a THREE-LEVEL log-structured store (the StreamPublish
+  * manifest-swap discipline at the bottom level):
   *
-  *  - each batch's claims land as ONE parquet delta file
-  *    (`<dir>/delta/part-*.parquet`) BEFORE the stream checkpoint
-  *    commits — at-least-once, so a replayed batch re-appends identical
-  *    rows;
-  *  - once the delta dir exceeds [[ClaimStore.CompactDeltaFiles]] files,
-  *    the whole set folds into one fresh `gen=N` base committed by an
-  *    atomic CURRENT swap; dead generations and consumed deltas are
-  *    dropped only AFTER the swap, so a reader resolving CURRENT first
-  *    never loses a reachable byte, and a crash anywhere mid-compaction
-  *    leaves at worst duplicate rows;
+  *  - L0 `<dir>/delta/part-*.parquet` — each batch's claims land as ONE
+  *    parquet delta file BEFORE the stream checkpoint commits
+  *    (at-least-once: a replayed batch re-appends identical rows);
+  *  - L1 `<dir>/minor/run=M/` — once the delta dir exceeds
+  *    [[ClaimStore.CompactDeltaFiles]] files, the DELTAS ALONE fold into
+  *    one plain-layout minor run — O(new claims), the base is untouched.
+  *    When any log2-size class accumulates [[ClaimStore.RunsPerClass]]
+  *    runs, that class tier-merges into one run of the next class, so
+  *    live-run count and per-claim rewrites both stay O(log store);
+  *  - L2 `<dir>/gen=N/` — the base, committed by an atomic CURRENT swap.
+  *    A MAJOR fold (base ∪ minors ∪ deltas → fresh generation) runs only
+  *    when no base exists yet, or when accumulated minor bytes reach base
+  *    bytes — so the base roughly doubles per major and a full-store
+  *    rewrite happens O(log store) times in the store's life, not once
+  *    per delta budget. Dead generations, consumed runs, and consumed
+  *    deltas are dropped only AFTER their replacement commits, so a
+  *    reader resolving CURRENT first never loses a reachable byte and a
+  *    crash anywhere mid-fold leaves at worst duplicate rows;
   *  - claims are a MONOTONE SET: duplicates are always row-identical, so
-  *    the fold's `distinct()` and the callers' read-side resolution
+  *    each fold's `distinct()` and the callers' read-side resolution
   *    (distinct / pair-level dedup / per-key aggregation) absorb every
   *    single-crash schedule.
   *
@@ -79,19 +94,22 @@ private[streaming] object StreamVerdicts {
   * (`gen=N/<col>=v/...`) so a batch's [[readPruned]] partition-prunes to
   * the key values the batch actually touches instead of scanning the
   * whole store — the staged-IVF cell-pruned layout applied to claim
-  * stores. Delta files keep the key as a plain column (they are at most
-  * the file budget of batch-sized files, read with the filter pushed
-  * down); the fold rewrites them into the pruned layout. Reference
-  * analog: the publisher commits one transaction per batch and the
-  * staleness sweep bounds what any later pass must rescan
+  * stores. Delta files and minor runs keep the key as a plain column
+  * (they are small — the delta budget plus O(log) runs — and read with
+  * the probe filter pushed down); only the major fold rewrites into the
+  * pruned layout, which is exactly the level that holds the bulk.
+  * Reference analog: the publisher commits one transaction per batch and
+  * the staleness sweep bounds what any later pass must rescan
   * (amundsendatabuilder publisher/neo4j_csv_publisher.py:412-447).
   *
-  * The compaction fold itself reads the full store — O(store) once per
-  * budget-many batches, the amortized cost every LSM-shaped store pays;
-  * per-BATCH work never scans more than the pruned keys + the delta
-  * budget. */
+  * Fold costs: a minor fold writes O(delta bytes); a tier merge writes
+  * O(merged-class bytes) and each claim crosses O(log) classes; a major
+  * writes O(store) but doubles the base, so lifetime rewrite volume is
+  * O(claims · log store) — not the O(N · store) a single-level fold pays
+  * over an N-batch stream. Per-BATCH probe work never scans more than
+  * the pruned base keys + the bounded small levels. */
 final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
-  import ClaimStore.CompactDeltaFiles
+  import ClaimStore.{CompactDeltaFiles, RunsPerClass}
 
   private[streaming] def deltaFiles: Seq[java.nio.file.Path] = {
     val d = java.nio.file.Paths.get(dir, "delta")
@@ -104,18 +122,50 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     }
   }
 
-  /** Committed base generation (CURRENT, if any fold has run) ++ delta
-    * files, columns normalized to `empty`'s order (the base read returns
-    * `partitionCol` as a trailing partition column). Raw rows: crash
-    * duplicates survive; the caller's read semantics absorb them. */
+  /** Live minor runs: committed (`_SUCCESS` present) `minor/run=M` dirs.
+    * A run dir without the marker is a crashed write — its inputs still
+    * exist (they are deleted only after commit), so it holds nothing
+    * reachable and is swept by the next fold. */
+  private[streaming] def minorRuns: Seq[java.nio.file.Path] =
+    listRuns().filter(p =>
+      java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+
+  private def listRuns(): Seq[java.nio.file.Path] = {
+    val d = java.nio.file.Paths.get(dir, "minor")
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("run=")).toList
+      finally s.close()
+    }
+  }
+
+  /** Total bytes of parquet payload under a path — fold-cost accounting
+    * and the tier/major triggers. */
+  private[streaming] def parquetBytes(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally w.close()
+    }
+
+  /** Committed base generation (CURRENT, if any major has run) ++ live
+    * minor runs ++ delta files, columns normalized to `empty`'s order
+    * (the base read returns `partitionCol` as a trailing partition
+    * column). Raw rows: crash duplicates survive; the caller's read
+    * semantics absorb them. */
   def read(spark: SparkSession, empty: DataFrame): DataFrame =
     readWhere(spark, empty, None)
 
   /** [[read]] restricted to the probe keys this batch touches: the base
     * generation's scan PARTITION-PRUNES to the matching `gen=N/<col>=v`
     * directories (the filter lands in the scan's PartitionFilters), and
-    * the delta files — at most the file budget of them — take the same
-    * filter as an ordinary pushed predicate. */
+    * the small levels — at most the delta budget plus O(log) minor
+    * runs — take the same filter as an ordinary pushed predicate. */
   def readPruned(spark: SparkSession, empty: DataFrame, keys: Seq[Int]): DataFrame = {
     val pc = partitionCol.getOrElse(
       throw new IllegalStateException(s"claim store $dir has no probe-key layout"))
@@ -146,13 +196,14 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
       }
     val parts =
       part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet)).toSeq ++
+        part(minorRuns.map(_.toString).filter(hasParquet)).toSeq ++
         part(deltaFiles.map(_.toString)).toSeq
     if (parts.isEmpty) pred.fold(empty)(empty.filter)
     else parts.reduce(_ union _)
   }
 
-  /** Land one batch's claims as a single delta file; fold the store into
-    * a fresh generation once the delta budget is crossed. Call BEFORE the
+  /** Land one batch's claims as a single delta file; fold per the
+    * leveled policy once the delta budget is crossed. Call BEFORE the
     * stream checkpoint commits — the at-least-once claim discipline.
     *
     * A gate appending to SEVERAL stores in one batch must use
@@ -173,30 +224,60 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
   def appendDelta(claims: DataFrame): Unit =
     claims.coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/delta")
 
-  /** The fold half of [[append]]: compact once the budget is crossed.
+  /** The fold half of [[append]] — the LEVELED policy. Once the delta
+    * budget is crossed:
+    *
+    *  1. no base yet → MAJOR fold (the store is at most a few deltas —
+    *     establish the pruned base layout immediately);
+    *  2. otherwise fold the deltas alone into one MINOR run, then
+    *     cascade any full log2-size class through a tier merge;
+    *  3. if accumulated minor bytes have reached base bytes, MAJOR fold
+    *     (the base doubles, so majors are O(log) per store lifetime).
+    *
     * Safe only after every frame that reads this store's pre-fold files
-    * has been written or materialized (see [[append]]). */
-  def maybeCompact(spark: SparkSession, empty: DataFrame): Unit =
-    if (deltaFiles.size >= CompactDeltaFiles) compact(spark, empty)
+    * has been written or materialized (see [[append]]). Returns the
+    * parquet bytes this call rewrote (0 when under budget) — the
+    * rewrite-amplification observable the scale rehearsal bounds. */
+  def maybeCompact(spark: SparkSession, empty: DataFrame): Long =
+    if (deltaFiles.size < CompactDeltaFiles) 0L
+    else if (graft.sources.Stage.currentTarget(dir).isEmpty) major(spark, empty)
+    else {
+      var bytes = minorFold(spark, empty)
+      bytes += tierMergeFullClasses(spark, empty)
+      val baseBytes = graft.sources.Stage.currentTarget(dir)
+        .map(t => parquetBytes(java.nio.file.Paths.get(t))).getOrElse(0L)
+      if (minorRuns.map(parquetBytes).sum >= baseBytes) bytes += major(spark, empty)
+      bytes
+    }
 
-  /** Fold base + deltas into one fresh `gen=N` (laid out on
+  /** Force a full fold — base ∪ minors ∪ deltas → one fresh generation.
+    * Kept public for batch-style store maintenance
+    * ([[CurationStream.compactFingerprints]]); the streaming path goes
+    * through [[maybeCompact]]'s leveled policy. */
+  def compact(spark: SparkSession, empty: DataFrame): Unit = { major(spark, empty); () }
+
+  /** MAJOR fold: everything → one fresh `gen=N` (laid out on
     * `partitionCol` when set), atomically swap CURRENT at it, then drop
-    * dead generations and consumed deltas. Run between batches — the
-    * foreachBatch loop is single-threaded, so no append races the fold;
-    * a crash at any point loses nothing (claims are a monotone set and
-    * every pre-swap byte stays where a restarted reader finds it). */
-  def compact(spark: SparkSession, empty: DataFrame): Unit = {
+    * dead generations, consumed runs, and consumed deltas. Run between
+    * batches — the foreachBatch loop is single-threaded, so no append
+    * races the fold; a crash at any point loses nothing (claims are a
+    * monotone set and every pre-swap byte stays where a restarted
+    * reader finds it). */
+  private def major(spark: SparkSession, empty: DataFrame): Long = {
     val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(root)) return
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    sweepDeadRuns()
     def listGens(): Seq[java.nio.file.Path] = {
       val s = java.nio.file.Files.list(root)
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith("gen=")).toList
       finally s.close()
     }
-    val next = s"$dir/gen=${(listGens().map(
+    val nextName = s"gen=${(listGens().map(
       _.getFileName.toString.stripPrefix("gen=").toLong) :+ -1L).max + 1}"
-    val consumed = deltaFiles
+    val next = s"$dir/$nextName"
+    val consumedDeltas = deltaFiles
+    val consumedRuns = listRuns()
     val folded = read(spark, empty).distinct()
     partitionCol match {
       case Some(pc) =>
@@ -209,13 +290,87 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     }
     graft.sources.Stage.atomicRepoint(dir, next)
     // cleanup AFTER the swap: readers resolve CURRENT first, so nothing
-    // they can reach disappears under them
-    listGens().filter(_.toString != next)
+    // they can reach disappears under them. Generations compare by FILE
+    // NAME — a raw-string compare against `next` would mis-normalize a
+    // caller-supplied dir (trailing slash, doubled separators) and
+    // delete the just-committed generation.
+    listGens().filter(_.getFileName.toString != nextName)
       .foreach(graft.sources.TmpStores.deleteRecursively)
-    // delete consumed deltas through the Hadoop (Checksum)FileSystem so
-    // each part file's '.part-*.parquet.crc' sidecar goes with it — a
-    // bare nio delete leaves the sidecars accreting in the delta dir,
-    // the very unbounded-small-file growth this fold bounds
+    consumedRuns.foreach(graft.sources.TmpStores.deleteRecursively)
+    deleteDeltas(spark, consumedDeltas)
+    parquetBytes(java.nio.file.Paths.get(next))
+  }
+
+  /** Target file count for a run holding this many input bytes — runs
+    * stay few-file (they are the SMALL levels) but never collapse a
+    * grown run into one giant file. */
+  private def runFiles(inBytes: Long): Int =
+    math.max(1L, inBytes / (64L << 20) + 1L).toInt
+
+  /** MINOR fold: the consumed deltas alone → one committed plain-layout
+    * `minor/run=M` — O(new claims), the base untouched. */
+  private def minorFold(spark: SparkSession, empty: DataFrame): Long = {
+    sweepDeadRuns()
+    val consumed = deltaFiles
+    if (consumed.isEmpty) return 0L
+    val next = nextRunDir()
+    val sel = empty.columns.toSeq.map(col)
+    spark.read.parquet(consumed.map(_.toString): _*)
+      .select(sel: _*).distinct()
+      .coalesce(runFiles(consumed.map(parquetBytes).sum))
+      .write.parquet(next.toString)
+    deleteDeltas(spark, consumed)
+    parquetBytes(next)
+  }
+
+  /** Tier merge: while any log2-size class holds [[RunsPerClass]]+ runs,
+    * fold that class into one run (which lands ~2 classes up) — the
+    * size-tiered cascade that keeps live-run count O(log store) and
+    * never rewrites a larger class to absorb a smaller one. */
+  private def tierMergeFullClasses(spark: SparkSession, empty: DataFrame): Long = {
+    def sizeClass(bytes: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(bytes, 1L))
+    var bytes = 0L
+    var merged = true
+    while (merged) {
+      merged = false
+      minorRuns.map(p => (p, sizeClass(parquetBytes(p))))
+        .groupBy(_._2).values.find(_.size >= RunsPerClass).foreach { cls =>
+          val runs = cls.map(_._1)
+          val next = nextRunDir()
+          val sel = empty.columns.toSeq.map(col)
+          spark.read.parquet(runs.map(_.toString): _*)
+            .select(sel: _*).distinct()
+            .coalesce(runFiles(runs.map(parquetBytes).sum))
+            .write.parquet(next.toString)
+          runs.foreach(graft.sources.TmpStores.deleteRecursively)
+          bytes += parquetBytes(next)
+          merged = true
+        }
+    }
+    bytes
+  }
+
+  private def nextRunDir(): java.nio.file.Path = {
+    val d = java.nio.file.Paths.get(dir, "minor")
+    java.nio.file.Files.createDirectories(d)
+    d.resolve(s"run=${(listRuns().map(
+      _.getFileName.toString.stripPrefix("run=").toLong) :+ -1L).max + 1}")
+  }
+
+  /** Drop crashed (uncommitted) run dirs — their inputs were never
+    * deleted, so they hold nothing reachable. */
+  private def sweepDeadRuns(): Unit =
+    listRuns().filterNot(p =>
+        java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+      .foreach(graft.sources.TmpStores.deleteRecursively)
+
+  /** Delete consumed deltas through the Hadoop (Checksum)FileSystem so
+    * each part file's '.part-*.parquet.crc' sidecar goes with it — a
+    * bare nio delete leaves the sidecars accreting in the delta dir,
+    * the very unbounded-small-file growth the folds bound. */
+  private def deleteDeltas(spark: SparkSession,
+      consumed: Seq[java.nio.file.Path]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
     (consumed :+ java.nio.file.Paths.get(dir, "delta", "_SUCCESS"))

@@ -414,8 +414,10 @@ object CurationStream {
                 .select("pk", "claim_id", "fhash"))
             }
             textStore.maybeCompact(spark, emptyClaims(spark))
-            if (mediaGate)
+            if (mediaGate) {
               mediaStore.maybeCompact(spark, emptyMediaClaims(spark))
+              ()
+            }
           } finally verdict.unpersist()
         } finally {
           media.foreach(_.unpersist())

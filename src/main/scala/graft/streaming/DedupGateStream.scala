@@ -128,6 +128,7 @@ object DedupGateStream {
               bandStore.appendDelta(bandClaims)
               shStore.maybeCompact(spark, shClaims.limit(0))
               bandStore.maybeCompact(spark, bandClaims.limit(0))
+              ()
             }
           } finally verdict.unpersist()
         } finally {

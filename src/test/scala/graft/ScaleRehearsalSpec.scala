@@ -235,4 +235,70 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       s"pruned probe read $filesRead generation files out of $genFiles — not pruned")
     graft.sources.TmpStores.deleteRecursively(root)
   }
+
+  test("leveled claim-store folds rewrite O(claims·levels), not O(batches·store)") {
+    // 64 batches cross the delta budget 8 times. A single-level fold
+    // rewrites the WHOLE store at every budget crossing — ~sum of store
+    // sizes at each fold, O(batches · store). The leveled policy folds
+    // deltas alone into minor runs, tier-merges size classes, and majors
+    // only when minors have grown to base size, so total rewritten bytes
+    // must land well under the single-level cost and at least one fold
+    // must be delta-sized, not store-sized.
+    import graft.streaming.ClaimStore
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-leveled")
+    val st = ClaimStore(root.resolve("fps").toString, partitionCol = Some("pk"))
+    val empty = Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    def storeBytes(): Long = {
+      val w = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+      } finally w.close()
+    }
+    var totalRewritten = 0L
+    var singleLevelCost = 0L // what a whole-store fold at each crossing would pay
+    var minFoldRatio = Double.MaxValue
+    (0 until 64).foreach { b =>
+      st.appendDelta(spark.range(b * 1000L, (b + 1) * 1000L)
+        .select((col("id") % 97).cast("int").as("pk"),
+          col("id").as("claim_id"), (col("id") * 31).as("fhash")))
+      val before = storeBytes()
+      val wrote = st.maybeCompact(spark, empty)
+      if (wrote > 0L) {
+        totalRewritten += wrote
+        singleLevelCost += before
+        minFoldRatio = math.min(minFoldRatio, wrote.toDouble / before)
+      }
+    }
+    assert(singleLevelCost > 0L, "the rehearsal must have crossed the budget")
+    assert(totalRewritten <= (singleLevelCost * 0.8).toLong,
+      s"leveled folds rewrote $totalRewritten bytes vs single-level $singleLevelCost — no amortization")
+    assert(minFoldRatio <= 0.5,
+      s"every fold rewrote >=${minFoldRatio} of the store — minor folds are not delta-sized")
+    // live-run count stays tiered-bounded, deltas stay under budget
+    val minors = {
+      val d = root.resolve("fps").resolve("minor")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else {
+        val s = java.nio.file.Files.list(d)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(_.getFileName.toString.startsWith("run=")) }
+        finally s.close()
+      }
+    }
+    assert(minors <= ClaimStore.RunsPerClass * 8,
+      s"$minors live minor runs — tier merges are not bounding the run count")
+    // the store still reads complete and pruned-correct through the levels
+    assert(st.read(spark, empty).distinct().count() == 64000L)
+    val got = st.readPruned(spark, empty, Seq(13)).collect()
+    val expected = (0L until 64000L).count(_ % 97 == 13)
+    assert(got.length == expected && got.forall(_.getInt(0) == 13),
+      s"pruned read through levels returned ${got.length} rows, expected $expected")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
 }
