@@ -3541,21 +3541,35 @@ object SparkEntry {
              (16 + documents.doc_id % 48 >= 32
                AND 16 + documents.doc_id % 32 >= 24) AS img_ok,
              ((64 + documents.doc_id % 128) * 1000000 // 8000 >= 12000
-               AND pk.peak >= 200) AS audio_ok
+               AND pk.peak >= 200) AS audio_ok,
+             (documents.doc_id % 5 >= 1 AND documents.doc_id % 16 >= 4
+               AND documents.doc_id % 12 >= 4) AS video_ok
            FROM documents JOIN pk ON pk.doc_id = documents.doc_id),
          mdup AS (SELECT o.doc_id FROM ah o JOIN ah e
              ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
                AND bit_count(xor(o.ahash, e.ahash)) <= 7
+           GROUP BY o.doc_id),
+         vsig AS (SELECT doc_id, array_to_string(
+             list_transform(range(0, 2 + doc_id % 5),
+               f -> ((doc_id * 13 + (f + 1) * 29) % 224)
+                  - ((doc_id * 13 + f * 29) % 224)), ',') AS sig
+           FROM documents),
+         vdup AS (SELECT o.doc_id FROM vsig o JOIN vsig e
+             ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0 AND o.sig = e.sig
            GROUP BY o.doc_id)
          SELECT fl.doc_id, fl.keep_quality, fl.is_dup, fl.is_contaminated,
            med.img_ok, med.audio_ok,
            (mdup.doc_id IS NOT NULL) AS media_dup,
+           med.video_ok,
+           (vdup.doc_id IS NOT NULL) AS video_dup,
            (fl.keep_quality AND NOT fl.is_dup AND NOT fl.is_contaminated
              AND med.img_ok AND med.audio_ok
-             AND mdup.doc_id IS NULL) AS admitted
+             AND mdup.doc_id IS NULL
+             AND med.video_ok AND vdup.doc_id IS NULL) AS admitted
          FROM fl
          JOIN med ON med.doc_id = fl.doc_id
          LEFT JOIN mdup ON mdup.doc_id = fl.doc_id
+         LEFT JOIN vdup ON vdup.doc_id = fl.doc_id
          ORDER BY fl.doc_id""",
     // Incremental curated store: the stream gate's admitted set in the
     // fixed arrival order (winner minimizes (batch, doc_id)), then the
@@ -3765,11 +3779,21 @@ object SparkEntry {
              (16 + documents.doc_id % 48 >= 32
                AND 16 + documents.doc_id % 32 >= 24) AS img_ok,
              ((64 + documents.doc_id % 128) * 1000000 // 8000 >= 12000
-               AND pk.peak >= 200) AS audio_ok
+               AND pk.peak >= 200) AS audio_ok,
+             (documents.doc_id % 5 >= 1 AND documents.doc_id % 16 >= 4
+               AND documents.doc_id % 12 >= 4) AS video_ok
            FROM documents JOIN pk ON pk.doc_id = documents.doc_id),
          mdup AS (SELECT o.doc_id FROM ah o JOIN ah e
              ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
                AND bit_count(xor(o.ahash, e.ahash)) <= 7
+           GROUP BY o.doc_id),
+         vsig AS (SELECT doc_id, array_to_string(
+             list_transform(range(0, 2 + doc_id % 5),
+               f -> ((doc_id * 13 + (f + 1) * 29) % 224)
+                  - ((doc_id * 13 + f * 29) % 224)), ',') AS sig
+           FROM documents),
+         vdup AS (SELECT o.doc_id FROM vsig o JOIN vsig e
+             ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0 AND o.sig = e.sig
            GROUP BY o.doc_id),
          w AS (SELECT doc_id, n_words, fp, keep_quality,
              (doc_id % 2) * 1000000000 + doc_id AS wk
@@ -3780,11 +3804,13 @@ object SparkEntry {
                  OVER (PARTITION BY w.fp)
                AND cont.doc_id IS NULL
                AND med.img_ok AND med.audio_ok
-               AND mdup.doc_id IS NULL) AS admitted
+               AND mdup.doc_id IS NULL
+               AND med.video_ok AND vdup.doc_id IS NULL) AS admitted
            FROM w
            JOIN med ON med.doc_id = w.doc_id
            LEFT JOIN cont ON w.doc_id = cont.doc_id
-           LEFT JOIN mdup ON mdup.doc_id = w.doc_id),
+           LEFT JOIN mdup ON mdup.doc_id = w.doc_id
+           LEFT JOIN vdup ON vdup.doc_id = w.doc_id),
          b0 AS (SELECT doc_id, n_words,
              row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
            FROM fl WHERE admitted AND doc_id % 2 = 0),

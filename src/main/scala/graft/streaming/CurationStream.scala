@@ -198,6 +198,18 @@ object CurationStream {
     Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
   }
 
+  /** Video claim rows — the temporal-gradient signature is radius-0
+    * (planted transforms cancel STRUCTURALLY, `VideoCodec.vhashOf`), so
+    * the probe is an exact equi-join; pk is a stable hash of the
+    * signature purely for the pruned-read layout. */
+  private def emptyVideoClaims(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, String)].toDF("pk", "claim_id", "vhash")
+  }
+
+  private def vhashPk(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (crc32(c) % 2048).cast("int")
+
   def run(
       incoming: DataFrame,
       evalSh: DataFrame,
@@ -211,6 +223,7 @@ object CurationStream {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
     val mediaStore = ClaimStore(s"${outDir}_mfps", partitionCol = Some("pk"))
+    val videoStore = ClaimStore(s"${outDir}_vmfps", partitionCol = Some("pk"))
     def claimed(): DataFrame = claimedClasses(spark, fpStore)
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -241,13 +254,16 @@ object CurationStream {
         b.count()
         // STREAMING CROSS-MODAL gate: each doc's media assets decode
         // partition-locally into per-doc admission flags (image
-        // decode-fidelity/dims, audio duration/signal) plus the audio
-        // loudness hash, which probes the ACCRETING media claim store
-        // with the MediaDedupStream banded-Hamming discipline — a
-        // streamed doc whose asset perceptually duplicates anything an
-        // earlier batch carried is excised BEFORE the store append.
+        // decode-fidelity/dims, audio duration/signal, video
+        // frame-count/resolution/gray-fidelity) plus the audio loudness
+        // hash and the video temporal-gradient signature, which probe
+        // their ACCRETING claim stores — audio with the MediaDedupStream
+        // banded-Hamming discipline, video with the radius-0 exact
+        // equi-join — so a streamed doc whose asset perceptually
+        // duplicates anything an earlier batch carried is excised
+        // BEFORE the store append.
         val media: Option[DataFrame] = if (!mediaGate) None else Some {
-          import graft.operators.MultimodalOps.{AudioCodec, MediaCodec}
+          import graft.operators.MultimodalOps.{AudioCodec, MediaCodec, VideoCodec}
           val spark1 = spark
           import spark1.implicits._
           val m = batch.select(col("doc_id")).as[Long]
@@ -256,6 +272,8 @@ object CurationStream {
               val im = MediaCodec.decode(id, MediaCodec.encode(id))
               val ab = AudioCodec.encode(id)
               val au = AudioCodec.decode(id, ab)
+              val vb = VideoCodec.encode(id)
+              val vfr = VideoCodec.decodeFrames(id, vb)
               val expected = (28 + (id * 37) % 200).toInt
               val pxOk =
                 if (im.format == "png") im.pxGray == expected
@@ -263,9 +281,12 @@ object CurationStream {
               (id,
                 pxOk && im.width >= 32 && im.height >= 24,
                 au.durationUs >= 12000L && au.peak >= 200,
-                AudioCodec.ahashOf(id, ab))
+                AudioCodec.ahashOf(id, ab),
+                vfr.head.gray == VideoCodec.frameGrayOf(id, 0) &&
+                  vfr.length >= 4 && vfr.head.width >= 20 && vfr.head.height >= 16,
+                VideoCodec.vhashOf(id, vb))
             })
-            .toDF("doc_id", "img_ok", "audio_ok", "ahash")
+            .toDF("doc_id", "img_ok", "audio_ok", "ahash", "video_ok", "vhash")
             .persist(StorageLevel.MEMORY_AND_DISK)
           m.count() // one codec pass; probe + claim sides reuse it
           m
@@ -287,9 +308,25 @@ object CurationStream {
             .dropDuplicates("doc_id", "claim_id")
             .filter(hamming(col("h_t"), col("h_c")) <= 7)
             .groupBy("doc_id").agg(count(lit(1)).as("_mm"))
+          // VIDEO probe — the third modality: the temporal-gradient
+          // signature is radius-0 (transforms cancel structurally), so
+          // an incoming asset duplicates exactly the stored signatures
+          // it EQUALS — a pk-pruned read followed by an exact equi-join
+          val vProbes = m.select(col("doc_id"), col("vhash"))
+            .withColumn("pk", vhashPk(col("vhash")))
+          val vTouched = vProbes.select("pk").distinct().as[Int].collect().toSeq
+          val vMatches = vProbes
+            .join(videoStore.readPruned(spark, emptyVideoClaims(spark), vTouched)
+              .select(col("pk"), col("claim_id"), col("vhash")),
+              Seq("pk", "vhash"))
+            .select("doc_id", "claim_id")
+            .dropDuplicates("doc_id", "claim_id")
+            .groupBy("doc_id").agg(count(lit(1)).as("_vm"))
           m.join(matches, Seq("doc_id"), "left")
+            .join(vMatches, Seq("doc_id"), "left")
             .select(col("doc_id"), col("img_ok"), col("audio_ok"),
-              col("_mm").isNotNull.as("media_dup"), col("ahash"))
+              col("_mm").isNotNull.as("media_dup"), col("ahash"),
+              col("video_ok"), col("_vm").isNotNull.as("video_dup"), col("vhash"))
         }
         try {
           val contaminated = b.filter(col("keep_quality"))
@@ -320,10 +357,10 @@ object CurationStream {
           // when an asset fails a property gate or perceptually
           // duplicates an earlier batch's asset
           val verdict = mediaVerdict.fold(textVerdict)(mv =>
-            textVerdict.join(mv.drop("ahash"), Seq("doc_id"))
+            textVerdict.join(mv.drop("ahash", "vhash"), Seq("doc_id"))
               .withColumn("admitted",
                 col("admitted") && col("img_ok") && col("audio_ok") &&
-                  !col("media_dup")))
+                  !col("media_dup") && col("video_ok") && !col("video_dup")))
             .persist(StorageLevel.MEMORY_AND_DISK)
           verdict.count()
           try {
@@ -412,10 +449,15 @@ object CurationStream {
                   graft.operators.MultimodalOps.hashBands("fhash").as(Seq("band", "bv")))
                 .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
                 .select("pk", "claim_id", "fhash"))
+              // every perceptually NOVEL video asset claims its signature
+              videoStore.appendDelta(mv.filter(!col("video_dup"))
+                .select(vhashPk(col("vhash")).as("pk"),
+                  col("doc_id").as("claim_id"), col("vhash")))
             }
             textStore.maybeCompact(spark, emptyClaims(spark))
             if (mediaGate) {
               mediaStore.maybeCompact(spark, emptyMediaClaims(spark))
+              videoStore.maybeCompact(spark, emptyVideoClaims(spark))
               ()
             }
           } finally verdict.unpersist()
@@ -535,26 +577,31 @@ object CurationStream {
 
   /** Oracle-gated query for the STREAMING CROSS-MODAL gate: the same
     * two-batch arrival as [[curationStreamQuery]] with `mediaGate` on —
-    * each doc's assets decode per batch, the image/audio property gates
-    * and the accreting perceptual (audio loudness hash) claim store
-    * compose into the admission verdict IN ARRIVAL ORDER. Batch 0 (even
-    * ids) probes an empty media store (media_dup vacuously false) and
-    * claims every hash; batch 1 (odd ids) is judged against exactly the
-    * batch-0 fingerprints — so the oracle replays the text stream CTE
-    * chain, both property gates' generator arithmetic, AND a brute-force
-    * pairwise `bit_count(xor(..)) <= 7` join of odd against even loudness
-    * hashes. A regression in the codec path, the hash, the banding, the
-    * claim ordering, or the composition flips a row red. */
+    * each doc's assets decode per batch, the image/audio/video property
+    * gates and the accreting perceptual claim stores (audio loudness
+    * hash, video temporal-gradient signature) compose into the admission
+    * verdict IN ARRIVAL ORDER. Batch 0 (even ids) probes empty stores
+    * (media_dup/video_dup vacuously false) and claims every fingerprint;
+    * batch 1 (odd ids) is judged against exactly the batch-0 claims — so
+    * the oracle replays the text stream CTE chain, all three property
+    * gates' generator arithmetic, a brute-force pairwise
+    * `bit_count(xor(..)) <= 7` join of odd against even loudness hashes,
+    * AND an exact delta-sequence equality join of odd against even video
+    * signatures (vhash equality ⇔ temporal-gradient sequence equality —
+    * the md5 chain is injective on the replayed sequences). A regression
+    * in a codec path, a hash, the banding, the claim ordering, or the
+    * composition flips a row red. */
   def curationMultimodalStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    val fx = streamFixture(spark, dir, "graft-curation-mm", Seq("out_mfps"))
+    val fx = streamFixture(spark, dir, "graft-curation-mm",
+      Seq("out_mfps", "out_vmfps"))
     try {
       run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
       StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
         anyTrue = Seq("keep_quality", "is_contaminated", "img_ok",
-          "audio_ok", "admitted"),
-        everyTrue = Seq("is_dup", "media_dup"))
+          "audio_ok", "video_ok", "admitted"),
+        everyTrue = Seq("is_dup", "media_dup", "video_dup"))
         .select("doc_id", "keep_quality", "is_dup", "is_contaminated",
-          "img_ok", "audio_ok", "media_dup", "admitted")
+          "img_ok", "audio_ok", "media_dup", "video_ok", "video_dup", "admitted")
     } finally fx.evalSh.unpersist()
   }
 
@@ -571,7 +618,7 @@ object CurationStream {
     * flips a manifest row red. */
   def curatedStoreMultimodalStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     val fx = streamFixture(spark, dir, "graft-curation-mm-store",
-      Seq("out_mfps", "store", "store_tail"))
+      Seq("out_mfps", "out_vmfps", "store", "store_tail"))
     val store = fx.root.resolve("store").toString
     try {
       run(fx.src, fx.evalSh, fx.out, fx.ckpt,

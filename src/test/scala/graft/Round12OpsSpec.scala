@@ -297,7 +297,7 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   test("streaming cross-modal gate composes text verdicts with batch-derived media truth") {
-    import graft.operators.MultimodalOps.{AudioCodec, MediaCodec}
+    import graft.operators.MultimodalOps.{AudioCodec, MediaCodec, VideoCodec}
     import graft.streaming.CurationStream
     val mm = CurationStream.curationMultimodalStreamQuery(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -306,31 +306,41 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(mm.keySet == text.keySet && mm.nonEmpty)
     // independent driver-side media truth over the same ids: property
     // gates from the real decodes, media_dup by brute-force pairwise
-    // Hamming of odd (batch-1) hashes against even (batch-0) claims
+    // Hamming of odd (batch-1) hashes against even (batch-0) claims,
+    // video_dup by exact signature equality over the same arrival split
     val ids = mm.keySet.toSeq.sorted
     val ahash = ids.map(id => id -> AudioCodec.ahashOf(id, AudioCodec.encode(id))).toMap
+    val vhash = ids.map(id => id -> VideoCodec.vhashOf(id, VideoCodec.encode(id))).toMap
     val evenHashes = ids.filter(_ % 2 == 0).map(ahash)
+    val evenVhashes = ids.filter(_ % 2 == 0).map(vhash).toSet
     ids.foreach { id =>
       val r = mm(id)
       val im = MediaCodec.decode(id, MediaCodec.encode(id))
       val au = AudioCodec.decode(id, AudioCodec.encode(id))
+      val vfr = VideoCodec.decodeFrames(id, VideoCodec.encode(id))
       val expGray = (28 + (id * 37) % 200).toInt
       val pxOk = if (im.format == "png") im.pxGray == expGray
         else math.abs(im.pxGray - expGray) <= 8
       val imgOk = pxOk && im.width >= 32 && im.height >= 24
       val audioOk = au.durationUs >= 12000L && au.peak >= 200
+      val videoOk = vfr.head.gray == VideoCodec.frameGrayOf(id, 0) &&
+        vfr.length >= 4 && vfr.head.width >= 20 && vfr.head.height >= 16
       val mediaDup = id % 2 == 1 &&
         evenHashes.exists(h => java.lang.Long.bitCount(h ^ ahash(id)) <= 7)
+      val videoDup = id % 2 == 1 && evenVhashes.contains(vhash(id))
       assert(r.getAs[Boolean]("img_ok") == imgOk, s"img_ok drift at doc $id")
       assert(r.getAs[Boolean]("audio_ok") == audioOk, s"audio_ok drift at doc $id")
       assert(r.getAs[Boolean]("media_dup") == mediaDup, s"media_dup drift at doc $id")
+      assert(r.getAs[Boolean]("video_ok") == videoOk, s"video_ok drift at doc $id")
+      assert(r.getAs[Boolean]("video_dup") == videoDup, s"video_dup drift at doc $id")
       // the text half of the composed verdict is EXACTLY the text-only
       // stream's verdict on the same arrival order
       val t = text(id)
       Seq("keep_quality", "is_dup", "is_contaminated").foreach(c =>
         assert(r.getAs[Boolean](c) == t.getAs[Boolean](c), s"$c drift at doc $id"))
       assert(r.getAs[Boolean]("admitted") ==
-        (t.getAs[Boolean]("admitted") && imgOk && audioOk && !mediaDup),
+        (t.getAs[Boolean]("admitted") && imgOk && audioOk && !mediaDup &&
+          videoOk && !videoDup),
         s"composed admission drift at doc $id")
     }
   }
