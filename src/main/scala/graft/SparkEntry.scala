@@ -150,6 +150,11 @@ object SparkEntry {
     // parquet, search reads only the staged store (same oracle — lossless)
     "q_ann_ivf_topk_staged" -> (SimilarityOps.annIvfTopKStaged _),
     "q_ann_ivf_upsert"      -> (SimilarityOps.annIvfUpsert _),
+    // centroid lifecycle: drift canary -> one Lloyd update -> migrate
+    // only the vectors whose cell changes (touched-cell overwrite)
+    "q_ann_recluster"       -> (SimilarityOps.annRecluster _),
+    // tombstone path: ids-only delete, touched-cell anti-join rewrite
+    "q_ann_ivf_delete"      -> (SimilarityOps.annIvfDelete _),
     "q_ann_pq_topk"       -> (SimilarityOps.annPqTopK _),
     // multimodal binary plumbing
     "q_multimodal_features" -> (MultimodalOps.binaryFeatures _),
@@ -725,8 +730,11 @@ object SparkEntry {
     annIvfTopKQuantizedOracleSqlWith("vec_id < 64")
 
   /** Same search, centroid universe parameterized — the upsert gate pins
-    * centroids to the BUILD corpus (base ids only). */
-  private def annIvfTopKQuantizedOracleSqlWith(centroidWhere: String): String =
+    * centroids to the BUILD corpus (base ids only) — and the serving
+    * corpus parameterized — the delete gate excludes the removed cohort
+    * from BOTH query and neighbor sides. */
+  private def annIvfTopKQuantizedOracleSqlWith(centroidWhere: String,
+      corpusWhere: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        cen AS (SELECT vec_id AS c_id, v AS cv,
            sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE $centroidWhere),
@@ -747,7 +755,8 @@ object SparkEntry {
          FROM qd),
        n AS (SELECT cell.vec_id, dv, cell,
            sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
-         FROM cell JOIN d ON cell.vec_id = d.vec_id),
+         FROM cell JOIN d ON cell.vec_id = d.vec_id
+         WHERE $corpusWhere),
        s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            list_sum(list_transform(range(1, 65), i -> q.dv[i] * c.dv[i])) / (q.nrm * c.nrm) AS cos
          FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
@@ -2422,6 +2431,73 @@ object SparkEntry {
     // vectors so the relational recomputation is exact.
     "q_ann_ivf_upsert" ->
       annIvfTopKQuantizedOracleSqlWith("vec_id < 64 AND vec_id % 10 <> 0"),
+    // Delete gate: post-delete store == corpus minus the % 9 == 4 cohort
+    // on BOTH query and neighbor sides; centroids stay pinned to the full
+    // build corpus (a removed source vector does not move the cells).
+    "q_ann_ivf_delete" ->
+      annIvfTopKQuantizedOracleSqlWith("vec_id < 64",
+        "cell.vec_id % 9 <> 4"),
+    // Recluster gate: pinned assignment -> per-cell 1e-6 fixed-point
+    // means (one Lloyd update; empty cells keep the pinned centroid) ->
+    // max-cosine re-assignment -> migration counts. n_after is counted
+    // from the REFRESHED on-disk store on the Spark side, so it must
+    // equal the relational re-assignment here; mu0_micros uses the
+    // truncating integer division that replays exactly in all engines.
+    "q_ann_recluster" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cen AS (SELECT vec_id AS c_id, v AS cv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm FROM e WHERE vec_id < 64),
+         sc0 AS (SELECT e.vec_id, cen.c_id,
+             list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
+           FROM e CROSS JOIN cen),
+         c0 AS (SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+             FROM sc0) WHERE rn = 1),
+         q AS (SELECT c0.cell, i.i AS dim,
+             CAST(floor(v[i.i] * 1000000 + 0.5) AS BIGINT) AS qx
+           FROM c0 JOIN e USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i),
+         s AS (SELECT cell, dim, CAST(SUM(qx) AS BIGINT) AS sq, COUNT(*) AS n
+           FROM q GROUP BY cell, dim),
+         m AS (SELECT cell, dim,
+             CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mu FROM s),
+         arrs AS (SELECT cell, list(mu ORDER BY dim) AS mus FROM m GROUP BY cell),
+         nc AS (SELECT cen.c_id, COALESCE(arrs.mus, cen.cv) AS cv
+           FROM cen LEFT JOIN arrs ON cen.c_id = arrs.cell),
+         nc2 AS (SELECT c_id, cv,
+             sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM nc),
+         sc1 AS (SELECT e.vec_id, nc2.c_id,
+             list_sum(list_transform(range(1, 65), i -> cv[i] * v[i])) / cnrm AS score
+           FROM e CROSS JOIN nc2),
+         c1 AS (SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+             FROM sc1) WHERE rn = 1),
+         mig AS (SELECT c0.vec_id, c0.cell AS old_cell, c1.cell AS new_cell
+           FROM c0 JOIN c1 USING (vec_id) WHERE c0.cell <> c1.cell),
+         nb AS (SELECT cell, COUNT(*) AS n_before FROM c0 GROUP BY cell),
+         na AS (SELECT cell, COUNT(*) AS n_after FROM c1 GROUP BY cell),
+         mo AS (SELECT old_cell AS cell, COUNT(*) AS n_out FROM mig GROUP BY old_cell),
+         mi AS (SELECT new_cell AS cell, COUNT(*) AS n_in FROM mig GROUP BY new_cell),
+         sh AS (SELECT arrs.cell, sqrt(list_sum(list_transform(range(1, 65),
+               i -> (mus[i] - cv[i]) * (mus[i] - cv[i])))) AS shift
+           FROM arrs JOIN cen ON arrs.cell = cen.c_id),
+         mz AS (SELECT cell, sq // n AS mu0_micros FROM s WHERE dim = 1)
+         SELECT CAST(cen.c_id AS BIGINT) AS cell,
+           CAST(COALESCE(nb.n_before, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(mo.n_out, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(mi.n_in, 0) AS BIGINT) AS n_in,
+           CAST(COALESCE(na.n_after, 0) AS BIGINT) AS n_after,
+           CAST(mz.mu0_micros AS BIGINT) AS mu0_micros,
+           sh.shift AS shift
+         FROM cen
+         LEFT JOIN nb ON nb.cell = cen.c_id
+         LEFT JOIN mo ON mo.cell = cen.c_id
+         LEFT JOIN mi ON mi.cell = cen.c_id
+         LEFT JOIN na ON na.cell = cen.c_id
+         LEFT JOIN mz ON mz.cell = cen.c_id
+         LEFT JOIN sh ON sh.cell = cen.c_id
+         ORDER BY cell""",
     // Per-query recall of the IVF search vs the brute-force truth: both
     // top-k sets are deterministic, so the fraction is exact.
     "q_ann_ivf_recall" ->

@@ -769,6 +769,241 @@ object SimilarityOps {
     searchStagedCells(spark, store)
   }
 
+  // ------------------------------------- centroid refresh + migration
+
+  private[graft] def reclusterStore(dir: String): String =
+    s"${stagedIvfDir(dir)}-recluster/cells"
+
+  /** BUILD phase of the recluster lifecycle: the FULL corpus staged on
+    * the pinned first-64 centroid artifact — the store whose recall the
+    * drift canary will eventually erode. */
+  private[graft] def reclusterBuild(spark: SparkSession, dir: String): String = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    ivfUpsertBuildWith(e, collectCentroids(e.filter(col("vec_id") < 64)),
+      reclusterStore(dir))
+  }
+
+  /** REFRESH phase — CENTROID LIFECYCLE for the cell-partitioned store,
+    * the standard production-ANN maintenance the pinned artifact
+    * otherwise lacks: after enough distribution shift, recall quietly
+    * decays because vectors sit in cells whose centroid no longer
+    * represents them. The phase CONSUMES the drift canary and migrates:
+    *
+    *  1. per-cell means of the store's CURRENT members accumulate as
+    *     1e-6 fixed-point integers (exact, associative — deterministic
+    *     on any layout, the [[kmeansIterate]] discipline), and only the
+    *     k×d driver artifact divides back into doubles;
+    *  2. the canary is the centroid SHIFT — the L2 distance between each
+    *     pinned centroid and its members' mean; if no cell shifted past
+    *     `shiftThreshold`, the store is left byte-untouched;
+    *  3. on a tripped canary the means become the new centroid artifact
+    *     (one Lloyd update; empty cells keep their pinned centroid), all
+    *     vectors re-assign by max-cosine, and ONLY the vectors whose
+    *     cell CHANGED migrate: touched cells (old ∪ new of every mover)
+    *     become a LITERAL partition filter, survivors keep their rows,
+    *     movers rewrite under the new cell, and the union commits by
+    *     dynamic partition overwrite — untouched cell directories keep
+    *     their exact files (byte-identity spec-asserted). A touched cell
+    *     that lost every member writes no rows under dynamic overwrite,
+    *     so its stale directory is dropped explicitly.
+    *
+    * Returns the per-cell lifecycle report: members before/after,
+    * out/in-migration counts, the new centroid's first coordinate in
+    * fixed-point micros (truncating integer division — replays exactly),
+    * and the raw shift. Everything driver-side is k×d-bounded; the
+    * migration rewrite is bounded by the touched cells, not the corpus. */
+  private[graft] def reclusterApply(spark: SparkSession, dir: String,
+      shiftThreshold: Double = 0.5): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = reclusterStore(dir)
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val pinned = collectCentroids(e.filter(col("vec_id") < 64))
+    spark.catalog.refreshByPath(store)
+    // localCheckpoint, not persist: the store is overwritten below, and
+    // the post-overwrite refreshByPath RECACHES any cached plan that
+    // still reads the store path — the pre-state must be lineage-free
+    val cells0 = spark.read.parquet(store).select(col("vec_id"), col("cell"))
+      .localCheckpoint(true)
+    // per-cell fixed-point means: k×d rows — a driver artifact by design
+    val sums = cells0.join(e, "vec_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .select(col("cell"), (col("dim0") + 1).as("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("qx"))
+      .groupBy("cell", "dim")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = sums.groupBy(_.getAs[Int]("cell"))
+    val newCen = pinned.zipWithIndex.map { case (cv, c) =>
+      byCell.get(c).fold(cv) { rows =>
+        val mu = new Array[Double](cv.length)
+        rows.foreach(r => mu(r.getAs[Int]("dim") - 1) =
+          r.getAs[Long]("sq").toDouble / 1000000.0 / r.getAs[Long]("n").toDouble)
+        mu
+      }
+    }
+    val shiftOf: Map[Int, Double] = byCell.keySet.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < pinned(c).length) {
+        val t = newCen(c)(i) - pinned(c)(i); s += t * t; i += 1
+      }
+      c -> math.sqrt(s)
+    }.toMap
+    val mu0Of: Map[Int, Long] = byCell.map { case (c, rows) =>
+      val r1 = rows.find(_.getAs[Int]("dim") == 1).get
+      c -> r1.getAs[Long]("sq") / r1.getAs[Long]("n") // truncating micros
+    }
+    val drifted = shiftOf.values.exists(_ > shiftThreshold)
+    val cells1 =
+      if (drifted) assignCells(newCen, e, 1)
+      else cells0 // canary quiet: the store stays byte-untouched
+    val moved = cells0.withColumnRenamed("cell", "old_cell")
+      .join(cells1.withColumnRenamed("cell", "new_cell"), "vec_id")
+      .filter(col("old_cell") =!= col("new_cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = moved.select(col("old_cell").as("c"))
+      .unionByName(moved.select(col("new_cell").as("c")))
+      .distinct().as[Int].collect().sorted
+    if (touched.nonEmpty) {
+      val staged = touchedCellRows(spark, store, touched.toSeq)
+      val rewritten = staged
+        .join(moved.select("vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(staged.join(moved.select(col("vec_id"), col("new_cell")), Seq("vec_id"))
+          .withColumn("cell", col("new_cell")).drop("new_cell")
+          .select(staged.columns.map(col): _*))
+        .localCheckpoint(true)
+      overwriteCellsDynamic(spark, rewritten, store)
+      // dynamic overwrite only replaces partitions PRESENT in the frame:
+      // a cell that lost every member writes no rows, so its stale
+      // directory drops explicitly
+      val kept = rewritten.select("cell").distinct().as[Int].collect().toSet
+      dropCellDirs(spark, store, touched.filterNot(kept).toSeq)
+    }
+    spark.catalog.refreshByPath(store)
+    val after = spark.read.parquet(store)
+      .groupBy("cell").agg(count(lit(1)).as("n_after"))
+    val before = cells0.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val outs = moved.groupBy(col("old_cell").as("cell"))
+      .agg(count(lit(1)).as("n_out"))
+    val ins = moved.groupBy(col("new_cell").as("cell"))
+      .agg(count(lit(1)).as("n_in"))
+    val stats = byCell.keySet.toSeq.sorted
+      .map(c => (c, mu0Of(c), shiftOf(c))).toDF("cell", "mu0_micros", "shift")
+    val out = spark.range(pinned.length).select(col("id").cast("int").as("cell"))
+      .join(before, Seq("cell"), "left")
+      .join(outs, Seq("cell"), "left")
+      .join(ins, Seq("cell"), "left")
+      .join(after, Seq("cell"), "left")
+      .join(stats, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("mu0_micros"), col("shift"))
+      .orderBy("cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the 64-row report, then drop the caches
+    moved.unpersist()
+    out
+  }
+
+  private def overwriteCellsDynamic(spark: SparkSession, frame: DataFrame,
+      store: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try frame.write.mode("overwrite").partitionBy("cell").parquet(store)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def dropCellDirs(spark: SparkSession, store: String,
+      cells: Seq[Int]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    cells.foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$store/cell=$c"), true))
+  }
+
+  /** CENTROID REFRESH — the recluster lifecycle end to end: build the
+    * pinned-centroid store, consume the drift canary (it trips on this
+    * corpus: a single pinned vector sits ~0.7 L2 from its members'
+    * mean, well past the 0.5 threshold), migrate exactly the vectors whose max-cosine cell
+    * changes under the one-Lloyd-update centroids, and report per cell.
+    * The oracle replays the pinned assignment, the fixed-point means,
+    * the re-assignment against the recomputed centroids, and the
+    * migration counts — n_after comes from the REFRESHED store read
+    * back from disk, so a cell leak, a missed migrant, or a stale
+    * emptied directory flips a row red. */
+  def annRecluster(spark: SparkSession, dir: String): DataFrame = {
+    reclusterBuild(spark, dir)
+    reclusterApply(spark, dir)
+  }
+
+  // ------------------------------------------ IVF delete (tombstones)
+
+  private[graft] def ivfDeleteStore(dir: String): String =
+    s"${stagedIvfDir(dir)}-delete/cells"
+
+  /** BUILD phase of the delete lifecycle — the full corpus on the
+    * pinned first-64 centroid artifact, in the delete store. */
+  private[graft] def ivfDeleteBuild(spark: SparkSession, dir: String): String = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    ivfUpsertBuildWith(e, collectCentroids(e.filter(col("vec_id") < 64)),
+      ivfDeleteStore(dir))
+  }
+
+  /** DELETE path — the GDPR shape for the cell-partitioned serving
+    * store: the request carries only ids; their cells recompute from
+    * the corpus vectors under the PINNED centroid artifact (exactly the
+    * assignment the store was built with), the touched cells become a
+    * LITERAL partition filter, survivors rewrite via anti-join, and the
+    * commit is the same dynamic partition overwrite as
+    * [[annIvfUpsert]] — untouched cell directories keep their exact
+    * files, and a cell emptied by the delete drops its directory
+    * explicitly. Rewrite volume is bounded by the touched cells. */
+  private[graft] def ivfDeleteApply(spark: SparkSession, deleted: DataFrame,
+      centroids: Array[Array[Double]], store: String): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val delCells = assignCells(centroids, deleted, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = delCells.select("cell").distinct().as[Int].collect().sorted
+    if (touched.isEmpty) { delCells.unpersist(); return }
+    val rewritten = touchedCellRows(spark, store, touched.toSeq)
+      .join(delCells.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    delCells.unpersist()
+    overwriteCellsDynamic(spark, rewritten, store)
+    val kept = rewritten.select("cell").distinct().as[Int].collect().toSet
+    dropCellDirs(spark, store, touched.filterNot(kept).toSeq)
+  }
+
+  /** IVF DELETE lifecycle: build the full-corpus pinned-centroid store,
+    * remove the vec_id % 9 == 4 cohort (ids only — the vectors are
+    * looked up for cell recomputation, never trusted for membership),
+    * then serve from the post-delete store. The search shares the
+    * staged-IVF oracle with the removed ids excluded on BOTH query and
+    * neighbor sides while centroids stay pinned to the full build
+    * corpus (deleting a centroid's source vector does not move the
+    * cells — the index contract). Untouched-cell byte identity is
+    * spec-asserted. */
+  def annIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val store = ivfDeleteBuild(spark, dir)
+    ivfDeleteApply(spark, e.filter(col("vec_id") % 9 === 4),
+      collectCentroids(e.filter(col("vec_id") < 64)), store)
+    spark.catalog.refreshByPath(store)
+    searchStagedCells(spark, store)
+  }
+
   /** PRODUCT-QUANTIZATION top-k — the byte-code scale path that completes
     * the compression ladder (full 64×8B → int8 64B → PQ 7B per vector):
     * the 64-dim space splits into m=8 subspaces of 8 dims, each with a

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimilarityOps
+
+/** Round-13 lifecycle specs: the IVF centroid-refresh (recluster) and
+  * delete/tombstone paths must rewrite ONLY the touched cell partitions —
+  * untouched cell directories keep their exact files (the StreamPublish
+  * byte-identity discipline applied to index maintenance), and the store
+  * state after each pass is exactly the declared membership.
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.sources.Tables.nanosAsLongConf, "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Per-file (relative path → (size, md5)) snapshot of a store dir. */
+  private def snapshot(root: String): Map[String, (Long, String)] = {
+    val base = java.nio.file.Paths.get(root)
+    val w = Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          ((Files.size(p),
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(
+              Files.readAllBytes(p)))))
+        .toMap
+    } finally w.close()
+  }
+
+  private def cellOf(rel: String): String = rel.takeWhile(_ != '/')
+
+  test("recluster rewrites only the cells the migration touches (byte identity)") {
+    val store = SimilarityOps.reclusterBuild(spark, dir)
+    val before = snapshot(store)
+    val report = SimilarityOps.reclusterApply(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_out"),
+          r.getAs[Long]("n_in"), r.getAs[Long]("n_after")))).toMap
+    val after = snapshot(store)
+    val moved = report.filter { case (_, (_, out, in, _)) => out > 0 || in > 0 }
+    assert(moved.nonEmpty, "the drift canary must trip and migrate on this corpus")
+    // migration conserves membership and the report balances per cell
+    assert(report.values.map(_._1).sum == report.values.map(_._4).sum,
+      "recluster must conserve the corpus")
+    report.foreach { case (c, (nb, out, in, na)) =>
+      assert(na == nb - out + in, s"cell $c report does not balance")
+    }
+    val touchedCells = moved.keySet.map(c => s"cell=$c")
+    // untouched cell partitions keep their exact files
+    val beforeUntouched = before.filterNot(kv => touchedCells(cellOf(kv._1)))
+    val afterUntouched = after.filterNot(kv => touchedCells(cellOf(kv._1)))
+    assert(beforeUntouched == afterUntouched,
+      "an untouched cell partition changed bytes under recluster")
+    // every touched cell was actually rewritten (or dropped when emptied)
+    touchedCells.foreach { c =>
+      val b = before.filter(kv => cellOf(kv._1) == c)
+      val a = after.filter(kv => cellOf(kv._1) == c)
+      assert(b != a, s"touched partition $c kept identical files")
+    }
+    // the refreshed store serves exactly the reported membership
+    spark.catalog.refreshByPath(store)
+    val served = spark.read.parquet(store).groupBy("cell").count().collect()
+      .map(r => r.getAs[Int]("cell").toLong -> r.getAs[Long]("count")).toMap
+    report.foreach { case (c, (_, _, _, na)) =>
+      assert(served.getOrElse(c, 0L) == na,
+        s"cell $c serves ${served.getOrElse(c, 0L)} rows, report says $na")
+    }
+  }
+
+  test("ivf delete rewrites only the deleted ids' cells (byte identity)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = SimilarityOps.ivfDeleteBuild(spark, dir)
+    val before = snapshot(store)
+    val all = spark.read.parquet(store)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val doomed = e.filter(col("vec_id") % 9 === 4)
+    val doomedIds = doomed.select("vec_id").as[Long].collect().toSet
+    assert(doomedIds.nonEmpty)
+    SimilarityOps.ivfDeleteApply(spark, doomed,
+      SimilarityOps.collectCentroids(e.filter(col("vec_id") < 64)), store)
+    val after = snapshot(store)
+    val touchedCells = doomedIds.map(id => s"cell=${all(id)}")
+    val beforeUntouched = before.filterNot(kv => touchedCells(cellOf(kv._1)))
+    val afterUntouched = after.filterNot(kv => touchedCells(cellOf(kv._1)))
+    assert(beforeUntouched == afterUntouched,
+      "an untouched cell partition changed bytes under delete")
+    // the post-delete store holds exactly the survivors
+    spark.catalog.refreshByPath(store)
+    val servedIds = spark.read.parquet(store)
+      .select("vec_id").as[Long].collect().toSet
+    assert((servedIds & doomedIds).isEmpty, "a deleted id survived in the store")
+    assert(servedIds == all.keySet -- doomedIds,
+      "delete dropped or duplicated a survivor")
+  }
+}
