@@ -247,6 +247,10 @@ object SparkEntry {
       (graft.streaming.CurationStream.tokenizedStoreIncrementalQuery _),
     // streaming CROSS-MODAL gate: text funnel composed with the media
     // property gates and the accreting perceptual claim store per batch
+    // claim retention: epoch-stamped claims, guardrailed sweep at the
+    // horizon — aged-out classes re-admit, in-horizon classes reject
+    "q_claim_retention" ->
+      (graft.streaming.CurationStream.claimRetentionQuery _),
     "q_curation_multimodal_stream" ->
       (graft.streaming.CurationStream.curationMultimodalStreamQuery _),
     // the composed gate driving the incremental curated store — the full
@@ -3550,6 +3554,19 @@ object SparkEntry {
     // in arrival order — batch 0 (even ids) claims every loudness hash
     // against an empty store, batch 1 (odd ids) is judged against
     // exactly those fingerprints, brute-force pairwise at radius 7.
+    // Retention sweep: epoch = doc parity; the sweep keeps epoch >= 1,
+    // so a class only even docs carry loses every claim (re-admits) and
+    // a class any odd doc carries keeps exactly its epoch-1 claim.
+    "q_claim_retention" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         agg AS (SELECT fp,
+             MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS has0,
+             MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS has1
+           FROM f GROUP BY fp)
+         SELECT fp, CAST(has0 + has1 AS BIGINT) AS n_claims_before,
+           CAST(has1 AS BIGINT) AS n_claims_after,
+           (has1 = 0) AS re_admits
+         FROM agg ORDER BY fp""",
     "q_curation_multimodal_stream" ->
       """WITH t AS (SELECT doc_id, text,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words

@@ -256,6 +256,34 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * through [[maybeCompact]]'s leveled policy. */
   def compact(spark: SparkSession, empty: DataFrame): Unit = { major(spark, empty); () }
 
+  /** RETENTION sweep — the staleness discipline (the publisher's tagged
+    * sweep, `operators/Publish.scala`) applied to claim stores: claims
+    * carry a batch epoch stamped at append, and this offline pass folds
+    * the store KEEPING only claims with `epochCol >= minEpoch`, so a
+    * fingerprint whose every claim aged out re-admits (the intended
+    * semantic — without it a multi-year stream's monotone claim set
+    * grows forever) while in-horizon claims keep rejecting. The sweep
+    * is guardrail-aborted BEFORE any rewrite when it would drop more
+    * than `maxDropFrac` of the store — a mis-set horizon (or a clock
+    * bug feeding epoch 0s) must fail loudly, not silently empty the
+    * dedup state. Runs as a major fold, so the swept store lands in the
+    * pruned serving layout; returns the claim rows dropped. */
+  def retentionSweep(spark: SparkSession, empty: DataFrame, minEpoch: Long,
+      maxDropFrac: Double, epochCol: String = "epoch"): Long = {
+    val counted = read(spark, empty).distinct()
+      .agg(count(lit(1)).as("total"),
+        count(when(col(epochCol) < minEpoch, 1)).as("doomed"))
+      .collect()(0)
+    val (total, doomed) = (counted.getLong(0), counted.getLong(1))
+    if (total == 0L || doomed == 0L) return 0L
+    if (doomed.toDouble / total > maxDropFrac)
+      throw new IllegalStateException(
+        s"retention sweep on $dir would drop $doomed of $total claims " +
+          s"(> $maxDropFrac) — refusing; raise the guardrail to proceed")
+    major(spark, empty, keep = Some(col(epochCol) >= minEpoch))
+    doomed
+  }
+
   /** MAJOR fold: everything → one fresh `gen=N` (laid out on
     * `partitionCol` when set), atomically swap CURRENT at it, then drop
     * dead generations, consumed runs, and consumed deltas. Run between
@@ -263,7 +291,8 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * races the fold; a crash at any point loses nothing (claims are a
     * monotone set and every pre-swap byte stays where a restarted
     * reader finds it). */
-  private def major(spark: SparkSession, empty: DataFrame): Long = {
+  private def major(spark: SparkSession, empty: DataFrame,
+      keep: Option[org.apache.spark.sql.Column] = None): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
     sweepDeadRuns()
@@ -278,7 +307,7 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     val next = s"$dir/$nextName"
     val consumedDeltas = deltaFiles
     val consumedRuns = listRuns()
-    val folded = read(spark, empty).distinct()
+    val folded = keep.foldLeft(read(spark, empty))(_ filter _).distinct()
     partitionCol match {
       case Some(pc) =>
         // one shuffle keyed on the probe key → at most one file per

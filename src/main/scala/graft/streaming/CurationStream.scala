@@ -575,6 +575,46 @@ object CurationStream {
     } finally fx.evalSh.unpersist()
   }
 
+  /** Oracle-gated query for the CLAIM RETENTION sweep: the text exact-md5
+    * claim classes land in a pruned-layout [[ClaimStore]] stamped with a
+    * batch epoch (the two-batch parity arrival — even doc_ids claim at
+    * epoch 0, odd at epoch 1), then [[ClaimStore.retentionSweep]] folds
+    * the store keeping only epoch >= 1 under the drop-fraction guardrail.
+    * The output compares each fingerprint's claim count before and after:
+    * a class claimed ONLY by the aged-out epoch re-admits (the retention
+    * semantic), a class any in-horizon batch claimed keeps rejecting. The
+    * oracle replays the parity split and the sweep relationally, so a
+    * sweep that drops an in-horizon claim, keeps an aged one, or loses a
+    * class entirely flips a row red. */
+  def claimRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-claim-retention")
+    graft.sources.TmpStores.deleteRecursively(root.resolve("store"))
+    val st = ClaimStore(root.resolve("store").toString, partitionCol = Some("pk"))
+    def empty = Seq.empty[(Int, String, Long)].toDF("pk", "fp", "epoch")
+    val f = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    def claims(parity: Int) = f.filter(col("doc_id") % 2 === parity)
+      .select(col("fp")).distinct()
+      .select((crc32(col("fp")) % 2048).cast("int").as("pk"),
+        col("fp"), lit(parity.toLong).as("epoch"))
+    st.appendDelta(claims(0))
+    st.appendDelta(claims(1))
+    // pre-sweep counts must be lineage-free: the sweep rewrites the very
+    // files this frame reads
+    val pre = st.read(spark, empty).groupBy("fp")
+      .agg(count(lit(1)).as("n_claims_before"))
+      .localCheckpoint(true)
+    st.retentionSweep(spark, empty, minEpoch = 1L, maxDropFrac = 0.9)
+    val post = st.read(spark, empty).groupBy("fp")
+      .agg(count(lit(1)).as("n_claims_after"))
+    pre.join(post, Seq("fp"), "left")
+      .select(col("fp"), col("n_claims_before"),
+        coalesce(col("n_claims_after"), lit(0L)).as("n_claims_after"))
+      .withColumn("re_admits", col("n_claims_after") === 0L)
+      .orderBy("fp")
+  }
+
   /** Oracle-gated query for the STREAMING CROSS-MODAL gate: the same
     * two-batch arrival as [[curationStreamQuery]] with `mediaGate` on —
     * each doc's assets decode per batch, the image/audio/video property

@@ -110,4 +110,37 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(servedIds == all.keySet -- doomedIds,
       "delete dropped or duplicated a survivor")
   }
+
+  test("claim retention: aged claims re-admit, in-horizon reject, guardrail aborts") {
+    import graft.streaming.ClaimStore
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory(
+      graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-retention")
+    def empty = Seq.empty[(Int, String, Long)].toDF("pk", "fp", "epoch")
+    val st = ClaimStore(root.resolve("a").toString, partitionCol = Some("pk"))
+    st.appendDelta(Seq((1, "aged", 0L), (2, "fresh", 1L)).toDF("pk", "fp", "epoch"))
+    assert(st.retentionSweep(spark, empty, minEpoch = 1L, maxDropFrac = 0.6) == 1L)
+    val kept = st.read(spark, empty).select("fp").as[String].collect().toSet
+    // the swept class re-admits (its claim is gone); in-horizon rejects
+    assert(kept == Set("fresh"),
+      s"sweep must drop exactly the aged class, kept $kept")
+    // a claim re-entering AFTER the sweep claims again at a new epoch
+    st.append(spark, Seq((1, "aged", 2L)).toDF("pk", "fp", "epoch"))
+    assert(st.read(spark, empty).count() == 2L)
+    // guardrail: a sweep that would drop over the fraction refuses and
+    // leaves the store byte-untouched
+    val st2 = ClaimStore(root.resolve("b").toString, partitionCol = Some("pk"))
+    st2.appendDelta(Seq((1, "a", 0L), (2, "b", 0L), (3, "c", 0L), (4, "d", 1L))
+      .toDF("pk", "fp", "epoch"))
+    st2.compact(spark, empty)
+    val before = spark.read.parquet(
+      graft.sources.Stage.currentTarget(root.resolve("b").toString).get).count()
+    intercept[IllegalStateException] {
+      st2.retentionSweep(spark, empty, minEpoch = 1L, maxDropFrac = 0.5)
+    }
+    assert(st2.read(spark, empty).count() == before,
+      "an aborted sweep must leave every claim in place")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
 }
