@@ -247,6 +247,10 @@ object SparkEntry {
       (graft.streaming.CurationStream.tokenizedStoreIncrementalQuery _),
     // streaming CROSS-MODAL gate: text funnel composed with the media
     // property gates and the accreting perceptual claim store per batch
+    // per-batch stream funnel: the batch build's drop-accounting emitted
+    // per micro-batch, replay-safe via tuple-max resolution
+    "q_curation_stream_funnel" ->
+      (graft.streaming.CurationStream.curationStreamFunnelQuery _),
     // claim retention: epoch-stamped claims, guardrailed sweep at the
     // horizon — aged-out classes re-admit, in-horizon classes reject
     "q_claim_retention" ->
@@ -3554,6 +3558,137 @@ object SparkEntry {
     // in arrival order — batch 0 (even ids) claims every loudness hash
     // against an empty store, batch 1 (odd ids) is judged against
     // exactly those fingerprints, brute-force pairwise at radius 7.
+    // Per-batch stream funnel: the mm stream chain per parity batch,
+    // folded into the 8-stage drop-accounting (text chain, three media
+    // property gates, perceptual novelty) — counts and token sums.
+    "q_curation_stream_funnel" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, n_words, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         sm AS (SELECT d.doc_id, ABS((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS a
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+         pk AS (SELECT doc_id, MAX(a) AS peak FROM sm GROUP BY doc_id),
+         bk AS (SELECT sm.doc_id, (sm.a * 64) // pk.peak AS b
+           FROM sm JOIN pk USING (doc_id)),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bk GROUP BY doc_id, b),
+         grid AS (SELECT d.doc_id, g.k FROM d,
+           LATERAL (SELECT unnest(range(65)) AS k) g),
+         fullc AS (SELECT grid.doc_id, grid.k, COALESCE(cnts.c, 0) AS c
+           FROM grid LEFT JOIN cnts
+             ON cnts.doc_id = grid.doc_id AND cnts.b = grid.k),
+         bits AS (SELECT a.doc_id, CAST(a.k AS INT) AS bi
+           FROM fullc a JOIN fullc b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k < 64 AND b.c > a.c),
+         ah AS (SELECT d.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                    ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS ahash
+           FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+         med AS (SELECT documents.doc_id,
+             (16 + documents.doc_id % 48 >= 32
+               AND 16 + documents.doc_id % 32 >= 24) AS img_ok,
+             ((64 + documents.doc_id % 128) * 1000000 // 8000 >= 12000
+               AND pk.peak >= 200) AS audio_ok,
+             (documents.doc_id % 5 >= 1 AND documents.doc_id % 16 >= 4
+               AND documents.doc_id % 12 >= 4) AS video_ok
+           FROM documents JOIN pk ON pk.doc_id = documents.doc_id),
+         mdup AS (SELECT o.doc_id FROM ah o JOIN ah e
+             ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+               AND bit_count(xor(o.ahash, e.ahash)) <= 7
+           GROUP BY o.doc_id),
+         vsig AS (SELECT doc_id, array_to_string(
+             list_transform(range(0, 2 + doc_id % 5),
+               f -> ((doc_id * 13 + (f + 1) * 29) % 224)
+                  - ((doc_id * 13 + f * 29) % 224)), ',') AS sig
+           FROM documents),
+         vdup AS (SELECT o.doc_id FROM vsig o JOIN vsig e
+             ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0 AND o.sig = e.sig
+           GROUP BY o.doc_id),
+         w AS (SELECT doc_id, n_words, fp, keep_quality,
+             (doc_id % 2) * 1000000000 + doc_id AS wk
+           FROM f),
+         fl AS (SELECT w.doc_id, w.n_words, w.keep_quality,
+             (w.keep_quality AND w.wk <>
+               MIN(CASE WHEN w.keep_quality THEN w.wk END)
+                 OVER (PARTITION BY w.fp)) AS is_dup,
+             (cont.doc_id IS NOT NULL) AS is_contaminated
+           FROM w LEFT JOIN cont ON w.doc_id = cont.doc_id),
+         base AS (SELECT fl.doc_id % 2 AS batch_id, fl.n_words,
+             fl.keep_quality AS r1,
+             (fl.keep_quality AND NOT fl.is_dup) AS r2,
+             (fl.keep_quality AND NOT fl.is_dup AND NOT fl.is_contaminated) AS r3,
+             med.img_ok, med.audio_ok, med.video_ok,
+             (mdup.doc_id IS NOT NULL) AS media_dup,
+             (vdup.doc_id IS NOT NULL) AS video_dup
+           FROM fl
+           JOIN med ON med.doc_id = fl.doc_id
+           LEFT JOIN mdup ON mdup.doc_id = fl.doc_id
+           LEFT JOIN vdup ON vdup.doc_id = fl.doc_id),
+         st AS (SELECT batch_id, n_words, r1, r2, r3,
+             (r3 AND img_ok) AS s4,
+             (r3 AND img_ok AND audio_ok) AS s5,
+             (r3 AND img_ok AND audio_ok AND video_ok) AS s6,
+             (r3 AND img_ok AND audio_ok AND video_ok
+               AND NOT media_dup AND NOT video_dup) AS s7
+           FROM base),
+         agg AS (SELECT batch_id,
+             CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(n_words) AS BIGINT) AS t0,
+             CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN r1 THEN n_words ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN r2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(SUM(CASE WHEN r3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(SUM(CASE WHEN s4 THEN n_words ELSE 0 END) AS BIGINT) AS t4,
+             CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+             CAST(SUM(CASE WHEN s5 THEN n_words ELSE 0 END) AS BIGINT) AS t5,
+             CAST(SUM(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+             CAST(SUM(CASE WHEN s6 THEN n_words ELSE 0 END) AS BIGINT) AS t6,
+             CAST(SUM(CASE WHEN s7 THEN 1 ELSE 0 END) AS BIGINT) AS d7,
+             CAST(SUM(CASE WHEN s7 THEN n_words ELSE 0 END) AS BIGINT) AS t7
+           FROM st GROUP BY batch_id)
+         SELECT CAST(batch_id AS BIGINT) AS batch_id, stage, n_docs, n_tokens FROM (
+           SELECT batch_id, '00_ingest' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+           UNION ALL SELECT batch_id, '01_quality', d1, t1 FROM agg
+           UNION ALL SELECT batch_id, '02_dedup', d2, t2 FROM agg
+           UNION ALL SELECT batch_id, '03_decontam', d3, t3 FROM agg
+           UNION ALL SELECT batch_id, '04_media_image', d4, t4 FROM agg
+           UNION ALL SELECT batch_id, '05_media_audio', d5, t5 FROM agg
+           UNION ALL SELECT batch_id, '06_media_video', d6, t6 FROM agg
+           UNION ALL SELECT batch_id, '07_media_novel', d7, t7 FROM agg)
+         ORDER BY batch_id, stage""",
     // Retention sweep: epoch = doc parity; the sweep keeps epoch >= 1,
     // so a class only even docs carry loses every claim (re-admits) and
     // a class any odd doc carries keeps exactly its epoch-1 claim.

@@ -366,6 +366,65 @@ object CurationStream {
           try {
             verdict.drop("fp")
               .write.mode(SaveMode.Append).parquet(outDir)
+            // PER-BATCH FUNNEL — the drop-accounting the batch build
+            // emits (curationMultimodal's stage discipline), one frame
+            // per micro-batch: text stages always; the three media
+            // property stages and the perceptual-novelty stage when the
+            // media gate is on. At-least-once: a REPLAYED batch sees its
+            // own claims and undercounts the dedup-and-after stages, so
+            // the read side resolves per (batch_id, stage) by the
+            // tuple-MAX delivery (the original; counts only shrink on
+            // replay) — the StreamVerdicts discipline on aggregates.
+            locally {
+              val fv = verdict
+                .join(b.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+              def cnt(c: org.apache.spark.sql.Column) =
+                sum(when(c, 1L).otherwise(0L))
+              def tok(c: org.apache.spark.sql.Column) =
+                sum(when(c, col("n_words")).otherwise(0L))
+              val r1 = col("keep_quality")
+              val r2 = r1 && !col("is_dup")
+              val r3 = r2 && !col("is_contaminated")
+              val one =
+                if (mediaGate) {
+                  val s4 = r3 && col("img_ok")
+                  val s5 = s4 && col("audio_ok")
+                  val s6 = s5 && col("video_ok")
+                  val s7 = s6 && !col("media_dup") && !col("video_dup")
+                  fv.agg(count(lit(1)).as("d0"), sum(col("n_words")).as("t0"),
+                    cnt(r1).as("d1"), tok(r1).as("t1"),
+                    cnt(r2).as("d2"), tok(r2).as("t2"),
+                    cnt(r3).as("d3"), tok(r3).as("t3"),
+                    cnt(s4).as("d4"), tok(s4).as("t4"),
+                    cnt(s5).as("d5"), tok(s5).as("t5"),
+                    cnt(s6).as("d6"), tok(s6).as("t6"),
+                    cnt(s7).as("d7"), tok(s7).as("t7"))
+                    .select(expr(
+                      """stack(8,
+                           '00_ingest', d0, t0,
+                           '01_quality', d1, t1,
+                           '02_dedup', d2, t2,
+                           '03_decontam', d3, t3,
+                           '04_media_image', d4, t4,
+                           '05_media_audio', d5, t5,
+                           '06_media_video', d6, t6,
+                           '07_media_novel', d7, t7) AS (stage, n_docs, n_tokens)"""))
+                } else
+                  fv.agg(count(lit(1)).as("d0"), sum(col("n_words")).as("t0"),
+                    cnt(r1).as("d1"), tok(r1).as("t1"),
+                    cnt(r2).as("d2"), tok(r2).as("t2"),
+                    cnt(r3).as("d3"), tok(r3).as("t3"))
+                    .select(expr(
+                      """stack(4,
+                           '00_ingest', d0, t0,
+                           '01_quality', d1, t1,
+                           '02_dedup', d2, t2,
+                           '03_decontam', d3, t3) AS (stage, n_docs, n_tokens)"""))
+              one.withColumn("batch_id", lit(batchId))
+                .select("batch_id", "stage", "n_docs", "n_tokens")
+                .coalesce(1)
+                .write.mode(SaveMode.Append).parquet(s"${outDir}_funnel")
+            }
             // incremental curated store: this batch's admitted docs rank
             // among themselves by the md5 training order, offset by the
             // store's current size, and append as shard TAILS — no
@@ -481,7 +540,7 @@ object CurationStream {
   private def streamFixture(spark: SparkSession, dir: String,
       tag: String, extra: Seq[String] = Seq.empty): StreamFixture = {
     val root = graft.sources.TmpStores.pidScopedRoot(tag)
-    (Seq("in", "out", "out_fps", "ckpt") ++ extra).foreach(d =>
+    (Seq("in", "out", "out_fps", "out_funnel", "ckpt") ++ extra).foreach(d =>
       graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
     val in = root.resolve("in").toString
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
@@ -572,6 +631,31 @@ object CurationStream {
       spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
         .tokenShardManifest(spark, spark.read.parquet(store), 4)
+    } finally fx.evalSh.unpersist()
+  }
+
+  /** Oracle-gated query for the PER-BATCH STREAM FUNNEL: the two-batch
+    * multimodal arrival with the gate's drop-accounting resolved per
+    * (batch_id, stage) — batch 0 (even ids) funnels against empty claim
+    * stores, batch 1 (odd ids) against exactly the batch-0 claims, so
+    * every stage count replays relationally: the text chain per parity,
+    * the three media property gates, and the perceptual-novelty stage
+    * (pairwise odd-vs-even loudness Hamming + video signature equality).
+    * Read-side resolution is the tuple-MAX delivery per row — a replay
+    * only ever undercounts (it sees its own claims), so the maximum is
+    * the pre-claim truth and doc/token counts resolve from the SAME
+    * delivery. */
+  def curationStreamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fx = streamFixture(spark, dir, "graft-curation-funnel",
+      Seq("out_mfps", "out_vmfps"))
+    try {
+      run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
+      spark.read.parquet(s"${fx.out}_funnel")
+        .groupBy("batch_id", "stage")
+        .agg(max(struct(col("n_docs"), col("n_tokens"))).as("_m"))
+        .select(col("batch_id"), col("stage"),
+          col("_m.n_docs").as("n_docs"), col("_m.n_tokens").as("n_tokens"))
+        .orderBy("batch_id", "stage")
     } finally fx.evalSh.unpersist()
   }
 
