@@ -15,10 +15,13 @@ import graft.sources.Tables
   * pinned centroid artifact (scale-invariant, so a rescaled copy of a
   * claimed vector lands in its parent's cell — recall is structural for
   * the planted twins), the batch probes the ACCRETING claim store
-  * CELL-PRUNED, exact cosine verifies at the SemDeDup threshold, and
-  * every novel vector claims (cell, vec_id, v) before the checkpoint
+  * CELL-PRUNED on int8-dequantized codes (threshold − margin), exact
+  * cosine verifies the shortlist at the SemDeDup threshold against the
+  * full-precision corpus vectors, and every novel vector claims
+  * (cell, vec_id, int8 codes + affine params) before the checkpoint
   * commits — a near-duplicate embedding of anything the stream ever
-  * admitted is rejected, across micro-batches AND restarts.
+  * admitted is rejected, across micro-batches AND restarts, with a
+  * claim store 8× smaller than full-precision payloads.
   *
   * The claim store IS the serving layout: the same cell-partitioned
   * vector store `SimilarityOps.annIvfUpsert` maintains batch-side, here
@@ -33,16 +36,31 @@ import graft.sources.Tables
   *
   * At 100 TB: the centroid artifact is k×d driver-side, assignment is a
   * narrow map, the probe is a cell equi-join against a pruned read, and
-  * claims carry the vector itself — the store doubles as the
-  * incremental ANN serving index. At-least-once: the
+  * claims carry int8 codes — the store doubles as the incremental
+  * QUANTIZED ANN serving index (`annIvfTopKStaged`'s payload), and the
+  * full-precision fetch touches only the shortlist. At-least-once: the
   * [[StreamVerdicts]] read contract resolves replays. */
 object EmbedDedupStream {
 
-  /** Claim rows: pk = IVF cell (≤ 64 values), the probe key. */
+  /** Claim rows: pk = IVF cell (≤ 64 values), the probe key; the vector
+    * payload is INT8 — affine codes (one byte per coordinate) plus the
+    * (vmin, scale) params, the `SimilarityOps` quantization scheme — so
+    * the accreting claim store carries 8× fewer payload bytes than
+    * full-precision doubles. Verification at the SemDeDup threshold
+    * happens at FULL precision, but only on the shortlist the int8
+    * probe admits. */
   private def emptyClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, Long, Seq[Double])].toDF("pk", "claim_id", "cv")
+    Seq.empty[(Int, Long, Array[Byte], Double, Double)]
+      .toDF("pk", "claim_id", "codes", "vmin", "scale")
   }
+
+  /** The int8 probe admits candidates down to threshold − margin; the
+    * full-precision verify then decides at the threshold itself. The
+    * margin comfortably covers the affine scheme's cosine error on
+    * 64-dim vectors (≲1e-3); a shortlist miss would flip the oracle
+    * red. */
+  private val ShortlistMargin = 0.02
 
   /** Per-batch gate over (vec_id, orig_id, kind, v) rows: assign cells →
     * pruned claim probe → exact-cosine verify at `threshold` → verdict
@@ -73,13 +91,30 @@ object EmbedDedupStream {
           celled.count()
           try {
             val touched = celled.select("pk").distinct().as[Int].collect().toSeq
+            // int8 SHORTLIST: dequantize the pruned claims (a narrow map
+            // over touched cells + the delta budget) and admit candidates
+            // at threshold − margin on the approximate cosine …
+            val claimedDv = store.readPruned(spark, emptyClaims(spark), touched)
+              .as[(Int, Long, Array[Byte], Double, Double)]
+              .map { case (pk, id, codes, vmin, scale) =>
+                (pk, id,
+                  codes.toSeq.map(b => (b.toInt + 128) * scale + vmin))
+              }
+              .toDF("pk", "claim_id", "dv")
             val matches = celled
-              .join(store.readPruned(spark, emptyClaims(spark), touched),
-                Seq("pk"))
-              .select("vec_id", "claim_id", "v", "cv")
+              .join(claimedDv, Seq("pk"))
+              .select("vec_id", "claim_id", "v", "dv")
               // crash-redelivered claim rows are identical — collapse
               // per pair so n_matches counts claims, not deliveries
               .dropDuplicates("vec_id", "claim_id")
+              .filter(SimilarityOps.cosine(col("v"), col("dv"))
+                >= threshold - ShortlistMargin)
+              // … then verify ONLY the shortlist at FULL precision: the
+              // claimed vectors come back from the corpus store, so the
+              // verdict expression is identical to the full-precision
+              // gate's — the claim store shrank, the verdicts did not
+              .join(vectors.select(col("vec_id").as("claim_id"),
+                col("v").as("cv")), Seq("claim_id"))
               .filter(SimilarityOps.cosine(col("v"), col("cv")) >= threshold)
               .groupBy("vec_id")
               .agg(count(lit(1)).as("n_matches"),
@@ -94,14 +129,36 @@ object EmbedDedupStream {
             verdict.count()
             try {
               verdict.write.mode(SaveMode.Append).parquet(outDir)
-              // novel vectors claim their (cell, vector) BEFORE the
-              // checkpoint commits — the store grows into exactly the
-              // cell-partitioned ANN serving layout
+              // novel vectors claim their (cell, int8 codes, affine
+              // params) BEFORE the checkpoint commits — the store grows
+              // into exactly the cell-partitioned QUANTIZED serving
+              // layout (`annIvfTopKStaged`'s payload, claim-store bones)
               store.append(spark, celled
                 .join(verdict.filter(col("admitted")).select("vec_id"),
                   Seq("vec_id"))
-                .select(col("pk"), col("vec_id").as("claim_id"),
-                  col("v").as("cv")))
+                .select(col("pk"), col("vec_id").as("claim_id"), col("v"))
+                .as[(Int, Long, Seq[Double])]
+                .map { case (pk, id, v) =>
+                  val arr = v.toArray
+                  var vmin = Double.MaxValue
+                  var vmax = Double.MinValue
+                  var i = 0
+                  while (i < arr.length) {
+                    if (arr(i) < vmin) vmin = arr(i)
+                    if (arr(i) > vmax) vmax = arr(i)
+                    i += 1
+                  }
+                  val scale = if (vmax > vmin) (vmax - vmin) / 255.0 else 1.0
+                  val codes = new Array[Byte](arr.length)
+                  i = 0
+                  while (i < arr.length) {
+                    codes(i) = (math.floor((arr(i) - vmin) / scale + 0.5)
+                      .toInt - 128).toByte
+                    i += 1
+                  }
+                  (pk, id, codes, vmin, scale)
+                }
+                .toDF("pk", "claim_id", "codes", "vmin", "scale"))
             } finally verdict.unpersist()
           } finally celled.unpersist()
         } finally vecs.unpersist()

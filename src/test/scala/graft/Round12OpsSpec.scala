@@ -384,9 +384,10 @@ class Round12OpsSpec extends AnyFunSuite {
     gate(p("in2"), p("ckpt2"))
     assert(verdicts()(102L) == ((false, 1L)),
       "a rescale of an ever-claimed vector must reject after restart")
-    // the claim store is laid out on the cell probe key
+    // the claim store is laid out on the cell probe key (int8 payload)
     val claims = graft.streaming.ClaimStore(p("out") + "_vfps", Some("pk"))
-      .read(spark, Seq.empty[(Int, Long, Seq[Double])].toDF("pk", "claim_id", "cv"))
+      .read(spark, Seq.empty[(Int, Long, Array[Byte], Double, Double)]
+        .toDF("pk", "claim_id", "codes", "vmin", "scale"))
       .collect()
     assert(claims.map(_.getAs[Long]("claim_id")).sorted.toSeq == Seq(1L, 2L),
       "exactly the two novel vectors claim")

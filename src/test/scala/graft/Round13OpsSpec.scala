@@ -143,4 +143,46 @@ class Round13OpsSpec extends AnyFunSuite {
       "an aborted sweep must leave every claim in place")
     graft.sources.TmpStores.deleteRecursively(root)
   }
+
+  test("quantized embed claims: verdicts equal the full-precision twin, store is int8") {
+    import graft.streaming.EmbedDedupStream
+    val spark0 = spark
+    import spark0.implicits._
+    // the gate under its real two-batch fixture, int8 claim store inside
+    val got = EmbedDedupStream.embedDedupStreamQuery(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("admitted"), r.getAs[Long]("n_matches")))).toMap
+    // the FULL-PRECISION twin, replayed driver-side: batch-1 vectors
+    // (odd ids + rescaled twins) against the batch-0 (even orig) set at
+    // exact double cosine — the verdict the quantized shortlist must
+    // reproduce exactly
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap.map { case (k, v) => k -> v.toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val batch0 = e.keys.filter(_ % 2 == 0).toSeq.sorted
+    got.foreach { case (id, (admitted, n)) =>
+      val v = if (id >= 1000000L) e(id - 1000000L).map(_ * 2) else e(id)
+      val inBatch1 = id % 2 == 1 || id >= 1000000L
+      val expectedMatches =
+        if (!inBatch1) 0L
+        else batch0.count(b => cos(v, e(b)) >= 0.99).toLong
+      assert(admitted == (expectedMatches == 0L) && n == expectedMatches,
+        s"vec $id: got (admitted=$admitted, n=$n), full-precision twin says $expectedMatches")
+    }
+    // the store on disk carries int8 codes + affine params, no doubles
+    val store = graft.sources.TmpStores.pidScopedRoot("graft-embeddedup")
+      .resolve("out_vfps").toString
+    val schema = spark.read.parquet(s"$store/delta").schema
+    assert(schema("codes").dataType == org.apache.spark.sql.types.BinaryType,
+      s"claim payload must be int8 bytes, got ${schema("codes").dataType}")
+    assert(!schema.fields.exists(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType]),
+      "no full-precision vector column may remain in the claim store")
+  }
 }
