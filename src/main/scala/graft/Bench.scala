@@ -138,6 +138,17 @@ object Bench {
       .map { case (k, r) =>
         jstr(k) + ":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
       }.mkString("{", ",", "}")
+    // the median normalization cannot distinguish correlated box load
+    // from a shared-code regression that slows MOST queries together —
+    // such a change scales the tripwire bar up by itself. Surface any
+    // across-the-board shift explicitly instead of silently normalizing
+    // it away: the reader must rerun isolated (load) or diff the shared
+    // helpers (regression) before trusting this capture.
+    val shiftWarning: Option[String] =
+      if (runShift <= 1.3) None
+      else Some(String.format(java.util.Locale.ROOT,
+        "run_shift %.2f > 1.30: most queries slowed together - box load or a shared-code regression; rerun isolated before trusting per-query values",
+        Double.box(runShift)))
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val coldJson = cold.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
     val cvJson = cv.map { case (k, v) => jstr(k) + ":" + jnum(v) }.mkString("{", ",", "}")
@@ -145,7 +156,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val filterJson = only.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"run_shift":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(runShift))},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"run_shift":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(runShift))}${shiftWarning.map(w => s""","run_shift_warning":${jstr(w)}""").getOrElse("")},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
     // stdout tails get truncated by log capture (~2 KB window) — the full
     // per-query artifact (~16 KB) lives ONLY in the file; stdout gets a
     // compact summary as the FINAL line so a tail-parser always sees a
@@ -163,7 +174,7 @@ object Bench {
     val detailJson = if (writeError.isEmpty) jstr(outFile) else "null"
     val writeErrJson = writeError.map(e => s""","write_error":${jstr(e)}""").getOrElse("")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size},"detail":$detailJson$writeErrJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size}${shiftWarning.map(w => s""","run_shift_warning":${jstr(w)}""").getOrElse("")},"detail":$detailJson$writeErrJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -826,7 +826,14 @@ object MultimodalOps {
   private[graft] def capHotKeys(corpus: DataFrame, keys: Seq[String],
       maxKeyFreq: Option[Long]): DataFrame =
     maxKeyFreq.fold(corpus) { cap =>
-      val hot = corpus.groupBy(keys.map(col): _*)
+      // claim-store reads can carry crash-replayed rows, and replays are
+      // row-IDENTICAL duplicates — counting them raw would inflate a
+      // legitimate key over the cap and silently admit its real
+      // duplicates after a crash, so the frequency count sees each
+      // claim once (the per-pk claim counts are exact on the deduped
+      // read; the returned frame stays raw — callers resolve replays
+      // by their own read semantics)
+      val hot = corpus.dropDuplicates().groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
         .select(keys.map(col): _*)
       corpus.join(broadcast(hot), keys, "left_anti")

@@ -144,6 +144,27 @@ class Round13OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("hot-key cap counts claims, not crash-replay deliveries") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a key at EXACTLY the cap, with every claim row delivered twice (a
+    // crash replay re-appends identical rows): the raw count would see
+    // 2x the cap and drop the key whole, silently admitting its real
+    // duplicates — the deduped count must keep it
+    val corpus = ((1 to 4).map(i => (7, i.toLong)) ++ (1 to 4).map(i => (7, i.toLong)) :+
+      ((9, 99L))).toDF("pk", "claim_id")
+    val capped = graft.operators.MultimodalOps
+      .capHotKeys(corpus, Seq("pk"), Some(4L)).collect()
+    assert(capped.count(_.getInt(0) == 7) == 8,
+      "a key at the cap must survive despite replayed duplicate rows")
+    // a genuinely hot key (5 distinct claims > cap 4) still drops whole
+    val hot = ((1 to 5).map(i => (7, i.toLong)) :+ ((9, 99L))).toDF("pk", "claim_id")
+    val capped2 = graft.operators.MultimodalOps
+      .capHotKeys(hot, Seq("pk"), Some(4L)).collect()
+    assert(!capped2.exists(_.getInt(0) == 7) && capped2.length == 1,
+      "an over-cap key must still drop whole")
+  }
+
   test("quantized embed claims: verdicts equal the full-precision twin, store is int8") {
     import graft.streaming.EmbedDedupStream
     val spark0 = spark
