@@ -144,6 +144,38 @@ class Round13OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("leveled claim store: a crashed (uncommitted) minor run is swept, nothing reachable is lost") {
+    import graft.streaming.ClaimStore
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory(
+      graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-crashrun")
+    val st = ClaimStore(root.resolve("fps").toString, partitionCol = Some("pk"))
+    val empty = Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    def claims(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select((col("id") % 97).cast("int").as("pk"),
+        col("id").as("claim_id"), (col("id") * 31).as("fhash"))
+    // establish a base, then deltas poised to fold into a minor run
+    (0 until 8).foreach(b => st.append(spark, claims(b * 100L, (b + 1) * 100L)))
+    (8 until 15).foreach(b => st.append(spark, claims(b * 100L, (b + 1) * 100L)))
+    // plant a CRASHED minor-fold write: a run dir with data but no
+    // _SUCCESS (its input deltas were never deleted, so it holds nothing
+    // reachable) — readers must ignore it, the next fold must sweep it
+    val dead = root.resolve("fps").resolve("minor").resolve("run=999")
+    Files.createDirectories(dead)
+    Seq((5, 424242L, 13L)).toDF("pk", "claim_id", "fhash")
+      .coalesce(1).write.mode("overwrite").parquet(dead.toString)
+    Files.deleteIfExists(dead.resolve("_SUCCESS"))
+    assert(st.read(spark, empty).filter(col("claim_id") === 424242L).count() == 0L,
+      "an uncommitted run must be invisible to readers")
+    // one more delta budget crossing folds and sweeps the dead run
+    (15 until 23).foreach(b => st.append(spark, claims(b * 100L, (b + 1) * 100L)))
+    assert(!Files.isDirectory(dead), "the crashed run dir must be swept")
+    assert(st.read(spark, empty).distinct().count() == 2300L,
+      "every committed claim must survive the folds")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("hot-key cap counts claims, not crash-replay deliveries") {
     val spark0 = spark
     import spark0.implicits._
