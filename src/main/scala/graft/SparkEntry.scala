@@ -188,6 +188,10 @@ object SparkEntry {
     // cell-pruned accreting claim store (the IVF serving layout)
     "q_embed_dedup_stream" ->
       (graft.streaming.EmbedDedupStream.embedDedupStreamQuery _),
+    // centroid lifecycle consumed by the stream: gate -> Lloyd refresh +
+    // claim migration -> gate under the new artifact, verdicts unchanged
+    "q_embed_recluster_stream" ->
+      (graft.streaming.EmbedDedupStream.embedReclusterStreamQuery _),
     // payload-registry extractors (Feast feature registry, BambooHR XML)
     "q_feast_features" -> (RegistryIngest.feastFeatureTables _),
     "q_xml_users"      -> (RegistryIngest.bamboohrUsers _),
@@ -734,6 +738,41 @@ object SparkEntry {
     * reproducible. Shared by the in-memory twin (q_ann_ivf_topk_quantized)
     * and the staged serving twin (q_ann_ivf_topk_staged), whose parquet
     * round trip is lossless. */
+  /** Brute-force pairwise replay of the embedding stream gate's
+    * two-batch arrival — shared by the pinned-artifact gate and the
+    * recluster lifecycle (verdict semantics are artifact-independent:
+    * same-cell probe + exact cosine at the threshold, with cell-scoped
+    * recall equal to brute force on this corpus — the q_ann_ivf_pairs
+    * contract). */
+  private def embedDedupStreamOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       c AS (SELECT vec_id, vec_id AS orig_id, 'orig' AS kind, v,
+               CAST(vec_id % 2 AS INT) AS b
+             FROM e
+             UNION ALL
+             SELECT vec_id + 1000000, vec_id, 'scale',
+               list_transform(v, x -> x * 2), 1
+             FROM e WHERE vec_id % 10 = 0),
+       n AS (SELECT vec_id, orig_id, kind, b, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+       b0 AS (SELECT * FROM n WHERE b = 0),
+       inc AS (SELECT * FROM n WHERE b = 1),
+       m AS (SELECT inc.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(b0.vec_id) AS min_match
+             FROM inc JOIN b0
+               ON list_sum(list_transform(range(1, 65), i -> inc.v[i] * b0.v[i]))
+                  / (inc.nrm * b0.nrm) >= 0.99
+             GROUP BY inc.vec_id)
+       SELECT vec_id, orig_id, kind, TRUE AS admitted,
+         CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
+       FROM b0
+       UNION ALL
+       SELECT inc.vec_id, inc.orig_id, inc.kind, m.vec_id IS NULL AS admitted,
+         COALESCE(m.n_matches, 0) AS n_matches,
+         COALESCE(m.min_match, -1) AS min_match
+       FROM inc LEFT JOIN m ON m.vec_id = inc.vec_id
+       ORDER BY vec_id"""
+
   private def annIvfTopKQuantizedOracleSql: String =
     annIvfTopKQuantizedOracleSqlWith("vec_id < 64")
 
@@ -2608,34 +2647,11 @@ object SparkEntry {
     // oracle replays brute-force pairwise with the position-ordered
     // double cosine; cell scoping is an implementation detail exactly
     // where q_ann_ivf_pairs proves cell-scoped = brute force here.
-    "q_embed_dedup_stream" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         c AS (SELECT vec_id, vec_id AS orig_id, 'orig' AS kind, v,
-                 CAST(vec_id % 2 AS INT) AS b
-               FROM e
-               UNION ALL
-               SELECT vec_id + 1000000, vec_id, 'scale',
-                 list_transform(v, x -> x * 2), 1
-               FROM e WHERE vec_id % 10 = 0),
-         n AS (SELECT vec_id, orig_id, kind, b, v,
-                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
-         b0 AS (SELECT * FROM n WHERE b = 0),
-         inc AS (SELECT * FROM n WHERE b = 1),
-         m AS (SELECT inc.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-                 MIN(b0.vec_id) AS min_match
-               FROM inc JOIN b0
-                 ON list_sum(list_transform(range(1, 65), i -> inc.v[i] * b0.v[i]))
-                    / (inc.nrm * b0.nrm) >= 0.99
-               GROUP BY inc.vec_id)
-         SELECT vec_id, orig_id, kind, TRUE AS admitted,
-           CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
-         FROM b0
-         UNION ALL
-         SELECT inc.vec_id, inc.orig_id, inc.kind, m.vec_id IS NULL AS admitted,
-           COALESCE(m.n_matches, 0) AS n_matches,
-           COALESCE(m.min_match, -1) AS min_match
-         FROM inc LEFT JOIN m ON m.vec_id = inc.vec_id
-         ORDER BY vec_id""",
+    "q_embed_dedup_stream" -> embedDedupStreamOracleSql,
+    // Same verdict semantics after the refresh+migration (same-cell
+    // probe, exact cosine at the threshold) — a migration hole or a
+    // wrong-artifact probe breaks the pairwise replay.
+    "q_embed_recluster_stream" -> embedDedupStreamOracleSql,
     "q_ann_ivf_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          c AS (SELECT vec_id, v FROM e

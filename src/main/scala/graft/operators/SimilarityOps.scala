@@ -911,6 +911,34 @@ object SimilarityOps {
     out
   }
 
+  /** One Lloyd centroid update from an explicit (vec_id, cell)
+    * assignment: per-cell means accumulate as 1e-6 fixed-point integers
+    * (exact, associative — deterministic on any layout) and divide back
+    * into doubles driver-side; cells with no members keep their pinned
+    * centroid. The k×d collect is driver-sized by construction. Shared
+    * by the batch recluster ([[reclusterApply]] inlines it alongside its
+    * shift/mu0 accounting) and the streaming claim migration
+    * (`EmbedDedupStream.migrateClaims` callers). */
+  private[graft] def lloydCentroidUpdate(assigned: DataFrame,
+      vectors: DataFrame, pinned: Array[Array[Double]]): Array[Array[Double]] = {
+    val sums = assigned.join(vectors, "vec_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .select(col("cell"), (col("dim0") + 1).as("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("qx"))
+      .groupBy("cell", "dim")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = sums.groupBy(_.getAs[Int]("cell"))
+    pinned.zipWithIndex.map { case (cv, c) =>
+      byCell.get(c).fold(cv) { rows =>
+        val mu = new Array[Double](cv.length)
+        rows.foreach(r => mu(r.getAs[Int]("dim") - 1) =
+          r.getAs[Long]("sq").toDouble / 1000000.0 / r.getAs[Long]("n").toDouble)
+        mu
+      }
+    }
+  }
+
   private def overwriteCellsDynamic(spark: SparkSession, frame: DataFrame,
       store: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

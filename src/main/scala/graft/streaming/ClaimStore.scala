@@ -256,6 +256,19 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * through [[maybeCompact]]'s leveled policy. */
   def compact(spark: SparkSession, empty: DataFrame): Unit = { major(spark, empty); () }
 
+  /** OFFLINE rewrite — fold the whole store through `f` into one fresh
+    * generation (the major-fold commit discipline: atomic CURRENT swap,
+    * then dead generations / consumed runs / consumed deltas drop).
+    * The maintenance primitive under [[retentionSweep]] and the claim
+    * MIGRATION path (a centroid refresh re-keys every claim's probe
+    * partition — `f` maps rows to their new pk). Run between batches;
+    * O(store) by design, for passes that are rare by design. */
+  def rewrite(spark: SparkSession, empty: DataFrame,
+      f: DataFrame => DataFrame): Unit = {
+    majorWith(spark, empty, f)
+    ()
+  }
+
   /** RETENTION sweep — the staleness discipline (the publisher's tagged
     * sweep, `operators/Publish.scala`) applied to claim stores: claims
     * carry a batch epoch stamped at append, and this offline pass folds
@@ -292,7 +305,11 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * monotone set and every pre-swap byte stays where a restarted
     * reader finds it). */
   private def major(spark: SparkSession, empty: DataFrame,
-      keep: Option[org.apache.spark.sql.Column] = None): Long = {
+      keep: Option[org.apache.spark.sql.Column] = None): Long =
+    majorWith(spark, empty, df => keep.foldLeft(df)(_ filter _))
+
+  private def majorWith(spark: SparkSession, empty: DataFrame,
+      f: DataFrame => DataFrame): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
     sweepDeadRuns()
@@ -307,7 +324,10 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     val next = s"$dir/$nextName"
     val consumedDeltas = deltaFiles
     val consumedRuns = listRuns()
-    val folded = keep.foldLeft(read(spark, empty))(_ filter _).distinct()
+    // normalize back to the claim schema: a rewrite may re-derive
+    // columns (e.g. a migration re-keys pk), never add or drop them
+    val folded = f(read(spark, empty))
+      .select(empty.columns.toSeq.map(col): _*).distinct()
     partitionCol match {
       case Some(pc) =>
         // one shuffle keyed on the probe key → at most one file per

@@ -168,6 +168,34 @@ object EmbedDedupStream {
       .start()
   }
 
+  /** CLAIM MIGRATION — the centroid lifecycle consumed by the STREAMING
+    * gate (the batch-side twin is `SimilarityOps.annRecluster`): after a
+    * centroid refresh, every claim's probe partition (pk = cell) must
+    * re-key under the NEW artifact or later probes assigned by it would
+    * miss claims stranded in stale cells — the silent recall hole a
+    * pinned index develops under drift. The pass re-assigns each claim
+    * by max-cosine of its FULL-precision corpus vector (fetched by
+    * claim_id — the int8 payload is for probing, never for assignment,
+    * whose ties are too tight for dequantized arithmetic) and folds the
+    * store through one generation rewrite under the new layout. Run
+    * BETWEEN stream runs; O(store) once per refresh, which is rare by
+    * design. Codes, params and claim ids are untouched — only pk moves. */
+  def migrateClaims(
+      spark: SparkSession,
+      outDir: String,
+      vectors: DataFrame,
+      newCentroids: Array[Array[Double]]): Unit = {
+    val store = ClaimStore(s"${outDir}_vfps", partitionCol = Some("pk"))
+    store.rewrite(spark, emptyClaims(spark), { claims =>
+      val newPk = SimilarityOps.assignCells(newCentroids,
+        claims.select(col("claim_id").as("vec_id")).distinct()
+          .join(vectors.select("vec_id", "v"), Seq("vec_id")),
+        probes = 1)
+        .select(col("vec_id").as("claim_id"), col("cell").cast("int").as("pk"))
+      claims.drop("pk").join(newPk, Seq("claim_id"))
+    })
+  }
+
   /** The (vec_id, orig_id, kind, v) universe: every embedding as 'orig'
     * plus a 2×-rescaled twin of every 10th — byte-level novel vectors
     * whose cosine against the parent is 1 up to one rounding (identical
@@ -219,6 +247,62 @@ object EmbedDedupStream {
         .schema(spark.read.parquet(in).schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       run(src, universe, centroids, out, root.resolve("ckpt").toString)
+        .awaitTermination()
+      StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
+        anyTrue = Seq("admitted"),
+        preClaim = Seq("n_matches", "min_match"),
+        carried = Seq("orig_id", "kind"),
+        key = "vec_id")
+        .select("vec_id", "orig_id", "kind", "admitted", "n_matches", "min_match")
+    } finally universe.unpersist()
+  }
+
+  /** Oracle-gated query for the CENTROID LIFECYCLE CONSUMED BY THE
+    * STREAM — the full drift response a production deployment runs:
+    * batch 0 (even origs) streams in and claims under the PINNED
+    * first-64 artifact; between stream runs the artifact refreshes (one
+    * fixed-point Lloyd update from the claimed members — the
+    * `annRecluster` update) and [[migrateClaims]] re-keys every claim
+    * into its new cell; then batch 1 (odd origs + rescaled twins)
+    * streams against the MIGRATED store under the NEW artifact. The
+    * verdict semantics are unchanged — same-cell probe, exact cosine at
+    * the SemDeDup threshold — so the oracle is the same brute-force
+    * pairwise replay as [[embedDedupStreamQuery]]'s: a claim stranded
+    * in a stale cell (a missed migration), a probe keyed by the wrong
+    * artifact, or a cell-recall hole under the refreshed centroids
+    * flips rows red. */
+  def embedReclusterStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-embedrecluster")
+    Seq("in", "in2", "out", "out_vfps", "ckpt", "ckpt2").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val in2 = root.resolve("in2").toString
+    val out = root.resolve("out").toString
+    val universe = vectorUniverse(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    universe.count()
+    try {
+      def src(path: String) = spark.readStream
+        .schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val evens = universe
+        .filter(col("vec_id") % 2 === 0 && col("kind") === "orig")
+      evens.select("vec_id").coalesce(1).write.mode(SaveMode.Append).parquet(in)
+      val pinned = SimilarityOps.collectCentroids(
+        Tables(spark, dir, "embeddings")
+          .withColumn("v", SimilarityOps.asDouble(col("embedding")))
+          .filter(col("vec_id") < 64))
+      run(src(in), universe, pinned, out, root.resolve("ckpt").toString)
+        .awaitTermination()
+      // the refresh between runs: one Lloyd update from the claimed
+      // members under the pinned assignment, then claim migration
+      val newCen = SimilarityOps.lloydCentroidUpdate(
+        SimilarityOps.assignCells(pinned, evens.select("vec_id", "v"), 1),
+        evens.select("vec_id", "v"), pinned)
+      migrateClaims(spark, out, universe.select("vec_id", "v"), newCen)
+      universe.filter(col("vec_id") % 2 === 1 || col("kind") === "scale")
+        .select("vec_id").coalesce(1).write.mode(SaveMode.Append).parquet(in2)
+      run(src(in2), universe, newCen, out, root.resolve("ckpt2").toString)
         .awaitTermination()
       StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
         anyTrue = Seq("admitted"),

@@ -197,6 +197,55 @@ class Round13OpsSpec extends AnyFunSuite {
       "an over-cap key must still drop whole")
   }
 
+  test("claim migration re-keys every claim to its new cell; twins still reject after") {
+    import graft.streaming.{ClaimStore, EmbedDedupStream}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(
+      Files.createTempDirectory(
+        graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-claimmig").toString)
+    def p(s: String) = root.resolve(s).toString
+    // orthogonal 2-cell universe: v1/v2 ARE the pinned centroids
+    val e1 = Seq.fill(4)(0.0).updated(0, 1.0)
+    val e2 = Seq.fill(4)(0.0).updated(1, 1.0)
+    val universe = Seq(
+      (1L, 1L, "orig", e1), (2L, 2L, "orig", e2),
+      (101L, 1L, "scale", e1.map(_ * 2)))
+      .toDF("vec_id", "orig_id", "kind", "v")
+    val pinned = Array(e1.toArray, e2.toArray)
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(p("in"))
+    val schema = spark.read.parquet(p("in")).schema
+    def gate(in: String, ckpt: String, cen: Array[Array[Double]]): Unit =
+      EmbedDedupStream.run(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in),
+        universe, cen, p("out"), ckpt).awaitTermination()
+    gate(p("in"), p("ckpt"), pinned)
+    def claimPks(): Map[Long, Int] = ClaimStore(p("out") + "_vfps", Some("pk"))
+      .read(spark, Seq.empty[(Int, Long, Array[Byte], Double, Double)]
+        .toDF("pk", "claim_id", "codes", "vmin", "scale"))
+      .collect().map(r => r.getAs[Long]("claim_id") -> r.getInt(0)).toMap
+    assert(claimPks() == Map(1L -> 0, 2L -> 1),
+      "pinned assignment: each seed claims its own centroid's cell")
+    // refresh SWAPS the centroids — every claim must re-key, or probes
+    // assigned by the new artifact would miss them
+    val swapped = Array(e2.toArray, e1.toArray)
+    EmbedDedupStream.migrateClaims(spark,
+      p("out"), universe.select("vec_id", "v"), swapped)
+    assert(claimPks() == Map(1L -> 1, 2L -> 0),
+      "migration must re-key both claims under the swapped artifact")
+    // a rescaled twin streamed under the NEW artifact still rejects —
+    // its parent's claim is findable in the migrated cell
+    Seq(Tuple1(101L)).toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(p("in2"))
+    gate(p("in2"), p("ckpt2"), swapped)
+    val v = spark.read.parquet(p("out"))
+      .filter(col("vec_id") === 101L).collect()(0)
+    assert(!v.getAs[Boolean]("admitted") && v.getAs[Long]("min_match") == 1L,
+      s"twin must reject against the migrated claim: $v")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("quantized embed claims: verdicts equal the full-precision twin, store is int8") {
     import graft.streaming.EmbedDedupStream
     val spark0 = spark
