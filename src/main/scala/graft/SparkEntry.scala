@@ -255,6 +255,10 @@ object SparkEntry {
     // per micro-batch, replay-safe via tuple-max resolution
     "q_curation_stream_funnel" ->
       (graft.streaming.CurationStream.curationStreamFunnelQuery _),
+    // retention THROUGH the perceptual gate: three batches, a guardrailed
+    // sweep between stream runs, twins of aged-out parents re-admitting
+    "q_audio_claim_retention" ->
+      (graft.streaming.MediaDedupStream.audioClaimRetentionQuery _),
     // claim retention: epoch-stamped claims, guardrailed sweep at the
     // horizon — aged-out classes re-admit, in-horizon classes reject
     "q_claim_retention" ->
@@ -3705,6 +3709,65 @@ object SparkEntry {
            UNION ALL SELECT batch_id, '06_media_video', d6, t6 FROM agg
            UNION ALL SELECT batch_id, '07_media_novel', d7, t7 FROM agg)
          ORDER BY batch_id, stage""",
+    // Retention through the gate: batch-1 verdicts replay pairwise
+    // against the evens; the post-sweep store is exactly the batch-1
+    // ADMITTED odd hashes; twin verdicts replay pairwise against that
+    // surviving set (gain twins carry their parent's loudness hash).
+    "q_audio_claim_retention" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+         sm AS (SELECT d.doc_id, ABS((d.doc_id * 31 + i.i * 17) % 2003 - 1001) AS a
+           FROM d, LATERAL (SELECT unnest(range(d.n)) AS i) i),
+         pk AS (SELECT doc_id, MAX(a) AS peak FROM sm GROUP BY doc_id),
+         bk AS (SELECT sm.doc_id, (sm.a * 64) // pk.peak AS b
+           FROM sm JOIN pk USING (doc_id)),
+         cnts AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bk GROUP BY doc_id, b),
+         grid AS (SELECT d.doc_id, g.k FROM d,
+           LATERAL (SELECT unnest(range(65)) AS k) g),
+         fullc AS (SELECT grid.doc_id, grid.k, COALESCE(cnts.c, 0) AS c
+           FROM grid LEFT JOIN cnts
+             ON cnts.doc_id = grid.doc_id AND cnts.b = grid.k),
+         bits AS (SELECT a.doc_id, CAST(a.k AS INT) AS bi
+           FROM fullc a JOIN fullc b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+           WHERE a.k < 64 AND b.c > a.c),
+         ah AS (SELECT d.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN b.bi = 63 THEN -9223372036854775808
+                                    ELSE CAST(1 AS BIGINT) << b.bi END) AS BIGINT), 0) AS ahash
+           FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+         b0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+         b1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+         m1 AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             MIN(e.doc_id) AS min_match
+           FROM b1 o, b0 e, ah ao, ah ae
+           WHERE ao.doc_id = o.doc_id AND ae.doc_id = e.doc_id
+             AND bit_count(xor(ao.ahash, ae.ahash)) <= 7
+           GROUP BY o.doc_id),
+         b1adm AS (SELECT b1.doc_id FROM b1
+           LEFT JOIN m1 ON m1.doc_id = b1.doc_id WHERE m1.doc_id IS NULL),
+         t AS (SELECT doc_id + 5000000 AS doc_id, doc_id AS orig_id
+             FROM documents WHERE doc_id % 6 = 4
+           UNION ALL
+           SELECT doc_id + 7000000, doc_id
+             FROM documents WHERE doc_id % 6 = 3),
+         m2 AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+             MIN(q.doc_id) AS min_match
+           FROM t, b1adm q, ah ap, ah aq
+           WHERE ap.doc_id = t.orig_id AND aq.doc_id = q.doc_id
+             AND bit_count(xor(ap.ahash, aq.ahash)) <= 7
+           GROUP BY t.doc_id)
+         SELECT doc_id, orig_id, kind, admitted, n_matches, min_match FROM (
+           SELECT doc_id, doc_id AS orig_id, 'orig' AS kind, TRUE AS admitted,
+             CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
+           FROM b0
+           UNION ALL
+           SELECT b1.doc_id, b1.doc_id, 'orig', m1.doc_id IS NULL,
+             COALESCE(m1.n_matches, 0), COALESCE(m1.min_match, -1)
+           FROM b1 LEFT JOIN m1 ON m1.doc_id = b1.doc_id
+           UNION ALL
+           SELECT t.doc_id, t.orig_id, 'gain', m2.doc_id IS NULL,
+             COALESCE(m2.n_matches, 0), COALESCE(m2.min_match, -1)
+           FROM t LEFT JOIN m2 ON m2.doc_id = t.doc_id)
+         ORDER BY doc_id""",
     // Retention sweep: epoch = doc parity; the sweep keeps epoch >= 1,
     // so a class only even docs carry loses every claim (re-admits) and
     // a class any odd doc carries keeps exactly its epoch-1 claim.

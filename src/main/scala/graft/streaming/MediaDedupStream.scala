@@ -57,11 +57,24 @@ import graft.sources.Tables
   * is that shared read contract. */
 object MediaDedupStream {
 
-  /** Claim rows pre-exploded to probe keys: pk = band * 256 + value. */
+  /** Claim rows pre-exploded to probe keys: pk = band * 256 + value;
+    * `epoch` is the RETENTION stamp (caller-threaded monotone build
+    * epoch + batch id) consumed by [[sweepClaims]]. */
   private def emptyClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    Seq.empty[(Int, Long, Long, Long)].toDF("pk", "claim_id", "fhash", "epoch")
   }
+
+  /** RETENTION for the perceptual claim store — the
+    * [[ClaimStore.retentionSweep]] discipline wired into the gate:
+    * claims older than `minEpoch` fold away under the drop-fraction
+    * guardrail, so an asset whose every claim aged out RE-ADMITS on its
+    * next arrival while in-horizon claims keep rejecting. Run between
+    * stream runs (offline, like compaction). */
+  def sweepClaims(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double): Long =
+    ClaimStore(s"${outDir}_fps", partitionCol = Some("pk"))
+      .retentionSweep(spark, emptyClaims(spark), minEpoch, maxDropFrac)
 
   private def withPk(df: DataFrame): DataFrame =
     df.withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
@@ -78,12 +91,13 @@ object MediaDedupStream {
       checkpoint: String,
       radius: Int = 15,
       hashForKind: (Long, String) => Long = MultimodalOps.dhashForKind,
-      maxBandFreq: Option[Long] = None): StreamingQuery = {
+      maxBandFreq: Option[Long] = None,
+      epochBase: Long = 0L): StreamingQuery = {
     import graft.functions.HammingDistance.hamming
     val spark = incoming.sparkSession
     val store = ClaimStore(s"${outDir}_fps", partitionCol = Some("pk"))
     incoming.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark0 = spark
         import spark0.implicits._
         val hashed = batch
@@ -134,11 +148,17 @@ object MediaDedupStream {
             // novel assets claim their fingerprint BEFORE the checkpoint
             // commits — pre-exploded to the probe-key layout; the shared
             // ClaimStore folds the file set at the delta budget
+            // epoch stamp: a RESTARTED stream's batch ids begin at 0
+            // again, so retention epochs are epochBase + batchId with
+            // the base threaded by the caller as a monotone build
+            // number — raw batch ids would alias across runs and let a
+            // sweep age out fresh claims
             store.append(spark, withPk(verdict.filter(col("admitted"))
               .select(col("doc_id").as("claim_id"), col("dhash").as("fhash"))
               .select(col("claim_id"), col("fhash"),
                 MultimodalOps.hashBands("fhash").as(Seq("band", "bv"))))
-              .select("pk", "claim_id", "fhash"))
+              .withColumn("epoch", lit(epochBase + batchId))
+              .select("pk", "claim_id", "fhash", "epoch"))
           } finally verdict.unpersist()
         } finally hashed.unpersist()
       }
@@ -232,6 +252,56 @@ object MediaDedupStream {
       .option("maxFilesPerTrigger", "1").parquet(in)
     run(src, out, ckpt, radius = 7,
       hashForKind = MultimodalOps.ahashForKind).awaitTermination()
+    resolveVerdicts(spark, out)
+  }
+
+  /** Oracle-gated RETENTION LIFECYCLE through the gate itself — the full
+    * production story [[sweepClaims]] enables: even-id assets stream as
+    * batch 0 (epoch 0) and odd-id assets as batch 1 (epoch 1, judged
+    * against the batch-0 claims as usual); between stream runs the sweep
+    * ages out every epoch-0 claim under the guardrail; then a THIRD
+    * batch arrives under a monotone epoch base — 2×-gain twins of
+    * (6k+4)-th (even, aged-out) parents and of (6k+3)-th (odd,
+    * in-horizon) parents. A twin of an aged-out parent RE-ADMITS unless
+    * some surviving odd claim happens to sit within the verify radius;
+    * a twin of an in-horizon ADMITTED parent keeps rejecting. The
+    * oracle replays all three batches relationally: batch-1 verdicts
+    * pairwise against the evens, the post-sweep store as exactly the
+    * batch-1 ADMITTED odd hashes, and the twin verdicts pairwise
+    * against that surviving set — a sweep that drops an in-horizon
+    * claim, keeps an aged one, or a restarted stream whose epochs alias
+    * flips rows red. */
+  def audioClaimRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-audioretention")
+    Seq("in", "in2", "out", "out_fps", "ckpt", "ckpt2").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val in2 = root.resolve("in2").toString
+    val out = root.resolve("out").toString
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("doc_id").as("orig_id"), lit("orig").as("kind"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("doc_id").as("orig_id"), lit("orig").as("kind"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    def src(path: String) = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    run(src(in), out, root.resolve("ckpt").toString, radius = 7,
+      hashForKind = MultimodalOps.ahashForKind).awaitTermination()
+    // age out the batch-0 (epoch 0) claims; batch-1 claims stay
+    sweepClaims(spark, out, minEpoch = 1L, maxDropFrac = 0.9)
+    docs.filter(col("doc_id") % 6 === 4)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        col("doc_id").as("orig_id"), lit("gain").as("kind"))
+      .union(docs.filter(col("doc_id") % 6 === 3)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          col("doc_id").as("orig_id"), lit("gain").as("kind")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in2)
+    run(src(in2), out, root.resolve("ckpt2").toString, radius = 7,
+      hashForKind = MultimodalOps.ahashForKind,
+      epochBase = 2L).awaitTermination()
     resolveVerdicts(spark, out)
   }
 }
