@@ -678,9 +678,14 @@ object CurationStream {
     def empty = Seq.empty[(Int, String, Long)].toDF("pk", "fp", "epoch")
     val f = Tables(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("fp"))
+    // probe-key space sized to the corpus: the folded base writes one
+    // file per live pk directory, so an oversized key space turns the
+    // sweep into small-file filesystem churn (2048 keys over a 5k-class
+    // store = ~2048 near-empty files); 256 keeps pruned probes selective
+    // at this scale while the fold stays file-count-sane
     def claims(parity: Int) = f.filter(col("doc_id") % 2 === parity)
       .select(col("fp")).distinct()
-      .select((crc32(col("fp")) % 2048).cast("int").as("pk"),
+      .select((crc32(col("fp")) % 256).cast("int").as("pk"),
         col("fp"), lit(parity.toLong).as("epoch"))
     st.appendDelta(claims(0))
     st.appendDelta(claims(1))

@@ -290,8 +290,12 @@ object MediaDedupStream {
       .option("maxFilesPerTrigger", "1").parquet(path)
     run(src(in), out, root.resolve("ckpt").toString, radius = 7,
       hashForKind = MultimodalOps.ahashForKind).awaitTermination()
-    // age out the batch-0 (epoch 0) claims; batch-1 claims stay
-    sweepClaims(spark, out, minEpoch = 1L, maxDropFrac = 0.9)
+    // age out the batch-0 (epoch 0) claims; batch-1 claims stay. The
+    // guardrail sits at 0.99: this sweep EXPECTS to drop a whole epoch
+    // cohort, and at larger corpora batch 1 admits few novel claims
+    // (most odds match an even within the radius), so the aged fraction
+    // legitimately approaches 1 — the abort path is spec-covered
+    sweepClaims(spark, out, minEpoch = 1L, maxDropFrac = 0.99)
     docs.filter(col("doc_id") % 6 === 4)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         col("doc_id").as("orig_id"), lit("gain").as("kind"))
