@@ -293,12 +293,43 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     }
     assert(minors <= ClaimStore.RunsPerClass * 8,
       s"$minors live minor runs — tier merges are not bounding the run count")
+    // 9 more batches leave ALL THREE levels live (the 64-batch point can
+    // land fully folded): one minor fold at the budget + one delta
+    (64 until 73).foreach { b =>
+      st.appendDelta(spark.range(b * 1000L, (b + 1) * 1000L)
+        .select((col("id") % 97).cast("int").as("pk"),
+          col("id").as("claim_id"), (col("id") * 31).as("fhash")))
+      st.maybeCompact(spark, empty)
+    }
     // the store still reads complete and pruned-correct through the levels
-    assert(st.read(spark, empty).distinct().count() == 64000L)
-    val got = st.readPruned(spark, empty, Seq(13)).collect()
-    val expected = (0L until 64000L).count(_ % 97 == 13)
+    assert(st.read(spark, empty).distinct().count() == 73000L)
+    val pruned = st.readPruned(spark, empty, Seq(13))
+    val got = pruned.collect()
+    val expected = (0L until 73000L).count(_ % 97 == 13)
     assert(got.length == expected && got.forall(_.getInt(0) == 13),
       s"pruned read through levels returned ${got.length} rows, expected $expected")
+    // every level honors the probe key: the base scan partition-prunes,
+    // and the SMALL levels (minor runs, deltas) take the key as a pushed
+    // predicate — not a post-scan filter over raw rows
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val scans = flatten(pruned.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val (baseScans, smallScans) = scans.partition(
+      _.metadata.get("Location").exists(_.contains("gen=")))
+    assert(baseScans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "pk"))),
+      "base generation scan must partition-prune on pk")
+    assert(smallScans.nonEmpty && smallScans.forall(
+        _.dataFilters.exists(_.references.exists(_.name == "pk"))),
+      s"minor-run/delta scans must push the pk predicate:\n${pruned.queryExecution.executedPlan}")
     graft.sources.TmpStores.deleteRecursively(root)
   }
 }
