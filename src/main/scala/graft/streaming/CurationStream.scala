@@ -210,6 +210,16 @@ object CurationStream {
   private def vhashPk(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (crc32(c) % 2048).cast("int")
 
+  /** Per-batch funnel rows (batch-grain observability metadata). */
+  private def emptyFunnel(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Long, Long)]
+      .toDF("batch_id", "stage", "n_docs", "n_tokens")
+  }
+
+  private def funnelStore(outDir: String): ClaimStore =
+    ClaimStore(s"${outDir}_funnel")
+
   def run(
       incoming: DataFrame,
       evalSh: DataFrame,
@@ -420,10 +430,15 @@ object CurationStream {
                            '01_quality', d1, t1,
                            '02_dedup', d2, t2,
                            '03_decontam', d3, t3) AS (stage, n_docs, n_tokens)"""))
-              one.withColumn("batch_id", lit(batchId))
-                .select("batch_id", "stage", "n_docs", "n_tokens")
-                .coalesce(1)
-                .write.mode(SaveMode.Append).parquet(s"${outDir}_funnel")
+              // the funnel store is batch-grain METADATA that would
+              // otherwise accrete one file per batch forever — it goes
+              // through the same generational ClaimStore fold as the
+              // claim stores (delta per batch, fold at the budget);
+              // replay rows differing from the original delivery both
+              // survive the fold and resolve at read (tuple-max)
+              funnelStore(outDir).appendDelta(
+                one.withColumn("batch_id", lit(batchId))
+                  .select("batch_id", "stage", "n_docs", "n_tokens"))
             }
             // incremental curated store: this batch's admitted docs rank
             // among themselves by the md5 training order, offset by the
@@ -514,6 +529,7 @@ object CurationStream {
                   col("doc_id").as("claim_id"), col("vhash")))
             }
             textStore.maybeCompact(spark, emptyClaims(spark))
+            funnelStore(outDir).maybeCompact(spark, emptyFunnel(spark))
             if (mediaGate) {
               mediaStore.maybeCompact(spark, emptyMediaClaims(spark))
               videoStore.maybeCompact(spark, emptyVideoClaims(spark))
@@ -650,7 +666,7 @@ object CurationStream {
       Seq("out_mfps", "out_vmfps"))
     try {
       run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
-      spark.read.parquet(s"${fx.out}_funnel")
+      funnelStore(fx.out).read(spark, emptyFunnel(spark))
         .groupBy("batch_id", "stage")
         .agg(max(struct(col("n_docs"), col("n_tokens"))).as("_m"))
         .select(col("batch_id"), col("stage"),

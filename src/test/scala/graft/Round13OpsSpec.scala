@@ -197,6 +197,43 @@ class Round13OpsSpec extends AnyFunSuite {
       "an over-cap key must still drop whole")
   }
 
+  test("funnel store folds generationally — no one-file-per-batch accretion") {
+    import graft.streaming.{ClaimStore, CurationStream}
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(
+      Files.createTempDirectory(
+        graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-funnelfold").toString)
+    def p(s: String) = root.resolve(s).toString
+    // 12 one-doc micro-batches cross the delta budget: the funnel store
+    // must fold like every other side store, not accrete a file per batch
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, "the a of and is one two three four five six seven"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(p("in"))
+    }
+    val schema = spark.read.parquet(p("in")).schema
+    val evalSh = Seq.empty[String].toDF("g")
+    CurationStream.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(p("in")),
+      evalSh, p("out"), p("ckpt")).awaitTermination()
+    val store = p("out") + "_funnel"
+    assert(graft.sources.Stage.currentTarget(store).isDefined,
+      "crossing the delta budget must have folded the funnel store")
+    val deltas = Option(new java.io.File(store, "delta").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(deltas < ClaimStore.CompactDeltaFiles,
+      s"consumed funnel deltas must be dropped, got $deltas files")
+    // every batch's 4-stage frame survives the folds
+    val empty = Seq.empty[(Long, String, Long, Long)]
+      .toDF("batch_id", "stage", "n_docs", "n_tokens")
+    val rows = ClaimStore(store).read(spark, empty)
+      .dropDuplicates("batch_id", "stage").collect()
+    assert(rows.length == 48,
+      s"expected 12 batches x 4 stages, got ${rows.length}")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("claim migration re-keys every claim to its new cell; twins still reject after") {
     import graft.streaming.{ClaimStore, EmbedDedupStream}
     val spark0 = spark
