@@ -69,23 +69,34 @@ object CurationStream {
 
   private def emptyClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[String].toDF("fp")
+    Seq.empty[(Int, String)].toDF("pk", "fp")
   }
 
-  /** The claim-class set: the committed base generation (CURRENT, if any
-    * compaction has run) plus the per-batch delta files — the shared
-    * [[ClaimStore]] read. Duplicates across the two (a crash between swap
-    * and cleanup) collapse in the distinct(). */
+  /** Probe key for the exact-md5 claim classes: a stable hash of the
+    * fingerprint into 2048 partitions, so a batch's dedup probe reads
+    * the store PARTITION-PRUNED to the keys its own fingerprints hash
+    * to (bounded by the key space whatever the batch size) — the same
+    * pruned-probe contract every other gate's store carries. */
+  private def fpPk(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (crc32(c) % 2048).cast("int")
+
+  private def textClaimStore(fpStore: String): ClaimStore =
+    ClaimStore(fpStore, partitionCol = Some("pk"))
+
+  /** The FULL claim-class set — restart/audit reads. Per-batch probes
+    * use the pruned read inside [[run]] instead. Duplicates across
+    * levels (a crash between swap and cleanup) collapse in the
+    * distinct(). */
   private[streaming] def claimedClasses(spark: SparkSession,
       fpStore: String): DataFrame =
-    ClaimStore(fpStore).read(spark, emptyClaims(spark))
+    textClaimStore(fpStore).read(spark, emptyClaims(spark))
       .select("fp").distinct()
 
-  /** Fold base + deltas into one fresh `gen=N` — the shared
+  /** Fold the store into one fresh `gen=N` — the shared
     * [[ClaimStore.compact]] swap discipline. */
   private[streaming] def compactClaims(spark: SparkSession,
       fpStore: String): Unit =
-    ClaimStore(fpStore).compact(spark, emptyClaims(spark))
+    textClaimStore(fpStore).compact(spark, emptyClaims(spark))
 
   /** Generational TAIL COUNTER for the incremental stores — the logical
     * (doc, token) offsets the next batch appends at, kept OUTSIDE the
@@ -232,9 +243,9 @@ object CurationStream {
       mediaGate: Boolean = false): StreamingQuery = {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
+    val textStore = textClaimStore(fpStore)
     val mediaStore = ClaimStore(s"${outDir}_mfps", partitionCol = Some("pk"))
     val videoStore = ClaimStore(s"${outDir}_vmfps", partitionCol = Some("pk"))
-    def claimed(): DataFrame = claimedClasses(spark, fpStore)
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch
@@ -348,8 +359,17 @@ object CurationStream {
             .select(col("doc_id"), lit(true).as("is_cont"))
           val winBatch = min(when(col("keep_quality") && !col("already_claimed"),
             col("doc_id"))).over(Window.partitionBy("fp"))
+          // dedup probe PARTITION-PRUNED to the fingerprint keys this
+          // batch hashes to — the store scan never exceeds the touched
+          // pk directories plus the small levels, the same contract as
+          // the perceptual/embedding stores
+          val touchedFps = b.select(fpPk(col("fp")).as("pk")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val claimedB = textStore
+            .readPruned(spark, emptyClaims(spark), touchedFps)
+            .select("fp").distinct()
           val textVerdict = b
-            .join(claimed().withColumn("already_claimed", lit(true)),
+            .join(claimedB.withColumn("already_claimed", lit(true)),
               Seq("fp"), "left")
             .withColumn("already_claimed",
               coalesce(col("already_claimed"), lit(false)))
@@ -509,10 +529,9 @@ object CurationStream {
             // Write-all-then-fold-all (the ClaimStore multi-store
             // discipline): every delta lands before either store folds,
             // so a lazily recomputed frame never resolves deleted files
-            val textStore = ClaimStore(fpStore)
             textStore.appendDelta(
               verdict.filter(col("keep_quality") && !col("is_dup"))
-                .select("fp"))
+                .select(fpPk(col("fp")).as("pk"), col("fp")))
             // every perceptually NOVEL asset claims its fingerprint —
             // independent of the text verdicts, the MediaDedupStream
             // claim semantics (novelty is against earlier batches only)

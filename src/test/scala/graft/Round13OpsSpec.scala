@@ -231,6 +231,28 @@ class Round13OpsSpec extends AnyFunSuite {
       .dropDuplicates("batch_id", "stage").collect()
     assert(rows.length == 48,
       s"expected 12 batches x 4 stages, got ${rows.length}")
+    // the TEXT claim store now carries the probe-key layout too: a
+    // single-key read must partition-prune the folded base — the last
+    // gate store to gain the pruned-probe contract
+    val fps = ClaimStore(p("out") + "_fps", partitionCol = Some("pk"))
+    val emptyFps = Seq.empty[(Int, String)].toDF("pk", "fp")
+    val somePk = fps.read(spark, emptyFps).select("pk").collect()(0).getInt(0)
+    val pruned = fps.readPruned(spark, emptyFps, Seq(somePk))
+    assert(pruned.collect().forall(_.getInt(0) == somePk))
+    def flattenAll(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        pl +: flattenAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        pl +: flattenAll(q.plan)
+      case _ => pl +: pl.children.flatMap(flattenAll)
+    }
+    val scans = flattenAll(pruned.queryExecution.executedPlan).collect {
+      case fsc: org.apache.spark.sql.execution.FileSourceScanExec => fsc
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "pk"))),
+      s"text claim-store probe did not partition-prune:\n${pruned.queryExecution.executedPlan}")
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
