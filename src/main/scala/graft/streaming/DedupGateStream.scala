@@ -22,12 +22,26 @@ object DedupGateStream {
 
   private def emptySh(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, Long, Seq[String])].toDF("dbucket", "doc_id", "sh")
+    Seq.empty[(Int, Long, Seq[String], Long)]
+      .toDF("dbucket", "doc_id", "sh", "epoch")
   }
   private def emptyBands(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, Long, Int, Long)].toDF("bucket", "doc_id", "band", "band_hash")
+    Seq.empty[(Int, Long, Int, Long, Long)]
+      .toDF("bucket", "doc_id", "band", "band_hash", "epoch")
   }
+
+  /** RETENTION for the accreted text index — the epoch-stamped
+    * [[ClaimStore.retentionSweep]] discipline on BOTH stores (band rows
+    * and shingle sets age together: a doc whose claims aged out
+    * re-admits whole). Run between stream runs. Returns (band rows,
+    * shingle rows) dropped. */
+  def sweepClaims(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double): (Long, Long) = (
+    ClaimStore(s"${outDir}_bands", partitionCol = Some("bucket"))
+      .retentionSweep(spark, emptyBands(spark), minEpoch, maxDropFrac),
+    ClaimStore(s"${outDir}_index", partitionCol = Some("dbucket"))
+      .retentionSweep(spark, emptySh(spark), minEpoch, maxDropFrac))
 
   /** Probe-key bucket of a MinHash band hash: its low 8 bits (splitmix64
     * output — uniform), 256 possible values, so a batch's touched set is
@@ -67,7 +81,8 @@ object DedupGateStream {
       outDir: String,
       checkpoint: String,
       accrete: Boolean = false,
-      maxBandFreq: Option[Long] = None): StreamingQuery = {
+      maxBandFreq: Option[Long] = None,
+      epochBase: Long = 0L): StreamingQuery = {
     val spark = corpus.sparkSession
     val spark0 = spark
     import spark0.implicits._
@@ -81,7 +96,7 @@ object DedupGateStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     baseBands.count()
     val query = incoming.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val iSh = DedupOps.gateShingles(batch)
         val iBands = DedupOps.bandRows(iSh)
         // candidate generation: the batch's bands against the cached base
@@ -112,12 +127,17 @@ object DedupGateStream {
             if (accrete) {
               val admitted = verdict.filter(col("decision") === "admit")
                 .select("doc_id")
+              // retention stamp: epochBase is caller-threaded monotone
+              // (restarted streams restart batch ids at 0 — see
+              // MediaDedupStream)
               val shClaims = iSh.join(admitted, Seq("doc_id"))
                 .select(dbucketOf(col("doc_id")).as("dbucket"),
-                  col("doc_id"), col("sh"))
+                  col("doc_id"), col("sh"),
+                  lit(epochBase + batchId).as("epoch"))
               val bandClaims = iBands.join(admitted, Seq("doc_id"))
                 .select(bucketOf(col("band_hash")).as("bucket"),
-                  col("doc_id"), col("band"), col("band_hash"))
+                  col("doc_id"), col("band"), col("band_hash"),
+                  lit(epochBase + batchId).as("epoch"))
               // BOTH delta writes land before EITHER store folds: a fold
               // deletes its consumed delta files, and the second write's
               // lineage re-reads this batch's store scan when Spark

@@ -176,6 +176,51 @@ class Round13OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("text-gate index retention: aged admissions re-admit, in-horizon reject") {
+    import graft.streaming.DedupGateStream
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Paths.get(
+      Files.createTempDirectory(
+        graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-gateret").toString)
+    def p(s: String) = root.resolve(s).toString
+    val corpus = Seq((1L,
+      "completely unrelated corpus baseline text about regions nations and suppliers today fine"))
+      .toDF("doc_id", "text")
+    val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    val docB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    Seq((100L, docA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(p("in"))
+    Seq((200L, docB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(p("in"))
+    val schema = spark.read.parquet(p("in")).schema
+    def gate(in: String, ckpt: String, epochBase: Long): Unit =
+      DedupGateStream.run(corpus,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in),
+        p("out"), ckpt, accrete = true, epochBase = epochBase)
+        .awaitTermination()
+    gate(p("in"), p("ckpt"), 0L)
+    // age out the batch-0 (epoch 0) admission — docA's claims — in BOTH
+    // stores; docB's epoch-1 claims stay
+    val (bandsDropped, shDropped) =
+      DedupGateStream.sweepClaims(spark, p("out"), minEpoch = 1L, maxDropFrac = 0.9)
+    assert(bandsDropped > 0L && shDropped == 1L,
+      s"the sweep must age exactly docA's claims ($bandsDropped bands, $shDropped sh)")
+    // duplicates arrive under a monotone epoch base: the aged doc's copy
+    // re-admits, the in-horizon doc's copy rejects
+    Seq((300L, docA), (400L, docB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(p("in2"))
+    gate(p("in2"), p("ckpt2"), 2L)
+    val v = spark.read.parquet(p("out"))
+      .select("doc_id", "decision").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(v(300L) == "admit",
+      s"a duplicate of an AGED-OUT admission must re-admit: $v")
+    assert(v(400L) == "reject",
+      s"a duplicate of an in-horizon admission must keep rejecting: $v")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("hot-key cap counts claims, not crash-replay deliveries") {
     val spark0 = spark
     import spark0.implicits._
