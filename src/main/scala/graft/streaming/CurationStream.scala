@@ -31,14 +31,16 @@ import scala.jdk.CollectionConverters._
   * fp-key shuffle (window + claim-set join — the exact-dedup shuffle),
   * one broadcast probe for contamination; the claim store is
   * (distinct classes)-sized and rides as a parquet scan, never a
-  * growing cache chain. The store is GENERATIONAL so a long-running
-  * stream never accretes unbounded small files: per-batch claims land
-  * as deltas, and once the delta dir exceeds a file budget the whole
-  * set folds into one fresh `gen=N` base committed by an atomic
-  * CURRENT swap (the StreamPublish.compact manifest-swap discipline) —
-  * dead generations and consumed deltas are dropped after the swap, and
-  * a crash at any point only leaves harmless duplicates that the
-  * distinct() read resolves (claims are a monotone set). At-least-once
+  * growing cache chain. The store is the LEVELED generational
+  * [[ClaimStore]], so a long-running stream never accretes unbounded
+  * small files and never pays a whole-store rewrite per budget:
+  * per-batch claims land as deltas, deltas fold into small minor runs,
+  * tier merges bound the run count, and the pk = crc32(fp)-partitioned
+  * base is rewritten only when the minors have grown to its size —
+  * per-batch probes read PARTITION-PRUNED to the keys the batch's own
+  * fingerprints hash to. A crash at any point only leaves harmless
+  * duplicates that the distinct() read resolves (claims are a monotone
+  * set). At-least-once
   * caveat: quality and
   * contamination verdicts re-derive identically on redelivery, but a
   * batch replayed AFTER its claims landed (crash between the claim
