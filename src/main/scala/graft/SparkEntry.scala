@@ -231,6 +231,10 @@ object SparkEntry {
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_bpe_encode"       -> (TextOps.bpeEncode _),
+    // tokenizer refresh lifecycle: retrain merges on the accreted corpus
+    // into a versioned artifact, re-encode ONLY stale-vocab eras via the
+    // touched-partition overwrite, manifest the refreshed store
+    "q_bpe_refresh"      -> ((s, d) => LayoutOps.bpeRefreshStore(s, d)),
     "q_quality_logit"    -> (TextOps.qualityLogit _),
     "q_quality_train"    -> ((s, d) => TextOps.trainQualityModel(s, d)),
     "q_quality_eval"     -> ((s, d) => TextOps.qualityTrainEval(s, d)),
@@ -263,6 +267,14 @@ object SparkEntry {
     // horizon — aged-out classes re-admit, in-horizon classes reject
     "q_claim_retention" ->
       (graft.streaming.CurationStream.claimRetentionQuery _),
+    // retention THROUGH the text gate: two epochs, a guardrailed sweep
+    // between runs, twins of aged-out classes re-admitting
+    "q_curation_claim_retention" ->
+      (graft.streaming.CurationStream.curationClaimRetentionQuery _),
+    // retention THROUGH the embedding gate: epoch-stamped int8 claims,
+    // sweep between runs, rescaled twins of aged parents re-admitting
+    "q_embed_claim_retention" ->
+      (graft.streaming.EmbedDedupStream.embedClaimRetentionQuery _),
     "q_curation_multimodal_stream" ->
       (graft.streaming.CurationStream.curationMultimodalStreamQuery _),
     // the composed gate driving the incremental curated store — the full
@@ -346,33 +358,83 @@ object SparkEntry {
     * max-count pair (ties lexicographic) from the double-space symbol
     * strings, then merges it via the same literal replace the Spark side
     * applies. All counts BIGINT; the only strings are corpus symbols. */
-  private def bpeOracleSql(k: Int): String = {
+  /** The deterministic k-round BPE trainer as a CTE chain (`w0`, `s0`,
+    * `p1`..`p$k`, `s1`..`s$k`) — shared by the merge-table oracle and
+    * the tokenizer-refresh oracle, which also ENCODES under the learned
+    * rounds. No leading WITH, so callers can prepend their own CTEs. */
+  private def bpeTrainerCtes(k: Int): String = {
     val head =
-      """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      """w0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
              SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
              FROM documents) GROUP BY word),
-         s0 AS (SELECT freq, '  ' || array_to_string(
+         s0 AS MATERIALIZED (SELECT word, freq, '  ' || array_to_string(
              list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), '  ') || '  ' AS s
            FROM w0)"""
     val rounds = (1 to k).map { r =>
       val prev = s"s${r - 1}"
       s""",
-         p$r AS (SELECT a, b, c FROM (
+         p$r AS MATERIALIZED (SELECT a, b, c FROM (
              SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS c FROM (
                SELECT freq, unnest(list_transform(range(1, len(tk)),
                  i -> {'a': tk[i], 'b': tk[i + 1]})) AS pr FROM (
                  SELECT freq, string_split(trim(s), '  ') AS tk FROM $prev))
              GROUP BY pr.a, pr.b)
            ORDER BY c DESC, a, b LIMIT 1),
-         s$r AS (SELECT freq, replace(s,
+         s$r AS MATERIALIZED (SELECT word, freq, replace(s,
              ' ' || (SELECT a FROM p$r) || '  ' || (SELECT b FROM p$r) || ' ',
              ' ' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || ' ') AS s FROM $prev)"""
     }.mkString
+    s"$head$rounds"
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val union = (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, c AS pair_count FROM p$r")
       .mkString(" UNION ALL ")
-    s"$head$rounds SELECT * FROM ($union) ORDER BY merge_rank"
+    s"WITH ${bpeTrainerCtes(k)} SELECT * FROM ($union) ORDER BY merge_rank"
   }
+
+  /** DuckDB twin of [[graft.operators.LayoutOps.bpeRefreshStore]]: the
+    * k-round trainer replayed, then EVERY document encoded under the
+    * learned table (the refreshed store's end state — stale eras were
+    * re-encoded, fresh eras were born on it), per-era md5 ranks with the
+    * odd era offset by the even era's row count, and the per-(era,shard)
+    * manifest with the pos-ordered token digest chain. */
+  private def bpeRefreshOracleSql(k: Int): String =
+    s"""WITH ${bpeTrainerCtes(k)},
+       t AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       wu AS (SELECT doc_id, i.i AS wi, words[i.i] AS w
+         FROM t, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) i
+         WHERE len(words) > 0),
+       wp AS (SELECT word, string_split(trim(s), '  ') AS pcs FROM s$k),
+       pe AS (SELECT wu.doc_id, wu.wi, wp.pcs
+         FROM wu JOIN wp ON wp.word = wu.w),
+       de AS (SELECT doc_id, flatten(list(pcs ORDER BY wi)) AS pcs
+         FROM pe GROUP BY doc_id),
+       encd AS (SELECT doc_id, CAST(len(pcs) AS BIGINT) AS n_bpe,
+           array_to_string(pcs, ' ') AS tok_str FROM de),
+       r0 AS (SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM t WHERE doc_id % 2 = 0 AND len(words) > 0),
+       n0 AS (SELECT COUNT(*) AS c FROM r0),
+       r1 AS (SELECT doc_id, (SELECT c FROM n0) +
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM t WHERE doc_id % 2 = 1 AND len(words) > 0),
+       u AS (SELECT doc_id, pos, 0 AS era FROM r0
+         UNION ALL SELECT doc_id, pos, 1 FROM r1),
+       rws AS (SELECT u.era, u.pos % 4 AS shard, u.pos, encd.n_bpe, encd.tok_str
+         FROM u JOIN encd USING (doc_id))
+       SELECT CAST(era AS BIGINT) AS era, CAST(shard AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         CAST(MIN(pos) AS BIGINT) AS min_pos,
+         CAST(MAX(pos) AS BIGINT) AS max_pos,
+         CAST(1 AS BIGINT) AS vocab,
+         list_reduce(list_prepend('', list(tok_str ORDER BY pos)),
+           (acc, x) -> md5(acc || ',' || x)) AS token_digest
+       FROM rws GROUP BY era, shard ORDER BY era, shard"""
 
   /** DuckDB twin of [[graft.operators.TextOps.bpeEncode]]: the same char
     * split into the double-space encoding and the same pinned merge chain,
@@ -775,6 +837,53 @@ object SparkEntry {
          COALESCE(m.n_matches, 0) AS n_matches,
          COALESCE(m.min_match, -1) AS min_match
        FROM inc LEFT JOIN m ON m.vec_id = inc.vec_id
+       ORDER BY vec_id"""
+
+  /** Retention through the embedding gate: batch-1 (odd) verdicts replay
+    * pairwise against the evens; the post-sweep store is exactly the
+    * batch-1 ADMITTED odd vectors; the twin batch (2×-rescaled copies of
+    * (10k)-th even/aged and (10k+5)-th odd/in-horizon parents) replays
+    * pairwise against that surviving set. */
+  private def embedClaimRetentionOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       n AS (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       b0 AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+       b1 AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+       tw AS (SELECT vec_id + 1000000 AS vec_id, vec_id AS orig_id,
+                 'scale' AS kind, list_transform(v, x -> x * 2) AS v,
+                 nrm * 2 AS nrm
+               FROM n WHERE vec_id % 10 = 0
+             UNION ALL
+             SELECT vec_id + 2000000, vec_id, 'scale2',
+                 list_transform(v, x -> x * 2), nrm * 2
+               FROM n WHERE vec_id % 10 = 5),
+       m1 AS (SELECT b1.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(b0.vec_id) AS min_match
+             FROM b1 JOIN b0
+               ON list_sum(list_transform(range(1, 65), i -> b1.v[i] * b0.v[i]))
+                  / (b1.nrm * b0.nrm) >= 0.99
+             GROUP BY b1.vec_id),
+       adm1 AS (SELECT b1.* FROM b1
+           LEFT JOIN m1 ON m1.vec_id = b1.vec_id WHERE m1.vec_id IS NULL),
+       m2 AS (SELECT tw.vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(q.vec_id) AS min_match
+             FROM tw JOIN adm1 q
+               ON list_sum(list_transform(range(1, 65), i -> tw.v[i] * q.v[i]))
+                  / (tw.nrm * q.nrm) >= 0.99
+             GROUP BY tw.vec_id)
+       SELECT vec_id, orig_id, kind, admitted, n_matches, min_match FROM (
+         SELECT vec_id, vec_id AS orig_id, 'orig' AS kind, TRUE AS admitted,
+           CAST(0 AS BIGINT) AS n_matches, CAST(-1 AS BIGINT) AS min_match
+         FROM b0
+         UNION ALL
+         SELECT b1.vec_id, b1.vec_id, 'orig', m1.vec_id IS NULL,
+           COALESCE(m1.n_matches, 0), COALESCE(m1.min_match, -1)
+         FROM b1 LEFT JOIN m1 ON m1.vec_id = b1.vec_id
+         UNION ALL
+         SELECT tw.vec_id, tw.orig_id, tw.kind, m2.vec_id IS NULL,
+           COALESCE(m2.n_matches, 0), COALESCE(m2.min_match, -1)
+         FROM tw LEFT JOIN m2 ON m2.vec_id = tw.vec_id)
        ORDER BY vec_id"""
 
   private def annIvfTopKQuantizedOracleSql: String =
@@ -2652,6 +2761,7 @@ object SparkEntry {
     // double cosine; cell scoping is an implementation detail exactly
     // where q_ann_ivf_pairs proves cell-scoped = brute force here.
     "q_embed_dedup_stream" -> embedDedupStreamOracleSql,
+    "q_embed_claim_retention" -> embedClaimRetentionOracleSql,
     // Same verdict semantics after the refresh+migration (same-cell
     // probe, exact cosine at the threshold) — a migration hole or a
     // wrong-artifact probe breaks the pairwise replay.
@@ -3781,6 +3891,80 @@ object SparkEntry {
            CAST(has1 AS BIGINT) AS n_claims_after,
            (has1 = 0) AS re_admits
          FROM agg ORDER BY fp""",
+    // Retention through the TEXT gate: batch 0 (evens) windows against
+    // an empty store, batch 1 (odds) against the even claim set c1, the
+    // sweep leaves exactly the classes batch 1 claimed (c2 = quality
+    // odds whose class no quality even holds), and the twin run windows
+    // against c2 alone — an aged-out class re-admits via its first twin.
+    "q_curation_claim_retention" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(['the','a','of','and','is'],
+               m -> list_contains(words, m))) AS BIGINT) AS n_required
+           FROM t),
+         f AS (SELECT doc_id, md5(text) AS fp, words,
+             (n_words >= 10 AND n_words <= 1000
+               AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+               AND n_symbol * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_required >= 2) AS keep_quality
+           FROM s),
+         shq AS (SELECT doc_id,
+             CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> array_to_string(words[i:i+4], ' '))) END AS sh
+           FROM f WHERE keep_quality),
+         ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         es AS (SELECT DISTINCT unnest(
+             CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+           FROM ev),
+         cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+         cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+           GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+         w0 AS (SELECT doc_id, fp, keep_quality FROM f WHERE doc_id % 2 = 0),
+         v0 AS (SELECT doc_id, doc_id AS cdoc, keep_quality,
+             (keep_quality AND doc_id <>
+               MIN(CASE WHEN keep_quality THEN doc_id END)
+                 OVER (PARTITION BY fp)) AS is_dup
+           FROM w0),
+         c1 AS (SELECT DISTINCT fp FROM w0 WHERE keep_quality),
+         w1 AS (SELECT doc_id, fp, keep_quality FROM f WHERE doc_id % 2 = 1),
+         v1 AS (SELECT w1.doc_id, w1.doc_id AS cdoc, w1.keep_quality,
+             (w1.keep_quality AND (c1.fp IS NOT NULL OR w1.doc_id <>
+               MIN(CASE WHEN w1.keep_quality THEN w1.doc_id END)
+                 OVER (PARTITION BY w1.fp))) AS is_dup
+           FROM w1 LEFT JOIN c1 ON w1.fp = c1.fp),
+         c2 AS (SELECT DISTINCT w1.fp FROM w1 LEFT JOIN c1 ON w1.fp = c1.fp
+           WHERE w1.keep_quality AND c1.fp IS NULL),
+         tw AS (SELECT doc_id + 5000000 AS doc_id, doc_id AS parent
+             FROM documents WHERE doc_id % 6 = 4
+           UNION ALL
+           SELECT doc_id + 7000000, doc_id
+             FROM documents WHERE doc_id % 6 = 3),
+         wt AS (SELECT tw.doc_id, f.fp, f.keep_quality, tw.parent
+           FROM tw JOIN f ON f.doc_id = tw.parent),
+         v2 AS (SELECT wt.doc_id, wt.parent AS cdoc, wt.keep_quality,
+             (wt.keep_quality AND (c2.fp IS NOT NULL OR wt.doc_id <>
+               MIN(CASE WHEN wt.keep_quality THEN wt.doc_id END)
+                 OVER (PARTITION BY wt.fp))) AS is_dup
+           FROM wt LEFT JOIN c2 ON wt.fp = c2.fp),
+         base AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+           UNION ALL SELECT * FROM v2)
+         SELECT base.doc_id, base.keep_quality, base.is_dup,
+           (cont.doc_id IS NOT NULL) AS is_contaminated,
+           (base.keep_quality AND NOT base.is_dup
+             AND cont.doc_id IS NULL) AS admitted
+         FROM base LEFT JOIN cont ON base.cdoc = cont.doc_id
+         ORDER BY base.doc_id""",
     "q_curation_multimodal_stream" ->
       """WITH t AS (SELECT doc_id, text,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
@@ -4413,6 +4597,7 @@ object SparkEntry {
     // right replace semantics in both engines.
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_bpe_refresh" -> bpeRefreshOracleSql(6),
     "q_tokenized_shards" -> tokenizedShardsOracleSql,
     "q_epoch_windows" -> epochWindowOracleSql,
     "q_tokenized_store_incremental" -> tokenizedStoreIncrementalOracleSql,

@@ -695,6 +695,216 @@ object LayoutOps {
     out
   }
 
+  // ------------------------------------- tokenizer refresh lifecycle
+
+  private[graft] def bpeRefreshRoot(): java.nio.file.Path =
+    graft.sources.TmpStores.pidScopedRoot("graft-bperefresh")
+
+  /** Encode one ERA's documents into store rows: md5 training order
+    * within the era offset by the store's current size, the vocab
+    * version stamped on every row. One codegen'd expression, zero
+    * shuffle beyond the rank's 256-bucket discipline. */
+  private def encodeEra(docs: DataFrame, table: Seq[(String, String)],
+      era: Long, vocab: Long, offset: Long, nShards: Int): DataFrame = {
+    val pieces = TextOps.bpePieceArrFor(table)
+    val spark = docs.sparkSession
+    val ids = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select("doc_id")
+    shuffleRanks(spark, ids)
+      .join(docs, Seq("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+      .select(col("doc_id"), (col("pos") + offset).as("pos"),
+        size(col("pcs")).cast("long").as("n_bpe"),
+        array_join(col("pcs"), " ").as("tok_str"),
+        lit(vocab).as("vocab"),
+        ((col("pos") + offset) % nShards).as("shard"),
+        lit(era).as("era"))
+  }
+
+  /** BUILD phase of the TOKENIZER REFRESH lifecycle — the vocab-drift
+    * analog of the ANN centroid refresh (`SimilarityOps.annRecluster`):
+    *
+    *  1. era 0 (even doc_ids) lands in the encoded-corpus store under
+    *     the PINNED v0 merge table ([[TextOps.BpeMergeTable]]) — rows
+    *     are (doc_id, pos, n_bpe, tok_str, vocab), laid out
+    *     `era=`/`shard=`-partitioned, positions immutable;
+    *  2. the vocabulary REFRESHES: BPE merges retrain on the accreted
+    *     corpus ([[TextOps.bpeMergesFromTokens]], deterministic rounds)
+    *     and the merge table ships as a VERSIONED artifact — a fresh
+    *     `gen=1` directory committed by the blue/green CURRENT swap
+    *     (`Stage.atomicRepoint`), exactly how a tokenizer artifact
+    *     reaches a fleet;
+    *  3. era 1 (odd doc_ids) appends under the artifact READ BACK from
+    *     its committed generation (a restart consumes the same bytes),
+    *     positions continuing the store's tail.
+    *
+    * Returns the store path; [[bpeRefreshApply]] is the refresh pass. */
+  private[graft] def bpeRefreshBuild(spark: SparkSession, dir: String,
+      k: Int = 6, nShards: Int = 4): String = {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = bpeRefreshRoot()
+    Seq("store", "vocab").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val store = root.resolve("store").toString
+    val vocabDir = root.resolve("vocab").toString
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val sel = Seq("doc_id", "pos", "n_bpe", "tok_str", "vocab", "shard", "era")
+      .map(col)
+    encodeEra(evens, TextOps.BpeMergeTable, era = 0L, vocab = 0L,
+      offset = 0L, nShards = nShards)
+      .select(sel: _*)
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("append").partitionBy("era", "shard").parquet(store)
+    // vocab v1: retrain on the full accreted corpus, version the artifact
+    val merges = TextOps.bpeMergesFromTokens(
+      docs.select(explode(TextOps.tokens(col("text"))).as("word")), k)
+    val gen = s"$vocabDir/gen=1"
+    merges.coalesce(1).write.mode("overwrite").parquet(gen)
+    graft.sources.Stage.atomicRepoint(vocabDir, gen)
+    val v1 = currentVocab(spark, vocabDir)
+    val nEra0 = spark.read.parquet(store).count()
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    encodeEra(odds, v1, era = 1L, vocab = 1L, offset = nEra0,
+      nShards = nShards)
+      .select(sel: _*)
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("append").partitionBy("era", "shard").parquet(store)
+    store
+  }
+
+  /** The committed merge table, read back from the versioned artifact. */
+  private def currentVocab(spark: SparkSession,
+      vocabDir: String): Seq[(String, String)] = {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.read.parquet(graft.sources.Stage.currentTarget(vocabDir).get)
+      .orderBy("merge_rank").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+  }
+
+  /** REFRESH phase: re-encode ONLY the eras written under a stale vocab
+    * — the touched-partition overwrite discipline
+    * (`SimilarityOps.reclusterApply`): per-era min(vocab) finds the
+    * stale eras (a slim column agg), their documents re-encode under
+    * the CURRENT artifact with doc_id/pos/era/shard untouched (positions
+    * are immutable — only the payload and its vocab stamp move), and
+    * the rewrite commits by dynamic partition overwrite on exactly the
+    * stale `era=`/`shard=` directories — every era already on the
+    * current vocab keeps its exact files (byte-identity spec-asserted).
+    * Returns the rows re-encoded. */
+  private[graft] def bpeRefreshApply(spark: SparkSession, dir: String,
+      nShards: Int = 4): Long = {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = bpeRefreshRoot()
+    val store = root.resolve("store").toString
+    val vocabDir = root.resolve("vocab").toString
+    val v1 = currentVocab(spark, vocabDir)
+    val currentVersion = 1L
+    spark.catalog.refreshByPath(store)
+    val all = spark.read.parquet(store)
+    val stale = all.groupBy("era").agg(min(col("vocab")).as("v"))
+      .filter(col("v") < currentVersion)
+      .select("era").as[Long].collect().sorted.toSeq
+    if (stale.isEmpty) return 0L
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val pieces = TextOps.bpePieceArrFor(v1)
+    // lineage-free before the overwrite: the dynamic write replaces the
+    // very partitions this frame reads
+    val rewritten = all
+      .filter(col("era").isin(stale.map(java.lang.Long.valueOf): _*))
+      .select("doc_id", "pos", "shard", "era")
+      .join(docs, Seq("doc_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+      .select(col("doc_id"), col("pos"),
+        size(col("pcs")).cast("long").as("n_bpe"),
+        array_join(col("pcs"), " ").as("tok_str"),
+        lit(currentVersion).as("vocab"), col("shard"), col("era"))
+      .localCheckpoint(true)
+    val n = rewritten.count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rewritten
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("era", "shard").parquet(store)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshByPath(store)
+    n
+  }
+
+  /** Per-(era, shard) manifest fold — [[foldTokenManifests]]'s O(1)-state
+    * streaming discipline keyed on the era/shard pair, digest chained
+    * over the encoded piece streams in pos order. */
+  private[graft] def foldEraManifests(
+      it: Iterator[(Long, Long, Long, Long, String, Long)])
+      : Iterator[(Long, Long, Long, Long, Long, Long, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, String)]
+    var curE = -1L; var curS = -1L; var acc = ""; var n = 0L; var toks = 0L
+    var minP = Long.MaxValue; var maxP = Long.MinValue; var voc = -1L
+    def flush(): Unit =
+      if (curE >= 0) out += ((curE, curS, n, toks, minP, maxP, voc, acc))
+    while (it.hasNext) {
+      val (era, shard, pos, nBpe, tokStr, vocab) = it.next()
+      if (era != curE || shard != curS) {
+        flush(); curE = era; curS = shard; acc = ""; n = 0L; toks = 0L
+        minP = Long.MaxValue; maxP = Long.MinValue; voc = -1L
+      }
+      acc = digestStepStr(md, acc, tokStr)
+      n += 1L; toks += nBpe
+      if (pos < minP) minP = pos
+      if (pos > maxP) maxP = pos
+      if (vocab > voc) voc = vocab
+    }
+    flush()
+    out.iterator
+  }
+
+  /** TOKENIZER REFRESH LIFECYCLE, oracle-gated end to end: era 0 (evens)
+    * encodes under the pinned v0 table, the vocabulary retrains on the
+    * accreted corpus into a versioned blue/green artifact, era 1 (odds)
+    * appends under the committed artifact, and the refresh pass
+    * re-encodes ONLY the stale era's partitions (positions immutable,
+    * current-vocab partitions byte-identical — spec-asserted). The
+    * output is the per-(era, shard) loader manifest of the refreshed
+    * store read back from disk; the DuckDB oracle replays the
+    * deterministic merge training rounds, the per-era md5 ranking, the
+    * unrolled retrained-table encode of EVERY document, and each
+    * manifest field including the pos-ordered token digest — a
+    * regression in the trainer, the artifact round trip, the stale-era
+    * detection, or the touched-partition rewrite flips a row red. */
+  def bpeRefreshStore(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val nShards = 4
+    val store = bpeRefreshBuild(spark, dir, k = 6, nShards = nShards)
+    bpeRefreshApply(spark, dir, nShards = nShards)
+    spark.read.parquet(store)
+      .select(col("era").cast("long").as("_1"), col("shard").cast("long").as("_2"),
+        col("pos").cast("long").as("_3"), col("n_bpe").cast("long").as("_4"),
+        col("tok_str").as("_5"), col("vocab").cast("long").as("_6"))
+      .as[(Long, Long, Long, Long, String, Long)]
+      .repartition(nShards, col("_1"), col("_2"))
+      .sortWithinPartitions("_1", "_2", "_3")
+      .mapPartitions(foldEraManifests)
+      .toDF("era", "shard", "n_docs", "n_tokens", "min_pos", "max_pos",
+        "vocab", "token_digest")
+      .orderBy("era", "shard")
+  }
+
   def zorderStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val maxes = docs.agg(

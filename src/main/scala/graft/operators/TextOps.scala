@@ -1037,12 +1037,14 @@ object TextOps {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeFrame(Tables(spark, dir, "documents"))
 
-  /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
-    * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
-    * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). */
-  private[graft] val bpePieceArr: Column => Column = {
-    // word → "  c1  c2  ...  ", then the merge chain in rank order
-    val encoded = BpeMergeTable.foldLeft[Column => Column](w =>
+  /** The unrolled per-word encode chain for an ARBITRARY merge table —
+    * the vocab artifact is DATA (a retrained table read back from its
+    * versioned store, `LayoutOps.bpeRefreshStore`), but the chain is
+    * still one pure codegen'd expression: word → "  c1  c2  ...  ",
+    * then each merge in rank order via the boundary-safe literal
+    * replace the trainer uses. */
+  private[graft] def bpePieceArrFor(table: Seq[(String, String)]): Column => Column = {
+    val encoded = table.foldLeft[Column => Column](w =>
       concat(lit("  "),
         array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), "  "),
         lit("  "))) { case (enc, (a, b)) =>
@@ -1050,6 +1052,12 @@ object TextOps {
     }
     w => split(trim(encoded(w)), "  ")
   }
+
+  /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
+    * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
+    * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). */
+  private[graft] val bpePieceArr: Column => Column =
+    bpePieceArrFor(BpeMergeTable)
 
   /** Per-word BPE piece count under [[BpeMergeTable]]. */
   private[graft] val bpePieces: Column => Column =

@@ -259,23 +259,21 @@ object Stage {
   }
 
   /** The single-logical-commit marker swap shared by every blue/green
-    * consumer (search-doc publish, the streaming snapshot publisher):
-    * write CURRENT.tmp, then ATOMIC_MOVE onto CURRENT — readers see the
-    * old target or the new one, never a partial write. */
-  def atomicRepoint(baseDir: String, target: String): Unit = {
-    val marker = Paths.get(baseDir, "CURRENT.tmp")
-    Files.createDirectories(Paths.get(baseDir))
-    Files.writeString(marker, target, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(marker, Paths.get(baseDir, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+    * consumer (search-doc publish, the streaming snapshot publisher,
+    * every ClaimStore generation): write CURRENT.tmp, then rename ONTO
+    * CURRENT — readers see the old target or the new one, never a
+    * partial write. Goes through the Hadoop FileSystem API ([[Hfs]]) so
+    * the marker lives beside the data wherever the store does
+    * (HDFS/S3A/local). */
+  def atomicRepoint(baseDir: String, target: String): Unit =
+    Hfs.writeStringAtomic(
+      new org.apache.hadoop.fs.Path(baseDir, "CURRENT"), target)
 
   /** The committed target CURRENT points at, or None before any publish. */
   def currentTarget(baseDir: String): Option[String] = {
-    val marker = Paths.get(baseDir, "CURRENT")
-    if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
+    val marker = new org.apache.hadoop.fs.Path(baseDir, "CURRENT")
+    if (Hfs.exists(marker.toString)) Some(Hfs.readString(marker).trim)
+    else None
   }
 
   /** Blue/green swap: write to a fresh versioned dir, then atomically

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
+
+import graft.sources.Hfs
 
 object ClaimStore {
   /** Fold a store's delta dir once it holds this many files — the bound
@@ -14,6 +16,15 @@ object ClaimStore {
     * run count stays O(RunsPerClass · log store), per-claim rewrites stay
     * O(log store)). */
   val RunsPerClass = 4
+
+  /** Name of the consumed-inputs manifest a major fold stamps into its
+    * new generation BEFORE the CURRENT swap — the crash-idempotence
+    * record: a fold that died between the swap and its input cleanup
+    * leaves this file behind, readers EXCLUDE the listed paths (so a
+    * filtered fold — retention sweep, claim migration — can never
+    * resurrect the rows it dropped), and the next fold finishes the
+    * cleanup. */
+  val ConsumedManifest = "_CONSUMED"
 }
 
 /** The ONE at-least-once verdict READ CONTRACT shared by every streaming
@@ -83,12 +94,16 @@ private[streaming] object StreamVerdicts {
   *    rewrite happens O(log store) times in the store's life, not once
   *    per delta budget. Dead generations, consumed runs, and consumed
   *    deltas are dropped only AFTER their replacement commits, so a
-  *    reader resolving CURRENT first never loses a reachable byte and a
-  *    crash anywhere mid-fold leaves at worst duplicate rows;
-  *  - claims are a MONOTONE SET: duplicates are always row-identical, so
-  *    each fold's `distinct()` and the callers' read-side resolution
-  *    (distinct / pair-level dedup / per-key aggregation) absorb every
-  *    single-crash schedule.
+  *    reader resolving CURRENT first never loses a reachable byte;
+  *  - crash discipline: a plain fold's claims are a MONOTONE SET
+  *    (duplicates are row-identical and collapse in each fold's
+  *    `distinct()` / the callers' read-side resolution), and a FILTERED
+  *    fold ([[retentionSweep]], [[rewrite]]) records its consumed inputs
+  *    in the new generation's [[ClaimStore.ConsumedManifest]] BEFORE the
+  *    swap — readers exclude those paths and the next fold finishes the
+  *    cleanup, so a crash between the swap and the input deletion can
+  *    neither resurrect swept claims nor strand a migration under its
+  *    old keys.
   *
   * `partitionCol` lays the compacted base out on the PROBE KEY
   * (`gen=N/<col>=v/...`) so a batch's [[readPruned]] partition-prunes to
@@ -102,6 +117,10 @@ private[streaming] object StreamVerdicts {
   * the staleness sweep bounds what any later pass must rescan
   * (amundsendatabuilder publisher/neo4j_csv_publisher.py:412-447).
   *
+  * Every list/stat/delete goes through [[graft.sources.Hfs]] — the
+  * Hadoop FileSystem API — so the store runs unchanged on HDFS/S3A,
+  * where a 100 TB deployment's claim state actually lives.
+  *
   * Fold costs: a minor fold writes O(delta bytes); a tier merge writes
   * O(merged-class bytes) and each claim crosses O(log) classes; a major
   * writes O(store) but doubles the base, so lifetime rewrite volume is
@@ -109,55 +128,61 @@ private[streaming] object StreamVerdicts {
   * over an N-batch stream. Per-BATCH probe work never scans more than
   * the pruned base keys + the bounded small levels. */
 final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
-  import ClaimStore.{CompactDeltaFiles, RunsPerClass}
+  import ClaimStore.{CompactDeltaFiles, ConsumedManifest, RunsPerClass}
 
-  private[streaming] def deltaFiles: Seq[java.nio.file.Path] = {
-    val d = java.nio.file.Paths.get(dir, "delta")
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(d)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-      finally s.close()
-    }
-  }
+  private[streaming] def deltaFiles: Seq[Path] =
+    Hfs.children(s"$dir/delta")(_.endsWith(".parquet"))
 
   /** Live minor runs: committed (`_SUCCESS` present) `minor/run=M` dirs.
     * A run dir without the marker is a crashed write — its inputs still
     * exist (they are deleted only after commit), so it holds nothing
     * reachable and is swept by the next fold. */
-  private[streaming] def minorRuns: Seq[java.nio.file.Path] =
-    listRuns().filter(p =>
-      java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+  private[streaming] def minorRuns: Seq[Path] =
+    listRuns().filter(p => Hfs.exists(new Path(p, "_SUCCESS").toString))
 
-  private def listRuns(): Seq[java.nio.file.Path] = {
-    val d = java.nio.file.Paths.get(dir, "minor")
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(d)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("run=")).toList
-      finally s.close()
-    }
-  }
+  private def listRuns(): Seq[Path] =
+    Hfs.children(s"$dir/minor")(_.startsWith("run="))
 
   /** Total bytes of parquet payload under a path — fold-cost accounting
     * and the tier/major triggers. */
-  private[streaming] def parquetBytes(p: java.nio.file.Path): Long =
-    if (!java.nio.file.Files.exists(p)) 0L
-    else {
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(java.nio.file.Files.size).sum
-      finally w.close()
+  private[streaming] def parquetBytes(p: Path): Long = Hfs.parquetBytes(p)
+
+  /** Paths a committed filtered fold consumed but may not have deleted
+    * yet (crash between the CURRENT swap and the cleanup): the
+    * [[ClaimStore.ConsumedManifest]] of the CURRENT generation. Readers
+    * subtract these; folds delete them first. */
+  private def pendingConsumed(): Set[String] =
+    graft.sources.Stage.currentTarget(dir).toSeq.flatMap { gen =>
+      val m = new Path(gen, ConsumedManifest)
+      if (!Hfs.exists(m.toString)) Seq.empty
+      else Hfs.readString(m).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }.toSet
+
+  /** Finish a crashed fold's cleanup idempotently: delete every path the
+    * CURRENT generation's manifest lists, then the manifest itself. Runs
+    * at the head of every fold, so at most ONE manifest is ever live. */
+  private def finishPendingCleanup(): Unit =
+    graft.sources.Stage.currentTarget(dir).foreach { gen =>
+      val m = new Path(gen, ConsumedManifest)
+      if (Hfs.exists(m.toString)) {
+        Hfs.readString(m).linesIterator.map(_.trim).filter(_.nonEmpty)
+          .foreach(p => Hfs.delete(new Path(p)))
+        Hfs.delete(m)
+      }
     }
 
+  /** A generation folded from ALL-EMPTY claims writes no part files at
+    * all under the partitioned layout (dynamic partition dirs exist per
+    * row) — reading such a directory would fail schema inference, so an
+    * empty generation reads as the empty set it is. */
+  private def hasParquet(p: String): Boolean = Hfs.hasParquet(p)
+
   /** Committed base generation (CURRENT, if any major has run) ++ live
-    * minor runs ++ delta files, columns normalized to `empty`'s order
-    * (the base read returns `partitionCol` as a trailing partition
-    * column). Raw rows: crash duplicates survive; the caller's read
-    * semantics absorb them. */
+    * minor runs ++ delta files — MINUS any inputs a committed filtered
+    * fold already consumed (see [[ClaimStore.ConsumedManifest]]) —
+    * columns normalized to `empty`'s order (the base read returns
+    * `partitionCol` as a trailing partition column). Raw rows: plain-fold
+    * crash duplicates survive; the caller's read semantics absorb them. */
   def read(spark: SparkSession, empty: DataFrame): DataFrame =
     readWhere(spark, empty, None)
 
@@ -172,22 +197,13 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     readWhere(spark, empty, Some(col(pc).isin(keys.map(Integer.valueOf): _*)))
   }
 
-  /** A generation folded from ALL-EMPTY claims writes no part files at
-    * all under the partitioned layout (dynamic partition dirs exist per
-    * row) — reading such a directory would fail schema inference, so an
-    * empty generation reads as the empty set it is. */
-  private def hasParquet(p: String): Boolean = {
-    val path = java.nio.file.Paths.get(p)
-    java.nio.file.Files.isDirectory(path) && {
-      val w = java.nio.file.Files.walk(path)
-      try w.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-      finally w.close()
-    }
-  }
-
   private def readWhere(spark: SparkSession, empty: DataFrame,
       pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val sel = empty.columns.toSeq.map(col)
+    val consumed = pendingConsumed()
+    def live(paths: Seq[Path]): Seq[String] =
+      paths.map(_.toString).filterNot(p => consumed.contains(p) ||
+        consumed.contains(new Path(p).toUri.getPath))
     def part(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
       else {
@@ -196,8 +212,8 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
       }
     val parts =
       part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet)).toSeq ++
-        part(minorRuns.map(_.toString).filter(hasParquet)).toSeq ++
-        part(deltaFiles.map(_.toString)).toSeq
+        part(live(minorRuns).filter(hasParquet)).toSeq ++
+        part(live(deltaFiles)).toSeq
     if (parts.isEmpty) pred.fold(empty)(empty.filter)
     else parts.reduce(_ union _)
   }
@@ -238,17 +254,19 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * has been written or materialized (see [[append]]). Returns the
     * parquet bytes this call rewrote (0 when under budget) — the
     * rewrite-amplification observable the scale rehearsal bounds. */
-  def maybeCompact(spark: SparkSession, empty: DataFrame): Long =
+  def maybeCompact(spark: SparkSession, empty: DataFrame): Long = {
+    finishPendingCleanup()
     if (deltaFiles.size < CompactDeltaFiles) 0L
     else if (graft.sources.Stage.currentTarget(dir).isEmpty) major(spark, empty)
     else {
       var bytes = minorFold(spark, empty)
       bytes += tierMergeFullClasses(spark, empty)
       val baseBytes = graft.sources.Stage.currentTarget(dir)
-        .map(t => parquetBytes(java.nio.file.Paths.get(t))).getOrElse(0L)
+        .map(t => Hfs.parquetBytes(new Path(t))).getOrElse(0L)
       if (minorRuns.map(parquetBytes).sum >= baseBytes) bytes += major(spark, empty)
       bytes
     }
+  }
 
   /** Force a full fold — base ∪ minors ∪ deltas → one fresh generation.
     * Kept public for batch-style store maintenance
@@ -257,8 +275,9 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
   def compact(spark: SparkSession, empty: DataFrame): Unit = { major(spark, empty); () }
 
   /** OFFLINE rewrite — fold the whole store through `f` into one fresh
-    * generation (the major-fold commit discipline: atomic CURRENT swap,
-    * then dead generations / consumed runs / consumed deltas drop).
+    * generation (the major-fold commit discipline: consumed-input
+    * manifest, atomic CURRENT swap, then dead generations / consumed
+    * runs / consumed deltas drop — crash-idempotent, see the class doc).
     * The maintenance primitive under [[retentionSweep]] and the claim
     * MIGRATION path (a centroid refresh re-keys every claim's probe
     * partition — `f` maps rows to their new pk). Run between batches;
@@ -280,9 +299,12 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * than `maxDropFrac` of the store — a mis-set horizon (or a clock
     * bug feeding epoch 0s) must fail loudly, not silently empty the
     * dedup state. Runs as a major fold, so the swept store lands in the
-    * pruned serving layout; returns the claim rows dropped. */
+    * pruned serving layout and the consumed-input manifest makes a
+    * crashed sweep finish (never silently un-happen) on the next fold;
+    * returns the claim rows dropped. */
   def retentionSweep(spark: SparkSession, empty: DataFrame, minEpoch: Long,
       maxDropFrac: Double, epochCol: String = "epoch"): Long = {
+    finishPendingCleanup()
     val counted = read(spark, empty).distinct()
       .agg(count(lit(1)).as("total"),
         count(when(col(epochCol) < minEpoch, 1)).as("doomed"))
@@ -298,29 +320,26 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
   }
 
   /** MAJOR fold: everything → one fresh `gen=N` (laid out on
-    * `partitionCol` when set), atomically swap CURRENT at it, then drop
-    * dead generations, consumed runs, and consumed deltas. Run between
-    * batches — the foreachBatch loop is single-threaded, so no append
-    * races the fold; a crash at any point loses nothing (claims are a
-    * monotone set and every pre-swap byte stays where a restarted
-    * reader finds it). */
+    * `partitionCol` when set), stamp the consumed-inputs manifest into
+    * it, atomically swap CURRENT at it, then drop dead generations,
+    * consumed runs, and consumed deltas (and the manifest, last). Run
+    * between batches — the foreachBatch loop is single-threaded, so no
+    * append races the fold; a crash at any point loses nothing: before
+    * the swap the old CURRENT still covers every byte, after it the
+    * manifest excludes the consumed inputs until the next fold deletes
+    * them. */
   private def major(spark: SparkSession, empty: DataFrame,
       keep: Option[org.apache.spark.sql.Column] = None): Long =
     majorWith(spark, empty, df => keep.foldLeft(df)(_ filter _))
 
   private def majorWith(spark: SparkSession, empty: DataFrame,
       f: DataFrame => DataFrame): Long = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    if (!Hfs.isDir(dir)) return 0L
+    finishPendingCleanup()
     sweepDeadRuns()
-    def listGens(): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(root)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("gen=")).toList
-      finally s.close()
-    }
+    def listGens(): Seq[Path] = Hfs.children(dir)(_.startsWith("gen="))
     val nextName = s"gen=${(listGens().map(
-      _.getFileName.toString.stripPrefix("gen=").toLong) :+ -1L).max + 1}"
+      _.getName.stripPrefix("gen=").toLong) :+ -1L).max + 1}"
     val next = s"$dir/$nextName"
     val consumedDeltas = deltaFiles
     val consumedRuns = listRuns()
@@ -337,17 +356,23 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
         folded.repartition(spark.sparkContext.defaultParallelism)
           .write.parquet(next)
     }
+    // the consumed-inputs manifest lands INSIDE the new generation
+    // before the swap: committed and visible exactly when the
+    // generation is, so a crash after the swap leaves the consumed
+    // paths excluded (not resurrected) until cleanup finishes
+    Hfs.writeString(new Path(next, ClaimStore.ConsumedManifest),
+      (consumedRuns ++ consumedDeltas).map(_.toString).mkString("\n"))
     graft.sources.Stage.atomicRepoint(dir, next)
     // cleanup AFTER the swap: readers resolve CURRENT first, so nothing
     // they can reach disappears under them. Generations compare by FILE
     // NAME — a raw-string compare against `next` would mis-normalize a
     // caller-supplied dir (trailing slash, doubled separators) and
     // delete the just-committed generation.
-    listGens().filter(_.getFileName.toString != nextName)
-      .foreach(graft.sources.TmpStores.deleteRecursively)
-    consumedRuns.foreach(graft.sources.TmpStores.deleteRecursively)
-    deleteDeltas(spark, consumedDeltas)
-    parquetBytes(java.nio.file.Paths.get(next))
+    listGens().filter(_.getName != nextName).foreach(p => Hfs.delete(p))
+    consumedRuns.foreach(p => Hfs.delete(p))
+    deleteDeltas(consumedDeltas)
+    Hfs.delete(new Path(next, ClaimStore.ConsumedManifest))
+    Hfs.parquetBytes(new Path(next))
   }
 
   /** Target file count for a run holding this many input bytes — runs
@@ -368,7 +393,7 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
       .select(sel: _*).distinct()
       .coalesce(runFiles(consumed.map(parquetBytes).sum))
       .write.parquet(next.toString)
-    deleteDeltas(spark, consumed)
+    deleteDeltas(consumed)
     parquetBytes(next)
   }
 
@@ -392,7 +417,7 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
             .select(sel: _*).distinct()
             .coalesce(runFiles(runs.map(parquetBytes).sum))
             .write.parquet(next.toString)
-          runs.foreach(graft.sources.TmpStores.deleteRecursively)
+          runs.foreach(p => Hfs.delete(p))
           bytes += parquetBytes(next)
           merged = true
         }
@@ -400,31 +425,21 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     bytes
   }
 
-  private def nextRunDir(): java.nio.file.Path = {
-    val d = java.nio.file.Paths.get(dir, "minor")
-    java.nio.file.Files.createDirectories(d)
-    d.resolve(s"run=${(listRuns().map(
-      _.getFileName.toString.stripPrefix("run=").toLong) :+ -1L).max + 1}")
-  }
+  private def nextRunDir(): Path =
+    new Path(s"$dir/minor", s"run=${(listRuns().map(
+      _.getName.stripPrefix("run=").toLong) :+ -1L).max + 1}")
 
   /** Drop crashed (uncommitted) run dirs — their inputs were never
     * deleted, so they hold nothing reachable. */
   private def sweepDeadRuns(): Unit =
-    listRuns().filterNot(p =>
-        java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-      .foreach(graft.sources.TmpStores.deleteRecursively)
+    listRuns().filterNot(p => Hfs.exists(new Path(p, "_SUCCESS").toString))
+      .foreach(p => Hfs.delete(p))
 
-  /** Delete consumed deltas through the Hadoop (Checksum)FileSystem so
-    * each part file's '.part-*.parquet.crc' sidecar goes with it — a
+  /** Delete consumed deltas through the path's own (Checksum)FileSystem
+    * so each part file's '.part-*.parquet.crc' sidecar goes with it — a
     * bare nio delete leaves the sidecars accreting in the delta dir,
     * the very unbounded-small-file growth the folds bound. */
-  private def deleteDeltas(spark: SparkSession,
-      consumed: Seq[java.nio.file.Path]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
-    (consumed :+ java.nio.file.Paths.get(dir, "delta", "_SUCCESS"))
-      .foreach(p =>
-        try fs.delete(new org.apache.hadoop.fs.Path(p.toUri), false)
-        catch { case _: Exception => () })
-  }
+  private def deleteDeltas(consumed: Seq[Path]): Unit =
+    (consumed :+ new Path(s"$dir/delta", "_SUCCESS"))
+      .foreach(p => Hfs.delete(p, recursive = false))
 }

@@ -58,20 +58,15 @@ object CurationStream {
     * [[ClaimStore]] budget; re-exported for specs). */
   val CompactDeltaFiles: Int = ClaimStore.CompactDeltaFiles
 
-  private def deltaFiles(fpStore: String): Seq[java.nio.file.Path] = {
-    val d = java.nio.file.Paths.get(fpStore, "delta")
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else {
-      val s = java.nio.file.Files.list(d)
-      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq
-      finally s.close()
-    }
-  }
+  private def deltaFiles(fpStore: String): Seq[org.apache.hadoop.fs.Path] =
+    graft.sources.Hfs.children(s"$fpStore/delta")(_.endsWith(".parquet"))
 
+  /** Text claim rows: pk = the fingerprint's probe key, `epoch` the
+    * RETENTION stamp (caller-threaded monotone build epoch + batch id)
+    * consumed by [[sweepClaims]]. */
   private def emptyClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, String)].toDF("pk", "fp")
+    Seq.empty[(Int, String, Long)].toDF("pk", "fp", "epoch")
   }
 
   /** Probe key for the exact-md5 claim classes: a stable hash of the
@@ -152,32 +147,21 @@ object CurationStream {
     def append(spark: SparkSession, dir: String, batchId: Long,
         nDocs: Long, nTokens: Long): Unit = {
       import spark.implicits._
+      import graft.sources.Hfs
       Seq((batchId, nDocs, nTokens)).toDF("batch_id", "n_docs", "n_tokens")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/delta")
       if (deltaFiles(dir).size >= CompactDeltaFiles) {
-        val root = java.nio.file.Paths.get(dir)
-        val gens = {
-          val s = java.nio.file.Files.list(root)
-          try s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong).toSeq
-          finally s.close()
-        }
-        val next = s"$dir/gen=${(gens :+ -1L).max + 1}"
+        val gens = Hfs.children(dir)(_.startsWith("gen="))
+          .map(_.getName.stripPrefix("gen=").toLong)
+        val nextName = s"gen=${(gens :+ -1L).max + 1}"
+        val next = s"$dir/$nextName"
         val consumed = deltaFiles(dir)
         rows(spark, dir).coalesce(1).write.parquet(next)
         graft.sources.Stage.atomicRepoint(dir, next)
-        val s = java.nio.file.Files.list(root)
-        val dead = try s.iterator().asScala.filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("gen=") && p.toString != next
-        }.toList finally s.close()
-        dead.foreach(graft.sources.TmpStores.deleteRecursively)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
-        (consumed :+ java.nio.file.Paths.get(dir, "delta", "_SUCCESS"))
-          .foreach(p =>
-            try fs.delete(new org.apache.hadoop.fs.Path(p.toUri), false)
-            catch { case _: Exception => () })
+        Hfs.children(dir)(n => n.startsWith("gen=") && n != nextName)
+          .foreach(p => Hfs.delete(p))
+        (consumed :+ new org.apache.hadoop.fs.Path(s"$dir/delta", "_SUCCESS"))
+          .foreach(p => Hfs.delete(p, recursive = false))
       }
     }
   }
@@ -205,10 +189,10 @@ object CurationStream {
     * single-crash schedule. */
   /** Media claim rows for the streaming cross-modal gate — the
     * [[MediaDedupStream]] pre-exploded probe-key layout on the audio
-    * loudness hash. */
+    * loudness hash, epoch-stamped like every production claim store. */
   private def emptyMediaClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, Long, Long)].toDF("pk", "claim_id", "fhash")
+    Seq.empty[(Int, Long, Long, Long)].toDF("pk", "claim_id", "fhash", "epoch")
   }
 
   /** Video claim rows — the temporal-gradient signature is radius-0
@@ -217,8 +201,34 @@ object CurationStream {
     * signature purely for the pruned-read layout. */
   private def emptyVideoClaims(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Int, Long, String)].toDF("pk", "claim_id", "vhash")
+    Seq.empty[(Int, Long, String, Long)].toDF("pk", "claim_id", "vhash", "epoch")
   }
+
+  /** RETENTION for the gate's claim stores — the epoch-stamped
+    * [[ClaimStore.retentionSweep]] discipline across the text exact-md5
+    * classes AND (when the media gate ran) the audio/video perceptual
+    * stores, each under its own guardrail: a class/asset whose every
+    * claim aged out re-admits on its next arrival, in-horizon claims
+    * keep rejecting. Run between stream runs (offline, like
+    * compaction). Returns (text, media, video) claim rows dropped — a
+    * store that never existed sweeps vacuously to 0. */
+  def sweepClaims(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double): (Long, Long, Long) = (
+    textClaimStore(s"${outDir}_fps")
+      .retentionSweep(spark, emptyClaims(spark), minEpoch, maxDropFrac),
+    ClaimStore(s"${outDir}_mfps", partitionCol = Some("pk"))
+      .retentionSweep(spark, emptyMediaClaims(spark), minEpoch, maxDropFrac),
+    ClaimStore(s"${outDir}_vmfps", partitionCol = Some("pk"))
+      .retentionSweep(spark, emptyVideoClaims(spark), minEpoch, maxDropFrac))
+
+  /** RETENTION for the per-batch funnel store: batch-grain observability
+    * frames older than `minBatchId` fold away under the guardrail — the
+    * one store whose natural epoch IS the batch id (observability has a
+    * horizon; claims have semantics). */
+  def sweepFunnel(spark: SparkSession, outDir: String, minBatchId: Long,
+      maxDropFrac: Double): Long =
+    funnelStore(outDir).retentionSweep(spark, emptyFunnel(spark),
+      minBatchId, maxDropFrac, epochCol = "batch_id")
 
   private def vhashPk(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (crc32(c) % 2048).cast("int")
@@ -242,7 +252,8 @@ object CurationStream {
       nShards: Int = 4,
       tokenStoreDir: Option[String] = None,
       ctx: Long = 2048L,
-      mediaGate: Boolean = false): StreamingQuery = {
+      mediaGate: Boolean = false,
+      epochBase: Long = 0L): StreamingQuery = {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
     val textStore = textClaimStore(fpStore)
@@ -383,8 +394,12 @@ object CurationStream {
               coalesce(col("is_cont"), lit(false)))
             .withColumn("admitted",
               col("keep_quality") && !col("is_dup") && !col("is_contaminated"))
-            .select(col("doc_id"), col("fp"), col("keep_quality"),
-              col("is_dup"), col("is_contaminated"), col("admitted"))
+            // n_words rides INSIDE the verdict frame so the funnel and
+            // the curated-store append aggregate the one materialized
+            // pass instead of re-joining the batch per consumer
+            .select(col("doc_id"), col("fp"), col("n_words"),
+              col("keep_quality"), col("is_dup"), col("is_contaminated"),
+              col("admitted"))
           // with the media gate on, a text-admitted doc is still excised
           // when an asset fails a property gate or perceptually
           // duplicates an earlier batch's asset
@@ -396,20 +411,22 @@ object CurationStream {
             .persist(StorageLevel.MEMORY_AND_DISK)
           verdict.count()
           try {
-            verdict.drop("fp")
+            verdict.drop("fp", "n_words")
               .write.mode(SaveMode.Append).parquet(outDir)
             // PER-BATCH FUNNEL — the drop-accounting the batch build
             // emits (curationMultimodal's stage discipline), one frame
             // per micro-batch: text stages always; the three media
             // property stages and the perceptual-novelty stage when the
-            // media gate is on. At-least-once: a REPLAYED batch sees its
-            // own claims and undercounts the dedup-and-after stages, so
-            // the read side resolves per (batch_id, stage) by the
-            // tuple-MAX delivery (the original; counts only shrink on
-            // replay) — the StreamVerdicts discipline on aggregates.
+            // media gate is on. One aggregation straight over the
+            // already-materialized verdict pass (n_words rides in the
+            // verdict) — no per-batch re-join, no second shuffle.
+            // At-least-once: a REPLAYED batch sees its own claims and
+            // undercounts the dedup-and-after stages, so the read side
+            // resolves per (batch_id, stage) by the tuple-MAX delivery
+            // (the original; counts only shrink on replay) — the
+            // StreamVerdicts discipline on aggregates.
             locally {
               val fv = verdict
-                .join(b.select(col("doc_id"), col("n_words")), Seq("doc_id"))
               def cnt(c: org.apache.spark.sql.Column) =
                 sum(when(c, 1L).otherwise(0L))
               def tok(c: org.apache.spark.sql.Column) =
@@ -471,8 +488,7 @@ object CurationStream {
               val tail = s"${sd}_tail"
               if (!TailCounter.hasBatch(spark, tail, batchId)) {
                 val admitted = verdict.filter(col("admitted"))
-                  .select("doc_id")
-                  .join(b.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+                  .select("doc_id", "n_words")
                   .persist(StorageLevel.MEMORY_AND_DISK)
                 val nAdmitted = admitted.count()
                 graft.operators.LayoutOps
@@ -531,9 +547,15 @@ object CurationStream {
             // Write-all-then-fold-all (the ClaimStore multi-store
             // discipline): every delta lands before either store folds,
             // so a lazily recomputed frame never resolves deleted files
+            // epoch stamp: a RESTARTED stream's batch ids begin at 0
+            // again, so retention epochs are epochBase + batchId with
+            // the base threaded by the caller as a monotone build
+            // number (the MediaDedupStream discipline)
+            val epoch = lit(epochBase + batchId)
             textStore.appendDelta(
               verdict.filter(col("keep_quality") && !col("is_dup"))
-                .select(fpPk(col("fp")).as("pk"), col("fp")))
+                .select(fpPk(col("fp")).as("pk"), col("fp"),
+                  epoch.as("epoch")))
             // every perceptually NOVEL asset claims its fingerprint —
             // independent of the text verdicts, the MediaDedupStream
             // claim semantics (novelty is against earlier batches only)
@@ -543,11 +565,13 @@ object CurationStream {
                 .select(col("claim_id"), col("fhash"),
                   graft.operators.MultimodalOps.hashBands("fhash").as(Seq("band", "bv")))
                 .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
-                .select("pk", "claim_id", "fhash"))
+                .select("pk", "claim_id", "fhash")
+                .withColumn("epoch", epoch))
               // every perceptually NOVEL video asset claims its signature
               videoStore.appendDelta(mv.filter(!col("video_dup"))
                 .select(vhashPk(col("vhash")).as("pk"),
-                  col("doc_id").as("claim_id"), col("vhash")))
+                  col("doc_id").as("claim_id"), col("vhash"),
+                  epoch.as("epoch")))
             }
             textStore.maybeCompact(spark, emptyClaims(spark))
             funnelStore(outDir).maybeCompact(spark, emptyFunnel(spark))
@@ -739,6 +763,65 @@ object CurationStream {
         coalesce(col("n_claims_after"), lit(0L)).as("n_claims_after"))
       .withColumn("re_admits", col("n_claims_after") === 0L)
       .orderBy("fp")
+  }
+
+  /** Oracle-gated RETENTION LIFECYCLE through the TEXT gate itself — the
+    * full production story [[sweepClaims]] enables (the
+    * [[MediaDedupStream.audioClaimRetentionQuery]] pattern on exact-md5
+    * classes): even doc_ids stream as batch 0 (epoch 0) and odd doc_ids
+    * as batch 1 (epoch 1, judged against the batch-0 claims as usual);
+    * between stream runs the sweep ages out every epoch-0 claim under
+    * the guardrail; then a SECOND run under a monotone epoch base brings
+    * byte-identical TWINS — copies of (6k+4)-th (even, aged-out) parents
+    * and of (6k+3)-th (odd, in-horizon) parents. A twin of an aged-out
+    * class re-admits (its only claim was swept — intra-run first-wins
+    * still applies among the twins themselves); a twin of a class any
+    * odd doc claimed keeps rejecting. The oracle replays all three
+    * batches relationally: the batch-0 window, batch-1 against the even
+    * claim set, the post-sweep store as exactly the classes batch 1
+    * claimed, and the twin verdicts against that surviving set. */
+  def curationClaimRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-curation-ret")
+    Seq("in", "in2", "out", "out_fps", "out_funnel", "ckpt", "ckpt2").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val in2 = root.resolve("in2").toString
+    val out = root.resolve("out").toString
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    val evalSh = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evalSh.count()
+    try {
+      def src(path: String) = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      run(src(in), evalSh, out, root.resolve("ckpt").toString)
+        .awaitTermination()
+      // age out the batch-0 (epoch 0) classes; batch-1 claims stay. The
+      // guardrail sits at 0.99: this sweep EXPECTS to drop a whole epoch
+      // cohort (the abort path is spec-covered elsewhere)
+      sweepClaims(spark, out, minEpoch = 1L, maxDropFrac = 0.99)
+      docs.filter(col("doc_id") % 6 === 4)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 6 === 3)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in2)
+      run(src(in2), evalSh, out, root.resolve("ckpt2").toString,
+        epochBase = 2L).awaitTermination()
+      StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
+        anyTrue = Seq("keep_quality", "is_contaminated", "admitted"),
+        everyTrue = Seq("is_dup"))
+        .select("doc_id", "keep_quality", "is_dup", "is_contaminated", "admitted")
+    } finally evalSh.unpersist()
   }
 
   /** Oracle-gated query for the STREAMING CROSS-MODAL gate: the same

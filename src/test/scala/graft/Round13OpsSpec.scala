@@ -280,7 +280,7 @@ class Round13OpsSpec extends AnyFunSuite {
     // single-key read must partition-prune the folded base — the last
     // gate store to gain the pruned-probe contract
     val fps = ClaimStore(p("out") + "_fps", partitionCol = Some("pk"))
-    val emptyFps = Seq.empty[(Int, String)].toDF("pk", "fp")
+    val emptyFps = Seq.empty[(Int, String, Long)].toDF("pk", "fp", "epoch")
     val somePk = fps.read(spark, emptyFps).select("pk").collect()(0).getInt(0)
     val pruned = fps.readPruned(spark, emptyFps, Seq(somePk))
     assert(pruned.collect().forall(_.getInt(0) == somePk))
@@ -326,8 +326,8 @@ class Round13OpsSpec extends AnyFunSuite {
         universe, cen, p("out"), ckpt).awaitTermination()
     gate(p("in"), p("ckpt"), pinned)
     def claimPks(): Map[Long, Int] = ClaimStore(p("out") + "_vfps", Some("pk"))
-      .read(spark, Seq.empty[(Int, Long, Array[Byte], Double, Double)]
-        .toDF("pk", "claim_id", "codes", "vmin", "scale"))
+      .read(spark, Seq.empty[(Int, Long, Array[Byte], Double, Double, Long)]
+        .toDF("pk", "claim_id", "codes", "vmin", "scale", "epoch"))
       .collect().map(r => r.getAs[Long]("claim_id") -> r.getInt(0)).toMap
     assert(claimPks() == Map(1L -> 0, 2L -> 1),
       "pinned assignment: each seed claims its own centroid's cell")

@@ -236,6 +236,76 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("retention sweep at the 99k-claim scale: guardrail math exact, pruned contract survives the fold") {
+    // 9 epoch-stamped batches spread 99k claims over the 2048-key space;
+    // the sweep's guardrail must compute on DISTINCT claims (exact), a
+    // horizon over the fraction must refuse byte-untouched, and the swept
+    // store must come back in the pruned serving layout (partitionFilters
+    // on the base scan) with a sane file count.
+    import graft.streaming.ClaimStore
+    val spark0 = spark
+    import spark0.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      graft.sources.TmpStores.pidScopedRoot("graft-testtmp"), "graft-retscale")
+    val st = ClaimStore(root.resolve("fps").toString, partitionCol = Some("pk"))
+    val empty = Seq.empty[(Int, Long, Long, Long)]
+      .toDF("pk", "claim_id", "fhash", "epoch")
+    (0 until 9).foreach { b =>
+      st.append(spark, spark.range(b * 11000L, (b + 1) * 11000L)
+        .select((col("id") % 2048).cast("int").as("pk"),
+          col("id").as("claim_id"), (col("id") * 31).as("fhash"),
+          lit(b.toLong).as("epoch")))
+    }
+    // epochs 0-4 hold 55k of 99k = 0.556: a 0.5 guardrail refuses …
+    intercept[IllegalStateException] {
+      st.retentionSweep(spark, empty, minEpoch = 5L, maxDropFrac = 0.5)
+    }
+    assert(st.read(spark, empty).distinct().count() == 99000L,
+      "an aborted sweep must leave every claim in place")
+    // … and a 0.6 guardrail drops EXACTLY the aged cohort
+    val dropped = st.retentionSweep(spark, empty, minEpoch = 5L, maxDropFrac = 0.6)
+    assert(dropped == 55000L, s"expected 55000 aged claims dropped, got $dropped")
+    assert(st.read(spark, empty).distinct().count() == 44000L)
+    // the swept base still partition-prunes: one key's probe reads ~1 of
+    // ~2048 generation files
+    val pruned = st.readPruned(spark, empty, Seq(7))
+    val got = pruned.collect()
+    val expected = (55000L until 99000L).count(_ % 2048 == 7)
+    assert(got.length == expected && got.forall(_.getInt(0) == 7),
+      s"post-sweep pruned read returned ${got.length} rows for key 7, expected $expected")
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val genScans = flatten(pruned.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("gen=")) => f
+    }
+    assert(genScans.nonEmpty &&
+        genScans.exists(_.partitionFilters.exists(
+          _.references.exists(_.name == "pk"))),
+      "the swept base must keep the partition-pruned probe contract")
+    val filesRead = genScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead <= 4,
+      s"post-sweep pruned probe read $filesRead generation files — not pruned")
+    // file-count sanity: one file per live key directory, nothing more
+    val genDir = new org.apache.hadoop.fs.Path(
+      graft.sources.Stage.currentTarget(root.resolve("fps").toString).get)
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nFiles = 0L
+    val it = fs.listFiles(genDir, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    assert(nFiles <= 2048L + 8L,
+      s"swept generation holds $nFiles files — more than one per key directory")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("leveled claim-store folds rewrite O(claims·levels), not O(batches·store)") {
     // 64 batches cross the delta budget 8 times. A single-level fold
     // rewrites the WHOLE store at every budget crossing — ~sum of store
