@@ -201,8 +201,8 @@ object Stage {
     if (idCol != null) {
       val mapping = esIndexMapping(docs.schema,
         Option(docType).getOrElse("table"), idCol)
-      Files.writeString(Paths.get(outDir, "_MAPPING.json"), mapping,
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Hfs.writeString(
+        new org.apache.hadoop.fs.Path(outDir, "_MAPPING.json"), mapping)
     }
   }
 
@@ -297,7 +297,8 @@ object Stage {
     * exploration, never in a registered pipeline. */
   def current(spark: SparkSession, baseDir: String,
       schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
-    val target = Files.readString(Paths.get(baseDir, "CURRENT")).trim
+    val target = currentTarget(baseDir).getOrElse(
+      throw new IllegalStateException(s"no CURRENT marker in $baseDir"))
     if (schema != null) spark.read.schema(schema).json(target)
     else spark.read.json(target)
   }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Publish
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import scala.jdk.CollectionConverters._
+import graft.sources.Hfs
+import java.nio.file.Files
 
 /** Continuous metadata publishing: a streaming source MERGE-upserted into
   * a BUCKETED versioned snapshot per micro-batch — the reference's
@@ -67,7 +67,8 @@ object StreamPublish {
 
   private[streaming] def readManifest(baseDir: String): Option[Manifest] =
     graft.sources.Stage.currentTarget(baseDir).map { mf =>
-      val lines = Files.readAllLines(Paths.get(mf)).asScala.toList
+      val lines = Hfs.readString(new org.apache.hadoop.fs.Path(mf))
+        .linesIterator.toList
       val head = lines.head.split('\t')
       require(head(0) == "batch_id", s"bad manifest header in $mf")
       val nb = lines(1).split('\t')
@@ -85,13 +86,12 @@ object StreamPublish {
     * keeps the batch id but needs a fresh file for the atomic swap). */
   private def commitManifest(baseDir: String, m: Manifest,
       fileName: String = null): Unit = {
-    val mf = Paths.get(baseDir, Option(fileName).getOrElse(s"manifest-${m.batchId}"))
+    val mf = new org.apache.hadoop.fs.Path(baseDir,
+      Option(fileName).getOrElse(s"manifest-${m.batchId}"))
     val body = (Seq(s"batch_id\t${m.batchId}", s"n_buckets\t${m.nBuckets}") ++
       m.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
       .mkString("\n")
-    Files.createDirectories(Paths.get(baseDir))
-    Files.writeString(mf, body, StandardOpenOption.CREATE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    Hfs.writeString(mf, body)
     graft.sources.Stage.atomicRepoint(baseDir, mf.toString)
   }
 
@@ -247,14 +247,18 @@ object StreamPublish {
       Manifest(m.batchId, m.nBuckets,
         m.buckets.map { case (b, _) => b -> s"$gen/bucket=$b" }),
       fileName = s"manifest-${m.batchId}${gen.stripPrefix(s"gen=${m.batchId}")}")
-    // drop the dead generations and superseded manifest files
-    val current = graft.sources.Stage.currentTarget(baseDir).get
-    Files.list(Paths.get(baseDir)).iterator().asScala.toList.foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("gen=") && name != gen) deleteRecursively(p)
-      else if (name.startsWith("manifest-") && p.toString != current)
-        try Files.delete(p) catch { case _: Exception => () }
-    }
+    // drop the dead generations and superseded manifest files — names
+    // compare by FILE NAME (the CURRENT marker may carry a different
+    // qualification than the listing)
+    val currentName = new org.apache.hadoop.fs.Path(
+      graft.sources.Stage.currentTarget(baseDir).get).getName
+    Hfs.children(baseDir)(n => n.startsWith("gen=") || n.startsWith("manifest-"))
+      .foreach { p =>
+        val name = p.getName
+        if (name.startsWith("gen=") && name != gen) Hfs.delete(p)
+        else if (name.startsWith("manifest-") && name != currentName)
+          Hfs.delete(p, recursive = false)
+      }
   }
 
   /** Read the committed snapshot: the manifest's bucket dirs, as one
