@@ -724,21 +724,65 @@ object LayoutOps {
         lit(era).as("era"))
   }
 
+  /** Corpus-level BPE FERTILITY (pieces per word, integer ppm) under an
+    * arbitrary merge table — the tokenizer-quality scalar the refresh
+    * canary compares: one codegen'd narrow aggregation, no shuffle
+    * beyond the final 1-row fold. */
+  private[graft] def fertilityPpm(docs: DataFrame,
+      table: Seq[(String, String)]): Long = {
+    val pieces = TextOps.bpePieceArrFor(table)
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(
+        aggregate(col("toks"), lit(0L),
+          (a, w) => a + size(pieces(w)).cast("long")).as("b"),
+        size(col("toks")).cast("long").as("w"))
+      .agg(expr("sum(b) * 1000000L div sum(w)").cast("long"))
+      .collect()(0).getLong(0)
+  }
+
+  /** VOCAB-DRIFT CANARY + conditional ship: a candidate merge table
+    * replaces the committed artifact ONLY when it actually tokenizes the
+    * accreted corpus better (strictly lower fertility ppm by at least
+    * `minGainPpm`) — the tokenizer analog of the recluster shift canary:
+    * an artifact refresh that buys nothing must not trigger an
+    * era-rewrite fleet-wide. Ships as `gen=<version+1>` + CURRENT swap;
+    * returns true when shipped. */
+  private[graft] def shipVocabIfBetter(spark: SparkSession, docs: DataFrame,
+      vocabDir: String, candidate: DataFrame,
+      minGainPpm: Long = 1L): Boolean = {
+    val spark0 = spark
+    import spark0.implicits._
+    val cand = candidate.orderBy("merge_rank").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val cur = currentVocab(spark, vocabDir)
+    val (curF, candF) = (fertilityPpm(docs, cur), fertilityPpm(docs, cand))
+    if (candF > curF - minGainPpm) false
+    else {
+      val next = s"$vocabDir/gen=${currentVocabVersion(vocabDir) + 1}"
+      candidate.coalesce(1).write.mode("overwrite").parquet(next)
+      graft.sources.Stage.atomicRepoint(vocabDir, next)
+      true
+    }
+  }
+
   /** BUILD phase of the TOKENIZER REFRESH lifecycle — the vocab-drift
     * analog of the ANN centroid refresh (`SimilarityOps.annRecluster`):
     *
-    *  1. era 0 (even doc_ids) lands in the encoded-corpus store under
-    *     the PINNED v0 merge table ([[TextOps.BpeMergeTable]]) — rows
-    *     are (doc_id, pos, n_bpe, tok_str, vocab), laid out
-    *     `era=`/`shard=`-partitioned, positions immutable;
-    *  2. the vocabulary REFRESHES: BPE merges retrain on the accreted
-    *     corpus ([[TextOps.bpeMergesFromTokens]], deterministic rounds)
-    *     and the merge table ships as a VERSIONED artifact — a fresh
-    *     `gen=1` directory committed by the blue/green CURRENT swap
-    *     (`Stage.atomicRepoint`), exactly how a tokenizer artifact
-    *     reaches a fleet;
-    *  3. era 1 (odd doc_ids) appends under the artifact READ BACK from
-    *     its committed generation (a restart consumes the same bytes),
+    *  1. the PINNED v0 merge table ([[TextOps.BpeMergeTable]]) ships as
+    *     `gen=0` of the versioned vocab artifact (blue/green CURRENT
+    *     swap — `Stage.atomicRepoint`), and era 0 (even doc_ids) lands
+    *     in the encoded-corpus store under the artifact READ BACK from
+    *     its committed bytes — rows are (doc_id, pos, n_bpe, tok_str,
+    *     vocab), laid out `era=`/`shard=`-partitioned, positions
+    *     immutable;
+    *  2. the vocabulary RETRAINS on the accreted corpus
+    *     ([[TextOps.bpeMergesFromTokens]], deterministic rounds) and the
+    *     candidate ships ONLY through the [[shipVocabIfBetter]] fertility
+    *     canary (spec-asserted to trip on every gated corpus — the
+    *     oracle-coupling discipline the recluster canary follows);
+    *  3. era 1 (odd doc_ids) appends under the committed artifact,
     *     positions continuing the store's tail.
     *
     * Returns the store path; [[bpeRefreshApply]] is the refresh pass. */
@@ -752,32 +796,47 @@ object LayoutOps {
     val store = root.resolve("store").toString
     val vocabDir = root.resolve("vocab").toString
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    // v0 ships as a real artifact generation — era 0 encodes under the
+    // committed bytes, not the in-memory literal
+    TextOps.BpeMergeTable.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vocabDir/gen=0")
+    graft.sources.Stage.atomicRepoint(vocabDir, s"$vocabDir/gen=0")
     val evens = docs.filter(col("doc_id") % 2 === 0)
     val sel = Seq("doc_id", "pos", "n_bpe", "tok_str", "vocab", "shard", "era")
       .map(col)
-    encodeEra(evens, TextOps.BpeMergeTable, era = 0L, vocab = 0L,
+    encodeEra(evens, currentVocab(spark, vocabDir), era = 0L, vocab = 0L,
       offset = 0L, nShards = nShards)
       .select(sel: _*)
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("append").partitionBy("era", "shard").parquet(store)
-    // vocab v1: retrain on the full accreted corpus, version the artifact
+    // retrain on the full accreted corpus; the candidate ships only
+    // through the fertility canary
     val merges = TextOps.bpeMergesFromTokens(
       docs.select(explode(TextOps.tokens(col("text"))).as("word")), k)
-    val gen = s"$vocabDir/gen=1"
-    merges.coalesce(1).write.mode("overwrite").parquet(gen)
-    graft.sources.Stage.atomicRepoint(vocabDir, gen)
-    val v1 = currentVocab(spark, vocabDir)
+    shipVocabIfBetter(spark, docs, vocabDir, merges)
+    val vNow = currentVocabVersion(vocabDir)
     val nEra0 = spark.read.parquet(store).count()
     val odds = docs.filter(col("doc_id") % 2 === 1)
-    encodeEra(odds, v1, era = 1L, vocab = 1L, offset = nEra0,
-      nShards = nShards)
+    encodeEra(odds, currentVocab(spark, vocabDir), era = 1L, vocab = vNow,
+      offset = nEra0, nShards = nShards)
       .select(sel: _*)
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("append").partitionBy("era", "shard").parquet(store)
     store
   }
+
+  /** The committed artifact's version — the `gen=N` the CURRENT marker
+    * names. */
+  private[graft] def currentVocabVersion(vocabDir: String): Long =
+    graft.sources.Stage.currentTarget(vocabDir)
+      .map(t => new org.apache.hadoop.fs.Path(t).getName
+        .stripPrefix("gen=").toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed vocab artifact in $vocabDir"))
 
   /** The committed merge table, read back from the versioned artifact. */
   private def currentVocab(spark: SparkSession,
@@ -807,7 +866,7 @@ object LayoutOps {
     val store = root.resolve("store").toString
     val vocabDir = root.resolve("vocab").toString
     val v1 = currentVocab(spark, vocabDir)
-    val currentVersion = 1L
+    val currentVersion = currentVocabVersion(vocabDir)
     spark.catalog.refreshByPath(store)
     val all = spark.read.parquet(store)
     val stale = all.groupBy("era").agg(min(col("vocab")).as("v"))

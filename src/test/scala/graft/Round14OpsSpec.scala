@@ -297,6 +297,46 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(snapshot(store) == after, "a vacuous refresh must not touch bytes")
   }
 
+  test("the vocab fertility canary trips on every gated sf corpus; a no-gain candidate refuses to ship") {
+    import graft.operators.{LayoutOps, TextOps}
+    val spark0 = spark
+    import spark0.implicits._
+    // q_bpe_refresh's oracle unconditionally encodes under the retrained
+    // table; Spark ships it only through the fertility canary — so the
+    // canary must actually trip (retrained strictly beats pinned) on
+    // every scale factor the driver gates, the recluster-canary
+    // discipline applied to the tokenizer
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory).foreach { sf =>
+        val docs = graft.sources.Tables(spark, sf, "documents")
+          .select("doc_id", "text")
+        val retrained = TextOps.bpeMergesFromTokens(
+          docs.select(explode(TextOps.tokens(col("text"))).as("word")), 6)
+          .orderBy("merge_rank").select("lhs", "rhs")
+          .as[(String, String)].collect().toSeq
+        val pinnedF = LayoutOps.fertilityPpm(docs, TextOps.BpeMergeTable)
+        val retrainedF = LayoutOps.fertilityPpm(docs, retrained)
+        assert(retrainedF < pinnedF,
+          s"fertility canary must trip at $sf ($retrainedF ppm !< $pinnedF ppm) — " +
+            "the oracle's unconditional retrained encode would diverge")
+      }
+    // quiet canary: re-offering the COMMITTED table (zero gain) must
+    // refuse to ship — the artifact version and bytes stay put
+    val dir001 = "/root/testdata/sf0.001"
+    LayoutOps.bpeRefreshBuild(spark, dir001)
+    val vocabDir = LayoutOps.bpeRefreshRoot().resolve("vocab").toString
+    val vBefore = LayoutOps.currentVocabVersion(vocabDir)
+    assert(vBefore == 1L, "the retrained candidate must have shipped as gen=1")
+    val committed = spark.read.parquet(
+      graft.sources.Stage.currentTarget(vocabDir).get)
+    val docs001 = graft.sources.Tables(spark, dir001, "documents")
+      .select("doc_id", "text")
+    assert(!LayoutOps.shipVocabIfBetter(spark, docs001, vocabDir, committed),
+      "a candidate with no fertility gain must not ship")
+    assert(LayoutOps.currentVocabVersion(vocabDir) == vBefore,
+      "a refused ship must leave the committed artifact untouched")
+  }
+
   test("the recluster drift canary trips on every gated sf corpus (oracle coupling)") {
     // q_ann_recluster's DuckDB oracle unconditionally replays the Lloyd
     // update + re-assignment; Spark re-assigns only when some centroid
