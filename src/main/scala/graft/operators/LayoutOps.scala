@@ -738,7 +738,11 @@ object LayoutOps {
         aggregate(col("toks"), lit(0L),
           (a, w) => a + size(pieces(w)).cast("long")).as("b"),
         size(col("toks")).cast("long").as("w"))
-      .agg(expr("sum(b) * 1000000L div sum(w)").cast("long"))
+      // decimal(38) intermediate: sum(b) * 1e6 overflows Long around
+      // 9.2e12 total pieces — inside the corpus scale this canary
+      // targets — and a wrapped comparison would ship a worse vocab
+      .agg(expr(
+        "CAST((CAST(sum(b) AS DECIMAL(38,0)) * 1000000) DIV sum(w) AS BIGINT)"))
       .collect()(0).getLong(0)
   }
 

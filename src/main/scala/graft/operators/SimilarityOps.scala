@@ -429,7 +429,15 @@ object SimilarityOps {
   }
 
   private[graft] def assignCells(centroids: Array[Array[Double]], corpus: DataFrame,
-      probes: Int): DataFrame = {
+      probes: Int): DataFrame =
+    assignCellsRanked(centroids, corpus, probes).select("vec_id", "cell")
+
+  /** [[assignCells]] with the probe RANK kept (0 = argmax): one pass
+    * serves both a gate's claim side (rank 0 only) and its multi-cell
+    * probe side — the streaming gate assigns each batch's vectors once,
+    * not once per consumer. */
+  private[graft] def assignCellsRanked(centroids: Array[Array[Double]],
+      corpus: DataFrame, probes: Int): DataFrame = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._
     corpus.select("vec_id", "v").as[(Long, Seq[Double])].mapPartitions { it =>
@@ -463,9 +471,9 @@ object SimilarityOps {
           taken(p) = best
           p += 1
         }
-        taken.iterator.take(probes).map(cell => (id, cell))
+        Iterator.range(0, probes).map(r => (id, taken(r), r))
       }
-    }.toDF("vec_id", "cell")
+    }.toDF("vec_id", "cell", "rank")
   }
 
   /** One distributed k-means (Lloyd) iteration over the embedding corpus —

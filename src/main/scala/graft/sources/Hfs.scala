@@ -80,10 +80,28 @@ private[graft] object Hfs {
     try f.delete(path, recursive) catch { case _: Exception => false }
   }
 
+  /** Read a small marker/manifest file. Retries a handful of times on
+    * ChecksumException: on the local (Checksum)FileSystem a concurrent
+    * [[writeStringAtomic]] swap renames the data file and its `.crc`
+    * sidecar in two steps, so a reader landing between them verifies new
+    * bytes against the stale checksum — a microsecond window that a
+    * bounded retry rides out without weakening the old-or-new contract. */
   def readString(path: Path): String = {
-    val in = fs(path).open(path)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs(path).open(path)
+        try return new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write `content` at `path` in one shot (create-or-truncate). */
@@ -97,14 +115,33 @@ private[graft] object Hfs {
     * `path` with overwrite — the blue/green commit primitive. Plain
     * `FileSystem.rename` refuses an existing destination, so the swap
     * goes through `FileContext` rename(OVERWRITE), which is atomic on
-    * HDFS and on the local filesystem. */
+    * HDFS and on the local filesystem. A scheme with no
+    * AbstractFileSystem binding (raw object stores) falls back to
+    * delete+rename — not atomic, but neither is anything else on a
+    * store without atomic rename; readers there must tolerate a missing
+    * marker for the instant between the two calls (every consumer
+    * treats an absent CURRENT as "no committed target yet"). */
   def writeStringAtomic(path: Path, content: String): Unit = {
     val f = fs(path)
     f.mkdirs(path.getParent)
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     writeString(tmp, content)
-    val fc = FileContext.getFileContext(f.getUri, conf)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(path),
-      Options.Rename.OVERWRITE)
+    try {
+      val fc = FileContext.getFileContext(f.getUri, conf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(path),
+        Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // every step is CHECKED: a marker swap that half-happens must
+        // throw, never return with the marker destroyed — a silently
+        // missing CURRENT would make the next fold rebuild without the
+        // base and then delete it
+        if (f.exists(path) && !f.delete(path, false))
+          throw new java.io.IOException(
+            s"marker swap could not remove the old $path")
+        if (!f.rename(tmp, path))
+          throw new java.io.IOException(
+            s"marker swap could not move $tmp onto $path")
+    }
   }
 }

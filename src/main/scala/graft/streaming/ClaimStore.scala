@@ -159,15 +159,21 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     }.toSet
 
   /** Finish a crashed fold's cleanup idempotently: delete every path the
-    * CURRENT generation's manifest lists, then the manifest itself. Runs
-    * at the head of every fold, so at most ONE manifest is ever live. */
+    * CURRENT generation's manifest lists, then the manifest itself — but
+    * ONLY once every listed path is confirmed gone: dropping the
+    * manifest while a consumed input survives (a transient delete
+    * failure) would let the swept rows back into reads, the exact
+    * resurrection the manifest exists to prevent. Runs at the head of
+    * every fold, so at most ONE manifest is ever live. */
   private def finishPendingCleanup(): Unit =
     graft.sources.Stage.currentTarget(dir).foreach { gen =>
       val m = new Path(gen, ConsumedManifest)
       if (Hfs.exists(m.toString)) {
-        Hfs.readString(m).linesIterator.map(_.trim).filter(_.nonEmpty)
-          .foreach(p => Hfs.delete(new Path(p)))
-        Hfs.delete(m)
+        val allGone = Hfs.readString(m).linesIterator
+          .map(_.trim).filter(_.nonEmpty)
+          .map { p => Hfs.delete(new Path(p)); !Hfs.exists(p) }
+          .forall(identity)
+        if (allGone) Hfs.delete(m)
       }
     }
 
@@ -200,10 +206,13 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
   private def readWhere(spark: SparkSession, empty: DataFrame,
       pred: Option[org.apache.spark.sql.Column]): DataFrame = {
     val sel = empty.columns.toSeq.map(col)
-    val consumed = pendingConsumed()
+    // compare scheme-stripped on BOTH sides: the session that wrote the
+    // manifest and the one reading it may qualify the same path
+    // differently (file:/ vs file:///, host:port vs nameservice)
+    val consumed = pendingConsumed().map(p => new Path(p).toUri.getPath)
     def live(paths: Seq[Path]): Seq[String] =
-      paths.map(_.toString).filterNot(p => consumed.contains(p) ||
-        consumed.contains(new Path(p).toUri.getPath))
+      paths.map(_.toString)
+        .filterNot(p => consumed.contains(new Path(p).toUri.getPath))
     def part(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
       else {

@@ -114,24 +114,22 @@ object EmbedDedupStream {
           .persist(StorageLevel.MEMORY_AND_DISK)
         vecs.count() // one fill job; the probe + claim sides reuse it
         try {
-          val celled = SimilarityOps
-            .assignCells(centroids, vecs.select("vec_id", "v"), probes = 1)
+          // ONE ranked assignment pass serves both sides: rank 0 is the
+          // argmax cell (where novel vectors CLAIM), and the full top-
+          // nprobe set is the PROBE side — the q_ann_ivf_recall accuracy
+          // knob applied to the gate: a near-pair straddling a cell
+          // boundary (parent argmax cell A, twin argmax cell B with A
+          // second-best) is caught at nprobe ≥ 2 without moving any
+          // claim off its argmax cell
+          val probed = SimilarityOps
+            .assignCellsRanked(centroids, vecs.select("vec_id", "v"),
+              probes = math.max(1, nprobe))
             .withColumn("pk", col("cell").cast("int"))
             .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          celled.count()
+          probed.count()
+          val celled = probed.filter(col("rank") === 0)
           try {
-            // the PROBE side widens to the top-nprobe cells per vector —
-            // the q_ann_ivf_recall accuracy knob applied to the gate: a
-            // near-pair straddling a cell boundary (parent argmax cell A,
-            // twin argmax cell B with A second-best) is caught at
-            // nprobe ≥ 2 without moving any claim off its argmax cell
-            val probed =
-              if (nprobe <= 1) celled
-              else SimilarityOps
-                .assignCells(centroids, vecs.select("vec_id", "v"), probes = nprobe)
-                .withColumn("pk", col("cell").cast("int"))
-                .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
             val touched = probed.select("pk").distinct().as[Int].collect().toSeq
             // int8 SHORTLIST: dequantize the pruned claims (a narrow map
             // over touched cells + the delta budget) and admit candidates
@@ -213,7 +211,7 @@ object EmbedDedupStream {
                 .toDF("pk", "claim_id", "codes", "vmin", "scale")
                 .withColumn("epoch", lit(epochBase + batchId)))
             } finally verdict.unpersist()
-          } finally celled.unpersist()
+          } finally probed.unpersist()
         } finally vecs.unpersist()
       }
       .option("checkpointLocation", checkpoint)
