@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{GraphNode, GraphRelationship}
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 /** Staged-output layer — the loader/publisher file contracts (SURVEY §2.7).
   *
@@ -269,25 +268,82 @@ object Stage {
     Hfs.writeStringAtomic(
       new org.apache.hadoop.fs.Path(baseDir, "CURRENT"), target)
 
-  /** The committed target CURRENT points at, or None before any publish. */
+  /** The committed target CURRENT points at, or None before any publish.
+    *
+    * Swap-window discipline: on a filesystem without an atomic-rename
+    * binding, [[Hfs.writeStringAtomic]] falls back to delete-then-rename,
+    * leaving an instant where CURRENT is absent but the fully-written
+    * CURRENT.tmp holds the NEW marker. Treating that instant as "no
+    * committed target" would silently drop the whole committed generation
+    * from a reader's union (a claim-store probe would wrongly re-admit
+    * duplicates rather than fail loudly) — so when the marker is absent
+    * but its .tmp exists, retry briefly, and if the window persists (the
+    * swap crashed between the delete and the rename) resolve the .tmp:
+    * its content is complete before the swap ever starts, so it IS the
+    * committed target. */
   def currentTarget(baseDir: String): Option[String] = {
     val marker = new org.apache.hadoop.fs.Path(baseDir, "CURRENT")
-    if (Hfs.exists(marker.toString)) Some(Hfs.readString(marker).trim)
-    else None
+    val tmp = new org.apache.hadoop.fs.Path(baseDir, "CURRENT.tmp")
+    def readOpt(p: org.apache.hadoop.fs.Path): Option[String] =
+      try Some(Hfs.readString(p).trim)
+      catch { case _: java.io.FileNotFoundException => None } // lost a race with a concurrent swap — loop
+    var attempt = 0
+    while (attempt < 5) {
+      if (Hfs.exists(marker.toString)) {
+        readOpt(marker) match {
+          case some @ Some(_) => return some
+          case None => // deleted under us; fall through to the tmp check
+        }
+      }
+      val tmpExists = Hfs.exists(tmp.toString)
+      // re-check the marker: the rename may have landed between the two
+      // exists probes, which would make an absent tmp mean "committed",
+      // not "never published"
+      if (Hfs.exists(marker.toString)) {
+        readOpt(marker).foreach(t => return Some(t))
+      } else if (!tmpExists) return None
+      attempt += 1
+      if (attempt >= 5) return readOpt(tmp).orElse(readOpt(marker))
+      Thread.sleep(5L * attempt)
+    }
+    None
   }
 
-  /** Blue/green swap: write to a fresh versioned dir, then atomically
-    * repoint CURRENT. Readers resolve via `current()`; old generations
-    * remain until cleaned — identical failure semantics to the reference's
-    * alias flip (create new index, swap alias, drop old). The new
+  /** Blue/green swap: write to a fresh versioned dir, atomically repoint
+    * CURRENT, then DROP the old generations — the reference deletes the
+    * old index in the same atomic alias update that flips the alias
+    * (elasticsearch_publisher.py:24 "Old index is deleted after the
+    * alias swap", :111-122 remove_index actions alongside the alias
+    * actions), so a nightly publish never accretes a full corpus copy
+    * per run. The swap itself stays atomic for in-flight readers: a
+    * reader that resolved the old target BEFORE the repoint can still
+    * read it until [[dropStaleGenerations]] runs after the swap —
+    * identical failure semantics to the reference's alias flip. The new
     * generation carries its mapping artifact + id contract when given. */
   def publishBlueGreen(docs: DataFrame, baseDir: String, generation: String,
       docType: String = null, idCol: String = null): String = {
     val target = s"$baseDir/gen=$generation"
     writeSearchDocs(docs, target, docType, idCol)
     atomicRepoint(baseDir, target)
+    dropStaleGenerations(baseDir)
     target
   }
+
+  /** Delete every non-CURRENT `gen=` directory under `baseDir` — the
+    * old-index delete of the reference's publish
+    * (elasticsearch_publisher.py:111-122), run AFTER the CURRENT swap so
+    * readers resolving the marker never lose a reachable byte.
+    * Generations compare by FILE NAME against the committed target's
+    * name (the ClaimStore generation-cleanup discipline) — a raw-string
+    * compare would mis-normalize a caller-supplied dir (trailing slash,
+    * scheme qualification) and delete the just-committed generation. */
+  def dropStaleGenerations(baseDir: String): Unit =
+    currentTarget(baseDir)
+      .map(t => new org.apache.hadoop.fs.Path(t).getName)
+      .foreach { keep =>
+        Hfs.children(baseDir)(n => n.startsWith("gen=") && n != keep)
+          .foreach(p => Hfs.delete(p))
+      }
 
   /** Read the committed generation. Pass the document `schema` (the writer
     * knows it — writeSearchDocs also records it in `_MAPPING.json`): with a

@@ -213,16 +213,41 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     def live(paths: Seq[Path]): Seq[String] =
       paths.map(_.toString)
         .filterNot(p => consumed.contains(new Path(p).toUri.getPath))
-    def part(paths: Seq[String]): Option[DataFrame] =
+    // additive schema evolution: a level written BEFORE a claim column
+    // existed (e.g. pre-epoch stores meeting an epoch-bearing schema)
+    // backfills the missing column — absent everywhere, or null after a
+    // mergeSchema read mixing old and new files — with a typed ZERO, so
+    // a restarted stream or a retention sweep over an old store reads
+    // those rows as epoch 0 (sweepable as "oldest") instead of crashing
+    // on a missing-column AnalysisException with no migration path.
+    // Nulls are zero-coalesced only on NUMERIC claim columns (the epoch
+    // shape); claim payloads (strings, hashes, codes) are non-null by
+    // construction and pass through untouched.
+    def conform(raw: DataFrame): DataFrame =
+      empty.schema.fields.foldLeft(raw) { (d, f) =>
+        if (!d.columns.contains(f.name))
+          d.withColumn(f.name, lit(0).cast(f.dataType))
+        else f.dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            d.withColumn(f.name, coalesce(col(f.name), lit(0).cast(f.dataType)))
+          case _ => d
+        }
+      }
+    // `merge`: delta files (one per batch) and minor runs can straddle a
+    // schema upgrade, so their footers merge; the base generation is
+    // always rewritten to the current schema by the fold itself — no
+    // footer-merge pass over a 100 TB store's partition tree
+    def part(paths: Seq[String], merge: Boolean = false): Option[DataFrame] =
       if (paths.isEmpty) None
       else {
-        val df = spark.read.parquet(paths: _*)
+        val df = conform(
+          spark.read.option("mergeSchema", merge.toString).parquet(paths: _*))
         Some(pred.fold(df)(df.filter).select(sel: _*))
       }
     val parts =
       part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet)).toSeq ++
-        part(live(minorRuns).filter(hasParquet)).toSeq ++
-        part(live(deltaFiles)).toSeq
+        part(live(minorRuns).filter(hasParquet), merge = true).toSeq ++
+        part(live(deltaFiles), merge = true).toSeq
     if (parts.isEmpty) pred.fold(empty)(empty.filter)
     else parts.reduce(_ union _)
   }
@@ -265,7 +290,16 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     * rewrite-amplification observable the scale rehearsal bounds. */
   def maybeCompact(spark: SparkSession, empty: DataFrame): Long = {
     finishPendingCleanup()
-    if (deltaFiles.size < CompactDeltaFiles) 0L
+    // a manifest that SURVIVES cleanup means a consumed input could not
+    // be deleted. The minor/tier folds below read delta and run files
+    // directly (not through the manifest-excluding read), so folding now
+    // would commit manifest-excluded rows into a live run — permanently
+    // resurrecting swept claims once the manifest finally drops. Skip
+    // this fold; the next batch retries the cleanup first. (A MAJOR fold
+    // stays safe with a live manifest: it folds through read(), which
+    // excludes the consumed paths, and its new manifest re-lists them.)
+    if (pendingConsumed().nonEmpty) 0L
+    else if (deltaFiles.size < CompactDeltaFiles) 0L
     else if (graft.sources.Stage.currentTarget(dir).isEmpty) major(spark, empty)
     else {
       var bytes = minorFold(spark, empty)
@@ -376,11 +410,16 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     // they can reach disappears under them. Generations compare by FILE
     // NAME — a raw-string compare against `next` would mis-normalize a
     // caller-supplied dir (trailing slash, doubled separators) and
-    // delete the just-committed generation.
+    // delete the just-committed generation. The consumed runs/deltas are
+    // cleaned through finishPendingCleanup's confirmed-all-gone
+    // discipline: the manifest drops ONLY once every listed input is
+    // verified gone — an unconditional manifest delete after a
+    // transiently failed input delete would let the surviving delta/run
+    // back into reads, resurrecting the very rows a filtered fold
+    // (retention sweep, migration) dropped.
     listGens().filter(_.getName != nextName).foreach(p => Hfs.delete(p))
-    consumedRuns.foreach(p => Hfs.delete(p))
-    deleteDeltas(consumedDeltas)
-    Hfs.delete(new Path(next, ClaimStore.ConsumedManifest))
+    Hfs.delete(new Path(s"$dir/delta", "_SUCCESS"), recursive = false)
+    finishPendingCleanup()
     Hfs.parquetBytes(new Path(next))
   }
 

@@ -263,8 +263,13 @@ class StreamingAndStageSpec extends AnyFunSuite {
     val docs2 = docs1.limit(10)
     Stage.publishBlueGreen(docs2, base, "v2")
     assert(Stage.current(spark, base).count() == 10)
-    // old generation still present (cleanup is a separate concern)
-    assert(spark.read.json(s"$base/gen=v1").count() == docs1.count())
+    // the old generation is DROPPED with the publish — the reference
+    // deletes the old index in the same atomic alias update
+    // (elasticsearch_publisher.py:111-122); repeated publishes must not
+    // leak a corpus copy per run
+    assert(!graft.sources.Hfs.exists(s"$base/gen=v1"))
+    assert(graft.sources.Hfs.children(base)(_.startsWith("gen="))
+      .map(_.getName) == Seq("gen=v2"))
   }
 
   test("ES publish contract: mapping artifact + _id routing column") {
