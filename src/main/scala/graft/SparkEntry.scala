@@ -62,6 +62,8 @@ object SparkEntry {
     "q_staged_user_search_doc"      -> (SearchDocs.userDocsStaged _),
     "q_staged_dashboard_search_doc" -> (SearchDocs.dashboardDocsStaged _),
     "q_table_search_doc_tagged"     -> (SearchDocs.tableDocsTagged _),
+    "q_user_search_doc_tagged"      -> (SearchDocs.userDocsTagged _),
+    "q_dashboard_search_doc_tagged" -> (SearchDocs.dashboardDocsTagged _),
     "q_es_published_table_docs"     -> (SearchDocs.tableDocsEsPublished _),
     "q_jdbc_roundtrip"              -> (graft.sources.Jdbc.jdbcRoundTrip _),
     "q_csv_loader_roundtrip"        -> (graft.sources.Stage.csvLoaderRoundTrip _),
@@ -253,6 +255,17 @@ object SparkEntry {
     // global token offset; manifest read back from the on-disk store
     "q_tokenized_store_incremental" ->
       (graft.streaming.CurationStream.tokenizedStoreIncrementalQuery _),
+    // the tokenizer-refresh lifecycle DEPLOYED on the production
+    // incremental tokenized store: per-batch encode under the committed
+    // vocab artifact, era/vocab-stamped layout, canary-gated retrain,
+    // stale-era-only refresh; per-(era, shard) manifest read back
+    "q_tokenized_store_refresh" ->
+      (graft.streaming.CurationStream.tokenizedStoreRefreshQuery _),
+    // the offline window REPACK completing the refresh lifecycle: the
+    // grid re-derives from the refreshed payload's token counts, back
+    // to exact ctx alignment (positions immutable)
+    "q_tokenized_store_repack" ->
+      (graft.streaming.CurationStream.tokenizedStoreRepackQuery _),
     // streaming CROSS-MODAL gate: text funnel composed with the media
     // property gates and the accreting perceptual claim store per batch
     // per-batch stream funnel: the batch build's drop-accounting emitted
@@ -435,6 +448,141 @@ object SparkEntry {
          list_reduce(list_prepend('', list(tok_str ORDER BY pos)),
            (acc, x) -> md5(acc || ',' || x)) AS token_digest
        FROM rws GROUP BY era, shard ORDER BY era, shard"""
+
+  /** DuckDB twin of
+    * [[graft.streaming.CurationStream.tokenizedStoreRefreshQuery]] — the
+    * refresh lifecycle ON the production incremental tokenized store:
+    * the arrival-order curation chain decides admission per parity era;
+    * the WINDOW GRID is frozen at write time (era 0 packed under the
+    * pinned v0 token counts from offset 0, era 1 under the retrained
+    * table's counts continuing era 0's v0 token total — the TailCounter
+    * contract); the k-round trainer replays and the refreshed store's
+    * END STATE carries the learned-table payload everywhere (era 0
+    * re-encoded by the stale-era rewrite, era 1 born on it); manifests
+    * fold per (era, shard) with the pos-ordered token digest. */
+  private def tokenizedStoreRefreshOracleSql(k: Int): String = {
+    val enc =
+      """'  ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || '  '"""
+    val mergedV0 = graft.operators.TextOps.BpeMergeTable.foldLeft(enc) {
+      case (e, (a, b)) => s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH ${tokenizedRefreshCommonCtes(k)},
+       n0 AS (SELECT t.doc_id,
+           CAST(list_sum(list_transform(t.words,
+             w -> len(string_split(trim($mergedV0), '  ')))) AS BIGINT) AS n_bpe0
+         FROM t WHERE t.doc_id IN (SELECT doc_id FROM adm)),
+       c0 AS MATERIALIZED (SELECT r.doc_id, r.pos, n0.n_bpe0,
+           SUM(n0.n_bpe0) OVER (ORDER BY r.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM r JOIN n0 USING (doc_id) WHERE r.era = 0),
+       tot0 AS MATERIALIZED (SELECT COALESCE(CAST(SUM(n_bpe0) AS BIGINT), 0) AS tot FROM c0),
+       wn0 AS (SELECT doc_id, (cum - n_bpe0) // 2048 AS win FROM c0),
+       c1 AS (SELECT r.doc_id, r.pos, e1.n_bpe,
+           SUM(e1.n_bpe) OVER (ORDER BY r.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM r JOIN e1 USING (doc_id) WHERE r.era = 1),
+       wn1 AS (SELECT doc_id, ((SELECT tot FROM tot0) + cum - n_bpe) // 2048 AS win FROM c1),
+       wins AS (SELECT * FROM wn0 UNION ALL SELECT * FROM wn1)
+       ${tokenizedEraManifestSelect()}"""
+  }
+
+  /** The REPACK twin
+    * ([[graft.streaming.CurationStream.tokenizedStoreRepackQuery]]):
+    * same chain, but the window grid re-derives from the RETRAINED
+    * table's token counts over ALL rows in pos order — the exact-ctx
+    * realignment the offline repack restores after a payload-only
+    * refresh. */
+  private def tokenizedStoreRepackOracleSql(k: Int): String =
+    s"""WITH ${tokenizedRefreshCommonCtes(k)},
+       c AS MATERIALIZED (SELECT r.doc_id, r.pos, e1.n_bpe,
+           SUM(e1.n_bpe) OVER (ORDER BY r.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM r JOIN e1 USING (doc_id)),
+       wins AS (SELECT doc_id, (cum - n_bpe) // 2048 AS win FROM c)
+       ${tokenizedEraManifestSelect()}"""
+
+  /** Shared final SELECT of the refresh/repack oracles: the
+    * per-(era, shard) window-grain manifest with the pos-ordered token
+    * digest (expects CTEs `r`, `e1`, `wins`). */
+  private def tokenizedEraManifestSelect(): String =
+    """, rws AS (SELECT r.era, wins.win, wins.win % 4 AS shard, r.pos,
+           e1.n_bpe, e1.tok_str
+         FROM r JOIN wins USING (doc_id) JOIN e1 USING (doc_id))
+       SELECT CAST(era AS BIGINT) AS era, CAST(shard AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
+         CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+         CAST(MIN(pos) AS BIGINT) AS min_pos,
+         CAST(MAX(pos) AS BIGINT) AS max_pos,
+         CAST(MIN(win) AS BIGINT) AS min_win,
+         CAST(MAX(win) AS BIGINT) AS max_win,
+         CAST(1 AS BIGINT) AS vocab,
+         list_reduce(list_prepend('', list(tok_str ORDER BY pos)),
+           (acc, x) -> md5(acc || ',' || x)) AS token_digest
+       FROM rws GROUP BY era, shard ORDER BY era, shard"""
+
+  /** The chain shared by the refresh and repack oracles: k-round trainer,
+    * arrival-order curation (admission per parity era), the retrained-
+    * table encode of every admitted doc (`e1`), and the global md5 ranks
+    * (`r`). */
+  private def tokenizedRefreshCommonCtes(k: Int): String =
+    s"""${bpeTrainerCtes(k)},
+       t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       sq AS (SELECT doc_id, text, words,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(words, w -> w = '#' OR w = '...')) AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(['the','a','of','and','is'],
+             m -> list_contains(words, m))) AS BIGINT) AS n_required
+         FROM t),
+       f AS (SELECT doc_id, md5(text) AS fp, words,
+           (n_words >= 10 AND n_words <= 1000
+             AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+             AND n_symbol * 10 <= n_words
+             AND n_alpha * 5 >= n_words * 4
+             AND n_required >= 2) AS keep_quality
+         FROM sq),
+       shq AS (SELECT doc_id,
+           CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(words) - 3),
+                       i -> array_to_string(words[i:i+4], ' '))) END AS sh
+         FROM f WHERE keep_quality),
+       ev AS (SELECT list_filter(string_split_regex(substr(text, 21, 200), '\\s+'), x -> x <> '') AS toks
+         FROM documents WHERE doc_id % 50 = 0),
+       es AS (SELECT DISTINCT unnest(
+           CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) END) AS g
+         FROM ev),
+       cg AS (SELECT doc_id, unnest(sh) AS g FROM shq),
+       cont AS (SELECT doc_id FROM cg JOIN es USING (g)
+         GROUP BY doc_id HAVING COUNT(DISTINCT g) >= 8),
+       wv AS (SELECT doc_id, fp, keep_quality,
+           (doc_id % 2) * 1000000000 + doc_id AS wk
+         FROM f),
+       fl AS (SELECT wv.doc_id,
+           (wv.keep_quality AND wv.wk =
+             MIN(CASE WHEN wv.keep_quality THEN wv.wk END)
+               OVER (PARTITION BY wv.fp)
+             AND cont.doc_id IS NULL) AS admitted
+         FROM wv LEFT JOIN cont ON wv.doc_id = cont.doc_id),
+       adm AS MATERIALIZED (SELECT doc_id, doc_id % 2 AS era FROM fl WHERE admitted),
+       wu AS (SELECT t.doc_id, i.i AS wi, t.words[i.i] AS w
+         FROM t, LATERAL (SELECT unnest(range(1, len(t.words) + 1)) AS i) i
+         WHERE len(t.words) > 0 AND t.doc_id IN (SELECT doc_id FROM adm)),
+       wp AS (SELECT word, string_split(trim(s), '  ') AS pcs FROM s$k),
+       pe AS (SELECT wu.doc_id, wu.wi, wp.pcs
+         FROM wu JOIN wp ON wp.word = wu.w),
+       de AS (SELECT doc_id, flatten(list(pcs ORDER BY wi)) AS pcs
+         FROM pe GROUP BY doc_id),
+       e1 AS MATERIALIZED (SELECT doc_id, CAST(len(pcs) AS BIGINT) AS n_bpe,
+           array_to_string(pcs, ' ') AS tok_str FROM de),
+       r AS MATERIALIZED (SELECT doc_id, era,
+           row_number() OVER (ORDER BY era, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+         FROM adm)"""
 
   /** DuckDB twin of [[graft.operators.TextOps.bpeEncode]]: the same char
     * split into the double-space encoding and the same pinned merge chain,
@@ -1549,6 +1697,58 @@ object SparkEntry {
            LEFT JOIN usage_agg ON c_custkey = usage_agg.o_custkey
          WHERE c_custkey % 3 = 0
          ORDER BY name""",
+    // Tag-scoped USER extraction: the second publish stamped every third
+    // user's node batch_2; the WHERE binds only the primary `user`
+    // variable, so the manager ring still resolves against the full set.
+    "q_user_search_doc_tagged" ->
+      """WITH r AS (
+           SELECT l_suppkey, COUNT(*) AS total_read, COUNT(DISTINCT l_partkey) AS total_own,
+             COUNT(DISTINCT l_orderkey) AS total_follow
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT 's' || s_suppkey AS email,
+           string_split(s_name, '#')[1] AS first_name,
+           string_split(s_name, '#')[2] AS last_name,
+           s_name AS full_name, n_name AS team_name,
+           's' || ((s_suppkey + 1) % 10) AS manager_email,
+           'true' AS is_active,
+           'gh_s' || s_suppkey AS github_username,
+           '@s' || s_suppkey AS slack_id,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'eng' ELSE 'analyst' END AS role_name,
+           'fte' AS employee_type,
+           COALESCE(total_read, 0) AS total_read,
+           COALESCE(total_own, 0) AS total_own,
+           COALESCE(total_follow, 0) AS total_follow
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           LEFT JOIN r ON s_suppkey = l_suppkey
+         WHERE s_name IS NOT NULL AND s_suppkey % 3 = 0 ORDER BY email""",
+    // Tag-scoped DASHBOARD extraction: every third dashboard re-published
+    // batch_2 — the dashboard-doc oracle restricted to those parts.
+    "q_dashboard_search_doc_tagged" ->
+      """WITH u AS (
+           SELECT l_partkey,
+             COUNT(DISTINCT l_suppkey || '_' || l_orderkey || '_' || l_linenumber)
+               AS total_usage,
+             CAST(epoch(MAX(l_shipdate)) AS BIGINT) AS last_successful_run_timestamp,
+             array_to_string(list_sort(list(DISTINCT 'supplier ' || l_suppkey)), ',') AS query_names,
+             array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS chart_names
+           FROM lineitem GROUP BY l_partkey)
+         SELECT p_brand AS group_name, 'd' || p_partkey AS name,
+           'gold' AS cluster,
+           COALESCE(p_type, '') AS description,
+           '' AS group_description,
+           'https://mode.example/' || p_brand AS group_url,
+           'https://mode.example/' || p_brand || '/d' || p_partkey AS url,
+           'mode_dashboard://gold.' || p_brand || '/d' || p_partkey AS uri,
+           'mode' AS product,
+           COALESCE(last_successful_run_timestamp, 0) AS last_successful_run_timestamp,
+           COALESCE(query_names, '') AS query_names,
+           COALESCE(chart_names, '') AS chart_names,
+           COALESCE(total_usage, 0) AS total_usage,
+           lower(p_brand) AS tags,
+           CASE WHEN p_partkey % 5 = 0 THEN 'certified' ELSE '' END AS badges
+         FROM part LEFT JOIN u ON p_partkey = l_partkey
+         WHERE p_partkey % 3 = 0
+         ORDER BY group_name, name""",
     // The staged round trips are lossless, so the oracles are the same
     // queries as the in-memory user/dashboard variants.
     "q_staged_user_search_doc" ->
@@ -4598,6 +4798,8 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_bpe_refresh" -> bpeRefreshOracleSql(6),
+    "q_tokenized_store_refresh" -> tokenizedStoreRefreshOracleSql(6),
+    "q_tokenized_store_repack" -> tokenizedStoreRepackOracleSql(6),
     "q_tokenized_shards" -> tokenizedShardsOracleSql,
     "q_epoch_windows" -> epochWindowOracleSql,
     "q_tokenized_store_incremental" -> tokenizedStoreIncrementalOracleSql,

@@ -153,9 +153,18 @@ object LayoutOps {
       .withColumn("pid", expr("cast(conv(substring(rk, 1, 2), 16, 10) as int)"))
     val local = base.withColumn("lr",
       row_number().over(Window.partitionBy("pid").orderBy("rk", "doc_id")))
+    // the offsets frame is <=256 rows BY CONSTRUCTION (one per md5
+    // leading-byte bucket), so its cumulative sum runs in one partition
+    // either way; a constant NON-FOLDABLE partition key (pmod(pid, 1) —
+    // a plain literal would be folded back out by Spark's
+    // EliminateWindowPartitions) keeps the partition spec non-empty:
+    // same single-partition execution, byte-identical output, and
+    // WindowExec stops flooding every run with the "No Partition
+    // Defined" warning that buries real ones
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
       .withColumn("offset",
-        coalesce(sum(col("n")).over(Window.orderBy("pid")
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     local.join(broadcast(offsets), "pid")
@@ -452,7 +461,10 @@ object LayoutOps {
       row_number().over(Window.partitionBy("bk").orderBy("ck", "doc_id")))
     val offsets = local.groupBy("bk").agg(count(lit(1)).as("n"))
       .withColumn("off",
-        coalesce(sum(col("n")).over(Window.orderBy("bk")
+        // <=128 bucket-summary rows; see shuffleRanks on the constant
+        // non-foldable partition key
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(pmod(col("bk"), lit(1))).orderBy("bk")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("bk", "off")
     val assigned = local.join(broadcast(offsets), "bk")
@@ -538,8 +550,15 @@ object LayoutOps {
     * tokenizer flips a row red. */
   /** BPE-encode a (doc_id, text) frame under the pinned merge table —
     * one codegen'd expression, zero shuffle: (doc_id, n_bpe, tok_str). */
-  private[graft] def bpeEncodeDocs(docs: DataFrame): DataFrame = {
-    val pieces = TextOps.bpePieceArr
+  private[graft] def bpeEncodeDocs(docs: DataFrame): DataFrame =
+    bpeEncodeDocsWith(docs, TextOps.BpeMergeTable)
+
+  /** [[bpeEncodeDocs]] under an ARBITRARY merge table — the committed
+    * vocab artifact read back from its versioned store, so a streaming
+    * gate encodes each batch under whatever tokenizer is CURRENT. */
+  private[graft] def bpeEncodeDocsWith(docs: DataFrame,
+      table: Seq[(String, String)]): DataFrame = {
+    val pieces = TextOps.bpePieceArrFor(table)
     docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
@@ -570,20 +589,33 @@ object LayoutOps {
     * sum before it in pos order — via the two-pass 256-bucket prefix
     * sum: the md5-leading-byte bucket is monotone in pos, so a
     * bucket-local running sum plus a 256-row broadcast offset window
-    * composes the global offset without a single-partition window. */
-  private[graft] def withTokenStart(ranked0: DataFrame): DataFrame = {
+    * composes the global offset without a single-partition window.
+    *
+    * CONTRACT: holds only when pos IS the md5 rank of the input rows
+    * (one ranking cohort) — a frame spanning SEVERAL cohorts (the
+    * repacked multi-era store, where each era restarts its md5 ranking
+    * at its own offset) breaks the monotonicity and must use
+    * [[withTokenStartBy]] with a pos-derived bucket instead. */
+  private[graft] def withTokenStart(ranked0: DataFrame): DataFrame =
+    withTokenStartBy(ranked0,
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+
+  /** [[withTokenStart]] under an arbitrary bucket column — `pidCol` MUST
+    * be monotone nondecreasing in pos and of bounded cardinality (the
+    * offsets frame broadcasts). */
+  private[graft] def withTokenStartBy(ranked0: DataFrame,
+      pidCol: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = ranked0
-      // the prefix-sum bucket re-derives shuffleRanks' row-derived pid:
-      // monotone in pos, so bucket-local cumsum + offsets = global offset
-      .withColumn("pid",
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int)"))
+    val ranked = ranked0.withColumn("pid", pidCol)
     val wIn = Window.partitionBy("pid").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranked.withColumn("local_cum", sum(col("n_bpe")).over(wIn))
     val offsets = withLocal.groupBy("pid").agg(max(col("local_cum")).as("psum"))
       .withColumn("offset",
-        coalesce(sum(col("psum")).over(Window.orderBy("pid")
+        // <=256 bucket-summary rows; see shuffleRanks on the constant
+        // non-foldable partition key
+        coalesce(sum(col("psum")).over(
+          Window.partitionBy(pmod(col("pid"), lit(1))).orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     withLocal.join(broadcast(offsets), "pid")
@@ -843,7 +875,7 @@ object LayoutOps {
         s"no committed vocab artifact in $vocabDir"))
 
   /** The committed merge table, read back from the versioned artifact. */
-  private def currentVocab(spark: SparkSession,
+  private[graft] def currentVocab(spark: SparkSession,
       vocabDir: String): Seq[(String, String)] = {
     val spark0 = spark
     import spark0.implicits._
@@ -864,33 +896,50 @@ object LayoutOps {
     * Returns the rows re-encoded. */
   private[graft] def bpeRefreshApply(spark: SparkSession, dir: String,
       nShards: Int = 4): Long = {
+    val root = bpeRefreshRoot()
+    bpeRefreshApplyAt(spark,
+      Tables(spark, dir, "documents").select("doc_id", "text"),
+      root.resolve("store").toString, root.resolve("vocab").toString, nShards)
+  }
+
+  /** The REFRESH pass against an ARBITRARY encoded store + versioned
+    * vocab artifact — the path-parameterized core of [[bpeRefreshApply]],
+    * also wired into the PRODUCTION incremental tokenized store
+    * ([[graft.streaming.CurationStream]]'s `tokenStoreDir` with a
+    * `vocabDir`). `carry` names extra per-row columns that ride the
+    * rewrite untouched — the windowed store carries `win`: the context-
+    * window grid is the training loop's RESUME CONTRACT (positions and
+    * window ids are immutable), so a refresh moves only the payload
+    * (tok_str, n_bpe) and its vocab stamp; the next full repack — a
+    * batch rebuild — restores exact ctx-token packing under the new
+    * fertility. */
+  private[graft] def bpeRefreshApplyAt(spark: SparkSession, docs: DataFrame,
+      store: String, vocabDir: String, nShards: Int = 4,
+      carry: Seq[String] = Nil): Long = {
     val spark0 = spark
     import spark0.implicits._
-    val root = bpeRefreshRoot()
-    val store = root.resolve("store").toString
-    val vocabDir = root.resolve("vocab").toString
     val v1 = currentVocab(spark, vocabDir)
     val currentVersion = currentVocabVersion(vocabDir)
     spark.catalog.refreshByPath(store)
     val all = spark.read.parquet(store)
     val stale = all.groupBy("era").agg(min(col("vocab")).as("v"))
       .filter(col("v") < currentVersion)
-      .select("era").as[Long].collect().sorted.toSeq
+      .select(col("era").cast("long")).as[Long].collect().sorted.toSeq
     if (stale.isEmpty) return 0L
-    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val pieces = TextOps.bpePieceArrFor(v1)
     // lineage-free before the overwrite: the dynamic write replaces the
     // very partitions this frame reads
     val rewritten = all
       .filter(col("era").isin(stale.map(java.lang.Long.valueOf): _*))
-      .select("doc_id", "pos", "shard", "era")
+      .select((Seq("doc_id", "pos", "shard", "era") ++ carry).map(col): _*)
       .join(docs, Seq("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
-      .select(col("doc_id"), col("pos"),
+      .select(Seq(col("doc_id"), col("pos"),
         size(col("pcs")).cast("long").as("n_bpe"),
         array_join(col("pcs"), " ").as("tok_str"),
-        lit(currentVersion).as("vocab"), col("shard"), col("era"))
+        lit(currentVersion).as("vocab"), col("shard"), col("era")) ++
+        carry.map(col): _*)
       .localCheckpoint(true)
     val n = rewritten.count()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -934,6 +983,113 @@ object LayoutOps {
     }
     flush()
     out.iterator
+  }
+
+  /** OFFLINE WINDOW REPACK — the deliberate O(store) completion of the
+    * tokenizer-refresh story: [[bpeRefreshApplyAt]] moves only the
+    * payload (the window grid is the training loop's resume contract),
+    * so after a refresh the grid still reflects the OLD vocab's token
+    * counts — windows drift from exact `ctx`-token packing by the
+    * fertility delta. Between training runs (when no resume state pins
+    * the grid) this pass recomputes the ENTIRE window assignment from
+    * the refreshed payload's token counts: positions stay immutable
+    * (the training order is the corpus's identity), windows and shards
+    * re-derive from the same two-pass prefix sum the incremental writer
+    * uses, and the store rewrites in one shuffle keyed on the new shard.
+    * Returns the rows repacked. Run rarely by design — the batch
+    * rebuild's cost with the incremental store's lineage. */
+  private[graft] def repackTokenizedStore(spark: SparkSession, store: String,
+      ctx: Long, nShards: Int): Long = {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.catalog.refreshByPath(store)
+    val all = spark.read.parquet(store)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("n_bpe").cast("long").as("n_bpe"), col("tok_str"),
+        col("vocab").cast("long").as("vocab"), col("era").cast("long").as("era"))
+    // the prefix-sum bucket must be monotone in pos — and the store
+    // spans SEVERAL ranking cohorts (each era restarted its md5 ranking
+    // at its own offset), so the md5 bucket of the incremental writer
+    // does NOT qualify here. pos is dense by construction, so bucket =
+    // pos div ceil(N/256): exactly ≤256 buckets, monotone trivially.
+    val nPos = all.agg(max(col("pos"))).collect()(0).getLong(0) + 1L
+    val posBucket = math.max(1L, (nPos + 255L) / 256L)
+    // lineage-free before the overwrite: the rewrite replaces the very
+    // partitions this frame reads
+    val repacked = withTokenStartBy(
+      all.select("doc_id", "pos", "n_bpe", "tok_str"),
+      expr(s"cast(pos div ${posBucket}L as int)"))
+      .withColumn("win", expr(s"start div $ctx"))
+      .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
+        col("win"), (col("win") % nShards).as("shard"))
+      .join(all.select("doc_id", "vocab", "era"), Seq("doc_id"))
+      .localCheckpoint(true)
+    val n = repacked.count()
+    repacked
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions("shard", "win", "pos")
+      .write.mode("overwrite").partitionBy("era", "shard").parquet(store)
+    spark.catalog.refreshByPath(store)
+    n
+  }
+
+  /** [[foldEraManifests]] for the WINDOWED production store: same
+    * O(1)-state streaming fold keyed on (era, shard), plus the window
+    * fields — win is monotone in pos within a shard (the window id is a
+    * running-token-offset quotient), so the distinct-window count is a
+    * transition count, never a buffered set. Input rows sorted by
+    * (era, shard, pos): (era, shard, pos, win, n_bpe, tok_str, vocab). */
+  private[graft] def foldEraWindowManifests(
+      it: Iterator[(Long, Long, Long, Long, Long, String, Long)])
+      : Iterator[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, String)]
+    var curE = -1L; var curS = -1L; var acc = ""; var n = 0L; var toks = 0L
+    var wins = 0L; var lastWin = Long.MinValue
+    var minP = Long.MaxValue; var maxP = Long.MinValue
+    var minW = Long.MaxValue; var maxW = Long.MinValue; var voc = -1L
+    def flush(): Unit =
+      if (curE >= 0) out += ((curE, curS, n, wins, toks, minP, maxP, minW, maxW, voc, acc))
+    while (it.hasNext) {
+      val (era, shard, pos, win, nBpe, tokStr, vocab) = it.next()
+      if (era != curE || shard != curS) {
+        flush(); curE = era; curS = shard; acc = ""; n = 0L; toks = 0L
+        wins = 0L; lastWin = Long.MinValue
+        minP = Long.MaxValue; maxP = Long.MinValue
+        minW = Long.MaxValue; maxW = Long.MinValue; voc = -1L
+      }
+      acc = digestStepStr(md, acc, tokStr)
+      n += 1L; toks += nBpe
+      if (win != lastWin) { wins += 1L; lastWin = win }
+      if (pos < minP) minP = pos
+      if (pos > maxP) maxP = pos
+      if (win < minW) minW = win
+      if (win > maxW) maxW = win
+      if (vocab > voc) voc = vocab
+    }
+    flush()
+    out.iterator
+  }
+
+  /** Fold the era/vocab-stamped WINDOWED token store into its
+    * per-(era, shard) loader manifest — k streaming tasks, O(1) state. */
+  private[graft] def tokenizedEraManifest(spark: SparkSession,
+      store: DataFrame, nShards: Int): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    store
+      .select(col("era").cast("long").as("_1"), col("shard").cast("long").as("_2"),
+        col("pos").cast("long").as("_3"), col("win").cast("long").as("_4"),
+        col("n_bpe").cast("long").as("_5"), col("tok_str").as("_6"),
+        col("vocab").cast("long").as("_7"))
+      .as[(Long, Long, Long, Long, Long, String, Long)]
+      .repartition(nShards, col("_1"), col("_2"))
+      .sortWithinPartitions("_1", "_2", "_3")
+      .mapPartitions(foldEraWindowManifests)
+      .toDF("era", "shard", "n_docs", "n_windows", "n_tokens", "min_pos",
+        "max_pos", "min_win", "max_win", "vocab", "token_digest")
+      .orderBy("era", "shard")
   }
 
   /** TOKENIZER REFRESH LIFECYCLE, oracle-gated end to end: era 0 (evens)

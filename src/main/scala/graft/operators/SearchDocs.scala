@@ -260,8 +260,19 @@ object SearchDocs {
     * WHERE full_name IS NOT NULL filter and REDUCE/count(distinct)
     * aggregates run against User nodes — same tall-union single-shuffle
     * fold as the table-document query. */
-  def userDocsFromGraph(nodesDf: DataFrame, edgesDf: DataFrame): DataFrame = {
-    val users = nodesDf.filter(col("label") === "User" &&
+  def userDocsFromGraph(nodesDf: DataFrame, edgesDf: DataFrame): DataFrame =
+    userDocsScoped(nodesDf, nodesDf, edgesDf)
+
+  /** [[userDocsFromGraph]] with the PRIMARY entity scoped separately:
+    * the reference's `{publish_tag_filter}` WHERE binds only the `user`
+    * variable (neo4j_search_data_extractor.py:71,161-175), so the
+    * primary User nodes come from `primaryNodes` while every other
+    * lookup — the OPTIONAL MATCH manager-email hop — still reads the
+    * FULL node set: a tag-scoped user whose manager was published under
+    * an earlier tag keeps their manager_email. */
+  private def userDocsScoped(primaryNodes: DataFrame, nodesDf: DataFrame,
+      edgesDf: DataFrame): DataFrame = {
+    val users = primaryNodes.filter(col("label") === "User" &&
         col("attributes")("full_name").isNotNull)
       .select(col("key").as("user_key"),
         col("attributes")("email").as("email"),
@@ -346,6 +357,31 @@ object SearchDocs {
     val (n, e) = stageAndReadBack(spark,
       nodes.as[GraphNode], edges.as[GraphRelationship], "user")
     userDocsFromGraph(n, e)
+  }
+
+  /** Publish-tag-scoped USER extraction — the reference substitutes the
+    * same `{publish_tag_filter}` into the user query's primary MATCH
+    * (neo4j_search_data_extractor.py:71 `WHERE user.full_name IS NOT
+    * NULL {publish_tag_filter}`, `_add_publish_tag_filter`:161-175), so
+    * only the `user` variable is tag-bound. Stamps arrive exactly as in
+    * [[tableDocsTagged]]: a second publish re-MERGEs every third user's
+    * node — `Publish.mergeUpsert` re-stamps the touched rows `batch_2`,
+    * untouched rows keep their first-publish stamp and drop out of the
+    * scoped PRIMARY set — while the manager-email OPTIONAL MATCH keeps
+    * reading the full published node set (the WHERE binds only `user`). */
+  def userDocsTagged(spark: SparkSession, dir: String): DataFrame = {
+    val (nodesDf, edgesDf) = GraphBuild.userGraph(spark, dir)
+    val userNodes = nodesDf.filter(col("label") === "User")
+    // second publish's batch: every third user — the supplier id is the
+    // digit suffix of the user key ('s<suppkey>'), a narrow filter on
+    // the node set itself
+    val incoming = userNodes.filter(
+      expr("cast(substring(key, 2) as bigint) % 3 = 0"))
+    val merged = Publish.mergeUpsert(userNodes, incoming, "key",
+      Seq("label", "attributes"), "batch_2", epochMs = 2L)
+    val scopedUsers = merged.filter(col("published_tag") === "batch_2")
+      .select(col("key"), lit("User").as("label"), col("attributes"))
+    userDocsScoped(scopedUsers, nodesDf, edgesDf)
   }
 
   /** DEFAULT_NEO4J_DASHBOARD_CYPHER_QUERY analog (reference :85-115) over
@@ -476,5 +512,30 @@ object SearchDocs {
       DashboardBuild.nodes(spark, dir),
       DashboardBuild.edges(spark, dir), "dashboard")
     dashboardDocsFromGraph(n, e)
+  }
+
+  /** Publish-tag-scoped DASHBOARD extraction — the reference substitutes
+    * `{publish_tag_filter}` into the dashboard query's primary MATCH
+    * (neo4j_search_data_extractor.py:88 `WHERE dashboard ...
+    * {publish_tag_filter}`, `_add_publish_tag_filter`:161-175): the
+    * WHERE binds only the `dashboard` variable, and Dashboard-labeled
+    * nodes are read by exactly ONE branch (the hierarchy MATCH), so the
+    * [[tableDocsTagged]] node-substitution pattern applies verbatim —
+    * the merge subplan derives once, the label re-emitted as a LITERAL
+    * keeps every other branch's label filter statically pruned. */
+  def dashboardDocsTagged(spark: SparkSession, dir: String): DataFrame = {
+    val nodesDf = DashboardBuild.nodes(spark, dir).toDF()
+    val edgesDf = DashboardBuild.edges(spark, dir).toDF()
+    val dashNodes = nodesDf.filter(col("label") === "Dashboard")
+    // second publish's batch: every third dashboard — the part id is the
+    // digit suffix of the dashboard's name attribute ('d<partkey>')
+    val incoming = dashNodes.filter(
+      expr("cast(substring(attributes['name'], 2) as bigint) % 3 = 0"))
+    val merged = Publish.mergeUpsert(dashNodes, incoming, "key",
+      Seq("label", "attributes"), "batch_2", epochMs = 2L)
+    val scopedDash = merged.filter(col("published_tag") === "batch_2")
+      .select(col("key"), lit("Dashboard").as("label"), col("attributes"))
+    val scoped = scopedDash.union(nodesDf.filter(col("label") =!= "Dashboard"))
+    dashboardDocsFromGraph(scoped, edgesDf)
   }
 }

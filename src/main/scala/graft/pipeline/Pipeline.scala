@@ -52,11 +52,32 @@ final case class Pipeline(
     publish: () => Unit = () => (),
     onSuccess: () => Unit = () => (),
     onFailure: () => Unit = () => (),
-    metrics: (String, Long) => Unit = (_, _) => ()) {
+    metrics: (String, Long) => Unit = (_, _) => (),
+    maintenance: Seq[graft.streaming.Maintenance.Action] = Nil) {
 
   /** The composed declarative plan (no execution). */
   def dataFrame(spark: SparkSession): DataFrame =
     transforms.foldLeft(source(spark))((df, t) => t(df))
+
+  /** Run every deployed store's maintenance (retention sweep + budget
+    * compaction) with per-store guardrail isolation — the operational
+    * pass a 100 TB deployment schedules nightly, the scheduled-job slot
+    * the reference's staleness-removal tasks occupy
+    * (neo4j_staleness_removal_task.py). Gates contribute their stores
+    * via `maintenanceActions` (CurationStream, MediaDedupStream,
+    * EmbedDedupStream, DedupGateStream); a tripped guardrail aborts
+    * that store only and is reported, any other failure propagates.
+    * Each store's outcome also lands on the statsd-style metrics hook
+    * (`job.<name>.maintain.swept` / `.aborted`), fire-and-forget like
+    * the launch counters. */
+  def maintain(): graft.streaming.Maintenance.Report = {
+    val report = graft.streaming.Maintenance.run(maintenance)
+    try {
+      metrics(s"job.$name.maintain.swept", report.dropped)
+      metrics(s"job.$name.maintain.aborted", report.aborted.size.toLong)
+    } catch { case _: Throwable => () }
+    report
+  }
 
   /** Run: stage the composed frame, publish, fire callbacks.
     *

@@ -230,6 +230,30 @@ object CurationStream {
     funnelStore(outDir).retentionSweep(spark, emptyFunnel(spark),
       minBatchId, maxDropFrac, epochCol = "batch_id")
 
+  /** This gate's deployed stores as [[Maintenance.Action]]s — the three
+    * claim stores (text exact-md5, audio perceptual, video signature)
+    * each sweep-then-compact on the claim-epoch horizon, the funnel
+    * store on its batch-id horizon. Compose with the other gates'
+    * actions and run the lot through [[Maintenance.run]]: a tripped
+    * guardrail aborts its store only. */
+  def maintenanceActions(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double, minBatchId: Long): Seq[Maintenance.Action] = {
+    def claimAction(store: ClaimStore, empty: => DataFrame,
+        horizon: Long, epochCol: String) =
+      Maintenance.Action(store.dir, "retention+compact", () =>
+        Maintenance.sweepAndCompact(spark, store, empty, horizon,
+          maxDropFrac, epochCol))
+    Seq(
+      claimAction(textClaimStore(s"${outDir}_fps"),
+        emptyClaims(spark), minEpoch, "epoch"),
+      claimAction(ClaimStore(s"${outDir}_mfps", partitionCol = Some("pk")),
+        emptyMediaClaims(spark), minEpoch, "epoch"),
+      claimAction(ClaimStore(s"${outDir}_vmfps", partitionCol = Some("pk")),
+        emptyVideoClaims(spark), minEpoch, "epoch"),
+      claimAction(funnelStore(outDir),
+        emptyFunnel(spark), minBatchId, "batch_id"))
+  }
+
   private def vhashPk(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (crc32(c) % 2048).cast("int")
 
@@ -253,7 +277,8 @@ object CurationStream {
       tokenStoreDir: Option[String] = None,
       ctx: Long = 2048L,
       mediaGate: Boolean = false,
-      epochBase: Long = 0L): StreamingQuery = {
+      epochBase: Long = 0L,
+      vocabDir: Option[String] = None): StreamingQuery = {
     val spark = incoming.sparkSession
     val fpStore = s"${outDir}_fps"
     val textStore = textClaimStore(fpStore)
@@ -484,9 +509,15 @@ object CurationStream {
             // store's current size, and append as shard TAILS — no
             // existing shard file is rewritten (byte-identity is
             // spec-asserted). Lands before the claims (see scaladoc).
+            // The counter's redelivery-guard key is the MONOTONE BUILD
+            // EPOCH (epochBase + batchId), not the raw batch id: a
+            // restarted stream's batch ids begin at 0 again, and a raw-id
+            // guard would mistake the new run's first batch for a replay
+            // of the old one and silently skip its append.
+            val buildEpoch = epochBase + batchId
             storeDir.foreach { sd =>
               val tail = s"${sd}_tail"
-              if (!TailCounter.hasBatch(spark, tail, batchId)) {
+              if (!TailCounter.hasBatch(spark, tail, buildEpoch)) {
                 val admitted = verdict.filter(col("admitted"))
                   .select("doc_id", "n_words")
                   .persist(StorageLevel.MEMORY_AND_DISK)
@@ -502,7 +533,7 @@ object CurationStream {
                   .sortWithinPartitions("shard", "pos")
                   .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
                 admitted.unpersist()
-                TailCounter.append(spark, tail, batchId, nAdmitted, 0L)
+                TailCounter.append(spark, tail, buildEpoch, nAdmitted, 0L)
               }
             }
             // incremental TOKENIZED store: admitted docs BPE-encode under
@@ -514,10 +545,23 @@ object CurationStream {
             // at-least-once window as the curated store above.
             tokenStoreDir.foreach { sd =>
               val tail = s"${sd}_tail"
-              if (!TailCounter.hasBatch(spark, tail, batchId)) {
+              if (!TailCounter.hasBatch(spark, tail, buildEpoch)) {
                 val admitted = verdict.filter(col("admitted")).select("doc_id")
+                // with a versioned vocab artifact (`vocabDir`), the batch
+                // encodes under the COMMITTED merge table read back from
+                // its bytes — never an in-memory literal — and every row
+                // is stamped with the artifact version and its ERA (the
+                // monotone build epoch), laid out era=/shard= so a later
+                // tokenizer refresh (LayoutOps.bpeRefreshApplyAt) rewrites
+                // exactly the stale eras' partitions; without one, the
+                // pinned v0 table and the flat shard layout are unchanged
+                val vocab = vocabDir.map(vd =>
+                  (graft.operators.LayoutOps.currentVocab(spark, vd),
+                    graft.operators.LayoutOps.currentVocabVersion(vd)))
                 val enc = graft.operators.LayoutOps
-                  .bpeEncodeDocs(batch.join(admitted, Seq("doc_id")))
+                  .bpeEncodeDocsWith(batch.join(admitted, Seq("doc_id")),
+                    vocab.map(_._1)
+                      .getOrElse(graft.operators.TextOps.BpeMergeTable))
                   .persist(StorageLevel.MEMORY_AND_DISK)
                 // one fill pass also yields the counter update: the batch's
                 // doc and token contribution (the encode runs ONCE)
@@ -533,13 +577,23 @@ object CurationStream {
                   .crossJoin(broadcast(st.select("n_old")))
                   .select(col("doc_id"), (col("pos") + col("n_old")).as("pos"),
                     col("n_bpe"), col("tok_str"))
-                graft.operators.LayoutOps
+                val windowed = graft.operators.LayoutOps
                   .assignWindows(ranked, ctx, nShards, st.select("t_old"))
                   .repartitionByRange(nShards, col("shard"))
                   .sortWithinPartitions("shard", "win", "pos")
-                  .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+                vocab match {
+                  case Some((_, v)) =>
+                    windowed
+                      .withColumn("vocab", lit(v))
+                      .withColumn("era", lit(epochBase + batchId))
+                      .write.mode(SaveMode.Append)
+                      .partitionBy("era", "shard").parquet(sd)
+                  case None =>
+                    windowed
+                      .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+                }
                 enc.unpersist()
-                TailCounter.append(spark, tail, batchId, nAdmitted, nTokens)
+                TailCounter.append(spark, tail, buildEpoch, nAdmitted, nTokens)
               }
             }
             // claims accrete for every batch winner — contaminated or not
@@ -693,6 +747,123 @@ object CurationStream {
       graft.operators.LayoutOps
         .tokenShardManifest(spark, spark.read.parquet(store), 4)
     } finally fx.evalSh.unpersist()
+  }
+
+  /** Build half of the PRODUCTION tokenizer-refresh lifecycle: the v0
+    * merge table ships as `gen=0` of a versioned vocab artifact, even
+    * doc_ids stream through the gate as era 0 (each batch ENCODES UNDER
+    * THE COMMITTED ARTIFACT read back from its bytes, rows era/vocab-
+    * stamped, layout era=/shard=), the vocabulary retrains on the
+    * accreted corpus and ships ONLY through the fertility canary
+    * ([[graft.operators.LayoutOps.shipVocabIfBetter]]), and odd doc_ids
+    * stream as era 1 born on the new artifact. Returns (store,
+    * vocabDir) so the refresh pass — and the byte-identity specs — run
+    * against the exact on-disk state. */
+  private[graft] def tokenizedStoreRefreshBuild(spark: SparkSession,
+      dir: String, tag: String = "graft-curation-tokref"): (String, String) = {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = graft.sources.TmpStores.pidScopedRoot(tag)
+    Seq("in", "in2", "out", "out_fps", "out_funnel", "ckpt", "ckpt2",
+      "tstore", "tstore_tail", "vocab").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val in = root.resolve("in").toString
+    val in2 = root.resolve("in2").toString
+    val out = root.resolve("out").toString
+    val store = root.resolve("tstore").toString
+    val vocabDir = root.resolve("vocab").toString
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in2)
+    val evalSh = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evalSh.count()
+    try {
+      // v0 ships as a real artifact generation (gen=0 + CURRENT swap)
+      TextOps.BpeMergeTable.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$vocabDir/gen=0")
+      graft.sources.Stage.atomicRepoint(vocabDir, s"$vocabDir/gen=0")
+      def src(path: String) = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      run(src(in), evalSh, out, root.resolve("ckpt").toString,
+        tokenStoreDir = Some(store), nShards = 4, ctx = 2048L,
+        vocabDir = Some(vocabDir)).awaitTermination()
+      // vocab drift between stream runs: retrain on the accreted corpus,
+      // ship only through the fertility canary (strict ppm gain)
+      val merges = TextOps.bpeMergesFromTokens(
+        docs.select(explode(TextOps.tokens(col("text"))).as("word")), 6)
+      graft.operators.LayoutOps.shipVocabIfBetter(spark, docs, vocabDir, merges)
+      run(src(in2), evalSh, out, root.resolve("ckpt2").toString,
+        tokenStoreDir = Some(store), nShards = 4, ctx = 2048L,
+        vocabDir = Some(vocabDir), epochBase = 1L).awaitTermination()
+      (store, vocabDir)
+    } finally evalSh.unpersist()
+  }
+
+  /** Oracle-gated query for the PRODUCTION TOKENIZED-STORE REFRESH —
+    * the r14 fixture lifecycle (q_bpe_refresh) deployed where it
+    * matters: the store the streaming gate actually feeds. Era 0 (even
+    * doc_ids, admitted by the full curation gate) encodes under the
+    * committed v0 artifact and packs into 2048-token windows from token
+    * offset 0; the retrained vocabulary ships through the fertility
+    * canary; era 1 (odds, judged against era-0 claims) encodes under
+    * the NEW artifact, its windows CONTINUING the store's global token
+    * offset; then [[graft.operators.LayoutOps.bpeRefreshApplyAt]]
+    * re-encodes ONLY the stale era's partitions — doc_id/pos/win/shard
+    * untouched (the window grid is the training loop's resume
+    * contract; only the payload and vocab stamp move), era-1 partitions
+    * byte-identical (spec-asserted). Output: the per-(era, shard)
+    * window-grain loader manifest of the refreshed store read back from
+    * disk. The DuckDB oracle replays the arrival-order curation chain,
+    * the per-era md5 ranking, BOTH encodes (pinned v0 for the frozen
+    * window grid, the trainer-round-derived table for the payload), the
+    * cross-era window prefix sum, and every manifest field — a
+    * regression in the gate, either tokenizer, the canary wiring, the
+    * stale-era detection, or the touched-partition rewrite flips a row
+    * red. */
+  def tokenizedStoreRefreshQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (store, vocabDir) = tokenizedStoreRefreshBuild(spark, dir)
+    graft.operators.LayoutOps.bpeRefreshApplyAt(spark,
+      Tables(spark, dir, "documents").select("doc_id", "text"),
+      store, vocabDir, nShards = 4, carry = Seq("win"))
+    spark.catalog.refreshByPath(store)
+    graft.operators.LayoutOps
+      .tokenizedEraManifest(spark, spark.read.parquet(store), 4)
+  }
+
+  /** Oracle-gated query for the WINDOW REPACK — the deliberate O(store)
+    * completion of the refresh lifecycle: after
+    * [[tokenizedStoreRefreshQuery]]'s payload-only rewrite the window
+    * grid still reflects the OLD vocab's token counts, and this pass
+    * ([[graft.operators.LayoutOps.repackTokenizedStore]], run between
+    * training runs when no resume state pins the grid) re-derives every
+    * window and shard from the refreshed payload's token counts —
+    * positions immutable (the training order is the corpus identity),
+    * the grid back to exact `ctx`-token alignment. The oracle replays
+    * the same chain as the refresh query but with the window prefix sum
+    * over the RETRAINED table's counts for all rows — so a repack that
+    * moves a position, loses an era stamp, or mis-aligns the grid flips
+    * a manifest row red. */
+  def tokenizedStoreRepackQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (store, vocabDir) =
+      tokenizedStoreRefreshBuild(spark, dir, tag = "graft-curation-tokrepack")
+    graft.operators.LayoutOps.bpeRefreshApplyAt(spark,
+      Tables(spark, dir, "documents").select("doc_id", "text"),
+      store, vocabDir, nShards = 4, carry = Seq("win"))
+    graft.operators.LayoutOps.repackTokenizedStore(spark, store,
+      ctx = 2048L, nShards = 4)
+    graft.operators.LayoutOps
+      .tokenizedEraManifest(spark, spark.read.parquet(store), 4)
   }
 
   /** Oracle-gated query for the PER-BATCH STREAM FUNNEL: the two-batch

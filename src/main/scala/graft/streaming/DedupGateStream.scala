@@ -43,6 +43,19 @@ object DedupGateStream {
     ClaimStore(s"${outDir}_index", partitionCol = Some("dbucket"))
       .retentionSweep(spark, emptySh(spark), minEpoch, maxDropFrac))
 
+  /** The band and shingle-index stores as [[Maintenance.Action]]s — see
+    * [[Maintenance.run]] and [[CurationStream.maintenanceActions]]. */
+  def maintenanceActions(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double): Seq[Maintenance.Action] = Seq(
+    Maintenance.Action(s"${outDir}_bands", "retention+compact", () =>
+      Maintenance.sweepAndCompact(spark,
+        ClaimStore(s"${outDir}_bands", partitionCol = Some("bucket")),
+        emptyBands(spark), minEpoch, maxDropFrac)),
+    Maintenance.Action(s"${outDir}_index", "retention+compact", () =>
+      Maintenance.sweepAndCompact(spark,
+        ClaimStore(s"${outDir}_index", partitionCol = Some("dbucket")),
+        emptySh(spark), minEpoch, maxDropFrac)))
+
   /** Probe-key bucket of a MinHash band hash: its low 8 bits (splitmix64
     * output — uniform), 256 possible values, so a batch's touched set is
     * a bounded driver collect whatever the batch size. */

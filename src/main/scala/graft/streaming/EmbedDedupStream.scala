@@ -68,6 +68,15 @@ object EmbedDedupStream {
     ClaimStore(s"${outDir}_vfps", partitionCol = Some("pk"))
       .retentionSweep(spark, emptyClaims(spark), minEpoch, maxDropFrac)
 
+  /** The int8 claim store as a [[Maintenance.Action]] — see
+    * [[Maintenance.run]] and [[CurationStream.maintenanceActions]]. */
+  def maintenanceActions(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double): Seq[Maintenance.Action] = Seq(
+    Maintenance.Action(s"${outDir}_vfps", "retention+compact", () =>
+      Maintenance.sweepAndCompact(spark,
+        ClaimStore(s"${outDir}_vfps", partitionCol = Some("pk")),
+        emptyClaims(spark), minEpoch, maxDropFrac)))
+
   /** The int8 probe admits candidates down to threshold − a PER-CLAIM
     * margin derived from that claim's own quantization bound, never a
     * global constant: with per-coordinate reconstruction error ≤

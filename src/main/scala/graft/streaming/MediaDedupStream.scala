@@ -76,6 +76,15 @@ object MediaDedupStream {
     ClaimStore(s"${outDir}_fps", partitionCol = Some("pk"))
       .retentionSweep(spark, emptyClaims(spark), minEpoch, maxDropFrac)
 
+  /** The perceptual claim store as a [[Maintenance.Action]] — see
+    * [[Maintenance.run]] and [[CurationStream.maintenanceActions]]. */
+  def maintenanceActions(spark: SparkSession, outDir: String, minEpoch: Long,
+      maxDropFrac: Double): Seq[Maintenance.Action] = Seq(
+    Maintenance.Action(s"${outDir}_fps", "retention+compact", () =>
+      Maintenance.sweepAndCompact(spark,
+        ClaimStore(s"${outDir}_fps", partitionCol = Some("pk")),
+        emptyClaims(spark), minEpoch, maxDropFrac)))
+
   private def withPk(df: DataFrame): DataFrame =
     df.withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
 

@@ -261,6 +261,16 @@ object StreamPublish {
       }
   }
 
+  /** The snapshot's compaction as a [[Maintenance.Action]] — the
+    * continuous publisher's store has no retention semantic (it IS the
+    * current state), so its nightly maintenance is the dead-generation
+    * vacuum alone. Returns 0 rows dropped (compaction is lossless). */
+  def maintenanceActions(spark: SparkSession, baseDir: String,
+      keyCol: String): Seq[Maintenance.Action] = Seq(
+    Maintenance.Action(baseDir, "compact", { () =>
+      compact(spark, baseDir, keyCol); 0L
+    }))
+
   /** Read the committed snapshot: the manifest's bucket dirs, as one
     * scan. Bucket dirs are independent parquet roots, so a reader needing
     * only some keys can prune to their buckets — the point of the
