@@ -45,6 +45,29 @@ class PlanShapeSpec extends AnyFunSuite {
     flattenAll(df.queryExecution.executedPlan)
       .flatMap(_.expressions).flatMap(_.collect { case e => e })
 
+  test("prefix-sum offset frames: every window partitioned, offsets broadcast") {
+    // the two-pass prefix sum behind the training-order shuffle and the
+    // token sharder: the bounded offsets cumsum must carry a NON-EMPTY
+    // window partition spec (Spark 4's EliminateWindowPartitions folds a
+    // literal key back out — the constant pmod key must survive to the
+    // physical plan, or WindowExec degrades to the warned single-partition
+    // global-sort shape) and the ≤256-row offsets frame must BROADCAST
+    // back, never shuffle the data side
+    val docs = graft.sources.Tables(spark, dir, "documents").select("doc_id")
+    val ranks = LayoutOps.shuffleRanks(spark, docs)
+    ranks.count() // finalize AQE before inspecting
+    val nodes = flattenAll(ranks.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected WindowExec nodes in the prefix-sum plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned WindowExec survived:\n${ranks.queryExecution.executedPlan}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"offsets frame did not broadcast:\n${ranks.queryExecution.executedPlan}")
+  }
+
   test("filter and projection push down into the parquet scan") {
     val plan = physical(Relational.scanFilterProject(spark, dir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),

@@ -115,6 +115,33 @@ class Round15OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("fallback marker swap fails LOUDLY when the old marker cannot be removed") {
+    import graft.sources.Stage
+    val root = tmpRoot("graft-swapfail")
+    val base = s"failfs://$root/m"
+    // failfs has no AbstractFileSystem binding, so this exercises the
+    // non-atomic delete-then-rename fallback end to end
+    Stage.atomicRepoint(base, "gen1")
+    assert(Stage.currentTarget(base).contains("gen1"))
+    FailingDeleteFs.needle = "CURRENT"
+    FailingDeleteFs.failing.set(true)
+    try {
+      // a swap that cannot remove the old marker must THROW — returning
+      // with the marker pair in an unknown state would let the next fold
+      // rebuild without the committed base and then delete it
+      intercept[java.io.IOException] { Stage.atomicRepoint(base, "gen2") }
+      // and the committed state is never silently destroyed
+      assert(Stage.currentTarget(base).contains("gen1"))
+    } finally {
+      FailingDeleteFs.failing.set(false)
+      FailingDeleteFs.needle = ".parquet"
+    }
+    // deletes heal: the retried swap commits
+    Stage.atomicRepoint(base, "gen2")
+    assert(Stage.currentTarget(base).contains("gen2"))
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("maintain(pipeline): one call sweeps every deployed store; a tripped guardrail aborts that store only") {
     import graft.streaming.{ClaimStore, CurationStream, EmbedDedupStream}
     val spark0 = spark
