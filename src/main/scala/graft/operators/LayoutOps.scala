@@ -799,6 +799,10 @@ object LayoutOps {
       val next = s"$vocabDir/gen=${currentVocabVersion(vocabDir) + 1}"
       candidate.coalesce(1).write.mode("overwrite").parquet(next)
       graft.sources.Stage.atomicRepoint(vocabDir, next)
+      // the superseded artifact generations drop with the ship (the
+      // blue/green old-index delete): encoded rows reference versions by
+      // NUMBER, never by re-reading old bytes, so history is dead weight
+      graft.sources.Stage.dropStaleGenerations(vocabDir)
       true
     }
   }
@@ -918,6 +922,7 @@ object LayoutOps {
       carry: Seq[String] = Nil): Long = {
     val spark0 = spark
     import spark0.implicits._
+    healRepackSwap(store)
     val v1 = currentVocab(spark, vocabDir)
     val currentVersion = currentVocabVersion(vocabDir)
     spark.catalog.refreshByPath(store)
@@ -997,11 +1002,21 @@ object LayoutOps {
     * re-derive from the same two-pass prefix sum the incremental writer
     * uses, and the store rewrites in one shuffle keyed on the new shard.
     * Returns the rows repacked. Run rarely by design — the batch
-    * rebuild's cost with the incremental store's lineage. */
+    * rebuild's cost with the incremental store's lineage.
+    *
+    * COMMIT discipline: the repacked store lands complete in a sibling
+    * `.repack.tmp` dir FIRST, then swaps in by checked delete+rename —
+    * never an in-place overwrite of the path being read (which would
+    * need the whole store materialized in executor storage and would
+    * lose the store to a JVM death mid-write). A crash between the two
+    * swap steps leaves every byte in the tmp dir; the next repack (or
+    * any caller running [[healRepackSwap]] first, as the refresh/repack
+    * entry points do) finishes the rename. */
   private[graft] def repackTokenizedStore(spark: SparkSession, store: String,
       ctx: Long, nShards: Int): Long = {
     val spark0 = spark
     import spark0.implicits._
+    healRepackSwap(store)
     spark.catalog.refreshByPath(store)
     val all = spark.read.parquet(store)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -1014,8 +1029,6 @@ object LayoutOps {
     // pos div ceil(N/256): exactly ≤256 buckets, monotone trivially.
     val nPos = all.agg(max(col("pos"))).collect()(0).getLong(0) + 1L
     val posBucket = math.max(1L, (nPos + 255L) / 256L)
-    // lineage-free before the overwrite: the rewrite replaces the very
-    // partitions this frame reads
     val repacked = withTokenStartBy(
       all.select("doc_id", "pos", "n_bpe", "tok_str"),
       expr(s"cast(pos div ${posBucket}L as int)"))
@@ -1023,14 +1036,41 @@ object LayoutOps {
       .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
         col("win"), (col("win") % nShards).as("shard"))
       .join(all.select("doc_id", "vocab", "era"), Seq("doc_id"))
-      .localCheckpoint(true)
-    val n = repacked.count()
+    // complete in tmp first (reads old store, writes elsewhere — no
+    // in-memory checkpoint of the whole store), then checked swap
+    val tmp = new org.apache.hadoop.fs.Path(store + RepackTmpSuffix)
+    graft.sources.Hfs.delete(tmp)
     repacked
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "win", "pos")
-      .write.mode("overwrite").partitionBy("era", "shard").parquet(store)
+      .write.mode("overwrite").partitionBy("era", "shard").parquet(tmp.toString)
+    // metadata-only count over the durable tmp bytes — the value the
+    // swap actually commits
+    val n = spark.read.parquet(tmp.toString).count()
+    val sp = new org.apache.hadoop.fs.Path(store)
+    val f = graft.sources.Hfs.fs(sp)
+    if (f.exists(sp) && !f.delete(sp, true))
+      throw new java.io.IOException(s"repack could not remove the old $store")
+    if (!f.rename(f.makeQualified(tmp), f.makeQualified(sp)))
+      throw new java.io.IOException(s"repack could not move $tmp onto $store")
     spark.catalog.refreshByPath(store)
     n
+  }
+
+  private val RepackTmpSuffix = ".repack.tmp"
+
+  /** Finish a crashed repack swap: the old store was removed but the
+    * rename never ran — every byte is still in the tmp dir, so move it
+    * into place. Runs at the head of the repack and refresh passes. */
+  private[graft] def healRepackSwap(store: String): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(store)
+    val tmp = new org.apache.hadoop.fs.Path(store + RepackTmpSuffix)
+    val f = graft.sources.Hfs.fs(sp)
+    if (!f.exists(sp) && f.exists(tmp)) {
+      if (!f.rename(f.makeQualified(tmp), f.makeQualified(sp)))
+        throw new java.io.IOException(
+          s"could not finish the crashed repack swap $tmp -> $store")
+    }
   }
 
   /** [[foldEraManifests]] for the WINDOWED production store: same

@@ -167,6 +167,19 @@ class Round15OpsSpec extends AnyFunSuite {
       Seq((1, 40L, Array[Byte](1, 2), 0.0, 0.1, 0L),
         (2, 41L, Array[Byte](3, 4), 0.0, 0.1, 5L))
         .toDF("pk", "claim_id", "codes", "vmin", "scale", "epoch"))
+    // the standalone perceptual gate and the MinHash text-index gate —
+    // separate outDirs, as a composed multi-gate deployment would have
+    val mOut = root.resolve("mgate").toString
+    ClaimStore(s"${mOut}_fps", Some("pk")).appendDelta(
+      Seq((1, 50L, 555L, 0L), (2, 51L, 556L, 5L))
+        .toDF("pk", "claim_id", "fhash", "epoch"))
+    val dOut = root.resolve("dgate").toString
+    ClaimStore(s"${dOut}_bands", Some("bucket")).appendDelta(
+      Seq((1, 60L, 0, 999L, 0L), (2, 61L, 1, 998L, 5L))
+        .toDF("bucket", "doc_id", "band", "band_hash", "epoch"))
+    ClaimStore(s"${dOut}_index", Some("dbucket")).appendDelta(
+      Seq((1, 60L, Seq("a b c"), 0L), (2, 61L, Seq("d e f"), 5L))
+        .toDF("dbucket", "doc_id", "sh", "epoch"))
     // plus a continuous-publish snapshot (two batches leave two live
     // generations) — its maintenance is the dead-generation vacuum
     val snap = root.resolve("snap").toString
@@ -187,9 +200,13 @@ class Round15OpsSpec extends AnyFunSuite {
           minEpoch = 1L, maxDropFrac = 0.6, minBatchId = 1L) ++
           EmbedDedupStream.maintenanceActions(spark, out,
             minEpoch = 1L, maxDropFrac = 0.6) ++
+          graft.streaming.MediaDedupStream.maintenanceActions(spark, mOut,
+            minEpoch = 1L, maxDropFrac = 0.6) ++
+          graft.streaming.DedupGateStream.maintenanceActions(spark, dOut,
+            minEpoch = 1L, maxDropFrac = 0.6) ++
           graft.streaming.StreamPublish.maintenanceActions(spark, snap, "key"))
     val report = pipeline.maintain()
-    assert(report.outcomes.size == 6)
+    assert(report.outcomes.size == 9)
     // the snapshot vacuum folded both live generations into one and
     // the folded snapshot still reads whole
     assert(graft.sources.Hfs.children(snap)(_.startsWith("gen=")).size == 1)
@@ -201,14 +218,16 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(
       graft.sources.Hfs.children(s"${out}_vmfps/delta")(_.endsWith(".parquet"))
         .map(_.toString): _*).count() == 2)
-    // every other claim store swept its aged cohort: 1 row each (the
-    // snapshot vacuum is lossless — 0 dropped by contract)
-    assert(report.dropped == 4L)
+    // every other claim store — across all four gates — swept its aged
+    // cohort: 1 row each (the snapshot vacuum is lossless — 0 dropped
+    // by contract)
+    assert(report.dropped == 7L)
     assert(report.outcomes.filter(o => o.ok && o.kind != "compact")
       .forall(_.dropped == 1L))
     // and the sweeps committed pruned base generations (the sweep IS a
     // major fold), so the swept stores are also compacted
-    Seq(s"${out}_fps", s"${out}_mfps", s"${out}_vfps").foreach(d =>
+    Seq(s"${out}_fps", s"${out}_mfps", s"${out}_vfps", s"${mOut}_fps",
+      s"${dOut}_bands", s"${dOut}_index").foreach(d =>
       assert(graft.sources.Stage.currentTarget(d).isDefined, d))
     graft.sources.TmpStores.deleteRecursively(root)
   }
@@ -224,6 +243,10 @@ class Round15OpsSpec extends AnyFunSuite {
     // encode unconditionally, so the gate must take the same branch)
     assert(LayoutOps.currentVocabVersion(vocabDir) == 1L,
       "the fertility canary must ship the retrained vocab at every gated sf")
+    // the ship GCs the superseded artifact generation (encoded rows
+    // reference versions by number, never by re-reading old bytes)
+    assert(graft.sources.Hfs.children(vocabDir)(_.startsWith("gen="))
+      .map(_.getName) == Seq("gen=1"))
     def checksums(era: String): Map[String, String] = {
       val d = java.nio.file.Paths.get(store.stripPrefix("file:"), era)
       val out = scala.collection.mutable.Map.empty[String, String]
@@ -277,6 +300,16 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(LayoutOps.repackTokenizedStore(spark, store, 2048L, 4) > 0L)
     assert(manifest().sameElements(postRepack),
       "a second repack must reproduce the identical manifest")
+    // crash-swap heal: reconstruct the exact "old store removed, rename
+    // never ran" state a dying repack can leave — every byte is in tmp,
+    // and the heal (run at the head of repack/refresh) moves it back
+    val sp = new org.apache.hadoop.fs.Path(store)
+    val fs = graft.sources.Hfs.fs(sp)
+    assert(fs.rename(sp, new org.apache.hadoop.fs.Path(store + ".repack.tmp")))
+    LayoutOps.healRepackSwap(store)
+    spark.catalog.refreshByPath(store)
+    assert(manifest().sameElements(postRepack),
+      "the healed store must be byte-for-byte the committed repack")
   }
 
   test("blue/green publish GCs old generations; a pre-swap reader still resolves until the drop") {
