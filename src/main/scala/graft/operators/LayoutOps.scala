@@ -1059,6 +1059,60 @@ object LayoutOps {
 
   private val RepackTmpSuffix = ".repack.tmp"
 
+  /** SMALL-FILES COMPACTION for the INCREMENTAL training stores — the
+    * file-count bound the claim stores get from their leveled folds,
+    * applied to the append-only curated/tokenized shard stores: every
+    * micro-batch appends one tail file per shard, so a long-running
+    * stream accretes batches×shards files whose per-file open/footer
+    * cost eventually dominates the training read (and whose count
+    * swamps the namenode). This pass rewrites the store into
+    * ~one well-sized file per partition dir — rows, positions, windows
+    * all byte-equal (the per-shard manifests are spec-asserted
+    * identical); only the file layout moves. Commit is the
+    * [[repackTokenizedStore]] discipline: complete in `.repack.tmp`,
+    * checked delete+rename swap, crash heal at the head. Run BETWEEN
+    * training runs — like the repack, it invalidates file-grain resume
+    * state, never row-grain state. Returns (files before, files after).
+    *
+    * `partitionCols` is the store's physical layout (`shard` for the
+    * flat stores, `era, shard` for the vocab-versioned token store);
+    * `sortCols` the within-partition order the writers maintain. */
+  private[graft] def compactShardStore(spark: SparkSession, store: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      nShards: Int): (Long, Long) = {
+    healRepackSwap(store)
+    spark.catalog.refreshByPath(store)
+    def dataFiles(p: String): Long = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val f = graft.sources.Hfs.fs(root)
+      def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+        if (st.isDirectory) f.listStatus(st.getPath).map(walk).sum
+        else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+      if (!f.exists(root)) 0L else walk(f.getFileStatus(root))
+    }
+    val before = dataFiles(store)
+    val all = spark.read.parquet(store)
+    val tmp = new org.apache.hadoop.fs.Path(store + RepackTmpSuffix)
+    graft.sources.Hfs.delete(tmp)
+    // one shuffle keyed on the leading partition column routes each
+    // partition dir to one task → one well-sized file per dir (the
+    // Stage.stageNodes small-files discipline); a partition that
+    // outgrows a single task would raise nShards, not this pass
+    all
+      .repartitionByRange(nShards, partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    val sp = new org.apache.hadoop.fs.Path(store)
+    val f = graft.sources.Hfs.fs(sp)
+    if (f.exists(sp) && !f.delete(sp, true))
+      throw new java.io.IOException(s"compaction could not remove the old $store")
+    if (!f.rename(f.makeQualified(tmp), f.makeQualified(sp)))
+      throw new java.io.IOException(s"compaction could not move $tmp onto $store")
+    spark.catalog.refreshByPath(store)
+    (before, dataFiles(store))
+  }
+
   /** Finish a crashed repack swap: the old store was removed but the
     * rename never ran — every byte is still in the tmp dir, so move it
     * into place. Runs at the head of the repack and refresh passes. */

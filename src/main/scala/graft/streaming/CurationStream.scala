@@ -267,6 +267,32 @@ object CurationStream {
   private def funnelStore(outDir: String): ClaimStore =
     ClaimStore(s"${outDir}_funnel")
 
+  /** The incremental TRAINING stores as [[Maintenance.Action]]s — the
+    * small-files compaction pass ([[graft.operators.LayoutOps
+    * .compactShardStore]]): every micro-batch appends one tail file per
+    * shard, so a long-running stream accretes batches×shards files; the
+    * pass folds each partition dir to ~one well-sized file with rows,
+    * positions, and windows untouched (manifests spec-asserted
+    * identical). Schedule BETWEEN training runs — it invalidates
+    * file-grain resume state, never row-grain state. `eraLayout` marks
+    * a vocab-versioned token store (`era=/shard=`). */
+  def storeMaintenanceActions(spark: SparkSession,
+      storeDir: Option[String] = None,
+      tokenStoreDir: Option[String] = None,
+      eraLayout: Boolean = false,
+      nShards: Int = 4): Seq[Maintenance.Action] =
+    storeDir.toSeq.map(sd => Maintenance.Action(sd, "compact", { () =>
+      graft.operators.LayoutOps.compactShardStore(spark, sd,
+        Seq("shard"), Seq("pos"), nShards)
+      0L
+    })) ++
+      tokenStoreDir.toSeq.map(sd => Maintenance.Action(sd, "compact", { () =>
+        graft.operators.LayoutOps.compactShardStore(spark, sd,
+          if (eraLayout) Seq("era", "shard") else Seq("shard"),
+          Seq("win", "pos"), nShards)
+        0L
+      }))
+
   def run(
       incoming: DataFrame,
       evalSh: DataFrame,

@@ -312,6 +312,42 @@ class Round15OpsSpec extends AnyFunSuite {
       "the healed store must be byte-for-byte the committed repack")
   }
 
+  test("incremental-store small-files compaction: layout-only, manifests identical, files shrink") {
+    import graft.operators.LayoutOps
+    import graft.streaming.{CurationStream, Maintenance}
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpRoot("graft-storecompact")
+    val store = root.resolve("store").toString
+    val rows = (0L until 200L).map(i => (i, i, 5L))
+      .toDF("doc_id", "pos", "n_words")
+      .withColumn("shard", col("pos") % 4)
+    // two micro-batch-style tail appends -> at least 2 files per shard dir
+    def append(lo: Long, hi: Long): Unit = rows
+      .filter(col("pos") >= lo && col("pos") < hi)
+      .repartitionByRange(4, col("shard")).sortWithinPartitions("shard", "pos")
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(store)
+    append(0L, 100L); append(100L, 200L)
+    def manifest() = LayoutOps
+      .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
+      .collect().sortBy(_.getLong(0)).toSeq
+    val before = manifest()
+    // run it as the Maintenance action a deployment schedules
+    val report = Maintenance.run(CurationStream.storeMaintenanceActions(
+      spark, storeDir = Some(store)))
+    assert(report.outcomes.forall(_.ok))
+    spark.catalog.refreshByPath(store)
+    assert(manifest() == before,
+      "compaction must not move a row, a position, or a digest")
+    // and the file count actually shrank to ~one per shard dir
+    val files = graft.sources.Hfs.children(store)(_.startsWith("shard="))
+      .map(d => graft.sources.Hfs.children(d.toString)(_.endsWith(".parquet")).size)
+    assert(files.nonEmpty && files.forall(_ == 1),
+      s"expected one file per shard dir after compaction, got $files")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("blue/green publish GCs old generations; a pre-swap reader still resolves until the drop") {
     import graft.sources.{Hfs, Stage}
     val spark0 = spark
