@@ -348,6 +348,53 @@ class Round15OpsSpec extends AnyFunSuite {
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
+  test("repack grid exactness at 50k docs: every window is the independent prefix-sum quotient") {
+    import graft.operators.LayoutOps
+    import org.apache.spark.sql.SaveMode
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpRoot("graft-repack-scale")
+    val store = root.resolve("store").toString
+    val n = 50000L
+    // a deliberately WRONG grid (win=0 everywhere) over two eras — the
+    // repack must rebuild it purely from (pos, n_bpe); doc order is
+    // md5-scrambled relative to pos so a bucket that secretly leaned on
+    // doc_id would misalign
+    spark.range(n)
+      .select(col("id").as("pos"),
+        expr("conv(substring(md5(cast(id as string)), 1, 12), 16, 10)")
+          .cast("long").as("doc_id"),
+        (col("id") % 37 + 1).cast("long").as("n_bpe"),
+        concat(lit("t"), col("id")).as("tok_str"),
+        lit(1L).as("vocab"),
+        (col("id") >= n / 2).cast("long").as("era"),
+        (col("id") % 4).as("shard"), lit(0L).as("win"))
+      .repartitionByRange(8, col("era"), col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("era", "shard").parquet(store)
+    assert(LayoutOps.repackTokenizedStore(spark, store, 2048L, 4) == n)
+    val got = spark.read.parquet(store)
+      .select(col("pos").cast("long"), col("n_bpe").cast("long"),
+        col("win").cast("long"), col("shard").cast("long"),
+        col("era").cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == n)
+    // independent re-derivation: running prefix sum in plain Scala
+    var cum = 0L
+    got.foreach { case (pos, nb, win, shard, era) =>
+      assert(win == cum / 2048L, s"pos $pos: win $win != ${cum / 2048}")
+      assert(shard == win % 4, s"pos $pos: shard $shard != win%4")
+      assert(era == (if (pos >= n / 2) 1L else 0L), s"pos $pos lost its era")
+      cum += nb
+    }
+    // and the rewrite left ~one file per (era, shard=win%4 ∩ era-span) dir
+    val leafFiles = graft.sources.Hfs.children(store)(_.startsWith("era="))
+      .flatMap(e => graft.sources.Hfs.children(e.toString)(_.startsWith("shard=")))
+      .map(d => graft.sources.Hfs.children(d.toString)(_.endsWith(".parquet")).size)
+    assert(leafFiles.nonEmpty && leafFiles.forall(_ <= 2),
+      s"repack left fragmented leaf dirs: $leafFiles")
+    graft.sources.TmpStores.deleteRecursively(root)
+  }
+
   test("blue/green publish GCs old generations; a pre-swap reader still resolves until the drop") {
     import graft.sources.{Hfs, Stage}
     val spark0 = spark
