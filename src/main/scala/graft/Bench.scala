@@ -48,6 +48,10 @@ object Bench {
     // runs; a query failing every pass surfaces as -1 (and in `errors`,
     // and via exit 1) instead of poisoning the totals
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // stderr marker per measured query: Spark's WARN lines land between
+      // markers, so a captured tail attributes each warning to its query
+      // (stdout's tail must stay JSON)
+      Console.err.println(s"[bench] $name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>

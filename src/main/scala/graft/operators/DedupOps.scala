@@ -106,14 +106,25 @@ object DedupOps {
     * narrow pass over the corpus plus one aggregation shuffle on doc_id;
     * never doc×doc, and corpus-side shingles are computed exactly once
     * (persisted slim frame, same barrier pattern as [[sharedNgrams]]). */
+  /** Persist-if-absent for stages SHARED across the dedup query family
+    * (the session cache substitutes InMemoryRelation by PLAN, so a
+    * repeat caller re-registering the same plan would only warn and
+    * churn the CacheManager). Returns whether THIS call took ownership
+    * — owners fill the cache eagerly and may unpersist it when done;
+    * non-owners must leave the shared cache alone. */
+  private def persistShared(df: DataFrame): Boolean =
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      true
+    } else false
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(5))
       .select(col("doc_id"), col("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    corpus.count()
+    if (persistShared(corpus)) corpus.count()
     val evalDocs = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -165,8 +176,8 @@ object DedupOps {
       .withColumn("sh", shingles(5))
       .select(explode(col("sh")).as("g"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    evalSh.count()
+    val ownedEval = persistShared(evalSh)
+    if (ownedEval) evalSh.count()
     val pos = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
@@ -193,7 +204,7 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    evalSh.unpersist()
+    if (ownedEval) evalSh.unpersist()
     out
   }
 
@@ -302,7 +313,7 @@ object DedupOps {
       .withColumn("sh", shingles(5))
       .select(explode(col("sh")).as("g"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ownedEval = persistShared(evalSh)
     val nEval = math.max(evalSh.count(), 1L)
     val bloomDF = evalSh.select(column(
       new BloomFilterAggregate(
@@ -322,8 +333,8 @@ object DedupOps {
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(5))
       .select(col("doc_id"), col("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    corpus.count()
+    val ownedCorpus = persistShared(corpus)
+    if (ownedCorpus) corpus.count()
     val out = corpus
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .filter(mightContain) // bloom gate: kills ~99% before the join
@@ -334,9 +345,10 @@ object DedupOps {
         (col("n_overlap") >= 8).as("contaminated"))
       .orderBy("doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the small verdict, then drop the fat caches
-    corpus.unpersist()
-    evalSh.unpersist()
+    out.count() // materialize the small verdict, then drop OWNED caches
+    // (a cache another query in the family registered stays shared)
+    if (ownedCorpus) corpus.unpersist()
+    if (ownedEval) evalSh.unpersist()
     out
   }
 
@@ -426,17 +438,23 @@ object DedupOps {
     // shingle build runs on the 1-2 scan partitions of the single-file
     // input; the partition count is explicit because AQE sizes by
     // shuffle bytes, which are tiny here relative to the compute.)
-    val spread = docsWithTwins(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the stage is SHARED across the near-dup query family (pairs,
+    // groups, keep-best, edit-distance verify): persist only when the
+    // plan is not already in the session cache, so repeat callers take
+    // the hit-path silently instead of re-registering the same plan
+    def persistedOnce(df: DataFrame): DataFrame =
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      else df
+    val spread = persistedOnce(docsWithTwins(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
     // derived above the cache (so the barrier holds) and persisted once:
     // three consumers (signature map + both verify-join sides) read it
-    val shingled = spread
+    val shingled = persistedOnce(spread
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(3))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("sh")))
     // populate the cache in ONE job before fan-out: the band join's two
     // sides and the two verify-join sides otherwise race to fill it and
     // each recomputes the full tokenize+shingle pass (measured 4x)

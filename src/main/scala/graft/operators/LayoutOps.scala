@@ -555,16 +555,17 @@ object LayoutOps {
 
   /** [[bpeEncodeDocs]] under an ARBITRARY merge table — the committed
     * vocab artifact read back from its versioned store, so a streaming
-    * gate encodes each batch under whatever tokenizer is CURRENT. */
+    * gate encodes each batch under whatever tokenizer is CURRENT. The
+    * encode routes through [[TextOps.withBpePieces]]: a fixture-sized
+    * table stays a codegen'd expression; a production-sized vocab runs
+    * the partition-local encoder (a 32k-merge table cannot compile as a
+    * 32k-deep replace chain). */
   private[graft] def bpeEncodeDocsWith(docs: DataFrame,
-      table: Seq[(String, String)]): DataFrame = {
-    val pieces = TextOps.bpePieceArrFor(table)
-    docs
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+      table: Seq[(String, String)]): DataFrame =
+    TextOps.withBpePieces(
+      docs.withColumn("toks", TextOps.tokens(col("text"))), table)
       .select(col("doc_id"), size(col("pcs")).cast("long").as("n_bpe"),
         array_join(col("pcs"), " ").as("tok_str"))
-  }
 
   /** Pack ranked, encoded documents into fixed `ctx`-token context
     * windows by global token offset: `ranked` carries (doc_id, pos,
@@ -738,16 +739,15 @@ object LayoutOps {
     * shuffle beyond the rank's 256-bucket discipline. */
   private def encodeEra(docs: DataFrame, table: Seq[(String, String)],
       era: Long, vocab: Long, offset: Long, nShards: Int): DataFrame = {
-    val pieces = TextOps.bpePieceArrFor(table)
     val spark = docs.sparkSession
     val ids = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .select("doc_id")
-    shuffleRanks(spark, ids)
-      .join(docs, Seq("doc_id"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+    TextOps.withBpePieces(
+      shuffleRanks(spark, ids)
+        .join(docs, Seq("doc_id"))
+        .withColumn("toks", TextOps.tokens(col("text"))), table)
       .select(col("doc_id"), (col("pos") + offset).as("pos"),
         size(col("pcs")).cast("long").as("n_bpe"),
         array_join(col("pcs"), " ").as("tok_str"),
@@ -762,13 +762,12 @@ object LayoutOps {
     * beyond the final 1-row fold. */
   private[graft] def fertilityPpm(docs: DataFrame,
       table: Seq[(String, String)]): Long = {
-    val pieces = TextOps.bpePieceArrFor(table)
-    docs
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .filter(size(col("toks")) > 0)
+    TextOps.withBpePieces(
+      docs
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) > 0), table)
       .select(
-        aggregate(col("toks"), lit(0L),
-          (a, w) => a + size(pieces(w)).cast("long")).as("b"),
+        size(col("pcs")).cast("long").as("b"),
         size(col("toks")).cast("long").as("w"))
       // decimal(38) intermediate: sum(b) * 1e6 overflows Long around
       // 9.2e12 total pieces — inside the corpus scale this canary
@@ -925,21 +924,24 @@ object LayoutOps {
     healRepackSwap(store)
     val v1 = currentVocab(spark, vocabDir)
     val currentVersion = currentVocabVersion(vocabDir)
-    spark.catalog.refreshByPath(store)
-    val all = spark.read.parquet(store)
+    // the refresh rewrites IN PLACE inside the committed generation
+    // (dynamic partition overwrite of exactly the stale eras' dirs) —
+    // resolve the marker once; reads and the overwrite share the dir
+    val dataDir = storeDataDir(store)
+    spark.catalog.refreshByPath(dataDir)
+    val all = spark.read.parquet(dataDir)
     val stale = all.groupBy("era").agg(min(col("vocab")).as("v"))
       .filter(col("v") < currentVersion)
       .select(col("era").cast("long")).as[Long].collect().sorted.toSeq
     if (stale.isEmpty) return 0L
-    val pieces = TextOps.bpePieceArrFor(v1)
     // lineage-free before the overwrite: the dynamic write replaces the
     // very partitions this frame reads
-    val rewritten = all
-      .filter(col("era").isin(stale.map(java.lang.Long.valueOf): _*))
-      .select((Seq("doc_id", "pos", "shard", "era") ++ carry).map(col): _*)
-      .join(docs, Seq("doc_id"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+    val rewritten = TextOps.withBpePieces(
+      all
+        .filter(col("era").isin(stale.map(java.lang.Long.valueOf): _*))
+        .select((Seq("doc_id", "pos", "shard", "era") ++ carry).map(col): _*)
+        .join(docs, Seq("doc_id"))
+        .withColumn("toks", TextOps.tokens(col("text"))), v1)
       .select(Seq(col("doc_id"), col("pos"),
         size(col("pcs")).cast("long").as("n_bpe"),
         array_join(col("pcs"), " ").as("tok_str"),
@@ -952,12 +954,12 @@ object LayoutOps {
     try rewritten
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
-      .write.mode("overwrite").partitionBy("era", "shard").parquet(store)
+      .write.mode("overwrite").partitionBy("era", "shard").parquet(dataDir)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    spark.catalog.refreshByPath(store)
+    spark.catalog.refreshByPath(dataDir)
     n
   }
 
@@ -1004,21 +1006,22 @@ object LayoutOps {
     * Returns the rows repacked. Run rarely by design — the batch
     * rebuild's cost with the incremental store's lineage.
     *
-    * COMMIT discipline: the repacked store lands complete in a sibling
-    * `.repack.tmp` dir FIRST, then swaps in by checked delete+rename —
-    * never an in-place overwrite of the path being read (which would
-    * need the whole store materialized in executor storage and would
-    * lose the store to a JVM death mid-write). A crash between the two
-    * swap steps leaves every byte in the tmp dir; the next repack (or
-    * any caller running [[healRepackSwap]] first, as the refresh/repack
-    * entry points do) finishes the rename. */
+    * COMMIT discipline: the repacked store lands complete in a FRESH
+    * `gen=` dir FIRST — never an in-place overwrite of the path being
+    * read (which would need the whole store materialized in executor
+    * storage and would lose the store to a JVM death mid-write) — then
+    * the CURRENT marker atomically repoints ([[storeDataDir]]) and the
+    * superseded bytes GC. The store path is never absent mid-swap; a
+    * crash before the repoint leaves the old generation committed and
+    * the half-written one as garbage the next commit sweeps. A flat
+    * legacy store migrates to the marker layout on its first repack. */
   private[graft] def repackTokenizedStore(spark: SparkSession, store: String,
       ctx: Long, nShards: Int): Long = {
     val spark0 = spark
     import spark0.implicits._
     healRepackSwap(store)
     spark.catalog.refreshByPath(store)
-    val all = spark.read.parquet(store)
+    val all = spark.read.parquet(storeDataDir(store))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("n_bpe").cast("long").as("n_bpe"), col("tok_str"),
         col("vocab").cast("long").as("vocab"), col("era").cast("long").as("era"))
@@ -1027,37 +1030,93 @@ object LayoutOps {
     // at its own offset), so the md5 bucket of the incremental writer
     // does NOT qualify here. pos is dense by construction, so bucket =
     // pos div ceil(N/256): exactly ≤256 buckets, monotone trivially.
-    val nPos = all.agg(max(col("pos"))).collect()(0).getLong(0) + 1L
+    // empty store: agg(max(pos)) is a null row — a token store with no
+    // rows yet is a no-op repack, not an NPE out of the nightly pass
+    val maxPos = all.agg(max(col("pos"))).collect()(0)
+    if (maxPos.isNullAt(0)) return 0L
+    val nPos = maxPos.getLong(0) + 1L
     val posBucket = math.max(1L, (nPos + 255L) / 256L)
+    // vocab/era RIDE THROUGH the prefix sum (withTokenStartBy keeps
+    // every input column) — one FileSourceScan of the store, not a
+    // second scan + shuffle to re-join them on doc_id
     val repacked = withTokenStartBy(
-      all.select("doc_id", "pos", "n_bpe", "tok_str"),
+      all.select("doc_id", "pos", "n_bpe", "tok_str", "vocab", "era"),
       expr(s"cast(pos div ${posBucket}L as int)"))
       .withColumn("win", expr(s"start div $ctx"))
       .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
-        col("win"), (col("win") % nShards).as("shard"))
-      .join(all.select("doc_id", "vocab", "era"), Seq("doc_id"))
-    // complete in tmp first (reads old store, writes elsewhere — no
-    // in-memory checkpoint of the whole store), then checked swap
-    val tmp = new org.apache.hadoop.fs.Path(store + RepackTmpSuffix)
-    graft.sources.Hfs.delete(tmp)
+        col("win"), (col("win") % nShards).as("shard"),
+        col("vocab"), col("era"))
+    // complete in a FRESH generation first (reads the old generation,
+    // writes elsewhere — no in-memory checkpoint of the whole store),
+    // then the marker-atomic commit: repoint CURRENT, GC the rest. The
+    // store path is never absent mid-swap, a crash before the repoint
+    // leaves the old generation committed and the half-written one as
+    // garbage for the next commit's GC.
+    val nextGen = nextStoreGen(store)
     repacked
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "win", "pos")
-      .write.mode("overwrite").partitionBy("era", "shard").parquet(tmp.toString)
-    // metadata-only count over the durable tmp bytes — the value the
-    // swap actually commits
-    val n = spark.read.parquet(tmp.toString).count()
-    val sp = new org.apache.hadoop.fs.Path(store)
-    val f = graft.sources.Hfs.fs(sp)
-    if (f.exists(sp) && !f.delete(sp, true))
-      throw new java.io.IOException(s"repack could not remove the old $store")
-    if (!f.rename(f.makeQualified(tmp), f.makeQualified(sp)))
-      throw new java.io.IOException(s"repack could not move $tmp onto $store")
-    spark.catalog.refreshByPath(store)
+      .write.mode("overwrite").partitionBy("era", "shard").parquet(nextGen)
+    // metadata-only count over the durable new-generation bytes — the
+    // value the swap actually commits
+    val n = spark.read.parquet(nextGen).count()
+    commitStoreGen(spark, store, nextGen)
     n
   }
 
   private val RepackTmpSuffix = ".repack.tmp"
+
+  // ---------------- marker-indirect training-store layout (gen=/CURRENT)
+
+  /** Resolve a training store's LIVE data dir: the CURRENT marker's
+    * target for a marker-indirected store, the path itself for a flat
+    * legacy store (pre-first-repack). Every reader and writer of the
+    * incremental curated/tokenized stores resolves through here, which
+    * is what makes the offline rewrites' swaps marker-atomic: a repack
+    * commits a fresh `gen=N` dir and atomically repoints CURRENT (the
+    * [[graft.sources.Stage.publishBlueGreen]] discipline) — the store
+    * path is NEVER absent, and a pre-swap reader that resolved the old
+    * generation keeps reading it until the post-swap GC drops it. */
+  private[graft] def storeDataDir(store: String): String =
+    graft.sources.Stage.currentTarget(store).getOrElse(store)
+
+  /** The next generation dir a store rewrite commits into: one past the
+    * highest existing `gen=` child (a crashed rewrite's half-written
+    * generation is never reused — it is garbage the next commit's GC
+    * sweeps). A flat legacy store starts at `gen=0`. */
+  private def nextStoreGen(store: String): String = {
+    val maxGen =
+      (if (graft.sources.Hfs.isDir(store))
+        graft.sources.Hfs.children(store)(_.startsWith("gen="))
+          .flatMap(p => scala.util.Try(
+            p.getName.stripPrefix("gen=").toLong).toOption)
+      else Nil).foldLeft(-1L)(math.max)
+    s"$store/gen=${maxGen + 1}"
+  }
+
+  /** Drop every child of `store` that is not the committed generation
+    * or the marker — superseded generations, a crashed rewrite's
+    * half-written generation, and (after the first migration) the
+    * legacy flat partition dirs. Runs AFTER the atomic repoint, so a
+    * pre-swap reader never loses a reachable byte mid-swap; compares by
+    * FILE NAME against the committed target (the ClaimStore generation-
+    * cleanup discipline). */
+  private[graft] def dropStaleStoreData(store: String): Unit =
+    graft.sources.Stage.currentTarget(store)
+      .map(t => new org.apache.hadoop.fs.Path(t).getName)
+      .foreach { keep =>
+        graft.sources.Hfs.children(store)(n =>
+          n != keep && n != "CURRENT" && n != "CURRENT.tmp")
+          .foreach(p => graft.sources.Hfs.delete(p))
+      }
+
+  /** Commit a rewritten generation: atomic marker repoint, then GC. */
+  private def commitStoreGen(spark: SparkSession, store: String,
+      gen: String): Unit = {
+    graft.sources.Stage.atomicRepoint(store, gen)
+    dropStaleStoreData(store)
+    spark.catalog.refreshByPath(store)
+  }
 
   /** SMALL-FILES COMPACTION for the INCREMENTAL training stores — the
     * file-count bound the claim stores get from their leveled folds,
@@ -1069,8 +1128,8 @@ object LayoutOps {
     * ~one well-sized file per partition dir — rows, positions, windows
     * all byte-equal (the per-shard manifests are spec-asserted
     * identical); only the file layout moves. Commit is the
-    * [[repackTokenizedStore]] discipline: complete in `.repack.tmp`,
-    * checked delete+rename swap, crash heal at the head. Run BETWEEN
+    * [[repackTokenizedStore]] discipline: complete in a fresh `gen=`
+    * dir, marker-atomic repoint, GC. Run BETWEEN
     * training runs — like the repack, it invalidates file-grain resume
     * state, never row-grain state. Returns (files before, files after).
     *
@@ -1090,32 +1149,30 @@ object LayoutOps {
         else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
       if (!f.exists(root)) 0L else walk(f.getFileStatus(root))
     }
-    val before = dataFiles(store)
-    val all = spark.read.parquet(store)
-    val tmp = new org.apache.hadoop.fs.Path(store + RepackTmpSuffix)
-    graft.sources.Hfs.delete(tmp)
+    val before = dataFiles(storeDataDir(store))
+    val all = spark.read.parquet(storeDataDir(store))
     // one shuffle keyed on the leading partition column routes each
     // partition dir to one task → one well-sized file per dir (the
     // Stage.stageNodes small-files discipline); a partition that
-    // outgrows a single task would raise nShards, not this pass
+    // outgrows a single task would raise nShards, not this pass.
+    // Commit is the repack's marker-atomic discipline: complete in a
+    // fresh generation, repoint CURRENT, GC the superseded bytes.
+    val nextGen = nextStoreGen(store)
     all
       .repartitionByRange(nShards, partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(tmp.toString)
-    val sp = new org.apache.hadoop.fs.Path(store)
-    val f = graft.sources.Hfs.fs(sp)
-    if (f.exists(sp) && !f.delete(sp, true))
-      throw new java.io.IOException(s"compaction could not remove the old $store")
-    if (!f.rename(f.makeQualified(tmp), f.makeQualified(sp)))
-      throw new java.io.IOException(s"compaction could not move $tmp onto $store")
-    spark.catalog.refreshByPath(store)
-    (before, dataFiles(store))
+      .parquet(nextGen)
+    commitStoreGen(spark, store, nextGen)
+    (before, dataFiles(storeDataDir(store)))
   }
 
-  /** Finish a crashed repack swap: the old store was removed but the
-    * rename never ran — every byte is still in the tmp dir, so move it
-    * into place. Runs at the head of the repack and refresh passes. */
+  /** Finish a crashed LEGACY repack swap (the pre-marker delete+rename
+    * discipline): the old store was removed but the rename never ran —
+    * every byte is still in the tmp dir, so move it into place. The
+    * marker-indirect commit ([[storeDataDir]]) has no such window; this
+    * stays at the head of the repack/refresh passes only to heal a
+    * store a pre-migration deployment crashed mid-swap. */
   private[graft] def healRepackSwap(store: String): Unit = {
     val sp = new org.apache.hadoop.fs.Path(store)
     val tmp = new org.apache.hadoop.fs.Path(store + RepackTmpSuffix)

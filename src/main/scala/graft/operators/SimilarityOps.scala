@@ -96,10 +96,14 @@ object SimilarityOps {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * lit(2.0d)).as("v")))
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one-job cache fill before the signature map and the two verify-join
-    // sides fan out — racing consumers would each recompute the union
-    corpus.count()
+    // the stage is shared across the ANN query family: persist + fill
+    // the cache in ONE job only when the plan is not already cached
+    // (racing consumers would each recompute the union; repeat callers
+    // must not re-register the same plan)
+    if (corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpus.count()
+    }
     corpus
   }
 

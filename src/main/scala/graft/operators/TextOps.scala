@@ -1065,6 +1065,61 @@ object TextOps {
     w => split(trim(encoded(w)), "  ")
   }
 
+  /** Above this many merges the encode switches from the unrolled
+    * expression chain to the partition-local [[BpeWordEncoder]]: the
+    * chain is one Catalyst `replace` node PER MERGE, so a production
+    * vocab (32k-50k merges) would build a ~32k-deep expression tree —
+    * past Janino's 64KB method limit (codegen falls back to
+    * interpreted), deep enough to threaten analysis-time stack
+    * overflow, and O(merges × word_len) string replaces per word even
+    * when it survives. Small pinned/fixture tables stay on the
+    * expression path (codegen'd, oracle-replayable in SQL). */
+  private[graft] val BpeExprMergeLimit = 64
+
+  /** `toks` (word array) → `pcs` (flattened BPE piece array) under an
+    * arbitrary merge table — the ONE encode routing point shared by the
+    * batch shard writer, the streaming gate, the refresh rewrite, and
+    * the fertility canary. Small tables unroll into the codegen'd
+    * expression chain; tables past [[BpeExprMergeLimit]] run the
+    * partition-local [[BpeWordEncoder]] over a broadcast merge table —
+    * the legitimate `mapPartitions` case (like the codec decodes),
+    * because a data-sized vocab does not fit a Catalyst expression.
+    * The two paths are piece-for-piece equal (spec-proved): the
+    * encoder implements exactly the rank-ordered single-pass replace
+    * semantics of the expression chain. */
+  private[graft] def withBpePieces(df: DataFrame, table: Seq[(String, String)],
+      forcePartitionLocal: Boolean = false): DataFrame =
+    if (!forcePartitionLocal && table.size <= BpeExprMergeLimit) {
+      val pieces = bpePieceArrFor(table)
+      df.withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+    } else {
+      val spark = df.sparkSession
+      // explicit broadcast, NOT a closure capture: a 32k-merge table in
+      // the closure would ship in every task binary (the "broadcasting
+      // large task binary" warning class); a broadcast ships once per
+      // executor
+      val bc = spark.sparkContext.broadcast(table.toArray)
+      val tokIdx = df.schema.fieldIndex("toks")
+      val outSchema = df.schema.add("pcs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))
+      df.mapPartitions { it =>
+        val enc = new BpeWordEncoder(bc.value)
+        it.map { r =>
+          val pcs: Seq[String] =
+            if (r.isNullAt(tokIdx)) null
+            else {
+              val toks = r.getSeq[String](tokIdx)
+              val buf = new scala.collection.mutable.ArrayBuffer[String](
+                toks.length * 2)
+              toks.foreach(w => buf ++= enc.encode(w))
+              buf.toSeq
+            }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pcs)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+
   /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
     * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
     * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). */
@@ -1758,5 +1813,102 @@ object TextOps {
         (reason === "keep").as("keep"),
         md5(array_join(col("kept"), " | ")).as("kept_fp"))
       .orderBy("doc_id")
+  }
+}
+
+/** Partition-local BPE word encoder over a DATA-sized merge table — the
+  * scale path of [[TextOps.withBpePieces]]. Semantics are EXACTLY the
+  * expression chain's ([[TextOps.bpePieceArrFor]]): merges apply in
+  * table (rank) order, each as ONE left-to-right non-overlapping pass,
+  * and a pass's merged output never re-matches within that pass (string
+  * `replace` resumes after the replacement). The fast form: repeatedly
+  * take the lowest-rank pair present among ranks not yet passed and run
+  * its single pass — equivalent by induction, because every skipped
+  * lower rank was absent at the moment its sequential pass would have
+  * run (reference BPE inference: databuilder has no tokenizer; this is
+  * the standard rank-priority encode, e.g. Sennrich et al. 2016).
+  *
+  * Cost: O(word_len^2) hash probes per DISTINCT word (words are short),
+  * independent of table size — vs the chain's O(merges x word_len)
+  * string replaces per word. A per-partition memo reuses encodes across
+  * a partition's repeated words. Constructed INSIDE `mapPartitions`
+  * from a broadcast table: nothing here is serialized into tasks. */
+private[graft] final class BpeWordEncoder(table: Array[(String, String)]) {
+
+  // pair key -> ascending table ranks; duplicate pairs keep EVERY rank
+  // (pass semantics applies each table row once, in order)
+  private val ranks = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    var i = 0
+    while (i < table.length) {
+      val k = table(i)._1 + " " + table(i)._2
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i)
+      i += 1
+    }
+    m
+  }
+
+  private val memo = new java.util.HashMap[String, Array[String]]()
+  private val MemoCap = 1 << 16
+
+  /** Smallest table rank of (a, b) strictly above `doneUpTo`, or
+    * MaxValue — "has this pair a pass still ahead of the sequence?" */
+  private def nextRank(a: String, b: String, doneUpTo: Int): Int = {
+    val rs = ranks.get(a + " " + b)
+    if (rs == null) return Int.MaxValue
+    var i = 0
+    while (i < rs.length && rs(i) <= doneUpTo) i += 1
+    if (i < rs.length) rs(i) else Int.MaxValue
+  }
+
+  def encode(w: String): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    var syms = splitChars(w)
+    var doneUpTo = -1
+    var more = syms.length > 1
+    while (more) {
+      // lowest-rank pair whose sequential pass is still ahead
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = nextRank(syms(i), syms(i + 1), doneUpTo)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) more = false
+      else {
+        // ONE left-to-right non-overlapping pass for the chosen merge;
+        // merged output is skipped as a further left operand, exactly
+        // like replace() resuming after the replacement
+        val (a, b) = table(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        doneUpTo = best
+        more = syms.length > 1
+      }
+    }
+    if (memo.size < MemoCap) memo.put(w, syms)
+    syms
+  }
+
+  /** Code-point split — Spark's `length`/`substr` count characters as
+    * code points, so the expression path's per-char split is too. */
+  private def splitChars(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
   }
 }

@@ -303,7 +303,24 @@ object Stage {
         readOpt(marker).foreach(t => return Some(t))
       } else if (!tmpExists) return None
       attempt += 1
-      if (attempt >= 5) return readOpt(tmp).orElse(readOpt(marker))
+      if (attempt >= 5) {
+        // the window PERSISTED: the swap crashed between the delete and
+        // the rename. Roll it FORWARD (the healRepackSwap discipline) —
+        // the tmp's content is complete before the swap starts, so the
+        // rename just finishes the committed repoint — instead of
+        // re-resolving the tmp on every call: currentTarget is a hot
+        // path (ClaimStore.read probes it per query) and a store stuck
+        // in this state would otherwise pay the full retry loop's
+        // sleeps and exists() round-trips forever. Best-effort: losing
+        // a race with a (very slow) live swapper's own rename is fine —
+        // both renames commit identical content.
+        try {
+          val f = Hfs.fs(marker)
+          if (!f.exists(marker) && f.exists(tmp))
+            f.rename(f.makeQualified(tmp), f.makeQualified(marker))
+        } catch { case _: java.io.IOException => () }
+        return readOpt(marker).orElse(readOpt(tmp))
+      }
       Thread.sleep(5L * attempt)
     }
     None

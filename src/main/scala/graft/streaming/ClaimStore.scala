@@ -27,6 +27,16 @@ object ClaimStore {
   val ConsumedManifest = "_CONSUMED"
 }
 
+/** A POLICY abort — a maintenance guardrail refused to proceed (e.g. a
+  * retention sweep that would drop more than its allowed fraction).
+  * Distinct by TYPE from the garden-variety `IllegalStateException`s the
+  * store layer throws for real faults (missing probe-key layout, missing
+  * CURRENT marker): [[Maintenance.run]] isolates a policy abort to its
+  * store and keeps sweeping the rest, while any other failure — config
+  * or I/O — must fail the scheduled job loudly. Subclasses ISE so
+  * callers matching the old contract still catch it. */
+final class GuardrailAbort(msg: String) extends IllegalStateException(msg)
+
 /** The ONE at-least-once verdict READ CONTRACT shared by every streaming
   * gate ([[CurationStream]], [[MediaDedupStream]], [[DedupGateStream]]):
   * verdicts append before claims, claims before the checkpoint, so the
@@ -226,7 +236,14 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     def conform(raw: DataFrame): DataFrame =
       empty.schema.fields.foldLeft(raw) { (d, f) =>
         if (!d.columns.contains(f.name))
-          d.withColumn(f.name, lit(0).cast(f.dataType))
+          // typed-zero backfill is a NUMERIC contract (pre-epoch stores
+          // read as epoch 0); a non-numeric upgrade column backfills
+          // null — never the string "0" via a blanket cast
+          d.withColumn(f.name, f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType =>
+              lit(0).cast(f.dataType)
+            case dt => lit(null).cast(dt)
+          })
         else f.dataType match {
           case _: org.apache.spark.sql.types.NumericType =>
             d.withColumn(f.name, coalesce(col(f.name), lit(0).cast(f.dataType)))
@@ -355,7 +372,7 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     val (total, doomed) = (counted.getLong(0), counted.getLong(1))
     if (total == 0L || doomed == 0L) return 0L
     if (doomed.toDouble / total > maxDropFrac)
-      throw new IllegalStateException(
+      throw new GuardrailAbort(
         s"retention sweep on $dir would drop $doomed of $total claims " +
           s"(> $maxDropFrac) — refusing; raise the guardrail to proceed")
     major(spark, empty, keep = Some(col(epochCol) >= minEpoch))

@@ -282,15 +282,15 @@ object CurationStream {
       eraLayout: Boolean = false,
       nShards: Int = 4): Seq[Maintenance.Action] =
     storeDir.toSeq.map(sd => Maintenance.Action(sd, "compact", { () =>
-      graft.operators.LayoutOps.compactShardStore(spark, sd,
-        Seq("shard"), Seq("pos"), nShards)
-      0L
+      val (before, after) = graft.operators.LayoutOps.compactShardStore(
+        spark, sd, Seq("shard"), Seq("pos"), nShards)
+      Maintenance.Result(0L, Some(s"files $before -> $after"))
     })) ++
       tokenStoreDir.toSeq.map(sd => Maintenance.Action(sd, "compact", { () =>
-        graft.operators.LayoutOps.compactShardStore(spark, sd,
-          if (eraLayout) Seq("era", "shard") else Seq("shard"),
+        val (before, after) = graft.operators.LayoutOps.compactShardStore(
+          spark, sd, if (eraLayout) Seq("era", "shard") else Seq("shard"),
           Seq("win", "pos"), nShards)
-        0L
+        Maintenance.Result(0L, Some(s"files $before -> $after"))
       }))
 
   def run(
@@ -557,7 +557,12 @@ object CurationStream {
                   .withColumn("shard", col("pos") % nShards)
                   .repartitionByRange(nShards, col("shard"))
                   .sortWithinPartitions("shard", "pos")
-                  .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+                  .write.mode(SaveMode.Append).partitionBy("shard")
+                  // append into the COMMITTED generation: after an
+                  // offline repack/compaction migrated the store to the
+                  // marker layout, the tail files must land inside the
+                  // live gen, never beside it
+                  .parquet(graft.operators.LayoutOps.storeDataDir(sd))
                 admitted.unpersist()
                 TailCounter.append(spark, tail, buildEpoch, nAdmitted, 0L)
               }
@@ -607,16 +612,18 @@ object CurationStream {
                   .assignWindows(ranked, ctx, nShards, st.select("t_old"))
                   .repartitionByRange(nShards, col("shard"))
                   .sortWithinPartitions("shard", "win", "pos")
+                // same marker resolve as the curated store's append
+                val sdd = graft.operators.LayoutOps.storeDataDir(sd)
                 vocab match {
                   case Some((_, v)) =>
                     windowed
                       .withColumn("vocab", lit(v))
                       .withColumn("era", lit(epochBase + batchId))
                       .write.mode(SaveMode.Append)
-                      .partitionBy("era", "shard").parquet(sd)
+                      .partitionBy("era", "shard").parquet(sdd)
                   case None =>
                     windowed
-                      .write.mode(SaveMode.Append).partitionBy("shard").parquet(sd)
+                      .write.mode(SaveMode.Append).partitionBy("shard").parquet(sdd)
                 }
                 enc.unpersist()
                 TailCounter.append(spark, tail, buildEpoch, nAdmitted, nTokens)
@@ -744,7 +751,7 @@ object CurationStream {
         storeDir = Some(store), nShards = 4).awaitTermination()
       spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
-        .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
+        .shardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4, tokensCol = "n_words")
         .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
           col("max_pos"), col("order_digest"))
         .orderBy("shard")
@@ -771,7 +778,7 @@ object CurationStream {
         tokenStoreDir = Some(store), nShards = 4, ctx = 2048L).awaitTermination()
       spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
-        .tokenShardManifest(spark, spark.read.parquet(store), 4)
+        .tokenShardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4)
     } finally fx.evalSh.unpersist()
   }
 
@@ -864,7 +871,7 @@ object CurationStream {
       store, vocabDir, nShards = 4, carry = Seq("win"))
     spark.catalog.refreshByPath(store)
     graft.operators.LayoutOps
-      .tokenizedEraManifest(spark, spark.read.parquet(store), 4)
+      .tokenizedEraManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4)
   }
 
   /** Oracle-gated query for the WINDOW REPACK — the deliberate O(store)
@@ -889,7 +896,7 @@ object CurationStream {
     graft.operators.LayoutOps.repackTokenizedStore(spark, store,
       ctx = 2048L, nShards = 4)
     graft.operators.LayoutOps
-      .tokenizedEraManifest(spark, spark.read.parquet(store), 4)
+      .tokenizedEraManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4)
   }
 
   /** Oracle-gated query for the PER-BATCH STREAM FUNNEL: the two-batch
@@ -1071,7 +1078,7 @@ object CurationStream {
         storeDir = Some(store), nShards = 4, mediaGate = true).awaitTermination()
       spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
       graft.operators.LayoutOps
-        .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
+        .shardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4, tokensCol = "n_words")
         .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
           col("max_pos"), col("order_digest"))
         .orderBy("shard")

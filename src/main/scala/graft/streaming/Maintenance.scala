@@ -16,12 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    when anything expires; the compaction only fires when the delta
   *    budget is crossed, so a quiet store costs two directory listings);
   *  - a tripped guardrail ([[ClaimStore.retentionSweep]]'s
-  *    drop-fraction abort — an `IllegalStateException`) ABORTS THAT
+  *    drop-fraction abort — the typed [[GuardrailAbort]]) ABORTS THAT
   *    STORE ONLY, is reported in the outcome, and every other store's
   *    maintenance still runs — a mis-set horizon on one store must not
   *    leave the rest of the fleet unswept;
-  *  - any OTHER exception propagates: an I/O failure is a real failure,
-  *    not a policy abort, and must fail the scheduled job loudly.
+  *  - any OTHER exception propagates — including the store layer's
+  *    plain `IllegalStateException`s (missing probe-key layout, missing
+  *    CURRENT marker): a misconfigured store is a real failure, not a
+  *    policy abort, and must fail the scheduled job loudly, never be
+  *    recorded as a tripped guardrail in a "successful" nightly run.
   *
   * Reference analog: the staleness-removal tasks run as their own
   * scheduled jobs with per-type guardrails
@@ -30,13 +33,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deploys. */
 object Maintenance {
 
-  /** One store's maintenance step: `run()` returns the rows dropped. */
-  final case class Action(store: String, kind: String, run: () => Long)
+  /** What one action's run produced: rows dropped plus an optional
+    * operational detail line (e.g. a compaction's "files 4000 -> 16") —
+    * the report is the nightly job's observability surface, and a fold
+    * that collapsed thousands of files must not read like a no-op. A
+    * bare `Long` lifts implicitly so sweep lambdas stay unchanged. */
+  final case class Result(dropped: Long, detail: Option[String] = None)
+  object Result {
+    import scala.language.implicitConversions
+    implicit def fromLong(dropped: Long): Result = Result(dropped)
+  }
 
-  /** What happened to one action: rows dropped, or the guardrail
-    * message that aborted it (other stores unaffected). */
+  /** One store's maintenance step. */
+  final case class Action(store: String, kind: String, run: () => Result)
+
+  /** What happened to one action: rows dropped (+ detail), or the
+    * guardrail message that aborted it (other stores unaffected). */
   final case class Outcome(store: String, kind: String, dropped: Long,
-      aborted: Option[String]) {
+      aborted: Option[String], detail: Option[String] = None) {
     def ok: Boolean = aborted.isEmpty
   }
 
@@ -46,11 +60,14 @@ object Maintenance {
   }
 
   /** Run every action; a guardrail abort is captured per store, any
-    * other failure propagates. */
+    * other failure — including a plain `IllegalStateException` from a
+    * misconfigured store — propagates. */
   def run(actions: Seq[Action]): Report = Report(actions.map { a =>
-    try Outcome(a.store, a.kind, a.run(), None)
-    catch {
-      case e: IllegalStateException =>
+    try {
+      val r = a.run()
+      Outcome(a.store, a.kind, r.dropped, None, r.detail)
+    } catch {
+      case e: GuardrailAbort =>
         Outcome(a.store, a.kind, 0L,
           Some(Option(e.getMessage).getOrElse("guardrail abort")))
     }

@@ -272,7 +272,8 @@ class Round15OpsSpec extends AnyFunSuite {
       "the stale era's payload must actually move")
     // the refreshed store is era-uniform on the current vocab, windows
     // and positions untouched per era (the resume contract)
-    val vocabs = spark.read.parquet(store).select("vocab").distinct()
+    val vocabs = spark.read.parquet(LayoutOps.storeDataDir(store))
+      .select("vocab").distinct()
       .as[Long].collect().toSet
     assert(vocabs == Set(1L))
     // a second apply finds no stale era and rewrites nothing at all
@@ -285,8 +286,10 @@ class Round15OpsSpec extends AnyFunSuite {
     // gain is nonzero on this corpus), but positions, per-era doc sets,
     // and per-era token totals are untouched — and a second repack
     // reproduces the identical manifest (deterministic fixed point)
+    // resolve the marker per call: each repack commits a fresh gen
     def manifest() = LayoutOps
-      .tokenizedEraManifest(spark, spark.read.parquet(store), 4).collect()
+      .tokenizedEraManifest(spark,
+        spark.read.parquet(LayoutOps.storeDataDir(store)), 4).collect()
     def eraAgg(rows: Array[org.apache.spark.sql.Row]) =
       rows.groupBy(_.getLong(0)).view.mapValues(rs =>
         (rs.map(_.getLong(2)).sum, rs.map(_.getLong(4)).sum,
@@ -330,7 +333,9 @@ class Round15OpsSpec extends AnyFunSuite {
       .write.mode(SaveMode.Append).partitionBy("shard").parquet(store)
     append(0L, 100L); append(100L, 200L)
     def manifest() = LayoutOps
-      .shardManifest(spark, spark.read.parquet(store), 4, tokensCol = "n_words")
+      .shardManifest(spark,
+        spark.read.parquet(LayoutOps.storeDataDir(store)), 4,
+        tokensCol = "n_words")
       .collect().sortBy(_.getLong(0)).toSeq
     val before = manifest()
     // run it as the Maintenance action a deployment schedules
@@ -340,8 +345,11 @@ class Round15OpsSpec extends AnyFunSuite {
     spark.catalog.refreshByPath(store)
     assert(manifest() == before,
       "compaction must not move a row, a position, or a digest")
-    // and the file count actually shrank to ~one per shard dir
-    val files = graft.sources.Hfs.children(store)(_.startsWith("shard="))
+    // and the file count actually shrank to ~one per shard dir (the
+    // compaction migrated the flat store to the marker layout)
+    val dataDir = LayoutOps.storeDataDir(store)
+    assert(dataDir != store, "compaction must commit a marker-indirected gen")
+    val files = graft.sources.Hfs.children(dataDir)(_.startsWith("shard="))
       .map(d => graft.sources.Hfs.children(d.toString)(_.endsWith(".parquet")).size)
     assert(files.nonEmpty && files.forall(_ == 1),
       s"expected one file per shard dir after compaction, got $files")
@@ -372,7 +380,7 @@ class Round15OpsSpec extends AnyFunSuite {
       .repartitionByRange(8, col("era"), col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("era", "shard").parquet(store)
     assert(LayoutOps.repackTokenizedStore(spark, store, 2048L, 4) == n)
-    val got = spark.read.parquet(store)
+    val got = spark.read.parquet(LayoutOps.storeDataDir(store))
       .select(col("pos").cast("long"), col("n_bpe").cast("long"),
         col("win").cast("long"), col("shard").cast("long"),
         col("era").cast("long"))
@@ -387,7 +395,8 @@ class Round15OpsSpec extends AnyFunSuite {
       cum += nb
     }
     // and the rewrite left ~one file per (era, shard=win%4 ∩ era-span) dir
-    val leafFiles = graft.sources.Hfs.children(store)(_.startsWith("era="))
+    val leafFiles = graft.sources.Hfs
+      .children(LayoutOps.storeDataDir(store))(_.startsWith("era="))
       .flatMap(e => graft.sources.Hfs.children(e.toString)(_.startsWith("shard=")))
       .map(d => graft.sources.Hfs.children(d.toString)(_.endsWith(".parquet")).size)
     assert(leafFiles.nonEmpty && leafFiles.forall(_ <= 2),
