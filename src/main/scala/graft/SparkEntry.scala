@@ -233,6 +233,11 @@ object SparkEntry {
     "q_lm_ppl_buckets"   -> (TextOps.lmPerplexityBuckets _),
     "q_bpe_merges"       -> ((s, d) => TextOps.bpeMerges(s, d)),
     "q_bpe_encode"       -> (TextOps.bpeEncode _),
+    // the SCALE-PATH encode under the driver gate: a 4096-merge
+    // corpus-derived vocab (prefix chains + provably-inert tail) runs
+    // the partition-local encoder; the oracle replays the firing
+    // merges' replace chain iteratively (list_reduce)
+    "q_bpe_encode_scaled" -> ((s, d) => TextOps.bpeEncodeScaled(s, d)),
     // tokenizer refresh lifecycle: retrain merges on the accreted corpus
     // into a versioned artifact, re-encode ONLY stale-vocab eras via the
     // touched-partition overwrite, manifest the refreshed store
@@ -605,6 +610,60 @@ object SparkEntry {
          n_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
        FROM p ORDER BY doc_id"""
   }
+
+  /** DuckDB twin of [[graft.operators.TextOps.bpeEncodeScaled]] — the
+    * scale-path encode under the oracle gate. The Spark side pads the
+    * corpus-derived prefix-merge table with inert pairs (symbols
+    * containing U+00A4, outside the corpus alphabet) purely to push the
+    * table past the expression/partition-local threshold; an inert pair
+    * can never match an adjacent symbol pair (symbols are always
+    * concatenations of word characters), so the oracle replays exactly
+    * the FIRING merges — iteratively via list_reduce over the
+    * rank-ordered merge list (a 4096-deep nested replace() expression
+    * would not parse), the same one-pass-per-merge boundary-safe
+    * replace semantics as the expression chain and the encoder. */
+  private def bpeEncodeScaledOracleSql: String =
+    """WITH RECURSIVE toks AS MATERIALIZED (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+         FROM documents),
+       freq AS MATERIALIZED (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY w),
+       ranked AS MATERIALIZED (
+         SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk FROM freq
+         QUALIFY rnk <= 200),
+       pairs AS MATERIALIZED (
+         SELECT substr(w, 1, i) AS lhs, substr(w, i + 1, 1) AS rhs,
+           min(rnk * 1000 + i) AS first_seen
+         FROM (SELECT w, rnk, unnest(range(1, len(w))) AS i FROM ranked)
+         GROUP BY lhs, rhs),
+       merges AS MATERIALIZED (
+         SELECT list(lhs || chr(1) || rhs ORDER BY first_seen) AS ms FROM pairs),
+       enc AS MATERIALIZED (
+         SELECT w, string_split(trim(list_reduce(
+             list_prepend(
+               '  ' || array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> substr(w, i, 1)), '  ') || '  ',
+               ms),
+             (acc, m) -> replace(acc,
+               ' ' || string_split(m, chr(1))[1] || '  ' ||
+                 string_split(m, chr(1))[2] || ' ',
+               ' ' || string_split(m, chr(1))[1] ||
+                 string_split(m, chr(1))[2] || ' '))), '  ') AS pcs
+         FROM (SELECT DISTINCT unnest(toks) AS w FROM toks) CROSS JOIN merges),
+       dt AS (SELECT doc_id, unnest(toks) AS w,
+           unnest(range(1, len(toks) + 1)) AS pos FROM toks),
+       docpcs AS (
+         SELECT dt.doc_id,
+           CAST(sum(len(e.pcs)) AS BIGINT) AS n_bpe,
+           md5(string_agg(array_to_string(e.pcs, ' '), ' ' ORDER BY dt.pos))
+             AS tok_fp
+         FROM dt JOIN enc e ON e.w = dt.w GROUP BY dt.doc_id)
+       SELECT t.doc_id, coalesce(p.n_bpe, 0) AS n_bpe,
+         coalesce(p.tok_fp, md5('')) AS tok_fp
+       FROM toks t LEFT JOIN docpcs p ON p.doc_id = t.doc_id
+       ORDER BY t.doc_id"""
 
   /** DuckDB twin of [[graft.operators.LayoutOps.tokenizedShardStore]]:
     * the curation CTE chain, the md5 survivor ranking, the unrolled
@@ -4797,6 +4856,7 @@ object SparkEntry {
     // right replace semantics in both engines.
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    "q_bpe_encode_scaled" -> bpeEncodeScaledOracleSql,
     "q_bpe_refresh" -> bpeRefreshOracleSql(6),
     "q_tokenized_store_refresh" -> tokenizedStoreRefreshOracleSql(6),
     "q_tokenized_store_repack" -> tokenizedStoreRepackOracleSql(6),

@@ -1120,6 +1120,58 @@ object TextOps {
       }(org.apache.spark.sql.Encoders.row(outSchema))
     }
 
+  /** BPE encode under a PRODUCTION-SIZED vocab — the oracle-gated proof
+    * of [[withBpePieces]]'s scale path: the merge table is
+    * corpus-derived (prefix-merge chains over the frequency-ranked
+    * vocabulary — rank by count desc then word asc, pairs in
+    * (rank, position) first-occurrence order, the deterministic shape a
+    * trained vocab's head takes), padded to `vocabSize` ranks with
+    * provably-inert pairs (symbols outside the corpus alphabet — an
+    * adjacent symbol pair is always a concatenation of word characters,
+    * so a pair containing U+00A4 can never fire) so the encode runs the
+    * partition-local [[BpeWordEncoder]] over a broadcast table exactly
+    * as a 32k-merge deployment would. The table derivation itself is a
+    * bounded driver artifact: one token-count shuffle, <=200 collected
+    * rows. Output: per-doc piece count + an md5 fingerprint of the
+    * piece stream (the payload is data-sized; the digest is what an
+    * engine-independent oracle can hash-compare). */
+  def bpeEncodeScaled(spark: SparkSession, dir: String,
+      vocabSize: Int = 4096): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val freq = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(200)
+      .select("w").as[String].collect().toSeq
+    val firing = freq.flatMap { w =>
+      val cps = {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          out += w.substring(i, i + n)
+          i += n
+        }
+        out.result()
+      }
+      (1 until cps.length).map(i => (cps.take(i).mkString, cps(i)))
+    }.distinct
+    val table = (firing ++
+      (0 until math.max(0, vocabSize - firing.size))
+        .map(i => (s"¤a$i", s"¤b$i")))
+      .take(vocabSize)
+    require(table.size > BpeExprMergeLimit,
+      s"scaled encode must exercise the partition-local path (got ${table.size})")
+    withBpePieces(docs.withColumn("toks", tokens(col("text"))), table)
+      .select(col("doc_id"),
+        size(col("pcs")).cast("long").as("n_bpe"),
+        md5(array_join(col("pcs"), " ")).as("tok_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
     * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
     * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). */
