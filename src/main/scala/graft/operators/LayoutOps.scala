@@ -934,9 +934,7 @@ object LayoutOps {
       .filter(col("v") < currentVersion)
       .select(col("era").cast("long")).as[Long].collect().sorted.toSeq
     if (stale.isEmpty) return 0L
-    // lineage-free before the overwrite: the dynamic write replaces the
-    // very partitions this frame reads
-    val rewritten = TextOps.withBpePieces(
+    val rewritten0 = TextOps.withBpePieces(
       all
         .filter(col("era").isin(stale.map(java.lang.Long.valueOf): _*))
         .select((Seq("doc_id", "pos", "shard", "era") ++ carry).map(col): _*)
@@ -947,7 +945,22 @@ object LayoutOps {
         array_join(col("pcs"), " ").as("tok_str"),
         lit(currentVersion).as("vocab"), col("shard"), col("era")) ++
         carry.map(col): _*)
-      .localCheckpoint(true)
+    // Lineage-free before the overwrite (the dynamic write replaces the
+    // very partitions this frame reads) via DURABLE staging beside the
+    // data dir — not a localCheckpoint: the rewrite is data-sized (every
+    // stale era), and executor block-manager storage is neither sized
+    // for that at corpus scale nor replayable on executor loss. A crash
+    // leaves only the staging dir (swept at the head of the next pass
+    // here, or with its generation by the rewrite GC); a crash mid-
+    // overwrite leaves some eras rewritten and others stale — the vocab
+    // stamp rides in the data, so the next refresh re-derives exactly
+    // the remaining stale eras (idempotent).
+    val staging = new org.apache.hadoop.fs.Path(dataDir + RefreshStagingSuffix)
+    graft.sources.Hfs.delete(staging)
+    rewritten0.write.parquet(staging.toString)
+    val rewritten = spark.read.parquet(staging.toString)
+    // metadata-only count over the staged bytes — the rows the
+    // overwrite commits
     val n = rewritten.count()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -959,9 +972,12 @@ object LayoutOps {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    graft.sources.Hfs.delete(staging)
     spark.catalog.refreshByPath(dataDir)
     n
   }
+
+  private val RefreshStagingSuffix = ".refresh.tmp"
 
   /** Per-(era, shard) manifest fold — [[foldTokenManifests]]'s O(1)-state
     * streaming discipline keyed on the era/shard pair, digest chained
