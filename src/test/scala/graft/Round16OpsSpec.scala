@@ -16,13 +16,18 @@ import graft.streaming.{GuardrailAbort, Maintenance}
   * claim-schema non-numeric backfill, the CURRENT-marker roll-forward
   * heal, and the empty-token-store repack no-op. */
 class Round16OpsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config(graft.sources.Tables.nanosAsLongConf, "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.nanosAsLongConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[FailingDeleteFs].getName)
+    s
+  }
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -305,6 +310,39 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 2),
       s"the repack write must not re-scan the store beyond the two-pass " +
         s"prefix sum (the doc_id re-join is gone), saw $counts")
+  }
+
+  test("a failed generation-GC delete leaves the commit intact; the next commit re-sweeps") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpRoot("graft-gcfail")
+    val store = s"failfs://$root/tok"
+    (0L until 64L).map(i => (i, i, 2L, s"x$i y$i", 1L, 0L))
+      .toDF("doc_id", "pos", "n_bpe", "tok_str", "vocab", "era")
+      .withColumn("shard", col("pos") % 2)
+      .write.partitionBy("era", "shard").parquet(store)
+    // the migration commit's GC cannot delete the flat era dirs — the
+    // commit must STAND (the repoint is the commit; the GC is advisory
+    // cleanup) and readers must resolve the new generation
+    FailingDeleteFs.needle = "era="
+    FailingDeleteFs.failing.set(true)
+    try {
+      assert(graft.operators.LayoutOps
+        .repackTokenizedStore(spark, store, ctx = 16L, nShards = 2) == 64L)
+    } finally FailingDeleteFs.failing.set(false)
+    val gen0 = graft.operators.LayoutOps.storeDataDir(store)
+    assert(gen0 != store, "the commit must stand despite the failed GC")
+    assert(spark.read.parquet(gen0).count() == 64L)
+    assert(graft.sources.Hfs.children(store)(_.startsWith("era=")).nonEmpty,
+      "this spec needs the stale flat dirs to have survived the failed delete")
+    // the NEXT commit's GC sweeps both the superseded generation and
+    // the stale flat leftovers
+    assert(graft.operators.LayoutOps
+      .repackTokenizedStore(spark, store, ctx = 16L, nShards = 2) == 64L)
+    assert(graft.sources.Hfs.children(store)(_.startsWith("era=")).isEmpty)
+    assert(!graft.sources.Hfs.exists(gen0))
+    assert(spark.read.parquet(
+      graft.operators.LayoutOps.storeDataDir(store)).count() == 64L)
   }
 
   test("repacking an empty token store is a no-op, not an NPE") {
