@@ -82,4 +82,63 @@ class BpePropSpec extends AnyFunSuite {
     assert(got.size == 64, s"corpus must sustain 64 merges, got ${got.size}")
     assert(got == want)
   }
+
+  /** Ground truth for ENCODE semantics: the expression chain's literal
+    * replace sequence verbatim — each merge ONE `String.replace` pass
+    * (all non-overlapping occurrences, left to right) in table order. */
+  private def naiveChain(w: String, table: Seq[(String, String)]): Seq[String] = {
+    var enc = "  " + w.toSeq.map(_.toString).mkString("  ") + "  "
+    table.foreach { case (a, b) => enc = enc.replace(s" $a  $b ", s" $a$b ") }
+    enc.trim.split("  ").toSeq
+  }
+
+  test("BpeWordEncoder equals the replace chain on arbitrary merge tables") {
+    // random tables INCLUDING duplicates, never-firing pairs, and
+    // collision-prone shapes (a merge whose output string equals another
+    // merge's operand) — the cases where the fast min-rank-above-done
+    // loop could diverge from strict pass-in-rank-order semantics
+    val genWord: Gen[String] = for {
+      len <- Gen.choose(1, 9)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genSym: Gen[String] = for {
+      len <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genTable: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(0, 40)
+      t <- Gen.listOfN(n, Gen.zip(genSym, genSym))
+    } yield t
+    val prop = Prop.forAll(Gen.listOfN(20, genWord), genTable) { (words, table) =>
+      val enc = new graft.operators.BpeWordEncoder(table.toArray)
+      words.forall { w =>
+        enc.encode(w).toSeq == naiveChain(w, table)
+      }
+    }
+    val result = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("withBpePieces paths agree on a random table (expression vs partition-local)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val words = List.fill(120)(
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    def sym() = (0 until (1 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    val table = List.fill(40)((sym(), sym()))
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, Seq(w, w.reverse)) }
+      .toDF("doc_id", "toks")
+    val viaExpr = graft.operators.TextOps.withBpePieces(df, table)
+      .select(col("doc_id"), col("pcs")).as[(Long, Seq[String])].collect().toMap
+    val viaMap = graft.operators.TextOps.withBpePieces(df, table, forcePartitionLocal = true)
+      .select(col("doc_id"), col("pcs")).as[(Long, Seq[String])].collect().toMap
+    assert(viaExpr == viaMap)
+    // and both equal the naive chain
+    words.zipWithIndex.foreach { case (w, i) =>
+      val want = naiveChain(w, table) ++ naiveChain(w.reverse, table)
+      assert(viaExpr(i.toLong) == want, s"word $w")
+    }
+  }
 }
