@@ -131,6 +131,65 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(merged, "the 4096-merge table must actually merge on this corpus")
   }
 
+  test("a 4096-merge committed vocab refreshes the store through the scale path") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpRoot("graft-bigvocab")
+    val store = root.resolve("store").toString
+    val vocabDir = root.resolve("vocab").toString
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+    // era-0 store rows born under vocab 0 (payload is whatever the old
+    // tokenizer produced — the refresh replaces it wholesale)
+    LayoutOps.bpeEncodeDocsWith(docs, TextOps.BpeMergeTable)
+      .select(col("doc_id"), col("doc_id").as("pos"), col("n_bpe"),
+        col("tok_str"), lit(0L).as("vocab"),
+        (col("doc_id") % 2).as("shard"), lit(0L).as("era"))
+      .write.partitionBy("era", "shard").parquet(store)
+    // commit a PRODUCTION-SIZED artifact as gen=1: corpus prefix chains
+    // + inert tail to 4096 ranks (the bpeEncodeScaled construction)
+    val freq = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(200)
+      .select("w").as[String].collect().toSeq
+    val firing = freq.flatMap { w =>
+      val cps = w.toSeq.map(_.toString)
+      (1 until cps.length).map(i => (cps.take(i).mkString, cps(i)))
+    }.distinct
+    val table = (firing ++
+      (0 until (4096 - firing.size)).map(i => (s"¤a$i", s"¤b$i"))).take(4096)
+    table.zipWithIndex
+      .map { case ((l, r), i) => (i + 1L, l, r) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.parquet(s"$vocabDir/gen=1")
+    graft.sources.Stage.atomicRepoint(vocabDir, s"$vocabDir/gen=1")
+
+    val nDocs = docs.count()
+    assert(LayoutOps.bpeRefreshApplyAt(spark, docs, store, vocabDir,
+      nShards = 2) == nDocs)
+    // every row re-encoded under the committed big vocab, and the
+    // payload equals a naive driver-side replay of the replace chain
+    val got = spark.read.parquet(LayoutOps.storeDataDir(store))
+      .select(col("doc_id"), col("n_bpe").cast("long"), col("tok_str"),
+        col("vocab").cast("long"))
+      .as[(Long, Long, String, Long)].collect()
+    assert(got.length == nDocs && got.forall(_._4 == 1L))
+    val toks = docs.withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks")).as[(Long, Seq[String])]
+      .collect().toMap
+    val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
+    got.foreach { case (id, nBpe, tokStr, _) =>
+      val pcs = toks(id).flatMap(w =>
+        memo.getOrElseUpdate(w, naiveChain(w, table)))
+      assert(nBpe == pcs.size.toLong && tokStr == pcs.mkString(" "),
+        s"doc $id diverged under the committed 4096-merge vocab")
+    }
+    // a second apply finds nothing stale
+    assert(LayoutOps.bpeRefreshApplyAt(spark, docs, store, vocabDir,
+      nShards = 2) == 0L)
+  }
+
   test("maintenance isolates a guardrail abort but propagates a plain IllegalStateException") {
     var ran = List.empty[String]
     val ok = Maintenance.Action("s_ok", "sweep", { () => ran ::= "ok"; 3L })
