@@ -106,25 +106,15 @@ object DedupOps {
     * narrow pass over the corpus plus one aggregation shuffle on doc_id;
     * never doc×doc, and corpus-side shingles are computed exactly once
     * (persisted slim frame, same barrier pattern as [[sharedNgrams]]). */
-  /** Persist-if-absent for stages SHARED across the dedup query family
-    * (the session cache substitutes InMemoryRelation by PLAN, so a
-    * repeat caller re-registering the same plan would only warn and
-    * churn the CacheManager). Returns whether THIS call took ownership
-    * — owners fill the cache eagerly and may unpersist it when done;
-    * non-owners must leave the shared cache alone. */
-  private def persistShared(df: DataFrame): Boolean =
-    if (df.storageLevel == StorageLevel.NONE) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      true
-    } else false
-
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables(spark, dir, "documents")
+    // the corpus-shingle stage and the benchmark shingle set are SHARED
+    // across the decontamination family (flag / bloom / spans) and stay
+    // session-cached like every other family stage — [[SharedStage]]
+    val corpus = SharedStage.cached(Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(5))
-      .select(col("doc_id"), col("sh"))
-    if (persistShared(corpus)) corpus.count()
+      .select(col("doc_id"), col("sh")))
     val evalDocs = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -169,15 +159,13 @@ object DedupOps {
     * ever carries full documents. */
   def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val evalSh = Tables(spark, dir, "documents")
+    val evalSh = SharedStage.cached(Tables(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select(expr("substring(text, 21, 200)").as("text"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(5))
       .select(explode(col("sh")).as("g"))
-      .distinct()
-    val ownedEval = persistShared(evalSh)
-    if (ownedEval) evalSh.count()
+      .distinct())
     val pos = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
@@ -204,7 +192,6 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    if (ownedEval) evalSh.unpersist()
     out
   }
 
@@ -306,14 +293,13 @@ object DedupOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.util.sketch.BloomFilter
-    val evalSh = Tables(spark, dir, "documents")
+    val evalSh = SharedStage.cached(Tables(spark, dir, "documents")
       .filter(col("doc_id") % 50 === 0)
       .select(expr("substring(text, 21, 200)").as("text"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(5))
       .select(explode(col("sh")).as("g"))
-      .distinct()
-    val ownedEval = persistShared(evalSh)
+      .distinct(), eager = false)
     val nEval = math.max(evalSh.count(), 1L)
     val bloomDF = evalSh.select(column(
       new BloomFilterAggregate(
@@ -328,13 +314,11 @@ object DedupOps {
     // InferFiltersFromGenerate pushes derived conjuncts below the
     // projection and the interpreted shingle HOF chain re-evaluates per
     // row (the sharedNgrams pathology — measured 15x here)
-    val corpus = Tables(spark, dir, "documents")
+    val corpus = SharedStage.cached(Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(5))
-      .select(col("doc_id"), col("sh"))
-    val ownedCorpus = persistShared(corpus)
-    if (ownedCorpus) corpus.count()
+      .select(col("doc_id"), col("sh")))
     val out = corpus
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .filter(mightContain) // bloom gate: kills ~99% before the join
@@ -345,10 +329,9 @@ object DedupOps {
         (col("n_overlap") >= 8).as("contaminated"))
       .orderBy("doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the small verdict, then drop OWNED caches
-    // (a cache another query in the family registered stays shared)
-    if (ownedCorpus) corpus.unpersist()
-    if (ownedEval) evalSh.unpersist()
+    // materialize the small verdict; the corpus/eval family stages stay
+    // session-cached by the SharedStage contract
+    out.count()
     out
   }
 
@@ -439,26 +422,19 @@ object DedupOps {
     // input; the partition count is explicit because AQE sizes by
     // shuffle bytes, which are tiny here relative to the compute.)
     // the stage is SHARED across the near-dup query family (pairs,
-    // groups, keep-best, edit-distance verify): persist only when the
-    // plan is not already in the session cache, so repeat callers take
-    // the hit-path silently instead of re-registering the same plan
-    def persistedOnce(df: DataFrame): DataFrame =
-      if (df.storageLevel == StorageLevel.NONE)
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-      else df
-    val spread = persistedOnce(docsWithTwins(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
-    // derived above the cache (so the barrier holds) and persisted once:
-    // three consumers (signature map + both verify-join sides) read it
-    val shingled = persistedOnce(spread
+    // groups, keep-best, edit-distance verify) — [[SharedStage.cached]]
+    val spread = SharedStage.cached(docsWithTwins(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      eager = false)
+    // derived above the cache (so the barrier holds) and persisted once,
+    // filled in ONE job before fan-out: the band join's two sides and
+    // the two verify-join sides otherwise race to fill it and each
+    // recomputes the full tokenize+shingle pass (measured 4x)
+    val shingled = SharedStage.cached(spread
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", shingles(3))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh")))
-    // populate the cache in ONE job before fan-out: the band join's two
-    // sides and the two verify-join sides otherwise race to fill it and
-    // each recomputes the full tokenize+shingle pass (measured 4x)
-    shingled.count()
     val bands = shingled.as[(Long, Seq[String])]
       .mapPartitions(_.flatMap { case (id, sh) =>
         val bh = bandHashes(sh)

@@ -274,23 +274,11 @@ object GraphBuild {
   def searchGraph(spark: SparkSession, dir: String): (Dataset[GraphNode], Dataset[GraphRelationship]) = {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
-    // Materialize both stage caches EAGERLY: the search-doc consumers
-    // launch many branch jobs (broadcast builds) concurrently, and Spark
-    // does not coordinate in-flight cache population — without the eager
-    // count every racing job recomputes the full metadata build. The
-    // cache is SHARED across the ~9 search-doc queries that call this:
-    // persist only when the plan is not already cached (storageLevel
-    // consults the session CacheManager by plan), so repeat callers take
-    // the hit-path silently instead of re-registering the same plan
-    // ("Asked to cache already cached data" per call).
-    def cachedEagerly(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      if (df.storageLevel == StorageLevel.NONE) {
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        df
-      } else df
-    val md = cachedEagerly(tableMetadata(spark, dir).toDF())
-    val keyed = cachedEagerly(keyedTables(spark, dir))
+    // Both stage caches are SHARED across the ~9 search-doc queries and
+    // materialized EAGERLY (racing branch jobs would each recompute the
+    // metadata build) — the [[SharedStage]] persist-if-absent contract.
+    val md = SharedStage.cached(tableMetadata(spark, dir).toDF())
+    val keyed = SharedStage.cached(keyedTables(spark, dir))
     val usg = usageFrom(spark, dir, keyed).toDF()
     val ts = lastUpdatedFrom(spark, dir, keyed).toDF()
     val noAttrs = map().cast("map<string,string>")

@@ -1097,17 +1097,28 @@ object LayoutOps {
     graft.sources.Stage.currentTarget(store).getOrElse(store)
 
   /** The next generation dir a store rewrite commits into: one past the
-    * highest existing `gen=` child (a crashed rewrite's half-written
+    * highest existing `.gen=` child (a crashed rewrite's half-written
     * generation is never reused — it is garbage the next commit's GC
-    * sweeps). A flat legacy store starts at `gen=0`. */
+    * sweeps). A flat legacy store starts at `.gen=0`.
+    *
+    * The DOT prefix is load-bearing: Spark's partition discovery skips
+    * dot-hidden children, so a generation half-written INSIDE a still-
+    * flat store (first migration crashed before its repoint, or a
+    * concurrent reader racing a live first migration) can never collide
+    * with the flat `era=/shard=` layout and poison the read root with
+    * conflicting partition structures — an explicit read of the
+    * committed `store/.gen=N` root itself is unaffected (roots are
+    * exempt from the hidden-name filter). */
+  private[graft] val StoreGenPrefix = ".gen="
+
   private def nextStoreGen(store: String): String = {
     val maxGen =
       (if (graft.sources.Hfs.isDir(store))
-        graft.sources.Hfs.children(store)(_.startsWith("gen="))
+        graft.sources.Hfs.children(store)(_.startsWith(StoreGenPrefix))
           .flatMap(p => scala.util.Try(
-            p.getName.stripPrefix("gen=").toLong).toOption)
+            p.getName.stripPrefix(StoreGenPrefix).toLong).toOption)
       else Nil).foldLeft(-1L)(math.max)
-    s"$store/gen=${maxGen + 1}"
+    s"$store/$StoreGenPrefix${maxGen + 1}"
   }
 
   /** Drop every child of `store` that is not the committed generation

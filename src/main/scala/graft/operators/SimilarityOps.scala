@@ -91,20 +91,14 @@ object SimilarityOps {
     * bytes and serialize the signature/cosine compute into 1-2 tasks. */
   private def corpusWithTwins(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").withColumn("v", asDouble(col("embedding")))
-    val corpus = e.select(col("vec_id"), col("v"))
+    // the stage is shared across the ANN query family, filled in ONE
+    // job (racing consumers would each recompute the union) —
+    // [[SharedStage.cached]]
+    SharedStage.cached(e.select(col("vec_id"), col("v"))
       .union(e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("v"), x => x * lit(2.0d)).as("v")))
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-    // the stage is shared across the ANN query family: persist + fill
-    // the cache in ONE job only when the plan is not already cached
-    // (racing consumers would each recompute the union; repeat callers
-    // must not re-register the same plan)
-    if (corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      corpus.count()
-    }
-    corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
   }
 
   /** Top-k search over int8-QUANTIZED vectors — the memory-bound scale

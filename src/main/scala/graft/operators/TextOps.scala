@@ -1159,10 +1159,13 @@ object TextOps {
       }
       (1 until cps.length).map(i => (cps.take(i).mkString, cps(i)))
     }.distinct
-    val table = (firing ++
-      (0 until math.max(0, vocabSize - firing.size))
-        .map(i => (s"¤a$i", s"¤b$i")))
-      .take(vocabSize)
+    // NEVER truncate firing merges: the oracle replays every firing
+    // prefix pair, so dropping tail merges here would silently diverge
+    // (a corpus of long frequent tokens can exceed a small vocabSize)
+    require(firing.size <= vocabSize,
+      s"vocabSize=$vocabSize cannot hold the ${firing.size} firing merges")
+    val table = firing ++
+      (0 until (vocabSize - firing.size)).map(i => (s"¤a$i", s"¤b$i"))
     require(table.size > BpeExprMergeLimit,
       s"scaled encode must exercise the partition-local path (got ${table.size})")
     withBpePieces(docs.withColumn("toks", tokens(col("text"))), table)

@@ -139,9 +139,19 @@ private[graft] object Hfs {
         if (f.exists(path) && !f.delete(path, false))
           throw new java.io.IOException(
             s"marker swap could not remove the old $path")
-        if (!f.rename(tmp, path))
-          throw new java.io.IOException(
-            s"marker swap could not move $tmp onto $path")
+        if (!f.rename(tmp, path)) {
+          // a concurrent currentTarget reader may have ROLLED THE SWAP
+          // FORWARD (renamed our tmp onto the marker) while this writer
+          // stalled in the delete-rename window — if the marker now
+          // holds exactly the content we were committing, the swap
+          // committed and must not be reported as failed
+          val healed =
+            try readString(path).trim == content.trim
+            catch { case _: Exception => false }
+          if (!healed)
+            throw new java.io.IOException(
+              s"marker swap could not move $tmp onto $path")
+        }
     }
   }
 }

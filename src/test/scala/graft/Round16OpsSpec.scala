@@ -249,7 +249,7 @@ class Round16OpsSpec extends AnyFunSuite {
     // partition children gone, rows intact
     assert(LayoutOps.repackTokenizedStore(spark, store, ctx = 16L, nShards = 2) == 64L)
     val gen0 = LayoutOps.storeDataDir(store)
-    assert(gen0 != store && gen0.contains("gen="))
+    assert(gen0 != store && gen0.contains(LayoutOps.StoreGenPrefix))
     assert(graft.sources.Hfs.children(store)(_.startsWith("era=")).isEmpty,
       "the migration must GC the flat partition dirs after the repoint")
     assert(spark.read.parquet(gen0).count() == 64L)
@@ -257,7 +257,7 @@ class Round16OpsSpec extends AnyFunSuite {
     // a crashed rewrite leaves a half-written generation WITHOUT a
     // repoint: readers keep resolving the committed gen, and the next
     // commit both supersedes and sweeps the garbage
-    val garbage = s"$store/gen=99"
+    val garbage = s"$store/${LayoutOps.StoreGenPrefix}99"
     Seq((999L, 999L, 1L, "junk", 0L, 0L, 0L))
       .toDF("doc_id", "pos", "n_bpe", "tok_str", "vocab", "era", "shard")
       .write.parquet(garbage)
@@ -267,14 +267,14 @@ class Round16OpsSpec extends AnyFunSuite {
     val gen1 = LayoutOps.storeDataDir(store)
     assert(gen1 != gen0)
     assert(new org.apache.hadoop.fs.Path(gen1).getName
-      .stripPrefix("gen=").toLong > 99L,
+      .stripPrefix(LayoutOps.StoreGenPrefix).toLong > 99L,
       "a crashed generation number is never reused")
     assert(!graft.sources.Hfs.exists(garbage) && !graft.sources.Hfs.exists(gen0),
       "the commit must sweep both the superseded gen and the crashed one")
 
     // mid-swap: a pre-swap reader that resolved the old target still
     // reads it AFTER the repoint — the GC is a separate, later step
-    val manualGen = s"$store/gen=200"
+    val manualGen = s"$store/${LayoutOps.StoreGenPrefix}200"
     spark.read.parquet(gen1).write.parquet(manualGen)
     graft.sources.Stage.atomicRepoint(store, manualGen)
     assert(spark.read.parquet(gen1).count() == 64L,
@@ -369,6 +369,33 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(counts.forall(_ <= 2),
       s"the repack write must not re-scan the store beyond the two-pass " +
         s"prefix sum (the doc_id re-join is gone), saw $counts")
+  }
+
+  test("a crashed FIRST migration cannot poison the flat read root (dot-hidden generations)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = tmpRoot("graft-crashmigrate").resolve("tok").toString
+    (0L until 32L).map(i => (i, i, 2L, s"p$i q$i", 1L, 0L))
+      .toDF("doc_id", "pos", "n_bpe", "tok_str", "vocab", "era")
+      .withColumn("shard", col("pos") % 2)
+      .write.partitionBy("era", "shard").parquet(store)
+    // reconstruct the crash: the first migration's generation fully
+    // written INSIDE the flat root, the repoint never ran — the store
+    // must keep reading flat (partition discovery skips the dot-hidden
+    // dir; a visible gen=0 here would throw conflicting-structures and
+    // no later pass could ever read the store to heal it)
+    val half = s"$store/${LayoutOps.StoreGenPrefix}0"
+    spark.read.parquet(store).write.parquet(half)
+    spark.catalog.refreshByPath(store)
+    assert(LayoutOps.storeDataDir(store) == store,
+      "an uncommitted first migration must be invisible")
+    assert(spark.read.parquet(LayoutOps.storeDataDir(store)).count() == 32L)
+    // and the next rewrite commits PAST the crashed generation and
+    // sweeps it with the flat leftovers
+    assert(LayoutOps.repackTokenizedStore(spark, store, ctx = 16L, nShards = 2) == 32L)
+    assert(!graft.sources.Hfs.exists(half))
+    assert(graft.sources.Hfs.children(store)(_.startsWith("era=")).isEmpty)
+    assert(spark.read.parquet(LayoutOps.storeDataDir(store)).count() == 32L)
   }
 
   test("a failed generation-GC delete leaves the commit intact; the next commit re-sweeps") {
