@@ -685,6 +685,22 @@ object CurationStream {
   private case class StreamFixture(src: DataFrame, evalSh: DataFrame,
       out: String, ckpt: String, root: java.nio.file.Path)
 
+  /** The benchmark shingle set every stream fixture decontaminates
+    * against — the SAME PLAN as the decontamination family's eval stage
+    * (`DedupOps.decontaminateBloom/Spans`), so it shares that session
+    * cache through [[graft.operators.SharedStage]] and is NEVER
+    * unpersisted here: an owning unpersist would yank the shared stage
+    * from under whichever query family registered it first (the
+    * round-16 flaky re-persist warnings). */
+  private def evalShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SharedStage.cached(Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", DedupOps.shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct())
+
   private def streamFixture(spark: SparkSession, dir: String,
       tag: String, extra: Seq[String] = Seq.empty): StreamFixture = {
     val root = graft.sources.TmpStores.pidScopedRoot(tag)
@@ -696,15 +712,7 @@ object CurationStream {
       .coalesce(1).write.mode(SaveMode.Append).parquet(in)
     docs.filter(col("doc_id") % 2 === 1)
       .coalesce(1).write.mode(SaveMode.Append).parquet(in)
-    val evalSh = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", DedupOps.shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    evalSh.count()
+    val evalSh = evalShingles(spark, dir)
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     StreamFixture(src, evalSh, root.resolve("out").toString,
@@ -719,18 +727,16 @@ object CurationStream {
     * minimizing (batch index, doc_id). */
   def curationStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     val fx = streamFixture(spark, dir, "graft-curation")
-    try {
-      run(fx.src, fx.evalSh, fx.out, fx.ckpt).awaitTermination()
-      // no persist: the verdicts live on disk already — re-executing the
-      // returned frame is one scan of the small store, no cached state
-      // outlives this call. The shared per-doc resolution (not an
-      // arbitrary dropDuplicates row) makes redelivered appends resolve
-      // deterministically: a doc's own claim proves its admission.
-      StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
-        anyTrue = Seq("keep_quality", "is_contaminated", "admitted"),
-        everyTrue = Seq("is_dup"))
-        .select("doc_id", "keep_quality", "is_dup", "is_contaminated", "admitted")
-    } finally fx.evalSh.unpersist()
+    run(fx.src, fx.evalSh, fx.out, fx.ckpt).awaitTermination()
+    // no persist: the verdicts live on disk already — re-executing the
+    // returned frame is one scan of the small store, no cached state
+    // outlives this call. The shared per-doc resolution (not an
+    // arbitrary dropDuplicates row) makes redelivered appends resolve
+    // deterministically: a doc's own claim proves its admission.
+    StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
+      anyTrue = Seq("keep_quality", "is_contaminated", "admitted"),
+      everyTrue = Seq("is_dup"))
+      .select("doc_id", "keep_quality", "is_dup", "is_contaminated", "admitted")
   }
 
   /** Oracle-gated query for the INCREMENTAL curated store: the same
@@ -746,16 +752,14 @@ object CurationStream {
   def curatedStoreIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val fx = streamFixture(spark, dir, "graft-curation-inc", Seq("store", "store_tail"))
     val store = fx.root.resolve("store").toString
-    try {
-      run(fx.src, fx.evalSh, fx.out, fx.ckpt,
-        storeDir = Some(store), nShards = 4).awaitTermination()
-      spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
-      graft.operators.LayoutOps
-        .shardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4, tokensCol = "n_words")
-        .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
-          col("max_pos"), col("order_digest"))
-        .orderBy("shard")
-    } finally fx.evalSh.unpersist()
+    run(fx.src, fx.evalSh, fx.out, fx.ckpt,
+      storeDir = Some(store), nShards = 4).awaitTermination()
+    spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
+    graft.operators.LayoutOps
+      .shardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4, tokensCol = "n_words")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+        col("max_pos"), col("order_digest"))
+      .orderBy("shard")
   }
 
   /** Oracle-gated query for the INCREMENTAL TOKENIZED store — the full
@@ -773,13 +777,11 @@ object CurationStream {
   def tokenizedStoreIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val fx = streamFixture(spark, dir, "graft-curation-tok", Seq("tstore", "tstore_tail"))
     val store = fx.root.resolve("tstore").toString
-    try {
-      run(fx.src, fx.evalSh, fx.out, fx.ckpt,
-        tokenStoreDir = Some(store), nShards = 4, ctx = 2048L).awaitTermination()
-      spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
-      graft.operators.LayoutOps
-        .tokenShardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4)
-    } finally fx.evalSh.unpersist()
+    run(fx.src, fx.evalSh, fx.out, fx.ckpt,
+      tokenStoreDir = Some(store), nShards = 4, ctx = 2048L).awaitTermination()
+    spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
+    graft.operators.LayoutOps
+      .tokenShardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4)
   }
 
   /** Build half of the PRODUCTION tokenizer-refresh lifecycle: the v0
@@ -810,37 +812,27 @@ object CurationStream {
       .coalesce(1).write.mode(SaveMode.Append).parquet(in)
     docs.filter(col("doc_id") % 2 === 1)
       .coalesce(1).write.mode(SaveMode.Append).parquet(in2)
-    val evalSh = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", DedupOps.shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    evalSh.count()
-    try {
-      // v0 ships as a real artifact generation (gen=0 + CURRENT swap)
-      TextOps.BpeMergeTable.zipWithIndex
-        .map { case ((a, b), i) => (i.toLong + 1, a, b) }
-        .toDF("merge_rank", "lhs", "rhs")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$vocabDir/gen=0")
-      graft.sources.Stage.atomicRepoint(vocabDir, s"$vocabDir/gen=0")
-      def src(path: String) = spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(path)
-      run(src(in), evalSh, out, root.resolve("ckpt").toString,
-        tokenStoreDir = Some(store), nShards = 4, ctx = 2048L,
-        vocabDir = Some(vocabDir)).awaitTermination()
-      // vocab drift between stream runs: retrain on the accreted corpus,
-      // ship only through the fertility canary (strict ppm gain)
-      val merges = TextOps.bpeMergesFromTokens(
-        docs.select(explode(TextOps.tokens(col("text"))).as("word")), 6)
-      graft.operators.LayoutOps.shipVocabIfBetter(spark, docs, vocabDir, merges)
-      run(src(in2), evalSh, out, root.resolve("ckpt2").toString,
-        tokenStoreDir = Some(store), nShards = 4, ctx = 2048L,
-        vocabDir = Some(vocabDir), epochBase = 1L).awaitTermination()
-      (store, vocabDir)
-    } finally evalSh.unpersist()
+    val evalSh = evalShingles(spark, dir)
+    // v0 ships as a real artifact generation (gen=0 + CURRENT swap)
+    TextOps.BpeMergeTable.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+      .toDF("merge_rank", "lhs", "rhs")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$vocabDir/gen=0")
+    graft.sources.Stage.atomicRepoint(vocabDir, s"$vocabDir/gen=0")
+    def src(path: String) = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    run(src(in), evalSh, out, root.resolve("ckpt").toString,
+      tokenStoreDir = Some(store), nShards = 4, ctx = 2048L,
+      vocabDir = Some(vocabDir)).awaitTermination()
+    // vocab drift between stream runs: retrain on the accreted corpus,
+    // ship only through the fertility canary (strict ppm gain)
+    val merges = TextOps.bpeMergesFromTokens(
+      docs.select(explode(TextOps.tokens(col("text"))).as("word")), 6)
+    graft.operators.LayoutOps.shipVocabIfBetter(spark, docs, vocabDir, merges)
+    run(src(in2), evalSh, out, root.resolve("ckpt2").toString,
+      tokenStoreDir = Some(store), nShards = 4, ctx = 2048L,
+      vocabDir = Some(vocabDir), epochBase = 1L).awaitTermination()
+    (store, vocabDir)
   }
 
   /** Oracle-gated query for the PRODUCTION TOKENIZED-STORE REFRESH —
@@ -913,15 +905,13 @@ object CurationStream {
   def curationStreamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
     val fx = streamFixture(spark, dir, "graft-curation-funnel",
       Seq("out_mfps", "out_vmfps"))
-    try {
-      run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
-      funnelStore(fx.out).read(spark, emptyFunnel(spark))
-        .groupBy("batch_id", "stage")
-        .agg(max(struct(col("n_docs"), col("n_tokens"))).as("_m"))
-        .select(col("batch_id"), col("stage"),
-          col("_m.n_docs").as("n_docs"), col("_m.n_tokens").as("n_tokens"))
-        .orderBy("batch_id", "stage")
-    } finally fx.evalSh.unpersist()
+    run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
+    funnelStore(fx.out).read(spark, emptyFunnel(spark))
+      .groupBy("batch_id", "stage")
+      .agg(max(struct(col("n_docs"), col("n_tokens"))).as("_m"))
+      .select(col("batch_id"), col("stage"),
+        col("_m.n_docs").as("n_docs"), col("_m.n_tokens").as("n_tokens"))
+      .orderBy("batch_id", "stage")
   }
 
   /** Oracle-gated query for the CLAIM RETENTION sweep: the text exact-md5
@@ -996,36 +986,26 @@ object CurationStream {
       .coalesce(1).write.mode(SaveMode.Append).parquet(in)
     docs.filter(col("doc_id") % 2 === 1)
       .coalesce(1).write.mode(SaveMode.Append).parquet(in)
-    val evalSh = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", DedupOps.shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    evalSh.count()
-    try {
-      def src(path: String) = spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(path)
-      run(src(in), evalSh, out, root.resolve("ckpt").toString)
-        .awaitTermination()
-      // age out the batch-0 (epoch 0) classes; batch-1 claims stay. The
-      // guardrail sits at 0.99: this sweep EXPECTS to drop a whole epoch
-      // cohort (the abort path is spec-covered elsewhere)
-      sweepClaims(spark, out, minEpoch = 1L, maxDropFrac = 0.99)
-      docs.filter(col("doc_id") % 6 === 4)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
-        .union(docs.filter(col("doc_id") % 6 === 3)
-          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(in2)
-      run(src(in2), evalSh, out, root.resolve("ckpt2").toString,
-        epochBase = 2L).awaitTermination()
-      StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
-        anyTrue = Seq("keep_quality", "is_contaminated", "admitted"),
-        everyTrue = Seq("is_dup"))
-        .select("doc_id", "keep_quality", "is_dup", "is_contaminated", "admitted")
-    } finally evalSh.unpersist()
+    val evalSh = evalShingles(spark, dir)
+    def src(path: String) = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+    run(src(in), evalSh, out, root.resolve("ckpt").toString)
+      .awaitTermination()
+    // age out the batch-0 (epoch 0) classes; batch-1 claims stay. The
+    // guardrail sits at 0.99: this sweep EXPECTS to drop a whole epoch
+    // cohort (the abort path is spec-covered elsewhere)
+    sweepClaims(spark, out, minEpoch = 1L, maxDropFrac = 0.99)
+    docs.filter(col("doc_id") % 6 === 4)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") % 6 === 3)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in2)
+    run(src(in2), evalSh, out, root.resolve("ckpt2").toString,
+      epochBase = 2L).awaitTermination()
+    StreamVerdicts.resolvePerDoc(spark.read.parquet(out),
+      anyTrue = Seq("keep_quality", "is_contaminated", "admitted"),
+      everyTrue = Seq("is_dup"))
+      .select("doc_id", "keep_quality", "is_dup", "is_contaminated", "admitted")
   }
 
   /** Oracle-gated query for the STREAMING CROSS-MODAL gate: the same
@@ -1047,15 +1027,13 @@ object CurationStream {
   def curationMultimodalStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     val fx = streamFixture(spark, dir, "graft-curation-mm",
       Seq("out_mfps", "out_vmfps"))
-    try {
-      run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
-      StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
-        anyTrue = Seq("keep_quality", "is_contaminated", "img_ok",
-          "audio_ok", "video_ok", "admitted"),
-        everyTrue = Seq("is_dup", "media_dup", "video_dup"))
-        .select("doc_id", "keep_quality", "is_dup", "is_contaminated",
-          "img_ok", "audio_ok", "media_dup", "video_ok", "video_dup", "admitted")
-    } finally fx.evalSh.unpersist()
+    run(fx.src, fx.evalSh, fx.out, fx.ckpt, mediaGate = true).awaitTermination()
+    StreamVerdicts.resolvePerDoc(spark.read.parquet(fx.out),
+      anyTrue = Seq("keep_quality", "is_contaminated", "img_ok",
+        "audio_ok", "video_ok", "admitted"),
+      everyTrue = Seq("is_dup", "media_dup", "video_dup"))
+      .select("doc_id", "keep_quality", "is_dup", "is_contaminated",
+        "img_ok", "audio_ok", "media_dup", "video_ok", "video_dup", "admitted")
   }
 
   /** The full INCREMENTAL MULTIMODAL pre-training loop in one artifact:
@@ -1073,15 +1051,13 @@ object CurationStream {
     val fx = streamFixture(spark, dir, "graft-curation-mm-store",
       Seq("out_mfps", "out_vmfps", "store", "store_tail"))
     val store = fx.root.resolve("store").toString
-    try {
-      run(fx.src, fx.evalSh, fx.out, fx.ckpt,
-        storeDir = Some(store), nShards = 4, mediaGate = true).awaitTermination()
-      spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
-      graft.operators.LayoutOps
-        .shardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4, tokensCol = "n_words")
-        .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
-          col("max_pos"), col("order_digest"))
-        .orderBy("shard")
-    } finally fx.evalSh.unpersist()
+    run(fx.src, fx.evalSh, fx.out, fx.ckpt,
+      storeDir = Some(store), nShards = 4, mediaGate = true).awaitTermination()
+    spark.catalog.refreshByPath(store) // drop FileStatusCache listings taken mid-append
+    graft.operators.LayoutOps
+      .shardManifest(spark, spark.read.parquet(graft.operators.LayoutOps.storeDataDir(store)), 4, tokensCol = "n_words")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_pos"),
+        col("max_pos"), col("order_digest"))
+      .orderBy("shard")
   }
 }
