@@ -238,6 +238,10 @@ object SparkEntry {
     // the partition-local encoder; the oracle replays the firing
     // merges' replace chain iteratively (list_reduce)
     "q_bpe_encode_scaled" -> ((s, d) => TextOps.bpeEncodeScaled(s, d)),
+    // tokenizer-artifact interop: trained table → tokenizer.json →
+    // import → encode under the IMPORTED table
+    "q_vocab_artifact_roundtrip" ->
+      ((s, d) => TextOps.vocabArtifactRoundtrip(s, d)),
     // tokenizer refresh lifecycle: retrain merges on the accreted corpus
     // into a versioned artifact, re-encode ONLY stale-vocab eras via the
     // touched-partition overwrite, manifest the refreshed store
@@ -411,6 +415,31 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"WITH ${bpeTrainerCtes(k)} SELECT * FROM ($union) ORDER BY merge_rank"
   }
+
+  /** DuckDB twin of [[graft.operators.TextOps.vocabArtifactRoundtrip]]:
+    * the artifact round trip is a Spark-side identity on the merge
+    * table (spec-pinned: imported == trained), so the oracle replays
+    * the k-round trainer and encodes every document DIRECTLY under the
+    * learned table — any export/import defect that perturbs merge
+    * order or symbol bytes diverges the piece fingerprints. */
+  private def vocabArtifactRoundtripOracleSql(k: Int): String =
+    s"""WITH ${bpeTrainerCtes(k)},
+       t AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       wu AS (SELECT doc_id, i.i AS wi, words[i.i] AS w
+         FROM t, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) i
+         WHERE len(words) > 0),
+       wp AS (SELECT word, string_split(trim(s), '  ') AS pcs FROM s$k),
+       pe AS (SELECT wu.doc_id, wu.wi, wp.pcs
+         FROM wu JOIN wp ON wp.word = wu.w),
+       de AS (SELECT doc_id, flatten(list(pcs ORDER BY wi)) AS pcs
+         FROM pe GROUP BY doc_id)
+       SELECT t.doc_id,
+         CAST(coalesce(len(de.pcs), 0) AS BIGINT) AS n_bpe,
+         coalesce(md5(array_to_string(de.pcs, ' ')), md5('')) AS tok_fp
+       FROM t LEFT JOIN de USING (doc_id)
+       ORDER BY t.doc_id"""
 
   /** DuckDB twin of [[graft.operators.LayoutOps.bpeRefreshStore]]: the
     * k-round trainer replayed, then EVERY document encoded under the
@@ -622,6 +651,12 @@ object SparkEntry {
     * rank-ordered merge list (a 4096-deep nested replace() expression
     * would not parse), the same one-pass-per-merge boundary-safe
     * replace semantics as the expression chain and the encoder. */
+  /** The scale-path oracle additionally REPLAYS the
+    * [[graft.operators.TextOps.BpeWordLenCap]] long-word segmentation
+    * (the CASE over `len(w)` in `enc`): words past the cap pre-split
+    * into cap-sized segments, each encoding independently, pieces
+    * concatenating — character-identical semantics to both Spark encode
+    * paths. */
   private def bpeEncodeScaledOracleSql: String =
     """WITH RECURSIVE toks AS MATERIALIZED (
          SELECT doc_id,
@@ -641,16 +676,20 @@ object SparkEntry {
        merges AS MATERIALIZED (
          SELECT list(lhs || chr(1) || rhs ORDER BY first_seen) AS ms FROM pairs),
        enc AS MATERIALIZED (
-         SELECT w, string_split(trim(list_reduce(
-             list_prepend(
-               '  ' || array_to_string(list_transform(range(1, len(w) + 1),
-                 i -> substr(w, i, 1)), '  ') || '  ',
-               ms),
-             (acc, m) -> replace(acc,
-               ' ' || string_split(m, chr(1))[1] || '  ' ||
-                 string_split(m, chr(1))[2] || ' ',
-               ' ' || string_split(m, chr(1))[1] ||
-                 string_split(m, chr(1))[2] || ' '))), '  ') AS pcs
+         SELECT w, flatten(list_transform(
+             CASE WHEN len(w) <= CAP THEN [w]
+                  ELSE list_transform(range(0, (len(w) - 1) // CAP + 1),
+                         k -> substr(w, k * CAP + 1, CAP)) END,
+             s -> string_split(trim(list_reduce(
+               list_prepend(
+                 '  ' || array_to_string(list_transform(range(1, len(s) + 1),
+                   i -> substr(s, i, 1)), '  ') || '  ',
+                 ms),
+               (acc, m) -> replace(acc,
+                 ' ' || string_split(m, chr(1))[1] || '  ' ||
+                   string_split(m, chr(1))[2] || ' ',
+                 ' ' || string_split(m, chr(1))[1] ||
+                   string_split(m, chr(1))[2] || ' '))), '  '))) AS pcs
          FROM (SELECT DISTINCT unnest(toks) AS w FROM toks) CROSS JOIN merges),
        dt AS (SELECT doc_id, unnest(toks) AS w,
            unnest(range(1, len(toks) + 1)) AS pos FROM toks),
@@ -664,6 +703,7 @@ object SparkEntry {
          coalesce(p.tok_fp, md5('')) AS tok_fp
        FROM toks t LEFT JOIN docpcs p ON p.doc_id = t.doc_id
        ORDER BY t.doc_id"""
+      .replace("CAP", graft.operators.TextOps.BpeWordLenCap.toString)
 
   /** DuckDB twin of [[graft.operators.LayoutOps.tokenizedShardStore]]:
     * the curation CTE chain, the md5 survivor ranking, the unrolled
@@ -4857,6 +4897,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(6),
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_bpe_encode_scaled" -> bpeEncodeScaledOracleSql,
+    "q_vocab_artifact_roundtrip" -> vocabArtifactRoundtripOracleSql(6),
     "q_bpe_refresh" -> bpeRefreshOracleSql(6),
     "q_tokenized_store_refresh" -> tokenizedStoreRefreshOracleSql(6),
     "q_tokenized_store_repack" -> tokenizedStoreRepackOracleSql(6),

@@ -928,6 +928,19 @@ object LayoutOps {
     // (dynamic partition overwrite of exactly the stale eras' dirs) —
     // resolve the marker once; reads and the overwrite share the dir
     val dataDir = storeDataDir(store)
+    // Head-of-pass staging sweep, BEFORE the stale.isEmpty early return:
+    // a crash after the dynamic overwrite committed but before the
+    // staging delete below orphans a data-sized dir, and the next pass
+    // would otherwise early-return on stale.isEmpty without ever
+    // sweeping it. For a flat legacy store the staging path
+    // (store.refresh.tmp) sits OUTSIDE the store root, where no
+    // generation GC reclaims it — sweep the flat-root spelling too in
+    // case the store migrated to gen= layout after such a crash. Both
+    // deletes are no-op cheap when nothing is orphaned.
+    graft.sources.Hfs.delete(
+      new org.apache.hadoop.fs.Path(dataDir + RefreshStagingSuffix))
+    if (dataDir != store) graft.sources.Hfs.delete(
+      new org.apache.hadoop.fs.Path(store + RefreshStagingSuffix))
     spark.catalog.refreshByPath(dataDir)
     val all = spark.read.parquet(dataDir)
     val stale = all.groupBy("era").agg(min(col("vocab")).as("v"))

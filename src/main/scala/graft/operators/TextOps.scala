@@ -1049,12 +1049,62 @@ object TextOps {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeFrame(Tables(spark, dir, "documents"))
 
+  /** Long-word guard: words past this many CODE POINTS pre-split into
+    * cap-sized segments before encoding, each segment encoding
+    * independently (a segment boundary is a hard piece boundary — no
+    * merge fires across it), pieces concatenating in order. Web crawls
+    * routinely carry megabyte-scale unbroken "words" (base64 blobs,
+    * minified JS, URLs, DNA strings); both encode paths are superlinear
+    * in word length (the expression chain's per-char `substr` split is
+    * O(len²) char ops, [[BpeWordEncoder.encode]] is O(len²) hash
+    * probes), so ONE such token would stall its task for hours
+    * regardless of cluster size — the discipline every production
+    * tokenizer applies (GPT-2's regex pre-tokenizer bounds runs,
+    * SentencePiece caps `max_sentencepiece_length`). 256 is far above
+    * any linguistic word, so on natural text capped and uncapped
+    * semantics coincide — which is why the fixture oracles that unroll
+    * the per-word replace chain stay exact (corpus max word length is
+    * spec-asserted under the cap); the scale-path oracle
+    * (q_bpe_encode_scaled) replays the segmentation itself. */
+  private[graft] val BpeWordLenCap = 256
+
+  /** Column-side pre-split: `w` → its cap-sized code-point segments
+    * (identity `array(w)` for in-cap words — the hot path pays one
+    * length compare). Spark's `length`/`substr` count code points, so
+    * this is the exact column twin of [[cappedSegmentsOf]]. */
+  private[graft] def cappedSegments(w: Column): Column =
+    when(length(w) <= BpeWordLenCap, array(w))
+      .otherwise(transform(
+        sequence(lit(0), ((length(w) - 1) / lit(BpeWordLenCap)).cast("int")),
+        k => w.substr(k * lit(BpeWordLenCap) + 1, lit(BpeWordLenCap))))
+
+  /** JVM-side pre-split twin of [[cappedSegments]] — cap-sized CODE
+    * POINT chunks (surrogate pairs never split; Spark's `substr`
+    * counts code points, so the two sides segment identically). */
+  private[graft] def cappedSegmentsOf(w: String): Seq[String] = {
+    if (w.length <= BpeWordLenCap) return Seq(w) // utf16 len <= cap ⟹ cp len <= cap
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      var cp = 0
+      val start = i
+      while (i < w.length && cp < BpeWordLenCap) {
+        i += Character.charCount(w.codePointAt(i))
+        cp += 1
+      }
+      out += w.substring(start, i)
+    }
+    out.result()
+  }
+
   /** The unrolled per-word encode chain for an ARBITRARY merge table —
     * the vocab artifact is DATA (a retrained table read back from its
     * versioned store, `LayoutOps.bpeRefreshStore`), but the chain is
     * still one pure codegen'd expression: word → "  c1  c2  ...  ",
     * then each merge in rank order via the boundary-safe literal
-    * replace the trainer uses. */
+    * replace the trainer uses. RAW single-segment chain — callers go
+    * through the [[BpeWordLenCap]] segmentation wrappers
+    * ([[withBpePieces]], [[bpePieceArr]]), never this directly. */
   private[graft] def bpePieceArrFor(table: Seq[(String, String)]): Column => Column = {
     val encoded = table.foldLeft[Column => Column](w =>
       concat(lit("  "),
@@ -1086,19 +1136,26 @@ object TextOps {
     * because a data-sized vocab does not fit a Catalyst expression.
     * The two paths are piece-for-piece equal (spec-proved): the
     * encoder implements exactly the rank-ordered single-pass replace
-    * semantics of the expression chain. */
+    * semantics of the expression chain. BOTH paths apply the
+    * [[BpeWordLenCap]] long-word pre-split, so a pathological unbroken
+    * token costs O(cap²·len/cap) = O(cap·len) — linear — instead of
+    * O(len²) in one task. */
   private[graft] def withBpePieces(df: DataFrame, table: Seq[(String, String)],
       forcePartitionLocal: Boolean = false): DataFrame =
     if (!forcePartitionLocal && table.size <= BpeExprMergeLimit) {
       val pieces = bpePieceArrFor(table)
-      df.withColumn("pcs", flatten(transform(col("toks"), w => pieces(w))))
+      df.withColumn("pcs", flatten(transform(col("toks"),
+        w => flatten(transform(cappedSegments(w), s => pieces(s))))))
     } else {
       val spark = df.sparkSession
       // explicit broadcast, NOT a closure capture: a 32k-merge table in
       // the closure would ship in every task binary (the "broadcasting
       // large task binary" warning class); a broadcast ships once per
-      // executor
-      val bc = spark.sparkContext.broadcast(table.toArray)
+      // executor — and CACHED per table content: the streaming gate
+      // encodes per micro-batch, and a fresh broadcast per batch would
+      // accrete one merge-table copy per batch in driver/executor
+      // memory for the life of the stream
+      val bc = broadcastMergeTable(spark, table)
       val tokIdx = df.schema.fieldIndex("toks")
       val outSchema = df.schema.add("pcs",
         org.apache.spark.sql.types.ArrayType(
@@ -1112,12 +1169,52 @@ object TextOps {
               val toks = r.getSeq[String](tokIdx)
               val buf = new scala.collection.mutable.ArrayBuffer[String](
                 toks.length * 2)
-              toks.foreach(w => buf ++= enc.encode(w))
+              toks.foreach { w =>
+                if (w.length <= BpeWordLenCap) buf ++= enc.encode(w)
+                else cappedSegmentsOf(w).foreach(s => buf ++= enc.encode(s))
+              }
               buf.toSeq
             }
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pcs)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+
+  /** Broadcast-once cache for scale-path merge tables, keyed on
+    * (applicationId, table CONTENT) — content equality, not a
+    * fingerprint, so a collision can never swap vocabularies. Bounded
+    * at a handful of live tables (a deployment runs one or two vocab
+    * versions at a time); an evicted entry is `unpersist`ed (executor
+    * copies drop; a straggling task that still holds the handle
+    * re-fetches from the driver — unlike `destroy`, unpersist keeps
+    * the broadcast usable), never destroyed under a running plan. */
+  private val bpeBroadcastCache =
+    new java.util.LinkedHashMap[(String, Seq[(String, String)]),
+        org.apache.spark.broadcast.Broadcast[Array[(String, String)]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[(String, String)]),
+            org.apache.spark.broadcast.Broadcast[Array[(String, String)]]])
+          : Boolean =
+        if (size > 4) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () } // context stopped — nothing to drop
+          true
+        } else false
+    }
+
+  private[graft] def broadcastMergeTable(spark: SparkSession,
+      table: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[Array[(String, String)]] =
+    bpeBroadcastCache.synchronized {
+      val key = (spark.sparkContext.applicationId, table)
+      val hit = bpeBroadcastCache.get(key)
+      if (hit != null) hit
+      else {
+        val bc = spark.sparkContext.broadcast(table.toArray)
+        bpeBroadcastCache.put(key, bc)
+        bc
+      }
     }
 
   /** BPE encode under a PRODUCTION-SIZED vocab — the oracle-gated proof
@@ -1175,11 +1272,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE encode UNDER THE IMPORTED ARTIFACT — the oracle gate for the
+    * tokenizer-artifact interop ([[TokenizerArtifact]]): the corpus
+    * trainer's table exports in the public tokenizer.json shape,
+    * imports back, and the documents encode under the IMPORTED table
+    * through the one routing point. A bug anywhere in the round trip
+    * (merge order, JSON escaping, pair-entry spelling) diverges the
+    * piece stream from the oracle's direct trained-table replay. */
+  def vocabArtifactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val trained = bpeMerges(spark, dir)
+      .orderBy("merge_rank").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val root = graft.sources.TmpStores.pidScopedRoot("graft-vocab-artifact")
+    graft.sources.TmpStores.deleteRecursively(root.resolve("artifact"))
+    val path = root.resolve("artifact").resolve("tokenizer.json").toString
+    TokenizerArtifact.exportTokenizerJson(trained, path)
+    val imported = TokenizerArtifact.importMerges(path)
+    require(imported == trained,
+      "artifact round trip must preserve the rank-ordered merge table")
+    withBpePieces(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("toks", tokens(col("text"))), imported)
+      .select(col("doc_id"),
+        size(col("pcs")).cast("long").as("n_bpe"),
+        md5(array_join(col("pcs"), " ")).as("tok_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
     * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
-    * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). */
-  private[graft] val bpePieceArr: Column => Column =
-    bpePieceArrFor(BpeMergeTable)
+    * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). Capped
+    * like every encode site ([[BpeWordLenCap]]): on the fixture corpora
+    * (max word length spec-asserted far under the cap) the segmentation
+    * is the identity, so the unrolled per-word oracle replays stay
+    * exact. */
+  private[graft] val bpePieceArr: Column => Column = {
+    val raw = bpePieceArrFor(BpeMergeTable)
+    w => flatten(transform(cappedSegments(w), s => raw(s)))
+  }
 
   /** Per-word BPE piece count under [[BpeMergeTable]]. */
   private[graft] val bpePieces: Column => Column =
@@ -1907,6 +2039,11 @@ private[graft] final class BpeWordEncoder(table: Array[(String, String)]) {
   private val memo = new java.util.HashMap[String, Array[String]]()
   private val MemoCap = 1 << 16
 
+  // partition-local observability (the 32k rehearsal records these):
+  // repeated-word reuse is the encoder's main lever on natural text
+  private[graft] var memoHits = 0L
+  private[graft] var memoMisses = 0L
+
   /** Smallest table rank of (a, b) strictly above `doneUpTo`, or
     * MaxValue — "has this pair a pass still ahead of the sequence?" */
   private def nextRank(a: String, b: String, doneUpTo: Int): Int = {
@@ -1919,7 +2056,8 @@ private[graft] final class BpeWordEncoder(table: Array[(String, String)]) {
 
   def encode(w: String): Array[String] = {
     val hit = memo.get(w)
-    if (hit != null) return hit
+    if (hit != null) { memoHits += 1; return hit }
+    memoMisses += 1
     var syms = splitChars(w)
     var doneUpTo = -1
     var more = syms.length > 1

@@ -856,8 +856,58 @@ object CurationStream {
     * regression in the gate, either tokenizer, the canary wiring, the
     * stale-era detection, or the touched-partition rewrite flips a row
     * red. */
+  /** Build-once cache for the tokenizer-refresh FIXTURE lifecycle: the
+    * two heaviest registered queries (refresh, repack) consume the same
+    * deterministic built state (two full stream runs + a retrain + a
+    * canary ship — the bulk of their cost), and each used to rebuild it
+    * for order-independence. Share the BUILD, not the store: each query
+    * COPIES the pristine built state into its own private root before
+    * mutating (the refresh rewrites partitions in place, the repack
+    * swaps generations), so registered queries stay order-independent —
+    * either query triggers the build on first touch, neither ever reads
+    * the other's mutations, and the copy is file-system cheap next to
+    * the stream runs it replaces. */
+  private val tokRefreshBuilds =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  private[graft] def tokenizedStoreRefreshBuiltCopy(spark: SparkSession,
+      dir: String, tag: String): (String, String) = {
+    val (bStore, bVocab) = tokRefreshBuilds.synchronized {
+      tokRefreshBuilds.getOrElseUpdate(dir,
+        tokenizedStoreRefreshBuild(spark, dir, tag = "graft-curation-tokshared"))
+    }
+    val root = graft.sources.TmpStores.pidScopedRoot(tag)
+    Seq("tstore", "vocab").foreach(d =>
+      graft.sources.TmpStores.deleteRecursively(root.resolve(d)))
+    val store = root.resolve("tstore").toString
+    val vocabDir = root.resolve("vocab").toString
+    copyTree(bStore, store)
+    copyTree(bVocab, vocabDir)
+    // a copied CURRENT marker still holds an ABSOLUTE path into the
+    // shared root — re-point it at the same-named child of the copy,
+    // or a mutating query would write through into the pristine build
+    repointCopiedMarker(store)
+    repointCopiedMarker(vocabDir)
+    (store, vocabDir)
+  }
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val f = graft.sources.Hfs.fs(sp)
+    if (!org.apache.hadoop.fs.FileUtil.copy(f, sp,
+        f, new org.apache.hadoop.fs.Path(dst), false, f.getConf))
+      throw new java.io.IOException(s"fixture copy failed: $src -> $dst")
+  }
+
+  private def repointCopiedMarker(dirPath: String): Unit =
+    graft.sources.Stage.currentTarget(dirPath).foreach { t =>
+      val name = new org.apache.hadoop.fs.Path(t).getName
+      graft.sources.Stage.atomicRepoint(dirPath, s"$dirPath/$name")
+    }
+
   def tokenizedStoreRefreshQuery(spark: SparkSession, dir: String): DataFrame = {
-    val (store, vocabDir) = tokenizedStoreRefreshBuild(spark, dir)
+    val (store, vocabDir) =
+      tokenizedStoreRefreshBuiltCopy(spark, dir, "graft-curation-tokref-run")
     graft.operators.LayoutOps.bpeRefreshApplyAt(spark,
       Tables(spark, dir, "documents").select("doc_id", "text"),
       store, vocabDir, nShards = 4, carry = Seq("win"))
@@ -881,7 +931,7 @@ object CurationStream {
     * a manifest row red. */
   def tokenizedStoreRepackQuery(spark: SparkSession, dir: String): DataFrame = {
     val (store, vocabDir) =
-      tokenizedStoreRefreshBuild(spark, dir, tag = "graft-curation-tokrepack")
+      tokenizedStoreRefreshBuiltCopy(spark, dir, "graft-curation-tokrepack-run")
     graft.operators.LayoutOps.bpeRefreshApplyAt(spark,
       Tables(spark, dir, "documents").select("doc_id", "text"),
       store, vocabDir, nShards = 4, carry = Seq("win"))

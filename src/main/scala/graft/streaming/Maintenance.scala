@@ -24,7 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    plain `IllegalStateException`s (missing probe-key layout, missing
   *    CURRENT marker): a misconfigured store is a real failure, not a
   *    policy abort, and must fail the scheduled job loudly, never be
-  *    recorded as a tripped guardrail in a "successful" nightly run.
+  *    recorded as a tripped guardrail in a "successful" nightly run —
+  *    but only after EVERY other store's action has still run (the
+  *    rethrow happens at the end of the pass, so one broken store
+  *    cannot leave the stores behind it in the list unswept).
   *
   * Reference analog: the staleness-removal tasks run as their own
   * scheduled jobs with per-type guardrails
@@ -61,17 +64,32 @@ object Maintenance {
 
   /** Run every action; a guardrail abort is captured per store, any
     * other failure — including a plain `IllegalStateException` from a
-    * misconfigured store — propagates. */
-  def run(actions: Seq[Action]): Report = Report(actions.map { a =>
-    try {
-      val r = a.run()
-      Outcome(a.store, a.kind, r.dropped, None, r.detail)
-    } catch {
-      case e: GuardrailAbort =>
-        Outcome(a.store, a.kind, 0L,
-          Some(Option(e.getMessage).getOrElse("guardrail abort")))
+    * misconfigured store — propagates, but only AFTER the whole action
+    * list has run: one broken store must fail the nightly loudly, yet
+    * must not leave the rest of the fleet unswept for the night (the
+    * same isolation the guardrail gets, minus the "successful run"
+    * reporting). The FIRST non-guardrail failure rethrows, later ones
+    * ride along as suppressed. */
+  def run(actions: Seq[Action]): Report = {
+    var firstFailure: Throwable = null
+    val outcomes = actions.map { a =>
+      try {
+        val r = a.run()
+        Outcome(a.store, a.kind, r.dropped, None, r.detail)
+      } catch {
+        case e: GuardrailAbort =>
+          Outcome(a.store, a.kind, 0L,
+            Some(Option(e.getMessage).getOrElse("guardrail abort")))
+        case scala.util.control.NonFatal(e) =>
+          if (firstFailure == null) firstFailure = e
+          else if (firstFailure ne e) firstFailure.addSuppressed(e)
+          Outcome(a.store, a.kind, 0L,
+            Some(s"failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     }
-  })
+    if (firstFailure != null) throw firstFailure
+    Report(outcomes)
+  }
 
   /** The sweep-then-compact step shared by every claim store: expire
     * claims below the horizon under the guardrail, then fold the delta
