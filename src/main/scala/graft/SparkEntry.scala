@@ -242,6 +242,12 @@ object SparkEntry {
     // import → encode under the IMPORTED table
     "q_vocab_artifact_roundtrip" ->
       ((s, d) => TextOps.vocabArtifactRoundtrip(s, d)),
+    // the interop's back half: piece→id under the artifact's derived
+    // vocab map (OOV → -1), id-stream fingerprints per doc
+    "q_bpe_encode_ids" -> ((s, d) => TextOps.bpeEncodeIds(s, d)),
+    // regex PII redaction (emails/IPv4/phones) over relationally
+    // injected doc_id-derived PII — counts + scrubbed fingerprint
+    "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     // tokenizer refresh lifecycle: retrain merges on the accreted corpus
     // into a versioned artifact, re-encode ONLY stale-vocab eras via the
     // touched-partition overwrite, manifest the refreshed store
@@ -440,6 +446,96 @@ object SparkEntry {
          coalesce(md5(array_to_string(de.pcs, ' ')), md5('')) AS tok_fp
        FROM t LEFT JOIN de USING (doc_id)
        ORDER BY t.doc_id"""
+
+  /** DuckDB twin of [[graft.operators.TextOps.bpeEncodeIds]]: replays
+    * the k-round trainer, RE-DERIVES the artifact vocab exactly as
+    * [[graft.operators.TokenizerArtifact.vocabOf]] does — single-code-
+    * point operands in code-point order (DuckDB's binary collation IS
+    * code-point order; vocabOf sorts by codePointAt to match), then
+    * multi-code-point operands no merge output produces in first-use
+    * order (rank-major, lhs before rhs), then merge outputs in rank
+    * order deduped first-wins, ids dense from 0 — then encodes every
+    * document under the learned table and fingerprints the id streams
+    * (OOV → -1, counted). */
+  private def bpeEncodeIdsOracleSql(k: Int): String = {
+    val mergeUnion = (1 to k).map(r =>
+      s"SELECT $r AS rnk, a, b FROM p$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainerCtes(k)},
+       m AS MATERIALIZED ($mergeUnion),
+       ops AS (SELECT a AS s, rnk * 2 AS fu FROM m
+         UNION ALL SELECT b, rnk * 2 + 1 FROM m),
+       outs AS (SELECT a || b AS s, rnk FROM m),
+       voc0 AS (
+         SELECT s, 0 AS sec, s AS skey, 0 AS fkey
+           FROM (SELECT DISTINCT s FROM ops WHERE len(s) = 1)
+         UNION ALL
+         SELECT s, 1, '', MIN(fu) FROM ops
+           WHERE len(s) > 1 AND s NOT IN (SELECT s FROM outs) GROUP BY s
+         UNION ALL
+         SELECT s, 2, '', MIN(rnk) FROM outs GROUP BY s),
+       vocab AS MATERIALIZED (
+         SELECT s, row_number() OVER (ORDER BY sec, skey, fkey) - 1 AS id
+         FROM voc0),
+       t AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         FROM documents),
+       wu AS (SELECT doc_id, i.i AS wi, words[i.i] AS w
+         FROM t, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) i
+         WHERE len(words) > 0),
+       wp AS (SELECT word, string_split(trim(s), '  ') AS pcs FROM s$k),
+       pe AS (SELECT wu.doc_id, wu.wi, wp.pcs
+         FROM wu JOIN wp ON wp.word = wu.w),
+       de AS (SELECT doc_id, flatten(list(pcs ORDER BY wi)) AS pcs
+         FROM pe GROUP BY doc_id),
+       dep AS (SELECT doc_id, unnest(pcs) AS p,
+           unnest(range(1, len(pcs) + 1)) AS pi FROM de),
+       idp AS (SELECT dep.doc_id, dep.pi, COALESCE(v.id, -1) AS tid
+         FROM dep LEFT JOIN vocab v ON v.s = dep.p),
+       agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bpe,
+           CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pi)) AS ids_fp
+         FROM idp GROUP BY doc_id)
+       SELECT t.doc_id, coalesce(agg.n_bpe, 0) AS n_bpe,
+         coalesce(agg.n_oov, 0) AS n_oov,
+         coalesce(agg.ids_fp, md5('')) AS ids_fp
+       FROM t LEFT JOIN agg USING (doc_id)
+       ORDER BY t.doc_id"""
+  }
+
+  /** DuckDB twin of [[graft.operators.TextOps.piiScrub]]: the same
+    * doc_id-derived injection, the same lookaround-free patterns
+    * (java.util.regex and RE2 agree), the same redaction order; DuckDB
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-all default. */
+  private def piiScrubOracleSql: String = {
+    val email = graft.operators.TextOps.EmailPat
+    val ip = graft.operators.TextOps.Ipv4Pat
+    val phone = graft.operators.TextOps.PhonePat
+    s"""WITH d AS (SELECT doc_id, text ||
+         CASE WHEN doc_id % 2 = 0
+           THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0
+           THEN ' from 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+             || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+           ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+           THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS dirty
+       FROM documents),
+       c AS (SELECT doc_id,
+         CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(dirty, '$ip')) AS BIGINT) AS n_ip,
+         CAST(len(regexp_extract_all(dirty, '$phone')) AS BIGINT) AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+           '$email', '<EMAIL>', 'g'),
+           '$ip', '<IP>', 'g'),
+           '$phone', '<PHONE>', 'g')) AS scrub_fp
+       FROM d)
+       SELECT doc_id, n_email, n_ip, n_phone, scrub_fp,
+         n_email + n_ip + n_phone > 0 AS had_pii
+       FROM c ORDER BY doc_id"""
+  }
 
   /** DuckDB twin of [[graft.operators.LayoutOps.bpeRefreshStore]]: the
     * k-round trainer replayed, then EVERY document encoded under the
@@ -4898,6 +4994,10 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_bpe_encode_scaled" -> bpeEncodeScaledOracleSql,
     "q_vocab_artifact_roundtrip" -> vocabArtifactRoundtripOracleSql(6),
+    "q_bpe_encode_ids" -> bpeEncodeIdsOracleSql(6),
+    // regex redaction: injection and scrub both replayed; RE2 and
+    // java.util.regex agree on the lookaround-free patterns
+    "q_pii_scrub" -> piiScrubOracleSql,
     "q_bpe_refresh" -> bpeRefreshOracleSql(6),
     "q_tokenized_store_refresh" -> tokenizedStoreRefreshOracleSql(6),
     "q_tokenized_store_repack" -> tokenizedStoreRepackOracleSql(6),

@@ -1070,13 +1070,17 @@ object TextOps {
 
   /** Column-side pre-split: `w` → its cap-sized code-point segments
     * (identity `array(w)` for in-cap words — the hot path pays one
-    * length compare). Spark's `length`/`substr` count code points, so
-    * this is the exact column twin of [[cappedSegmentsOf]]. */
+    * length compare). The over-cap branch is ONE LINEAR regex pass
+    * (`(?s).{1,cap}` consumes exactly cap code points per match —
+    * java.util.regex treats a supplementary character as one `.`, the
+    * same code-point counting as [[cappedSegmentsOf]]); a substr-chunk
+    * loop would re-seek the UTF-8 offset from the string head per
+    * segment, O(len²/cap) — superlinear again on exactly the
+    * pathological inputs this guard exists for. */
   private[graft] def cappedSegments(w: Column): Column =
     when(length(w) <= BpeWordLenCap, array(w))
-      .otherwise(transform(
-        sequence(lit(0), ((length(w) - 1) / lit(BpeWordLenCap)).cast("int")),
-        k => w.substr(k * lit(BpeWordLenCap) + 1, lit(BpeWordLenCap))))
+      .otherwise(regexp_extract_all(w,
+        lit("(?s).{1," + BpeWordLenCap + "}"), lit(0)))
 
   /** JVM-side pre-split twin of [[cappedSegments]] — cap-sized CODE
     * POINT chunks (surrogate pairs never split; Spark's `substr`
@@ -1279,25 +1283,162 @@ object TextOps {
     * through the one routing point. A bug anywhere in the round trip
     * (merge order, JSON escaping, pair-entry spelling) diverges the
     * piece stream from the oracle's direct trained-table replay. */
-  def vocabArtifactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    val trained = bpeMerges(spark, dir)
-      .orderBy("merge_rank").select("lhs", "rhs")
-      .as[(String, String)].collect().toSeq
-    val root = graft.sources.TmpStores.pidScopedRoot("graft-vocab-artifact")
+  def vocabArtifactRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    withBpePieces(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("toks", tokens(col("text"))),
+      roundTrippedTrainedTable(spark, dir, "graft-vocab-artifact"))
+      .select(col("doc_id"),
+        size(col("pcs")).cast("long").as("n_bpe"),
+        md5(array_join(col("pcs"), " ")).as("tok_fp"))
+      .orderBy("doc_id")
+
+  /** Train on the corpus, export as tokenizer.json, import back —
+    * requiring exact rank-order preservation — and return the imported
+    * table: the shared front half of both artifact-interop gates. */
+  /** Memoized collected trainer output per (corpus dir, k) — the
+    * trainer is deterministic from its corpus, and the two artifact-
+    * interop gates consume the SAME table, so training once per
+    * session is the fixture-build-sharing discipline at table size. */
+  private val trainedTables =
+    scala.collection.mutable.Map.empty[(String, Int), Seq[(String, String)]]
+
+  private[graft] def trainedTable(spark: SparkSession, dir: String,
+      k: Int = 6): Seq[(String, String)] = trainedTables.synchronized {
+    trainedTables.getOrElseUpdate((dir, k), {
+      val spark0 = spark
+      import spark0.implicits._
+      bpeMerges(spark, dir, k)
+        .orderBy("merge_rank").select("lhs", "rhs")
+        .as[(String, String)].collect().toSeq
+    })
+  }
+
+  private[graft] def roundTrippedTrainedTable(spark: SparkSession,
+      dir: String, tag: String): Seq[(String, String)] = {
+    val trained = trainedTable(spark, dir)
+    val root = graft.sources.TmpStores.pidScopedRoot(tag)
     graft.sources.TmpStores.deleteRecursively(root.resolve("artifact"))
     val path = root.resolve("artifact").resolve("tokenizer.json").toString
     TokenizerArtifact.exportTokenizerJson(trained, path)
     val imported = TokenizerArtifact.importMerges(path)
     require(imported == trained,
       "artifact round trip must preserve the rank-ordered merge table")
-    withBpePieces(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-        .withColumn("toks", tokens(col("text"))), imported)
+    imported
+  }
+
+  /** `pcs` (piece array) → `ids` (artifact-vocab token ids, OOV → -1).
+    * Fixture-sized vocabs inline as ONE literal map (codegen'd
+    * `element_at`, zero shuffle); past [[BpeExprMergeLimit]] entries the
+    * lookup runs partition-local over an explicit broadcast map — the
+    * 32k-50k production shape, same discipline as the encode's scale
+    * path (a data-sized vocab does not fit a Catalyst literal). */
+  private[graft] def withPieceIds(df: DataFrame,
+      vocab: Seq[(String, Int)],
+      forcePartitionLocal: Boolean = false): DataFrame =
+    if (!forcePartitionLocal && vocab.size <= BpeExprMergeLimit) {
+      val m = typedLit(vocab.toMap)
+      df.withColumn("ids",
+        transform(col("pcs"), p => coalesce(element_at(m, p), lit(-1))))
+    } else {
+      val spark = df.sparkSession
+      val bc = spark.sparkContext.broadcast(vocab.toMap)
+      val pcsIdx = df.schema.fieldIndex("pcs")
+      val outSchema = df.schema.add("ids",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = true))
+      df.mapPartitions { it =>
+        val m = bc.value
+        it.map { r =>
+          val ids: Seq[Int] =
+            if (r.isNullAt(pcsIdx)) null
+            else r.getSeq[String](pcsIdx).map(p => m.getOrElse(p, -1))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ids)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+
+  /** Encode to TOKEN IDS under the round-tripped artifact — the back
+    * half of the tokenizer interop: a training stack consumes id
+    * streams, not piece strings, so the artifact's vocab map
+    * ([[TokenizerArtifact.vocabOf]]: code-point-sorted alphabet, then
+    * underivable operands, then merge outputs, dense ids) drives a
+    * piece→id mapping over the encoded corpus. A corpus character
+    * outside every merge operand is a REAL out-of-vocabulary token
+    * (id -1, counted per doc) — exactly what a byte-fallback-free BPE
+    * artifact produces. The oracle re-derives the identical vocab
+    * relationally and replays the id stream fingerprints. */
+  def bpeEncodeIds(spark: SparkSession, dir: String): DataFrame = {
+    val imported = roundTrippedTrainedTable(spark, dir, "graft-vocab-ids")
+    val vocab = TokenizerArtifact.vocabOf(imported).zipWithIndex
+    withPieceIds(
+      withBpePieces(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("toks", tokens(col("text"))), imported),
+      vocab)
       .select(col("doc_id"),
-        size(col("pcs")).cast("long").as("n_bpe"),
-        md5(array_join(col("pcs"), " ")).as("tok_fp"))
+        size(col("ids")).cast("long").as("n_bpe"),
+        size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
+        md5(array_join(transform(col("ids"), _.cast("string")), " "))
+          .as("ids_fp"))
+      .orderBy("doc_id")
+  }
+
+  // --- PII scrubbing ---------------------------------------------
+
+  /** Conservative dual-engine-safe patterns (no lookaround, no
+    * backreferences — java.util.regex and RE2 agree on these): the
+    * classes every pre-training redaction pass starts with. */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The redaction chain itself — email, then IPv4, then phone (the
+    * replacements contain no digits or @, so no pass can create a
+    * later pass's match). */
+  private[graft] def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(EmailPat), lit("<EMAIL>")),
+      lit(Ipv4Pat), lit("<IP>")),
+      lit(PhonePat), lit("<PHONE>"))
+
+  /** PII scrubbing — regex redaction of emails / IPv4 addresses / NANP
+    * phone numbers with per-class counts and a scrubbed-text
+    * fingerprint. Pure `regexp_count`/`regexp_replace` column
+    * expressions: codegen'd, zero shuffle — at 100 TB this is a narrow
+    * map over the document scan like the rest of the cleaning family.
+    *
+    * The synthetic corpus is digit-free word salad, so a raw-text gate
+    * would pass vacuously (every count zero, any broken pattern
+    * invisible): the gate instead INJECTS deterministic doc_id-derived
+    * PII relationally (emails on even ids, IPv4 on id%3=0, phones on
+    * id%5=0) before scrubbing — the injection AND the redaction both
+    * replay in the DuckDB oracle, so each pattern demonstrably fires
+    * and over/under-scrubbing flips the fingerprint; the spec
+    * additionally pins semantics on planted real-shaped strings. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val dirty = concat(col("text"),
+      when(id % 2 === 0,
+        concat(lit(" reach user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit(" from 10."), ((id % 200) + 1).cast("string"),
+          lit(".0."), ((id % 250) + 1).cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call 202-555-"),
+          lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val scrubbed = scrubPii(dirty)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(dirty, lit(EmailPat)).cast("long").as("n_email"),
+        regexp_count(dirty, lit(Ipv4Pat)).cast("long").as("n_ip"),
+        regexp_count(dirty, lit(PhonePat)).cast("long").as("n_phone"),
+        md5(scrubbed).as("scrub_fp"))
+      .withColumn("had_pii",
+        col("n_email") + col("n_ip") + col("n_phone") > 0)
       .orderBy("doc_id")
   }
 

@@ -32,8 +32,13 @@ object TokenizerArtifact {
     * first-wins, ids = positions. */
   private[graft] def vocabOf(table: Seq[(String, String)]): Seq[String] = {
     val operands = table.flatMap { case (a, b) => Seq(a, b) }
+    // CODE-POINT order, not UTF-16 lexicographic: a supplementary char
+    // would sort below U+E000 under String's surrogate-unit compare,
+    // diverging from the UTF-8 binary order an engine-independent
+    // replay (DuckDB ORDER BY) uses
     val alphabet = operands
-      .filter(s => s.codePointCount(0, s.length) == 1).distinct.sorted
+      .filter(s => s.codePointCount(0, s.length) == 1)
+      .distinct.sortBy(_.codePointAt(0))
     val outputs = table.map { case (a, b) => a + b }
     val produced = alphabet.toSet ++ outputs
     val underivable = operands.filterNot(produced).distinct

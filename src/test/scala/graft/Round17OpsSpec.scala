@@ -338,6 +338,57 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(inCache.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("piece-to-id mapping agrees across the literal-map and broadcast paths, OOV as -1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((0L, Seq("ab", "zq", "a")), (1L, Seq[String]()), (2L, Seq("ba")))
+      .toDF("doc_id", "pcs")
+    val vocab = Seq("a" -> 0, "b" -> 1, "ab" -> 2, "ba" -> 3)
+    for (force <- Seq(false, true)) {
+      val got = TextOps.withPieceIds(docs, vocab, forcePartitionLocal = force)
+        .select(col("doc_id"), col("ids")).as[(Long, Seq[Int])]
+        .collect().toMap
+      assert(got(0L) == Seq(2, -1, 0), s"force=$force") // zq is OOV
+      assert(got(1L) == Seq.empty[Int], s"force=$force")
+      assert(got(2L) == Seq(3), s"force=$force")
+    }
+    // a production-sized vocab routes partition-local by size alone
+    val big = vocab ++ (0 to TextOps.BpeExprMergeLimit).map(i => (s"¤$i", 100 + i))
+    val gotBig = TextOps.withPieceIds(docs, big)
+      .select(col("doc_id"), col("ids")).as[(Long, Seq[Int])].collect().toMap
+    assert(gotBig(0L) == Seq(2, -1, 0))
+  }
+
+  test("the artifact vocab covers alphabet, underivable operands, and outputs with dense ids") {
+    // hand-built table: b's operand 'cd' is underivable (no merge
+    // produces it), output 'ab' repeats (dedup keeps first rank), and
+    // the alphabet sorts by CODE POINT (𝕒 U+1D552 sorts after z even
+    // though its UTF-16 lead surrogate is below 'z' + 0x8000 range)
+    val table = Seq(("a", "b"), ("cd", "a"), ("a", "b"), ("z", "𝕒"))
+    val v = graft.operators.TokenizerArtifact.vocabOf(table)
+    assert(v == Seq("a", "b", "z", "𝕒", "cd", "ab", "cda", "z𝕒"))
+  }
+
+  test("pii scrub redacts planted emails, IPs, and phones without touching clean text") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      (0L, "write a.b-c%d@sub.example.org today"),
+      (1L, "host 192.168.0.1 and 10.2.3.4 up"),
+      (2L, "call 202-555-0142 now"),
+      (3L, "clean text only, version 1.2 stays, 12-34-5678 stays"),
+      (4L, "mix x@y.io at 8.8.8.8 dial 415-555-2671"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("s")).as[(Long, String)]
+      .collect().toMap
+    assert(got(0L) == "write <EMAIL> today")
+    assert(got(1L) == "host <IP> and <IP> up")
+    assert(got(2L) == "call <PHONE> now")
+    assert(got(3L) == "clean text only, version 1.2 stays, 12-34-5678 stays")
+    assert(got(4L) == "mix <EMAIL> at <IP> dial <PHONE>")
+  }
+
   test("repack and refresh queries stay order-independent under the shared fixture build") {
     // the adversarial order: repack runs FIRST (it both triggers the
     // shared build and mutates — refresh-applies AND repacks — its own
