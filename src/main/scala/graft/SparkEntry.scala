@@ -245,9 +245,6 @@ object SparkEntry {
     // the interop's back half: piece→id under the artifact's derived
     // vocab map (OOV → -1), id-stream fingerprints per doc
     "q_bpe_encode_ids" -> ((s, d) => TextOps.bpeEncodeIds(s, d)),
-    // regex PII redaction (emails/IPv4/phones) over relationally
-    // injected doc_id-derived PII — counts + scrubbed fingerprint
-    "q_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     // tokenizer refresh lifecycle: retrain merges on the accreted corpus
     // into a versioned artifact, re-encode ONLY stale-vocab eras via the
     // touched-partition overwrite, manifest the refreshed store
@@ -500,41 +497,6 @@ object SparkEntry {
          coalesce(agg.ids_fp, md5('')) AS ids_fp
        FROM t LEFT JOIN agg USING (doc_id)
        ORDER BY t.doc_id"""
-  }
-
-  /** DuckDB twin of [[graft.operators.TextOps.piiScrub]]: the same
-    * doc_id-derived injection, the same lookaround-free patterns
-    * (java.util.regex and RE2 agree), the same redaction order; DuckDB
-    * regexp_replace needs the explicit 'g' flag to match Spark's
-    * replace-all default. */
-  private def piiScrubOracleSql: String = {
-    val email = graft.operators.TextOps.EmailPat
-    val ip = graft.operators.TextOps.Ipv4Pat
-    val phone = graft.operators.TextOps.PhonePat
-    s"""WITH d AS (SELECT doc_id, text ||
-         CASE WHEN doc_id % 2 = 0
-           THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
-           ELSE '' END ||
-         CASE WHEN doc_id % 3 = 0
-           THEN ' from 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
-             || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)
-           ELSE '' END ||
-         CASE WHEN doc_id % 5 = 0
-           THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-           ELSE '' END AS dirty
-       FROM documents),
-       c AS (SELECT doc_id,
-         CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_email,
-         CAST(len(regexp_extract_all(dirty, '$ip')) AS BIGINT) AS n_ip,
-         CAST(len(regexp_extract_all(dirty, '$phone')) AS BIGINT) AS n_phone,
-         md5(regexp_replace(regexp_replace(regexp_replace(dirty,
-           '$email', '<EMAIL>', 'g'),
-           '$ip', '<IP>', 'g'),
-           '$phone', '<PHONE>', 'g')) AS scrub_fp
-       FROM d)
-       SELECT doc_id, n_email, n_ip, n_phone, scrub_fp,
-         n_email + n_ip + n_phone > 0 AS had_pii
-       FROM c ORDER BY doc_id"""
   }
 
   /** DuckDB twin of [[graft.operators.LayoutOps.bpeRefreshStore]]: the
@@ -4995,9 +4957,6 @@ object SparkEntry {
     "q_bpe_encode_scaled" -> bpeEncodeScaledOracleSql,
     "q_vocab_artifact_roundtrip" -> vocabArtifactRoundtripOracleSql(6),
     "q_bpe_encode_ids" -> bpeEncodeIdsOracleSql(6),
-    // regex redaction: injection and scrub both replayed; RE2 and
-    // java.util.regex agree on the lookaround-free patterns
-    "q_pii_scrub" -> piiScrubOracleSql,
     "q_bpe_refresh" -> bpeRefreshOracleSql(6),
     "q_tokenized_store_refresh" -> tokenizedStoreRefreshOracleSql(6),
     "q_tokenized_store_repack" -> tokenizedStoreRepackOracleSql(6),

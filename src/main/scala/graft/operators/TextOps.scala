@@ -1384,64 +1384,6 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  // --- PII scrubbing ---------------------------------------------
-
-  /** Conservative dual-engine-safe patterns (no lookaround, no
-    * backreferences — java.util.regex and RE2 agree on these): the
-    * classes every pre-training redaction pass starts with. */
-  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-  private[graft] val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-
-  /** The redaction chain itself — email, then IPv4, then phone (the
-    * replacements contain no digits or @, so no pass can create a
-    * later pass's match). */
-  private[graft] def scrubPii(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      lit(EmailPat), lit("<EMAIL>")),
-      lit(Ipv4Pat), lit("<IP>")),
-      lit(PhonePat), lit("<PHONE>"))
-
-  /** PII scrubbing — regex redaction of emails / IPv4 addresses / NANP
-    * phone numbers with per-class counts and a scrubbed-text
-    * fingerprint. Pure `regexp_count`/`regexp_replace` column
-    * expressions: codegen'd, zero shuffle — at 100 TB this is a narrow
-    * map over the document scan like the rest of the cleaning family.
-    *
-    * The synthetic corpus is digit-free word salad, so a raw-text gate
-    * would pass vacuously (every count zero, any broken pattern
-    * invisible): the gate instead INJECTS deterministic doc_id-derived
-    * PII relationally (emails on even ids, IPv4 on id%3=0, phones on
-    * id%5=0) before scrubbing — the injection AND the redaction both
-    * replay in the DuckDB oracle, so each pattern demonstrably fires
-    * and over/under-scrubbing flips the fingerprint; the spec
-    * additionally pins semantics on planted real-shaped strings. */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val dirty = concat(col("text"),
-      when(id % 2 === 0,
-        concat(lit(" reach user"), id.cast("string"), lit("@example.com")))
-        .otherwise(lit("")),
-      when(id % 3 === 0,
-        concat(lit(" from 10."), ((id % 200) + 1).cast("string"),
-          lit(".0."), ((id % 250) + 1).cast("string")))
-        .otherwise(lit("")),
-      when(id % 5 === 0,
-        concat(lit(" call 202-555-"),
-          lpad((id % 10000).cast("string"), 4, "0")))
-        .otherwise(lit("")))
-    val scrubbed = scrubPii(dirty)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        regexp_count(dirty, lit(EmailPat)).cast("long").as("n_email"),
-        regexp_count(dirty, lit(Ipv4Pat)).cast("long").as("n_ip"),
-        regexp_count(dirty, lit(PhonePat)).cast("long").as("n_phone"),
-        md5(scrubbed).as("scrub_fp"))
-      .withColumn("had_pii",
-        col("n_email") + col("n_ip") + col("n_phone") > 0)
-      .orderBy("doc_id")
-  }
-
   /** Per-word BPE piece ARRAY under [[BpeMergeTable]] — the unrolled
     * encode chain shared by [[bpeEncodeFrame]], [[bpeFertility]] and the
     * tokenized shard writer ([[LayoutOps.tokenizedShardStore]]). Capped

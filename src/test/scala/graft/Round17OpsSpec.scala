@@ -369,26 +369,6 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(v == Seq("a", "b", "z", "𝕒", "cd", "ab", "cda", "z𝕒"))
   }
 
-  test("pii scrub redacts planted emails, IPs, and phones without touching clean text") {
-    val spark0 = spark
-    import spark0.implicits._
-    val rows = Seq(
-      (0L, "write a.b-c%d@sub.example.org today"),
-      (1L, "host 192.168.0.1 and 10.2.3.4 up"),
-      (2L, "call 202-555-0142 now"),
-      (3L, "clean text only, version 1.2 stays, 12-34-5678 stays"),
-      (4L, "mix x@y.io at 8.8.8.8 dial 415-555-2671"))
-      .toDF("doc_id", "text")
-    val got = rows.select(col("doc_id"),
-        TextOps.scrubPii(col("text")).as("s")).as[(Long, String)]
-      .collect().toMap
-    assert(got(0L) == "write <EMAIL> today")
-    assert(got(1L) == "host <IP> and <IP> up")
-    assert(got(2L) == "call <PHONE> now")
-    assert(got(3L) == "clean text only, version 1.2 stays, 12-34-5678 stays")
-    assert(got(4L) == "mix <EMAIL> at <IP> dial <PHONE>")
-  }
-
   test("repack and refresh queries stay order-independent under the shared fixture build") {
     // the adversarial order: repack runs FIRST (it both triggers the
     // shared build and mutates — refresh-applies AND repacks — its own
