@@ -1207,6 +1207,39 @@ object TextOps {
         } else false
     }
 
+  /** [[bpeBroadcastCache]]'s discipline for the id-mapping vocab: one
+    * broadcast per (application, vocab content), so a caller invoking
+    * the scale-path lookup per micro-batch cannot accrete a 32k-entry
+    * map copy per batch. */
+  private val vocabBroadcastCache =
+    new java.util.LinkedHashMap[(String, Seq[(String, Int)]),
+        org.apache.spark.broadcast.Broadcast[Map[String, Int]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[(String, Int)]),
+            org.apache.spark.broadcast.Broadcast[Map[String, Int]]])
+          : Boolean =
+        if (size > 4) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () } // context stopped — nothing to drop
+          true
+        } else false
+    }
+
+  private[graft] def broadcastVocabMap(spark: SparkSession,
+      vocab: Seq[(String, Int)])
+      : org.apache.spark.broadcast.Broadcast[Map[String, Int]] =
+    vocabBroadcastCache.synchronized {
+      val key = (spark.sparkContext.applicationId, vocab)
+      val hit = vocabBroadcastCache.get(key)
+      if (hit != null) hit
+      else {
+        val bc = spark.sparkContext.broadcast(vocab.toMap)
+        vocabBroadcastCache.put(key, bc)
+        bc
+      }
+    }
+
   private[graft] def broadcastMergeTable(spark: SparkSession,
       table: Seq[(String, String)])
       : org.apache.spark.broadcast.Broadcast[Array[(String, String)]] =
@@ -1342,7 +1375,7 @@ object TextOps {
         transform(col("pcs"), p => coalesce(element_at(m, p), lit(-1))))
     } else {
       val spark = df.sparkSession
-      val bc = spark.sparkContext.broadcast(vocab.toMap)
+      val bc = broadcastVocabMap(spark, vocab)
       val pcsIdx = df.schema.fieldIndex("pcs")
       val outSchema = df.schema.add("ids",
         org.apache.spark.sql.types.ArrayType(

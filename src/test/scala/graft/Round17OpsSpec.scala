@@ -261,6 +261,29 @@ class Round17OpsSpec extends AnyFunSuite {
       "the encoder core must sustain >10k words/s under a 32k-rank table")
     assert(hitRate > 0.5,
       "natural-text repeats must mostly hit the per-partition memo")
+
+    // the ID-MAPPING scale path under the same production-sized
+    // artifact: a 32k+ vocab routes the piece→id lookup through the
+    // broadcast partition-local branch; ids must equal the driver-side
+    // map over the naive pieces, and the broadcast must be cached
+    val vocab = graft.operators.TokenizerArtifact.vocabOf(table).zipWithIndex
+    assert(vocab.size > TextOps.BpeExprMergeLimit)
+    val vmap = vocab.toMap
+    val gotIds = TextOps.withPieceIds(
+        TextOps.withBpePieces(
+          docs.withColumn("toks", TextOps.tokens(col("text"))), table),
+        vocab)
+      .select(col("doc_id"), col("ids")).as[(Long, Seq[Int])]
+      .collect().toMap
+    toks.foreach { case (id, ws) =>
+      val expectIds = ws.flatMap(w =>
+        memo.getOrElseUpdate(w, naiveChain(w, firing)))
+        .map(p => vmap.getOrElse(p, -1))
+      assert(gotIds(id) == expectIds, s"doc $id id stream diverged at 32k vocab")
+    }
+    assert(TextOps.broadcastVocabMap(spark, vocab)
+      eq TextOps.broadcastVocabMap(spark, vocab.map(identity)),
+      "the vocab broadcast must be content-cached like the merge table's")
   }
 
   test("the tokenizer.json artifact round-trips the trained table and its encode") {
