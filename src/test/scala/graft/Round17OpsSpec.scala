@@ -382,6 +382,22 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(gotBig(0L) == Seq(2, -1, 0))
   }
 
+  test("fixture-sized id mapping stays a codegen'd expression; big vocabs go partition-local") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((0L, Seq("a", "b"))).toDF("doc_id", "pcs")
+    val small = Seq("a" -> 0, "b" -> 1)
+    val smallPlan = TextOps.withPieceIds(docs, small)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("MapPartitions"),
+      "a fixture-sized vocab must stay in the expression plan (whole-stage codegen)")
+    val big = small ++ (0 to TextOps.BpeExprMergeLimit).map(i => (s"¤$i", 10 + i))
+    val bigPlan = TextOps.withPieceIds(docs, big)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("MapPartitions"),
+      "a production-sized vocab must route partition-local, not build a giant literal")
+  }
+
   test("the artifact vocab covers alphabet, underivable operands, and outputs with dense ids") {
     // hand-built table: b's operand 'cd' is underivable (no merge
     // produces it), output 'ab' repeats (dedup keeps first rank), and
