@@ -50,10 +50,15 @@ private[graft] object SharedStage {
   def stagedPast(df: DataFrame, rowThreshold: Long): DataFrame = {
     val key = (df.sparkSession.sparkContext.applicationId,
       df.queryExecution.analyzed.canonicalized)
-    val hit = resolved.get(key)
-    if (hit != null) return hit
-    val c = cached(df) // persist + eager fill
-    val out =
+    // compute UNDER the map lock: two racing first callers would each
+    // materialize and each write their own staged dir (one orphaned on
+    // disk, its write pure waste) — the same racing-consumers hazard
+    // the eager cache fill guards against
+    resolved.computeIfAbsent(key, _ => {
+      // lazy persist: the ONE routing count() below both fills the
+      // cache and decides the route — an eager fill first would scan
+      // the stage twice on every first materialization
+      val c = cached(df, eager = false)
       if (c.count() <= rowThreshold) c
       else {
         val dir = graft.sources.TmpStores
@@ -63,7 +68,6 @@ private[graft] object SharedStage {
         c.unpersist()
         df.sparkSession.read.parquet(dir)
       }
-    val prev = resolved.putIfAbsent(key, out)
-    if (prev != null) prev else out
+    })
   }
 }

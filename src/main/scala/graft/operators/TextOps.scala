@@ -1184,75 +1184,56 @@ object TextOps {
       }(org.apache.spark.sql.Encoders.row(outSchema))
     }
 
-  /** Broadcast-once cache for scale-path merge tables, keyed on
-    * (applicationId, table CONTENT) — content equality, not a
-    * fingerprint, so a collision can never swap vocabularies. Bounded
-    * at a handful of live tables (a deployment runs one or two vocab
-    * versions at a time); an evicted entry is `unpersist`ed (executor
-    * copies drop; a straggling task that still holds the handle
-    * re-fetches from the driver — unlike `destroy`, unpersist keeps
-    * the broadcast usable), never destroyed under a running plan. */
-  private val bpeBroadcastCache =
-    new java.util.LinkedHashMap[(String, Seq[(String, String)]),
-        org.apache.spark.broadcast.Broadcast[Array[(String, String)]]](
-        16, 0.75f, true) {
+  /** Broadcast-once cache keyed on (applicationId, source CONTENT) —
+    * content equality, not a fingerprint, so a collision can never
+    * swap vocabularies. Bounded at a handful of live entries (a
+    * deployment runs one or two vocab versions at a time); an evicted
+    * entry is `unpersist`ed (executor copies drop; a straggling task
+    * that still holds the handle re-fetches from the driver — unlike
+    * `destroy`, unpersist keeps the broadcast usable), never destroyed
+    * under a running plan. ONE implementation for both scale-path
+    * artifacts (the merge table and the id-mapping vocab) so the
+    * eviction discipline can never diverge between them. */
+  private final class BroadcastCache[K, V: scala.reflect.ClassTag](
+      convert: K => V) {
+    private val m = new java.util.LinkedHashMap[(String, K),
+        org.apache.spark.broadcast.Broadcast[V]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[(String, String)]),
-            org.apache.spark.broadcast.Broadcast[Array[(String, String)]]])
-          : Boolean =
+          e: java.util.Map.Entry[(String, K),
+            org.apache.spark.broadcast.Broadcast[V]]): Boolean =
         if (size > 4) {
           try e.getValue.unpersist(blocking = false)
           catch { case _: Exception => () } // context stopped — nothing to drop
           true
         } else false
     }
+    def get(spark: SparkSession, key: K)
+        : org.apache.spark.broadcast.Broadcast[V] = m.synchronized {
+      val k = (spark.sparkContext.applicationId, key)
+      val hit = m.get(k)
+      if (hit != null) hit
+      else {
+        val bc = spark.sparkContext.broadcast(convert(key))
+        m.put(k, bc)
+        bc
+      }
+    }
+  }
 
-  /** [[bpeBroadcastCache]]'s discipline for the id-mapping vocab: one
-    * broadcast per (application, vocab content), so a caller invoking
-    * the scale-path lookup per micro-batch cannot accrete a 32k-entry
-    * map copy per batch. */
+  private val bpeBroadcastCache =
+    new BroadcastCache[Seq[(String, String)], Array[(String, String)]](_.toArray)
   private val vocabBroadcastCache =
-    new java.util.LinkedHashMap[(String, Seq[(String, Int)]),
-        org.apache.spark.broadcast.Broadcast[Map[String, Int]]](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[(String, Int)]),
-            org.apache.spark.broadcast.Broadcast[Map[String, Int]]])
-          : Boolean =
-        if (size > 4) {
-          try e.getValue.unpersist(blocking = false)
-          catch { case _: Exception => () } // context stopped — nothing to drop
-          true
-        } else false
-    }
+    new BroadcastCache[Seq[(String, Int)], Map[String, Int]](_.toMap)
 
   private[graft] def broadcastVocabMap(spark: SparkSession,
       vocab: Seq[(String, Int)])
       : org.apache.spark.broadcast.Broadcast[Map[String, Int]] =
-    vocabBroadcastCache.synchronized {
-      val key = (spark.sparkContext.applicationId, vocab)
-      val hit = vocabBroadcastCache.get(key)
-      if (hit != null) hit
-      else {
-        val bc = spark.sparkContext.broadcast(vocab.toMap)
-        vocabBroadcastCache.put(key, bc)
-        bc
-      }
-    }
+    vocabBroadcastCache.get(spark, vocab)
 
   private[graft] def broadcastMergeTable(spark: SparkSession,
       table: Seq[(String, String)])
       : org.apache.spark.broadcast.Broadcast[Array[(String, String)]] =
-    bpeBroadcastCache.synchronized {
-      val key = (spark.sparkContext.applicationId, table)
-      val hit = bpeBroadcastCache.get(key)
-      if (hit != null) hit
-      else {
-        val bc = spark.sparkContext.broadcast(table.toArray)
-        bpeBroadcastCache.put(key, bc)
-        bc
-      }
-    }
+    bpeBroadcastCache.get(spark, table)
 
   /** BPE encode under a PRODUCTION-SIZED vocab — the oracle-gated proof
     * of [[withBpePieces]]'s scale path: the merge table is

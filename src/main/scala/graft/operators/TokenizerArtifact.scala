@@ -82,8 +82,11 @@ object TokenizerArtifact {
     require(merges.isArray, s"artifact has no merges list: $path")
     (0 until merges.size).map { i =>
       val node = merges.get(i)
-      if (node.isArray) (node.get(0).asText(), node.get(1).asText())
-      else {
+      if (node.isArray) {
+        require(node.size() >= 2 && !node.get(0).isNull && !node.get(1).isNull,
+          s"malformed pair merge entry at rank $i: $node")
+        (node.get(0).asText(), node.get(1).asText())
+      } else {
         val s = node.asText()
         val sp = s.indexOf(' ')
         require(sp > 0 && sp < s.length - 1, s"malformed merge entry: '$s'")

@@ -873,8 +873,15 @@ object CurationStream {
   private[graft] def tokenizedStoreRefreshBuiltCopy(spark: SparkSession,
       dir: String, tag: String): (String, String) = {
     val (bStore, bVocab) = tokRefreshBuilds.synchronized {
+      // the shared root is PER CORPUS DIR: one fixed root would let a
+      // build for a second dir delete and replace the first dir's
+      // built state while the memo still served its paths (the bench
+      // runs a warm pass at sf0.001 and measures at another sf in one
+      // JVM — only strict A…A-then-B…B ordering kept that latent)
+      val shared = "graft-curation-tokshared-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       tokRefreshBuilds.getOrElseUpdate(dir,
-        tokenizedStoreRefreshBuild(spark, dir, tag = "graft-curation-tokshared"))
+        tokenizedStoreRefreshBuild(spark, dir, tag = shared))
     }
     val root = graft.sources.TmpStores.pidScopedRoot(tag)
     Seq("tstore", "vocab").foreach(d =>

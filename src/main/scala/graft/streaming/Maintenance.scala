@@ -87,7 +87,17 @@ object Maintenance {
             Some(s"failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
     }
-    if (firstFailure != null) throw firstFailure
+    if (firstFailure != null) {
+      // the Report can't ride the exception to the caller, but the
+      // sweep DID run — surface the per-store outcomes (including the
+      // successful stores' dropped-counts) on stderr so a loud nightly
+      // failure doesn't also lose the night's maintenance record
+      System.err.println("[maintenance] failing after full sweep; partial report: " +
+        outcomes.map(o => s"${o.store}/${o.kind}=" +
+          o.aborted.map(a => s"ABORTED($a)").getOrElse(s"dropped ${o.dropped}"))
+          .mkString("; "))
+      throw firstFailure
+    }
     Report(outcomes)
   }
 

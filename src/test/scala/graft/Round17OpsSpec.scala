@@ -432,6 +432,23 @@ class Round17OpsSpec extends AnyFunSuite {
       "the repack result is the re-derived grid, not the refresh grid riding through")
   }
 
+  test("the shared fixture build survives interleaved corpus dirs (A-B-A)") {
+    // the shared root is per corpus dir: a build for a second dir must
+    // not delete-and-replace the first dir's built state while the
+    // memo still serves its paths (the bench interleaves a sf0.001
+    // warm pass with the measured sf in one JVM)
+    val dirB = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dirB/documents.parquet").exists)
+    val first = graft.streaming.CurationStream
+      .tokenizedStoreRefreshQuery(spark, dir).collect().toSeq
+    graft.streaming.CurationStream
+      .tokenizedStoreRepackQuery(spark, dirB).collect()
+    val again = graft.streaming.CurationStream
+      .tokenizedStoreRefreshQuery(spark, dir).collect().toSeq
+    assert(again == first,
+      "a dir-A query after a dir-B build must still copy dir A's pristine build")
+  }
+
   test("a crashed refresh's orphaned staging dir is swept on the stale.isEmpty early-return path") {
     val spark0 = spark
     import spark0.implicits._
