@@ -586,6 +586,17 @@ object LayoutOps {
       .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
         col("win"), (col("win") % nShards).as("shard"))
 
+  /** [[assignWindows]] with the accreted token offset as a PLAN LITERAL —
+    * for callers that already hold the counter value on the driver (the
+    * streaming tail path reads its counter once per batch): same output,
+    * no broadcast crossJoin exchange in the per-batch plan. */
+  private[graft] def assignWindows(ranked0: DataFrame, ctx: Long,
+      nShards: Int, baseTokens: Long): DataFrame =
+    withTokenStart(ranked0)
+      .withColumn("win", expr(s"(start + ${baseTokens}L) div $ctx"))
+      .select(col("doc_id"), col("pos"), col("n_bpe"), col("tok_str"),
+        col("win"), (col("win") % nShards).as("shard"))
+
   /** Add each document's global token START offset — the running token
     * sum before it in pos order — via the two-pass 256-bucket prefix
     * sum: the md5-leading-byte bucket is monotone in pos, so a

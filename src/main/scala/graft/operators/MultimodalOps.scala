@@ -427,8 +427,15 @@ object MultimodalOps {
       * leave the peak untouched and land in bucket 0, so only
       * `count[0]` moves and only bit 0 can flip (Hamming ≤ 1) — both
       * inside any banded-LSH recall radius by pigeonhole. */
-    def ahashOf(id: Long, bytes: Array[Byte]): Long = {
-      val s = decodeSamples(id, bytes)
+    def ahashOf(id: Long, bytes: Array[Byte]): Long =
+      ahashOfSamples(id, decodeSamples(id, bytes))
+
+    /** [[ahashOf]] over ALREADY-DECODED PCM — the one-decode path for
+      * callers that also need the sample stats (the cross-modal gate
+      * decodes once via [[decodeMetaAndSamples]] and feeds both
+      * consumers): identical arithmetic, no second RIFF walk or sample
+      * array materialization per asset. */
+    private[graft] def ahashOfSamples(id: Long, s: Array[Int]): Long = {
       var peak = 0
       var i = 0
       while (i < s.length) {
@@ -490,6 +497,47 @@ object MultimodalOps {
         i += 1
       }
       AudioMeta(id, rate, n, n.toLong * 1000000L / rate, peak, energy)
+    }
+
+    /** ONE decode serving both consumers — the chunk walk plus a single
+      * sample pass yields the codec-recovered stats AND the PCM array.
+      * The cross-modal gate needs both per asset; calling [[decode]] and
+      * [[decodeSamples]] separately walked the RIFF container and read
+      * every sample twice, pure per-task waste on the hot codec path
+      * (optimization guide §1.2 step 2). Field-for-field the same
+      * validation and arithmetic as [[decode]]. */
+    private[graft] def decodeMetaAndSamples(id: Long,
+        bytes: Array[Byte]): (AudioMeta, Array[Int]) = {
+      require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        s"asset $id is not a RIFF/WAVE stream")
+      var off = 12
+      var rate = -1; var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+        val id4 = tag(bytes, off); val len = rdLe32(bytes, off + 4)
+        id4 match {
+          case "fmt " =>
+            require(rdLe16(bytes, off + 8) == 1, s"asset $id is not PCM")
+            require(rdLe16(bytes, off + 10) == 1, s"asset $id is not mono")
+            require(rdLe16(bytes, off + 22) == 16, s"asset $id is not 16-bit")
+            rate = rdLe32(bytes, off + 12)
+          case "data" => dataOff = off + 8; dataLen = len
+          case _ => () // skip unknown chunks (LIST, fact, ...)
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, s"asset $id: missing fmt/data chunk")
+      val n = dataLen / 2
+      val s = new Array[Int](n)
+      var peak = 0; var energy = 0L
+      var i = 0
+      while (i < n) {
+        val v = rdLe16(bytes, dataOff + i * 2).toShort.toInt
+        s(i) = v
+        val a = math.abs(v); if (a > peak) peak = a
+        energy += v.toLong * v
+        i += 1
+      }
+      (AudioMeta(id, rate, n, n.toLong * 1000000L / rate, peak, energy), s)
     }
 
     /** DECODE to the raw PCM samples (same chunk walk as [[decode]]). */
@@ -683,8 +731,15 @@ object MultimodalOps {
       * solid frame's probe pixel untouched — each twin's signature is
       * BYTE-IDENTICAL to its original's, so the dedup join is an exact
       * equi-join on the signature, no Hamming radius needed. */
-    def vhashOf(id: Long, bytes: Array[Byte]): String = {
-      val grays = decodeFrames(id, bytes).map(_.gray)
+    def vhashOf(id: Long, bytes: Array[Byte]): String =
+      vhashOfGrays(id, decodeFrames(id, bytes).map(_.gray))
+
+    /** [[vhashOf]] over ALREADY-DECODED frame luminances — the
+      * one-decode path for callers that also need the frame metadata
+      * (the cross-modal gate): identical arithmetic, no second
+      * container walk per asset (the GIF sequence decode is the single
+      * most expensive codec call in the gate). */
+    private[graft] def vhashOfGrays(id: Long, grays: Seq[Int]): String = {
       require(grays.length >= 2, s"asset $id has <2 frames; no temporal signature")
       val collapsed = grays.head +: grays.sliding(2).collect {
         case Seq(a, b) if a != b => b

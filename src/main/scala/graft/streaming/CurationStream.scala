@@ -118,7 +118,7 @@ object CurationStream {
     * outcome is exact-duplicate rows a `dropDuplicates` read resolves;
     * positions stay dense and immutable under every single-crash
     * schedule. */
-  private[streaming] object TailCounter {
+  private[graft] object TailCounter {
     private def rows(spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
       val base = graft.sources.Stage.currentTarget(dir).toSeq
@@ -139,6 +139,22 @@ object CurationStream {
     /** Redelivery guard: has this batch already committed its append? */
     def hasBatch(spark: SparkSession, dir: String, batchId: Long): Boolean =
       !rows(spark, dir).filter(col("batch_id") === batchId).isEmpty
+
+    /** ONE counter read serving the redelivery guard AND the offsets:
+      * the per-batch hot path paid two reads of the same tiny store
+      * (hasBatch, then state consumed via a broadcast crossJoin per
+      * store). The row set is batch-count-sized by construction, so a
+      * single driver collect answers both, and the offsets flow into
+      * the append plans as LITERALS — one job instead of two plus two
+      * broadcast exchanges (guide §1.2 step 1, fewer per-batch jobs).
+      * None = this batch already committed its append (skip). */
+    def snapshot(spark: SparkSession, dir: String,
+        batchId: Long): Option[(Long, Long)] = {
+      val all = rows(spark, dir)
+        .select("batch_id", "n_docs", "n_tokens").collect()
+      if (all.exists(_.getLong(0) == batchId)) None
+      else Some((all.map(_.getLong(1)).sum, all.map(_.getLong(2)).sum))
+    }
 
     /** Record a committed batch append; folds the file set into one
       * generation at the delta budget (same swap discipline as
@@ -313,6 +329,14 @@ object CurationStream {
     incoming.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch
+          // spread the quality/hash/shingle pass across cores: an
+          // arriving micro-batch carries its SOURCE file partitioning
+          // (the fixture's one file = 1-4 partitions), and the per-word
+          // rlike/aggregate chain is the batch's compute-heavy text pass
+          // (Probe: a 6 s four-task stage at sf0.1). One narrow shuffle
+          // of the raw batch unlocks full parallelism for it (guide
+          // §2.5 input skew: repartition immediately after the read)
+          .repartition(spark.sparkContext.defaultParallelism)
           .withColumn("words", TextOps.tokens(col("text")))
           .withColumn("n_words", size(col("words")).cast("long"))
           .withColumn("sum_len",
@@ -336,7 +360,6 @@ object CurationStream {
           .select(col("doc_id"), md5(col("text")).as("fp"),
             col("keep_quality"), col("sh"), col("n_words"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        b.count()
         // STREAMING CROSS-MODAL gate: each doc's media assets decode
         // partition-locally into per-doc admission flags (image
         // decode-fidelity/dims, audio duration/signal, video
@@ -356,7 +379,12 @@ object CurationStream {
             .mapPartitions(_.map { id =>
               val im = MediaCodec.decode(id, MediaCodec.encode(id))
               val ab = AudioCodec.encode(id)
-              val au = AudioCodec.decode(id, ab)
+              // ONE audio decode and ONE video decode per asset: the
+              // property gate and the perceptual hash share the decoded
+              // PCM/frames (ahashOf/vhashOf on the raw bytes walked each
+              // container a second time — pure per-task waste, guide
+              // §1.2 step 2; arithmetic unchanged, parity spec-pinned)
+              val (au, samples) = AudioCodec.decodeMetaAndSamples(id, ab)
               val vb = VideoCodec.encode(id)
               val vfr = VideoCodec.decodeFrames(id, vb)
               val expected = (28 + (id * 37) % 200).toInt
@@ -366,28 +394,51 @@ object CurationStream {
               (id,
                 pxOk && im.width >= 32 && im.height >= 24,
                 au.durationUs >= 12000L && au.peak >= 200,
-                AudioCodec.ahashOf(id, ab),
+                AudioCodec.ahashOfSamples(id, samples),
                 vfr.head.gray == VideoCodec.frameGrayOf(id, 0) &&
                   vfr.length >= 4 && vfr.head.width >= 20 && vfr.head.height >= 16,
-                VideoCodec.vhashOf(id, vb))
+                VideoCodec.vhashOfGrays(id, vfr.map(_.gray)))
             })
             .toDF("doc_id", "img_ok", "audio_ok", "ahash", "video_ok", "vhash")
             .persist(StorageLevel.MEMORY_AND_DISK)
-          m.count() // one codec pass; probe + claim sides reuse it
           m
         }
-        val mediaVerdict: Option[DataFrame] = media.map { m =>
-          import graft.functions.HammingDistance.hamming
-          val spark1 = spark
-          import spark1.implicits._
+        // fill the two persisted per-batch passes CONCURRENTLY (guide
+        // §2.6), and let each fill BE its touched-probe-key collect:
+        // the distinct-pk collect consumes every cached partition, so
+        // the separate count() fills paid a whole extra job per pass
+        // (three jobs per batch: b.count, m.count, plus the text pk
+        // collect). The text pass and the codec pass stay independent
+        // jobs over the same arriving batch, and the codec pass
+        // dominates — overlapping them hides the text pass behind the
+        // decodes. The probe + claim sides reuse the caches.
+        val probesOf = media.map { m =>
           val probes = m
             .select(col("doc_id"), col("ahash").as("h_t"),
               graft.operators.MultimodalOps.hashBands("ahash").as(Seq("band", "bv")))
             .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
             .select("doc_id", "h_t", "pk")
-          val touched = probes.select("pk").distinct().as[Int].collect().toSeq
+          val vProbes = m.select(col("doc_id"), col("vhash"))
+            .withColumn("pk", vhashPk(col("vhash")))
+          (probes, vProbes)
+        }
+        var touchedFps: Seq[Int] = Seq.empty
+        var touchedA: Seq[Int] = Seq.empty
+        var touchedV: Seq[Int] = Seq.empty
+        StreamPar.runAll(Seq(() => {
+          touchedFps = b.select(fpPk(col("fp")).as("pk")).distinct()
+            .collect().map(_.getInt(0)).toSeq // fills b as a side effect
+        }) ++ probesOf.toSeq.map { case (probes, vProbes) => () => {
+          touchedA = probes.select("pk").distinct()
+            .collect().map(_.getInt(0)).toSeq // fills m as a side effect
+          touchedV = vProbes.select("pk").distinct()
+            .collect().map(_.getInt(0)).toSeq // over the warm m cache
+        }})
+        val mediaVerdict: Option[DataFrame] = media.map { m =>
+          import graft.functions.HammingDistance.hamming
+          val (probes, vProbes) = probesOf.get
           val matches = probes
-            .join(mediaStore.readPruned(spark, emptyMediaClaims(spark), touched)
+            .join(mediaStore.readPruned(spark, emptyMediaClaims(spark), touchedA)
               .select(col("pk"), col("claim_id"), col("fhash").as("h_c")), Seq("pk"))
             .select("doc_id", "claim_id", "h_t", "h_c")
             .dropDuplicates("doc_id", "claim_id")
@@ -397,11 +448,8 @@ object CurationStream {
           // signature is radius-0 (transforms cancel structurally), so
           // an incoming asset duplicates exactly the stored signatures
           // it EQUALS — a pk-pruned read followed by an exact equi-join
-          val vProbes = m.select(col("doc_id"), col("vhash"))
-            .withColumn("pk", vhashPk(col("vhash")))
-          val vTouched = vProbes.select("pk").distinct().as[Int].collect().toSeq
           val vMatches = vProbes
-            .join(videoStore.readPruned(spark, emptyVideoClaims(spark), vTouched)
+            .join(videoStore.readPruned(spark, emptyVideoClaims(spark), touchedV)
               .select(col("pk"), col("claim_id"), col("vhash")),
               Seq("pk", "vhash"))
             .select("doc_id", "claim_id")
@@ -424,11 +472,10 @@ object CurationStream {
           val winBatch = min(when(col("keep_quality") && !col("already_claimed"),
             col("doc_id"))).over(Window.partitionBy("fp"))
           // dedup probe PARTITION-PRUNED to the fingerprint keys this
-          // batch hashes to — the store scan never exceeds the touched
-          // pk directories plus the small levels, the same contract as
-          // the perceptual/embedding stores
-          val touchedFps = b.select(fpPk(col("fp")).as("pk")).distinct()
-            .collect().map(_.getInt(0)).toSeq
+          // batch hashes to (collected above, riding the fill job) —
+          // the store scan never exceeds the touched pk directories
+          // plus the small levels, the same contract as the
+          // perceptual/embedding stores
           val claimedB = textStore
             .readPruned(spark, emptyClaims(spark), touchedFps)
             .select("fp").distinct()
@@ -462,8 +509,26 @@ object CurationStream {
             .persist(StorageLevel.MEMORY_AND_DISK)
           verdict.count()
           try {
-            verdict.drop("fp", "n_words")
-              .write.mode(SaveMode.Append).parquet(outDir)
+            // PHASE-PARALLEL batch commit (guide §2.6): the verdict
+            // write, the funnel frame, and the training-store appends
+            // are INDEPENDENT consumers of the one persisted verdict
+            // pass, writing to disjoint dirs — submitted together so
+            // each small job's task tail back-fills with the next
+            // job's tasks instead of paying every straggler tail in
+            // sequence. The ordering that must survive is BETWEEN
+            // phases, not within them: every consumer lands before any
+            // claim append (a crash after claims but before a consumer
+            // would lose that consumer's rows forever — the replay
+            // sees its winners already claimed), and claims land
+            // before the folds (write-all-then-fold-all). Each
+            // consumer is individually replay-safe whatever subset a
+            // crash leaves behind (verdict dups resolve per-doc, the
+            // funnel by tuple-max, the stores by the TailCounter
+            // redelivery guard), so concurrency adds no new crash
+            // schedule.
+            val writeVerdict: () => Unit = () =>
+              verdict.drop("fp", "n_words")
+                .write.mode(SaveMode.Append).parquet(outDir)
             // PER-BATCH FUNNEL — the drop-accounting the batch build
             // emits (curationMultimodal's stage discipline), one frame
             // per micro-batch: text stages always; the three media
@@ -476,7 +541,7 @@ object CurationStream {
             // resolves per (batch_id, stage) by the tuple-MAX delivery
             // (the original; counts only shrink on replay) — the
             // StreamVerdicts discipline on aggregates.
-            locally {
+            val writeFunnel: () => Unit = () => {
               val fv = verdict
               def cnt(c: org.apache.spark.sql.Column) =
                 sum(when(c, 1L).otherwise(0L))
@@ -541,9 +606,13 @@ object CurationStream {
             // guard would mistake the new run's first batch for a replay
             // of the old one and silently skip its append.
             val buildEpoch = epochBase + batchId
-            storeDir.foreach { sd =>
+            val writeStore: Seq[() => Unit] = storeDir.toSeq.map { sd => () =>
               val tail = s"${sd}_tail"
-              if (!TailCounter.hasBatch(spark, tail, buildEpoch)) {
+              // ONE counter read answers the redelivery guard AND the
+              // offset (was a hasBatch read plus a second state read
+              // broadcast-crossJoined into the plan); the offset rides
+              // as a plan literal — two fewer jobs per batch
+              TailCounter.snapshot(spark, tail, buildEpoch).foreach { case (nOldDocs, _) =>
                 val admitted = verdict.filter(col("admitted"))
                   .select("doc_id", "n_words")
                   .persist(StorageLevel.MEMORY_AND_DISK)
@@ -551,9 +620,8 @@ object CurationStream {
                 graft.operators.LayoutOps
                   .shuffleRanks(spark, admitted.select("doc_id"))
                   .join(admitted, Seq("doc_id"))
-                  .crossJoin(broadcast(TailCounter.state(spark, tail).select("n_old")))
                   .select(col("doc_id"),
-                    (col("pos") + col("n_old")).as("pos"), col("n_words"))
+                    (col("pos") + lit(nOldDocs)).as("pos"), col("n_words"))
                   .withColumn("shard", col("pos") % nShards)
                   .repartitionByRange(nShards, col("shard"))
                   .sortWithinPartitions("shard", "pos")
@@ -574,9 +642,10 @@ object CurationStream {
             // window keeps filling across appends, and every shard gains
             // only a tail file (byte-identity spec-asserted). Same
             // at-least-once window as the curated store above.
-            tokenStoreDir.foreach { sd =>
+            val writeTokens: Seq[() => Unit] = tokenStoreDir.toSeq.map { sd => () =>
               val tail = s"${sd}_tail"
-              if (!TailCounter.hasBatch(spark, tail, buildEpoch)) {
+              // same ONE-read counter discipline as the curated store
+              TailCounter.snapshot(spark, tail, buildEpoch).foreach { case (nOldDocs, tOld) =>
                 val admitted = verdict.filter(col("admitted")).select("doc_id")
                 // with a versioned vocab artifact (`vocabDir`), the batch
                 // encodes under the COMMITTED merge table read back from
@@ -601,15 +670,13 @@ object CurationStream {
                     coalesce(sum(col("n_bpe")), lit(0L)).cast("long")).collect()(0)
                   (r.getLong(0), r.getLong(1))
                 }
-                val st = TailCounter.state(spark, tail)
                 val ranked = graft.operators.LayoutOps
                   .shuffleRanks(spark, admitted)
                   .join(enc, Seq("doc_id"))
-                  .crossJoin(broadcast(st.select("n_old")))
-                  .select(col("doc_id"), (col("pos") + col("n_old")).as("pos"),
+                  .select(col("doc_id"), (col("pos") + lit(nOldDocs)).as("pos"),
                     col("n_bpe"), col("tok_str"))
                 val windowed = graft.operators.LayoutOps
-                  .assignWindows(ranked, ctx, nShards, st.select("t_old"))
+                  .assignWindows(ranked, ctx, nShards, tOld)
                   .repartitionByRange(nShards, col("shard"))
                   .sortWithinPartitions("shard", "win", "pos")
                 // same marker resolve as the curated store's append
@@ -629,44 +696,51 @@ object CurationStream {
                 TailCounter.append(spark, tail, buildEpoch, nAdmitted, nTokens)
               }
             }
-            // claims accrete for every batch winner — contaminated or not
-            // (stage order: dedup decides before decontamination drops).
-            // Write-all-then-fold-all (the ClaimStore multi-store
-            // discipline): every delta lands before either store folds,
-            // so a lazily recomputed frame never resolves deleted files
+            // PHASE 1: every verdict consumer lands (concurrently —
+            // see the ordering argument above)
+            StreamPar.runAll(
+              Seq(writeVerdict, writeFunnel) ++ writeStore ++ writeTokens)
+            // PHASE 2: claims accrete for every batch winner —
+            // contaminated or not (stage order: dedup decides before
+            // decontamination drops). Write-all-then-fold-all (the
+            // ClaimStore multi-store discipline): every delta lands
+            // before either store folds, so a lazily recomputed frame
+            // never resolves deleted files. The three claim stores are
+            // disjoint dirs — their appends overlap.
             // epoch stamp: a RESTARTED stream's batch ids begin at 0
             // again, so retention epochs are epochBase + batchId with
             // the base threaded by the caller as a monotone build
             // number (the MediaDedupStream discipline)
             val epoch = lit(epochBase + batchId)
-            textStore.appendDelta(
-              verdict.filter(col("keep_quality") && !col("is_dup"))
-                .select(fpPk(col("fp")).as("pk"), col("fp"),
-                  epoch.as("epoch")))
-            // every perceptually NOVEL asset claims its fingerprint —
-            // independent of the text verdicts, the MediaDedupStream
-            // claim semantics (novelty is against earlier batches only)
-            mediaVerdict.foreach { mv =>
-              mediaStore.appendDelta(mv.filter(!col("media_dup"))
-                .select(col("doc_id").as("claim_id"), col("ahash").as("fhash"))
-                .select(col("claim_id"), col("fhash"),
-                  graft.operators.MultimodalOps.hashBands("fhash").as(Seq("band", "bv")))
-                .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
-                .select("pk", "claim_id", "fhash")
-                .withColumn("epoch", epoch))
-              // every perceptually NOVEL video asset claims its signature
-              videoStore.appendDelta(mv.filter(!col("video_dup"))
-                .select(vhashPk(col("vhash")).as("pk"),
-                  col("doc_id").as("claim_id"), col("vhash"),
-                  epoch.as("epoch")))
-            }
-            textStore.maybeCompact(spark, emptyClaims(spark))
-            funnelStore(outDir).maybeCompact(spark, emptyFunnel(spark))
-            if (mediaGate) {
-              mediaStore.maybeCompact(spark, emptyMediaClaims(spark))
-              videoStore.maybeCompact(spark, emptyVideoClaims(spark))
-              ()
-            }
+            StreamPar.runAll(Seq(() =>
+              textStore.appendDelta(
+                verdict.filter(col("keep_quality") && !col("is_dup"))
+                  .select(fpPk(col("fp")).as("pk"), col("fp"),
+                    epoch.as("epoch")))) ++
+              // every perceptually NOVEL asset claims its fingerprint —
+              // independent of the text verdicts, the MediaDedupStream
+              // claim semantics (novelty is against earlier batches only)
+              mediaVerdict.toSeq.flatMap { mv => Seq(
+                () => mediaStore.appendDelta(mv.filter(!col("media_dup"))
+                  .select(col("doc_id").as("claim_id"), col("ahash").as("fhash"))
+                  .select(col("claim_id"), col("fhash"),
+                    graft.operators.MultimodalOps.hashBands("fhash").as(Seq("band", "bv")))
+                  .withColumn("pk", (col("band") * 256 + col("bv")).cast("int"))
+                  .select("pk", "claim_id", "fhash")
+                  .withColumn("epoch", epoch)),
+                // every perceptually NOVEL video asset claims its signature
+                () => videoStore.appendDelta(mv.filter(!col("video_dup"))
+                  .select(vhashPk(col("vhash")).as("pk"),
+                    col("doc_id").as("claim_id"), col("vhash"),
+                    epoch.as("epoch"))))
+              })
+            // PHASE 3: the folds — each store folds only its own files
+            StreamPar.runAll(Seq(
+              () => { textStore.maybeCompact(spark, emptyClaims(spark)); () },
+              () => { funnelStore(outDir).maybeCompact(spark, emptyFunnel(spark)); () }) ++
+              (if (!mediaGate) Seq.empty else Seq(
+                () => { mediaStore.maybeCompact(spark, emptyMediaClaims(spark)); () },
+                () => { videoStore.maybeCompact(spark, emptyVideoClaims(spark)); () })))
           } finally verdict.unpersist()
         } finally {
           media.foreach(_.unpersist())

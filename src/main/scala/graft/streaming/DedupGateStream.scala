@@ -122,10 +122,12 @@ object DedupGateStream {
         val cand = DedupOps
           .gateCandidates(iBands, baseBands.union(storeBands), maxBandFreq)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cand.count()
         try {
           // verify fetch: sh only for the id buckets the candidates name
-          // (redelivered store rows are identical — dedup the pruned read)
+          // (redelivered store rows are identical — dedup the pruned read).
+          // This collect IS the candidate pass's cache fill (it consumes
+          // every cand partition) — a separate count() paid one whole
+          // extra job per batch
           val touchedIds = cand.select(dbucketOf(col("corpus_id")).as("d"))
             .distinct().as[Int].collect().toSeq
           val storeSh = shStore.readPruned(spark, emptySh(spark), touchedIds)

@@ -136,9 +136,11 @@ object EmbedDedupStream {
             .withColumn("pk", col("cell").cast("int"))
             .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          probed.count()
           val celled = probed.filter(col("rank") === 0)
           try {
+            // this collect IS the assignment pass's cache fill (it
+            // consumes every probed partition) — a separate count()
+            // paid one whole extra job per batch
             val touched = probed.select("pk").distinct().as[Int].collect().toSeq
             // int8 SHORTLIST: dequantize the pruned claims (a narrow map
             // over touched cells + the delta budget) and admit candidates

@@ -111,13 +111,20 @@ object MediaDedupStream {
         import spark0.implicits._
         val hashed = batch
           .select(col("doc_id"), col("orig_id"), col("kind"))
+          // spread the per-asset codec work across cores: an arriving
+          // micro-batch is partitioned by its SOURCE file layout (the
+          // fixture's one file = ONE partition), and without this the
+          // whole encode+decode+hash pass ran in a single task per batch
+          // (Probe: a 6.9 s one-task stage at sf0.1). Only the ~24-byte
+          // id rows shuffle — binaries never do (the mediaAssets
+          // discipline; guide §2.5 input skew: repartition after read)
+          .repartition(spark.sparkContext.defaultParallelism)
           .as[(Long, Long, String)]
           .mapPartitions(_.map { case (d, o, k) =>
             (d, o, k, hashForKind(o, k))
           })
           .toDF("doc_id", "orig_id", "kind", "dhash")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        hashed.count() // one codec pass; probe + claim sides reuse it
         try {
           val probes = withPk(hashed
             .select(col("doc_id"), col("dhash").as("dhash_t"),
@@ -127,7 +134,10 @@ object MediaDedupStream {
             .select("doc_id", "dhash_t", "pk")
           // the touched probe-key set is bounded by the key space (2048)
           // whatever the batch size — a tiny driver collect that lets the
-          // store read partition-prune to the keys this batch can hit
+          // store read partition-prune to the keys this batch can hit.
+          // This collect IS the codec pass's cache fill (it consumes
+          // every hashed partition) — a separate count() paid one whole
+          // extra job per batch; probe + claim sides reuse the cache
           val touched = probes.select("pk").distinct().as[Int].collect().toSeq
           // hot-key guard: per-pk claim counts are exact on the pruned
           // read (pruning keeps every row of a touched key)
