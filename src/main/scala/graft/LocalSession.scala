@@ -17,6 +17,16 @@ object LocalSession {
       // the shuffles are byte-small but compute-heavy, so keep it from
       // coalescing below real parallelism
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
+      // above this many paths, partition discovery runs as a SPARK JOB
+      // with one task per directory — on the probe-key-partitioned claim
+      // stores (≤2048 pk= dirs) that is a ~1100-task, multi-second
+      // listing job on EVERY per-batch store read, vs microsecond-class
+      // driver-side listing on a local filesystem. Local default lists
+      // serially; override via spark.sql.sources.parallelPartitionDiscovery.threshold
+      // on deployments whose store sits on an object store / HDFS where
+      // per-prefix listing latency makes the parallel job win.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "8192"))
       .getOrCreate()
 
   /** JVM/codegen warm-up touching the machinery the queries lean on:

@@ -12,13 +12,23 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     LocalSession.warmup(spark, sfDir)
     val lock = new Object
-    var stages = List.empty[(Int, Long, Int)]
+    var stages = List.empty[(Int, Long, Int, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = (for (c <- si.completionTime; s <- si.submissionTime) yield c - s)
           .getOrElse(0L)
-        lock.synchronized { stages ::= ((si.stageId, dur, si.numTasks)) }
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("graft.Probe"))
+          .getOrElse("").trim
+        val deep = if (dur >= 2000) "\n    RDDs: " + si.rddInfos
+          .map(r => s"${r.id}:${r.name}" +
+            r.scope.flatMap(s => Option(s.name)).map(n => s"($n)").getOrElse(""))
+          .mkString(" <- ")
+          else ""
+        lock.synchronized {
+          stages ::= ((si.stageId, dur, si.numTasks, s"${si.name} | $graftFrame$deep"))
+        }
       }
     })
     args.foreach { name =>
@@ -33,9 +43,9 @@ object Probe {
           val snap = lock.synchronized(stages.reverse)
           val exec = snap.map(_._2).sum / 1000.0
           println(f"PROBE $name%-28s $wall%8.2f s wall, $exec%6.2f s stage-sum, rows=$n")
-          snap.foreach { case (id, dur, nt) =>
+          snap.foreach { case (id, dur, nt, nm) =>
             if (dur >= 200)
-              println(f"  STAGE $id%4d ${dur / 1000.0}%7.2f s tasks=$nt")
+              println(f"  STAGE $id%4d ${dur / 1000.0}%7.2f s tasks=$nt%-5d ${nm.take(2000)}")
           }
       }
     }

@@ -250,21 +250,26 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
           case _ => d
         }
       }
-    // `merge`: delta files (one per batch) and minor runs can straddle a
-    // schema upgrade, so their footers merge; the base generation is
-    // always rewritten to the current schema by the fold itself — no
-    // footer-merge pass over a 100 TB store's partition tree
-    def part(paths: Seq[String], merge: Boolean = false): Option[DataFrame] =
+    // EXPLICIT read schema, never inference: a schemaless
+    // spark.read.parquet launches a footer-inference job with ONE TASK
+    // PER FILE before any query runs — on a folded base laid out one
+    // file per live probe key that is an O(key-space)-task job per
+    // read, paid by every per-batch probe (measured: a 1107-task ~3 s
+    // stage inside each batch at sf0.1; guide §6 small files hurt
+    // twice). The claim schema is statically known (`empty`), files
+    // written before a column existed read it as null (additive
+    // evolution), and conform() backfills exactly as the old
+    // mergeSchema read did — so the footer pass bought nothing.
+    def part(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
       else {
-        val df = conform(
-          spark.read.option("mergeSchema", merge.toString).parquet(paths: _*))
+        val df = conform(spark.read.schema(empty.schema).parquet(paths: _*))
         Some(pred.fold(df)(df.filter).select(sel: _*))
       }
     val parts =
       part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet)).toSeq ++
-        part(live(minorRuns).filter(hasParquet), merge = true).toSeq ++
-        part(live(deltaFiles), merge = true).toSeq
+        part(live(minorRuns).filter(hasParquet)).toSeq ++
+        part(live(deltaFiles)).toSeq
     if (parts.isEmpty) pred.fold(empty)(empty.filter)
     else parts.reduce(_ union _)
   }
@@ -410,8 +415,15 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     partitionCol match {
       case Some(pc) =>
         // one shuffle keyed on the probe key → at most one file per
-        // gen=N/<pc>=v directory, the pruned serving layout
-        folded.repartition(col(pc)).write.partitionBy(pc).parquet(next)
+        // gen=N/<pc>=v directory, the pruned serving layout. The
+        // partition count is EXPLICIT so AQE cannot coalesce the write
+        // input below real parallelism: the fold's cost is parquet
+        // writer open/close across up to key-space many directories,
+        // and a byte-tiny shuffle otherwise collapses to ~4 tasks each
+        // serially creating ~500 files (measured 7.4 s -> ~1 s at 32
+        // cores; cluster-adaptive via defaultParallelism)
+        folded.repartition(spark.sparkContext.defaultParallelism, col(pc))
+          .write.partitionBy(pc).parquet(next)
       case None =>
         folded.repartition(spark.sparkContext.defaultParallelism)
           .write.parquet(next)
@@ -454,7 +466,8 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     if (consumed.isEmpty) return 0L
     val next = nextRunDir()
     val sel = empty.columns.toSeq.map(col)
-    spark.read.parquet(consumed.map(_.toString): _*)
+    // explicit schema: no footer-inference job (see readWhere)
+    spark.read.schema(empty.schema).parquet(consumed.map(_.toString): _*)
       .select(sel: _*).distinct()
       .coalesce(runFiles(consumed.map(parquetBytes).sum))
       .write.parquet(next.toString)
@@ -478,7 +491,7 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
           val runs = cls.map(_._1)
           val next = nextRunDir()
           val sel = empty.columns.toSeq.map(col)
-          spark.read.parquet(runs.map(_.toString): _*)
+          spark.read.schema(empty.schema).parquet(runs.map(_.toString): _*)
             .select(sel: _*).distinct()
             .coalesce(runFiles(runs.map(parquetBytes).sum))
             .write.parquet(next.toString)

@@ -121,11 +121,13 @@ object CurationStream {
   private[graft] object TailCounter {
     private def rows(spark: SparkSession, dir: String): DataFrame = {
       import spark.implicits._
+      val empty = Seq.empty[(Long, Long, Long)].toDF("batch_id", "n_docs", "n_tokens")
       val base = graft.sources.Stage.currentTarget(dir).toSeq
       val parts = base ++ deltaFiles(dir).map(_.toString)
-      if (parts.isEmpty)
-        Seq.empty[(Long, Long, Long)].toDF("batch_id", "n_docs", "n_tokens")
-      else spark.read.parquet(parts: _*)
+      if (parts.isEmpty) empty
+      // explicit schema: a schemaless parquet read pays a one-task-per-
+      // file footer-inference job first (see ClaimStore.readWhere)
+      else spark.read.schema(empty.schema).parquet(parts: _*)
         .dropDuplicates("batch_id") // swap-then-cleanup crash leaves copies
     }
 
