@@ -106,6 +106,25 @@ object DedupOps {
     * narrow pass over the corpus plus one aggregation shuffle on doc_id;
     * never doc×doc, and corpus-side shingles are computed exactly once
     * (persisted slim frame, same barrier pattern as [[sharedNgrams]]). */
+  /** The benchmark EVAL-SHINGLE SET — ONE construction site for every
+    * consumer (decontaminateBloom/Spans, the streaming gates'
+    * decontamination probe, the curation-flags contamination stage), so
+    * the session cache is shared BY PLAN across all of them
+    * ([[SharedStage]]: the CacheManager keys on the canonical plan —
+    * two sites drifting by one expression silently stop sharing). The
+    * eval docs spread across cores before the tokenize+shingle pass:
+    * the benchmark slice reads as one input split, and the single-task
+    * fill was the one multi-second stage left in several gate queries. */
+  private[graft] def evalShingleSet(spark: SparkSession, dir: String): DataFrame =
+    SharedStage.cached(Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(expr("substring(text, 21, 200)").as("text"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", shingles(5))
+      .select(explode(col("sh")).as("g"))
+      .distinct())
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     // the corpus-shingle stage and the benchmark shingle set are SHARED
     // across the decontamination family (flag / bloom / spans) and stay
@@ -159,13 +178,7 @@ object DedupOps {
     * ever carries full documents. */
   def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val evalSh = SharedStage.cached(Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct())
+    val evalSh = evalShingleSet(spark, dir)
     val pos = Tables(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", TextOps.tokens(col("text")))
@@ -293,13 +306,7 @@ object DedupOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.util.sketch.BloomFilter
-    val evalSh = SharedStage.cached(Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct(), eager = false)
+    val evalSh = evalShingleSet(spark, dir)
     val nEval = math.max(evalSh.count(), 1L)
     val bloomDF = evalSh.select(column(
       new BloomFilterAggregate(

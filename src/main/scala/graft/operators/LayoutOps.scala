@@ -337,7 +337,7 @@ object LayoutOps {
       .orderBy("shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 
@@ -377,7 +377,7 @@ object LayoutOps {
       .orderBy("shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 
@@ -405,7 +405,7 @@ object LayoutOps {
       Tables(spark, dir, "documents").join(surv, Seq("doc_id")))
       .agg(coalesce(sum(col("n_bpe")), lit(0L)).cast("long"))
       .as[Long].head()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     val nWins = (totalTokens + ctx - 1) / ctx
     val base = spark.range(nWins)
       .select(col("id").as("win"), (col("id") % nShards).as("shard"))
@@ -482,7 +482,7 @@ object LayoutOps {
       .orderBy("shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 
@@ -675,7 +675,7 @@ object LayoutOps {
     val out = tokenShardManifest(spark, spark.read.parquet(root), nShards)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 
@@ -735,7 +735,7 @@ object LayoutOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     staged.unpersist()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 

@@ -1240,7 +1240,7 @@ object MultimodalOps {
   def curationMultimodal(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.Column
-    val flags = TextOps.curationFlags(spark, dir) // persisted; unpersist below
+    val flags = TextOps.curationFlags(spark, dir) // shared family stage
     val media = mediaOkFlags(spark, dir)
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     def tok(c: Column): Column = sum(when(c, col("n_words")).otherwise(0L))
@@ -1266,8 +1266,8 @@ object MultimodalOps {
            '06_media_video', d6, t6) AS (stage, n_docs, n_tokens)"""))
       .orderBy("stage")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the 6-row funnel, then drop the flags cache
-    flags.unpersist()
+    out.count() // materialize the 6-row funnel
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 
@@ -1310,7 +1310,7 @@ object MultimodalOps {
       .orderBy("shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    flags.unpersist()
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 

@@ -327,8 +327,14 @@ object TextOps {
     * md5-derived 80/10/10. */
   /** The per-document stage flags behind [[curationPipeline]], as a slim
     * MATERIALIZED frame (doc_id, n_words, r1 quality, r2 +dedup-winner,
-    * r3 +decontaminated, split) — persisted, with the fat corpus cache
-    * already dropped. Callers own the unpersist. */
+    * r3 +decontaminated, split). A SHARED family stage ([[SharedStage]]
+    * discipline, guarded by plan-keyed storage level): eight registered
+    * queries consume these flags and each used to rebuild+drop them —
+    * the whole quality/dedup/decontam text pass per query. Callers must
+    * NOT unpersist (an owning unpersist would yank the stage from under
+    * the family); the slim frame is (doc_id, n_words, 3 bools, split) —
+    * bytes-per-row-tiny at any corpus size, and the fat corpus cache is
+    * dropped after the fill either way. */
   private[graft] def curationFlags(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val markers = EnMarkers.toArray
@@ -355,16 +361,10 @@ object TextOps {
       .withColumn("sh", DedupOps.shingles(5))
       .select(col("doc_id"), col("n_words"), md5(col("text")).as("fp"),
         col("keep_quality"), col("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
-    // contamination flag, computed on quality survivors only
-    val evalSh = Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", DedupOps.shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct()
+    // contamination flag, computed on quality survivors only; the
+    // benchmark shingle set is the ONE shared eval stage every
+    // decontamination consumer reads ([[DedupOps.evalShingleSet]])
+    val evalSh = DedupOps.evalShingleSet(spark, dir)
     val contaminated = base.filter(col("keep_quality"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(broadcast(evalSh), Seq("g"))
@@ -388,9 +388,16 @@ object TextOps {
       .withColumn("split",
         when(u < 80, "train").when(u < 90, "val").otherwise("test"))
       .select("doc_id", "n_words", "r1", "r2", "r3", "split")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    flags.count() // materialize the slim flags, then drop the corpus cache
-    base.unpersist()
+    // fill-if-absent on the canonical plan (the CacheManager's own
+    // keying): the first family member pays the corpus pass, every
+    // later one reads the slim cached flags
+    if (flags.storageLevel == StorageLevel.NONE) {
+      base.persist(StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      flags.persist(StorageLevel.MEMORY_AND_DISK)
+      flags.count() // materialize the slim flags, then drop the corpus cache
+      base.unpersist()
+    }
     flags
   }
 
@@ -421,8 +428,8 @@ object TextOps {
            '06_split_test', d6, t6) AS (stage, n_docs, n_tokens)"""))
       .orderBy("stage")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize the 7-row funnel, then drop the flags cache
-    flags.unpersist()
+    out.count() // materialize the 7-row funnel
+    // flags is the SHARED family stage - never unpersisted by a consumer
     out
   }
 

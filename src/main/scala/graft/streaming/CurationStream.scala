@@ -769,13 +769,7 @@ object CurationStream {
     * from under whichever query family registered it first (the
     * round-16 flaky re-persist warnings). */
   private def evalShingles(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.SharedStage.cached(Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 50 === 0)
-      .select(expr("substring(text, 21, 200)").as("text"))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", DedupOps.shingles(5))
-      .select(explode(col("sh")).as("g"))
-      .distinct())
+    DedupOps.evalShingleSet(spark, dir)
 
   private def streamFixture(spark: SparkSession, dir: String,
       tag: String, extra: Seq[String] = Seq.empty): StreamFixture = {
