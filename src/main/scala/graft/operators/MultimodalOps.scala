@@ -654,6 +654,16 @@ object MultimodalOps {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // object initializers run LAZILY per classloader: a task touching
+    // only VideoCodec never runs MediaCodec's init, so without its own
+    // copy the GIF path still cached every ImageIO stream in a DISK
+    // TEMP FILE per encode/decode — one file-create+write+delete per
+    // asset per pass, and the whole modality's throughput tracked
+    // external disk load (observed 0.5 s ↔ 5.6 s swings on the video
+    // queries while PNG/JPEG stayed flat)
+    System.setProperty("java.awt.headless", "true")
+    ImageIO.setUseCache(false)
+
     def nFramesOf(id: Long): Int = 3 + (id % 5).toInt   // 3..7 frames
     def widthOf(id: Long): Int = 16 + (id % 16).toInt   // 16..31
     def heightOf(id: Long): Int = 12 + (id % 12).toInt  // 12..23
