@@ -159,8 +159,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val filterJson = only.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    // numeric or -1: $SPARK_GRAFT_CPUS is a master string fragment and
+    // must not be interpolated into JSON unvalidated
+    val cpusNum = scala.util.Try(cpus.trim.toInt).getOrElse(-1)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"run_shift":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(runShift))}${shiftWarning.map(w => s""","run_shift_warning":${jstr(w)}""").getOrElse("")},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"cpus":$cpusNum,"queries":$qs,"cold":$coldJson,"cv":$cvJson,"errors":$errJson,"n_errors":${errors.size},"regressions":$regJson,"n_regressions":${regressions.size},"run_shift":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(runShift))}${shiftWarning.map(w => s""","run_shift_warning":${jstr(w)}""").getOrElse("")},"prev":${jstr(prevFile)},"filter":$filterJson,"sf":"$sfDir"}"""
     // stdout tails get truncated by log capture (~2 KB window) — the full
     // per-query artifact (~16 KB) lives ONLY in the file; stdout gets a
     // compact summary as the FINAL line so a tail-parser always sees a
@@ -175,7 +178,28 @@ object Bench {
     val writeError: Option[String] =
       try { java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n"); None }
       catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-    val detailJson = if (writeError.isEmpty) jstr(outFile) else "null"
+    // PER-RUN snapshot with a unique name: the r17 PERF comparison came
+    // up empty because every run's `detail` pointed at the SAME
+    // BENCH_LAST.json, which the next run overwrote before the two
+    // rounds were compared (VERDICT r17 "What's wrong #6"). The chain
+    // file above keeps the tripwire's prev-run contract; `detail` now
+    // points at the immutable snapshot so per-query and scaling
+    // comparisons across runs stay reconstructible.
+    val snapFile = {
+      val ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val d = new java.io.File("/root/repo/bench_runs")
+      d.mkdirs()
+      new java.io.File(d, s"bench_${ts}_c${cpusNum}_${ProcessHandle.current.pid}.json").getPath
+    }
+    val snapError: Option[String] =
+      try { java.nio.file.Files.writeString(java.nio.file.Paths.get(snapFile), json + "\n"); None }
+      catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+    val detailJson =
+      if (snapError.isEmpty) jstr(snapFile)
+      else if (writeError.isEmpty) jstr(outFile)
+      else "null"
     val writeErrJson = writeError.map(e => s""","write_error":${jstr(e)}""").getOrElse("")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n":${results.size},"n_errors":${errors.size},"n_regressions":${regressions.size}${shiftWarning.map(w => s""","run_shift_warning":${jstr(w)}""").getOrElse("")},"detail":$detailJson$writeErrJson,"sf":"$sfDir"}""")

@@ -244,13 +244,12 @@ object SearchDocs {
       tag: String): (DataFrame, DataFrame) = {
     val out =
       graft.sources.TmpStores.pidScopedRoot(s"graft-staged-$tag-graph").toString
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val writes = Seq(
-      Future(graft.sources.Stage.stageNodes(nodes, out)),
-      Future(graft.sources.Stage.stageEdges(edges, out)))
-    writes.foreach(Await.result(_, Duration.Inf))
+    // session-pinning dedicated pool (StreamPar), NOT the global EC:
+    // global-pool workers inherit the active-session thread-local from
+    // whichever thread forced the pool first — the round-17 NPE class
+    graft.streaming.StreamPar.runAll(Seq(
+      () => graft.sources.Stage.stageNodes(nodes, out),
+      () => graft.sources.Stage.stageEdges(edges, out)))
     (graft.sources.Stage.readNodes(spark, out),
       graft.sources.Stage.readEdges(spark, out))
   }

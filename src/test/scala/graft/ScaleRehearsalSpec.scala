@@ -114,6 +114,72 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t < 60.0, f"1M-row shuffle rank took $t%.1f s — not the distributed shape")
   }
 
+  test("BPE encoder at a 32k-merge production vocab: parity + bounded wall (words/s recorded)") {
+    // production vocabs run 32k-50k merges (SURVEY §6); the queries
+    // rehearse the partition-local encoder at 4096 (bpeEncodeScaled), so
+    // this pins the 32k shape: per-word cost must depend on WORD length
+    // and the pair-rank hash, never on table size, and repeated-word
+    // memoization must carry natural-text throughput. Deterministic
+    // synthetic head vocab (seeded), prefix chains = firing merges,
+    // provably-inert ¤-pairs pad to exactly 32768 ranks — the
+    // bpeEncodeScaled table construction at production size.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 2400).map { _ =>
+      val len = 8 + rnd.nextInt(11)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val firing = words.flatMap { w =>
+      (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
+    }.distinct
+    val vocabSize = 32768
+    assert(firing.size > 20000 && firing.size <= vocabSize,
+      s"rehearsal table must be production-shaped (got ${firing.size} firing merges)")
+    val table = (firing ++ (0 until (vocabSize - firing.size))
+      .map(i => (s"¤a$i", s"¤b$i"))).toArray
+    assert(table.length == vocabSize)
+    val enc = new graft.operators.BpeWordEncoder(table)
+    // parity vs the definitional replay: each table row applied ONCE in
+    // rank order as a left-to-right non-overlapping pass
+    def naive(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      table.foreach { case (a, b) =>
+        if (syms.length > 1) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    (words.take(6) ++ Seq("zzzzunseenword", "a", words.head + "tail")).foreach { w =>
+      assert(enc.encode(w).toSeq === naive(w),
+        s"32k-table encode diverged from the rank-order replay on '$w'")
+    }
+    // throughput: 300k word instances with natural-text reuse (every
+    // instance drawn from the head vocab — memoization is the lever)
+    val n = 300000
+    val corpus = Array.tabulate(n)(i =>
+      words(((i * 2654435761L) % words.size).toInt.abs))
+    val t0 = System.nanoTime()
+    var pieces = 0L
+    corpus.foreach(w => pieces += enc.encode(w).length)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val wps = n / math.max(secs, 1e-9)
+    info(f"32k-merge rehearsal: $wps%,.0f words/s ($n words in $secs%.2f s, " +
+      f"$pieces pieces, memo ${enc.memoHits} hits / ${enc.memoMisses} misses)")
+    assert(enc.memoHits > enc.memoMisses * 10,
+      "memoization must dominate on a head-vocab corpus")
+    // generous wall bound: a table-size-dependent per-word cost would
+    // blow past this by orders of magnitude (32k ranks x 300k words)
+    assert(secs < 30.0,
+      f"300k words at 32k merges took $secs%.1f s — per-word cost tracks table size")
+  }
+
   test("token prefix sum composes 1M-row global offsets from 256 buckets exactly") {
     // the window packer's start offsets must telescope exactly at volume:
     // start(0) = 0, start(pos) = start(pos-1) + n_bpe(pos-1), and the
