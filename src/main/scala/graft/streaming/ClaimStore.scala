@@ -25,6 +25,29 @@ object ClaimStore {
     * resurrect the rows it dropped), and the next fold finishes the
     * cleanup. */
   val ConsumedManifest = "_CONSUMED"
+
+  /** Probe keys per base-generation PARTITION DIRECTORY (`pg=` group).
+    * r17 laid the folded base out one directory PER KEY (`pk=v`), which
+    * at a 2048-key space wrote up to 2048 directories of one tiny file
+    * each per major fold — the guide-§6 small-files antipattern on both
+    * sides: the fold paid one create+commit per directory (measured
+    * 6-8 s per fold for a 666-claim store vs 0.7-1.2 s for the same
+    * rows written flat — ~10-30 ms of filesystem metadata per
+    * directory, and object stores price it worse), and the probe paid
+    * one OPEN per touched key. The base now groups [[PgDiv]] adjacent
+    * keys per directory (`pg = pk div PgDiv`), keeps the key as a DATA
+    * column, and sorts each file by key so parquet row-group min/max
+    * stats recover per-key selectivity inside the group file. Probe
+    * cost stays O(touched): [[ClaimStore.readPruned]] dir-prunes on pg
+    * and key-filters inside. Deployments tune via SPARK_GRAFT_CLAIM_PG
+    * (1 restores one-dir-per-key; larger groups = fewer, larger files). */
+  val PgDiv: Int =
+    math.max(1, sys.env.get("SPARK_GRAFT_CLAIM_PG").map(_.toInt).getOrElse(16))
+
+  /** Base-layout partition column (the key-group id). Never part of the
+    * claim schema — it exists only in the folded base's directory names
+    * and is dropped on read. */
+  val PgCol = "pg"
 }
 
 /** A POLICY abort — a maintenance guardrail refused to proceed (e.g. a
@@ -115,11 +138,14 @@ private[streaming] object StreamVerdicts {
   *    neither resurrect swept claims nor strand a migration under its
   *    old keys.
   *
-  * `partitionCol` lays the compacted base out on the PROBE KEY
-  * (`gen=N/<col>=v/...`) so a batch's [[readPruned]] partition-prunes to
-  * the key values the batch actually touches instead of scanning the
-  * whole store — the staged-IVF cell-pruned layout applied to claim
-  * stores. Delta files and minor runs keep the key as a plain column
+  * `partitionCol` lays the compacted base out on the probe key's GROUP
+  * (`gen=N/pg=<key div PgDiv>/...`, key retained as a sorted data
+  * column) so a batch's [[readPruned]] partition-prunes to the group
+  * directories the batch's keys actually touch and row-group stats
+  * prune inside each group file — the staged-IVF cell-pruned layout
+  * applied to claim stores, at a file count bounded by
+  * key-space / [[ClaimStore.PgDiv]] instead of key-space (guide §6).
+  * Delta files and minor runs keep the key as a plain column
   * (they are small — the delta budget plus O(log) runs — and read with
   * the probe filter pushed down); only the major fold rewrites into the
   * pruned layout, which is exactly the level that holds the bulk.
@@ -203,18 +229,27 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     readWhere(spark, empty, None)
 
   /** [[read]] restricted to the probe keys this batch touches: the base
-    * generation's scan PARTITION-PRUNES to the matching `gen=N/<col>=v`
-    * directories (the filter lands in the scan's PartitionFilters), and
-    * the small levels — at most the delta budget plus O(log) minor
-    * runs — take the same filter as an ordinary pushed predicate. */
+    * generation's scan PARTITION-PRUNES to the matching `gen=N/pg=v`
+    * group directories (the group filter lands in the scan's
+    * PartitionFilters; the key filter prunes row groups inside each
+    * sorted group file), and the small levels — at most the delta
+    * budget plus O(log) minor runs — take the key filter as an
+    * ordinary pushed predicate. */
   def readPruned(spark: SparkSession, empty: DataFrame, keys: Seq[Int]): DataFrame = {
     val pc = partitionCol.getOrElse(
       throw new IllegalStateException(s"claim store $dir has no probe-key layout"))
-    readWhere(spark, empty, Some(col(pc).isin(keys.map(Integer.valueOf): _*)))
+    // the base prunes DIRECTORIES on the key-group column (pg) and rows
+    // inside the group file on the key itself (sorted → row-group
+    // min/max stats); deltas/runs carry the key as a plain column and
+    // take only the key predicate
+    val pgs = keys.map(_ / ClaimStore.PgDiv).distinct
+    readWhere(spark, empty, Some(col(pc).isin(keys.map(Integer.valueOf): _*)),
+      basePred = Some(col(ClaimStore.PgCol).isin(pgs.map(Integer.valueOf): _*)))
   }
 
   private def readWhere(spark: SparkSession, empty: DataFrame,
-      pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+      pred: Option[org.apache.spark.sql.Column],
+      basePred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val sel = empty.columns.toSeq.map(col)
     // compare scheme-stripped on BOTH sides: the session that wrote the
     // manifest and the one reading it may qualify the same path
@@ -244,6 +279,14 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
               lit(0).cast(f.dataType)
             case dt => lit(null).cast(dt)
           })
+        else if (partitionCol.contains(f.name))
+          // the probe key is derived non-null by every writer and is the
+          // column probe predicates filter on — a coalesce() wrap here
+          // turned `pk = v` into `coalesce(pk, 0) = v`, which parquet
+          // cannot push (observed PushedFilters: [] on every delta/base
+          // probe scan); leaving the key bare restores footer/row-group
+          // pruning on it
+          d
         else f.dataType match {
           case _: org.apache.spark.sql.types.NumericType =>
             d.withColumn(f.name, coalesce(col(f.name), lit(0).cast(f.dataType)))
@@ -260,14 +303,20 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
     // written before a column existed read it as null (additive
     // evolution), and conform() backfills exactly as the old
     // mergeSchema read did — so the footer pass bought nothing.
-    def part(paths: Seq[String]): Option[DataFrame] =
+    def part(paths: Seq[String],
+        extra: Option[org.apache.spark.sql.Column] = None): Option[DataFrame] =
       if (paths.isEmpty) None
       else {
-        val df = conform(spark.read.schema(empty.schema).parquet(paths: _*))
+        val raw = spark.read.schema(empty.schema).parquet(paths: _*)
+        // `extra` (the base's pg directory predicate) must apply BEFORE
+        // conform/select: pg is a discovered partition column of the
+        // base layout only — deltas and runs never see it
+        val df = conform(extra.fold(raw)(raw.filter))
         Some(pred.fold(df)(df.filter).select(sel: _*))
       }
     val parts =
-      part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet)).toSeq ++
+      part(graft.sources.Stage.currentTarget(dir).toSeq.filter(hasParquet),
+        basePred).toSeq ++
         part(live(minorRuns).filter(hasParquet)).toSeq ++
         part(live(deltaFiles)).toSeq
     if (parts.isEmpty) pred.fold(empty)(empty.filter)
@@ -414,16 +463,28 @@ final case class ClaimStore(dir: String, partitionCol: Option[String] = None) {
       .select(empty.columns.toSeq.map(col): _*).distinct()
     partitionCol match {
       case Some(pc) =>
-        // one shuffle keyed on the probe key → at most one file per
-        // gen=N/<pc>=v directory, the pruned serving layout. The
-        // partition count is EXPLICIT so AQE cannot coalesce the write
-        // input below real parallelism: the fold's cost is parquet
-        // writer open/close across up to key-space many directories,
-        // and a byte-tiny shuffle otherwise collapses to ~4 tasks each
-        // serially creating ~500 files (measured 7.4 s -> ~1 s at 32
-        // cores; cluster-adaptive via defaultParallelism)
-        folded.repartition(spark.sparkContext.defaultParallelism, col(pc))
-          .write.partitionBy(pc).parquet(next)
+        // one shuffle keyed on the KEY GROUP → at most one file per
+        // gen=N/pg=v directory ([[ClaimStore.PgDiv]] keys per group),
+        // the pruned serving layout with bounded file count: a
+        // one-dir-PER-KEY fold wrote up to key-space (2048) directories
+        // of one tiny file each — measured 6-8 s of filesystem metadata
+        // per fold for a 666-claim store vs ~1 s for the same rows in
+        // ~128 group files (guide §6: small files hurt twice). The key
+        // stays a DATA column, each group file SORTED by it, so parquet
+        // row-group stats recover per-key selectivity inside the group.
+        // The partition count is EXPLICIT so AQE cannot coalesce the
+        // write input below real parallelism (cluster-adaptive via
+        // defaultParallelism).
+        require(!folded.columns.contains(ClaimStore.PgCol),
+          s"claim schema must not contain '${ClaimStore.PgCol}' — it is " +
+            "the base layout's group column")
+        folded
+          .withColumn(ClaimStore.PgCol,
+            expr(s"int($pc div ${ClaimStore.PgDiv})"))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col(ClaimStore.PgCol))
+          .sortWithinPartitions(pc)
+          .write.partitionBy(ClaimStore.PgCol).parquet(next)
       case None =>
         folded.repartition(spark.sparkContext.defaultParallelism)
           .write.parquet(next)

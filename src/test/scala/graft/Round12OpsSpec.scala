@@ -91,7 +91,7 @@ class Round12OpsSpec extends AnyFunSuite {
     }
     assert(scans.nonEmpty, "no parquet scan under the pruned read")
     assert(scans.exists(_.partitionFilters.exists(
-        _.references.exists(_.name == "pk"))),
+        _.references.exists(_.name == graft.streaming.ClaimStore.PgCol))),
       s"claim-store probe did not partition-prune:\n${pruned.queryExecution.executedPlan}")
   }
 

@@ -296,7 +296,7 @@ class Round13OpsSpec extends AnyFunSuite {
       case fsc: org.apache.spark.sql.execution.FileSourceScanExec => fsc
     }
     assert(scans.exists(_.partitionFilters.exists(
-        _.references.exists(_.name == "pk"))),
+        _.references.exists(_.name == graft.streaming.ClaimStore.PgCol))),
       s"text claim-store probe did not partition-prune:\n${pruned.queryExecution.executedPlan}")
     graft.sources.TmpStores.deleteRecursively(root)
   }

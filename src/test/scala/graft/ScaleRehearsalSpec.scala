@@ -247,12 +247,14 @@ class ScaleRehearsalSpec extends AnyFunSuite {
 
   test("claim-store pruned probe reads one key's files, not the store (99k-claim rehearsal)") {
     // 9 batch appends spread 99k claims over the full 2048-key space and
-    // cross the delta budget, so the store folds into a pk=-partitioned
-    // generation. A single-key probe must then read exactly that key's
-    // generation file (plus the post-fold delta) — the property that
-    // keeps a per-batch probe O(touched keys + delta budget) however
-    // large the store grows. Asserted at the SCAN level: the gen scan's
-    // numFiles metric, not just the row values.
+    // cross the delta budget, so the store folds into a pg=-partitioned
+    // generation (PgDiv keys per group directory, key a sorted data
+    // column — r18: one dir PER KEY wrote 2048 tiny files per fold, the
+    // guide-§6 small-files shape). A single-key probe must then read
+    // exactly that key's GROUP file (plus the post-fold delta) — the
+    // property that keeps a per-batch probe O(touched keys + delta
+    // budget) however large the store grows. Asserted at the SCAN
+    // level: the gen scan's numFiles metric, not just the row values.
     import graft.streaming.ClaimStore
     val spark0 = spark
     import spark0.implicits._
@@ -275,7 +277,12 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       finally w.close()
     }
     val genFiles = parquetFiles(genDir)
-    assert(genFiles >= 2000, s"expected ~2048 per-key generation files, got $genFiles")
+    // all 2048 keys are live, so every key group has exactly one file —
+    // the fold's file count is key-space / PgDiv, NOT key-space
+    val expectedGroups =
+      (2048 + graft.streaming.ClaimStore.PgDiv - 1) / graft.streaming.ClaimStore.PgDiv
+    assert(genFiles == expectedGroups,
+      s"expected $expectedGroups one-file-per-group generation files, got $genFiles")
     val pruned = st.readPruned(spark, empty, Seq(7))
     val got = pruned.collect()
     val expected = (0L until 99000L).count(_ % 2048 == 7)
@@ -353,12 +360,13 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     }
     assert(genScans.nonEmpty &&
         genScans.exists(_.partitionFilters.exists(
-          _.references.exists(_.name == "pk"))),
-      "the swept base must keep the partition-pruned probe contract")
+          _.references.exists(_.name == graft.streaming.ClaimStore.PgCol))),
+      "the swept base must keep the partition-pruned probe contract (pg dirs)")
     val filesRead = genScans.map(_.metrics("numFiles").value).sum
     assert(filesRead <= 4,
       s"post-sweep pruned probe read $filesRead generation files — not pruned")
-    // file-count sanity: one file per live key directory, nothing more
+    // file-count sanity: one file per live key GROUP directory — the
+    // r18 bounded-file-count contract (2048 keys / PgDiv groups)
     val genDir = new org.apache.hadoop.fs.Path(
       graft.sources.Stage.currentTarget(root.resolve("fps").toString).get)
     val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -367,8 +375,10 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     while (it.hasNext) {
       if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
     }
-    assert(nFiles <= 2048L + 8L,
-      s"swept generation holds $nFiles files — more than one per key directory")
+    val maxGroups =
+      (2048L + graft.streaming.ClaimStore.PgDiv - 1) / graft.streaming.ClaimStore.PgDiv
+    assert(nFiles <= maxGroups + 8L,
+      s"swept generation holds $nFiles files — more than one per key group")
     graft.sources.TmpStores.deleteRecursively(root)
   }
 
@@ -461,8 +471,8 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     val (baseScans, smallScans) = scans.partition(
       _.metadata.get("Location").exists(_.contains("gen=")))
     assert(baseScans.exists(_.partitionFilters.exists(
-        _.references.exists(_.name == "pk"))),
-      "base generation scan must partition-prune on pk")
+        _.references.exists(_.name == graft.streaming.ClaimStore.PgCol))),
+      "base generation scan must partition-prune on the key group (pg)")
     assert(smallScans.nonEmpty && smallScans.forall(
         _.dataFilters.exists(_.references.exists(_.name == "pk"))),
       s"minor-run/delta scans must push the pk predicate:\n${pruned.queryExecution.executedPlan}")
