@@ -30,6 +30,29 @@ object FoldWriteProbe {
     t("E sortWithinPartitions(pk)+partitionBy")(
       df.repartition(32, col("pk")).sortWithinPartitions("pk")
         .write.mode("overwrite").partitionBy("pk").parquet(s"$base/e"))
+    // pruned-probe plan artifact: fold a real ClaimStore and dump the
+    // single-key probe's executed plan (PartitionFilters/PushedFilters)
+    locally {
+      import org.apache.spark.sql.SparkSession
+      val sp: SparkSession = spark
+      import sp.implicits._
+      val root = graft.sources.TmpStores.pidScopedRoot("graft-foldprobe")
+      graft.sources.TmpStores.deleteRecursively(root)
+      val st = graft.streaming.ClaimStore(root.toString, partitionCol = Some("pk"))
+      val empty = Seq.empty[(Int, String, Long)].toDF("pk", "fp", "epoch")
+      (0 until 9).foreach { b =>
+        st.append(sp, sp.range(b * 1000L, (b + 1) * 1000L)
+          .select((col("id") % 2048).cast("int").as("pk"),
+            md5(col("id").cast("string")).as("fp"), lit(b.toLong).as("epoch")))
+      }
+      val pruned = st.readPruned(sp, empty, Seq(7))
+      pruned.collect()
+      args.drop(1).headOption.foreach { out =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+          pruned.queryExecution.executedPlan.toString)
+        println(s"pruned-probe plan -> $out")
+      }
+    }
     t("F A + committer v2")(
       df.repartition(32, col("pk")).write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
